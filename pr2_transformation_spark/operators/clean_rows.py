@@ -1,0 +1,91 @@
+"""`clean_rows` — value recoding driven by data profiling.
+
+Pipeline (parity: /root/reference/core/transformations.py:654-773):
+  1. profile the table: binary columns (single-pass aggregation; the
+     reference runs ceil(N/500) BigQuery scans) and false-array columns
+     (name-match fast path by default — zero scans);
+  2. partition columns into binary / false-array / pass-through;
+  3. compose one projection: binary CASE recode (sorted), false-array unwrap
+     CASE (sorted), pass-through (sorted);
+  4. duplicate-name guard, SQL audit, overwrite write.
+
+Scale: exactly one profiling scan + one rewrite scan of the table regardless
+of column count; both are full-width sequential parquet reads with
+whole-stage-codegen'd CASE expressions — no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from .. import profiling
+from ..expressions import Clause, binary_recode, passthrough, render_select_sql, unwrap_singleton
+from ..plans.audit import audit_path_for, save_sql_string
+from ..sources.catalog import Catalog
+
+
+def compose_clean_rows(
+    df: DataFrame,
+    use_reference: bool = True,
+    reference_file_path: Optional[str] = None,
+) -> list[Clause]:
+    """Profile ``df`` and compose the recoding projection."""
+    all_columns = df.schema.names
+
+    binary = set(profiling.binary_columns(df))
+    false_arrays = set(
+        profiling.strict_false_array_columns(
+            df, use_reference=use_reference, reference_file_path=reference_file_path
+        )
+    )
+    # A column claimed by both recodes only once (binary wins, matching the
+    # reference's clause order where the binary CASE is emitted first and the
+    # duplicate guard would reject a second alias).
+    false_arrays -= binary
+    rest = [c for c in all_columns if c not in binary and c not in false_arrays]
+
+    clauses: list[Clause] = []
+    clauses += [binary_recode(c) for c in sorted(binary)]
+    clauses += [unwrap_singleton(c, "NULL") for c in sorted(false_arrays)]
+    clauses += [passthrough(c) for c in sorted(rest)]
+
+    out_names = [c.out_name for c in clauses]
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"Duplicate column names detected: {sorted(dupes)}")
+    return clauses
+
+
+def clean_rows_df(
+    df: DataFrame,
+    use_reference: bool = True,
+    reference_file_path: Optional[str] = None,
+) -> DataFrame:
+    """DataFrame-in/DataFrame-out form (no I/O)."""
+    clauses = compose_clean_rows(df, use_reference, reference_file_path)
+    return df.select(*[c.column for c in clauses])
+
+
+def clean_rows(
+    catalog: Catalog,
+    source_table: str,
+    destination_table: str,
+    audit_dir: Optional[str] = None,
+    use_reference: bool = True,
+    reference_file_path: Optional[str] = None,
+) -> dict:
+    """Full service operation.  Envelope parity:
+    /root/reference/core/transformations.py:768-773."""
+    df = catalog.read(source_table)
+    clauses = compose_clean_rows(df, use_reference, reference_file_path)
+    sql_path = None
+    if audit_dir:
+        sql = render_select_sql(clauses, source_table, destination_table)
+        sql_path = save_sql_string(sql, audit_path_for(destination_table, audit_dir))
+    catalog.write(df.select(*[c.column for c in clauses]), destination_table)
+    return {
+        "status": f"Table {destination_table} successfully created with all transformations applied",
+        "submitted_sql_path": sql_path,
+    }

@@ -1,0 +1,146 @@
+"""Data-profiling detectors that classify columns before row cleaning.
+
+The reference runs these as batched BigQuery jobs — ceil(N/500) full scans
+for binary detection (/root/reference/core/utils.py:375-435) and *three
+scalar subqueries per column* (≈3N table scans) for strict false-array
+detection (/root/reference/core/utils.py:582-698).  Here each detector is a
+single aggregation pass over the DataFrame: every per-column check becomes
+one aggregate expression, so one job and one scan classifies every column at
+once.  At 100 TB that is the difference between 1 scan and thousands.
+
+Expression counts are still chunked (config.*_BATCH) so ultra-wide tables
+(~4k survey columns -> ~12k aggregates) don't push whole-stage codegen into
+fallback; the chunks all derive from one cached scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from . import config
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    """Names of STRING-typed columns — the only type the detectors consider
+    (/root/reference/core/utils.py:383-390)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+
+
+def _chunks(xs: list, size: int):
+    for i in range(0, len(xs), size):
+        yield xs[i : i + size]
+
+
+def binary_columns(df: DataFrame, batch_size: int = config.BINARY_DETECTION_BATCH) -> list[str]:
+    """STRING columns whose every value is "0", "1", "" or NULL.
+
+    Reference semantics (/root/reference/core/utils.py:406-408):
+    ``COUNTIF(NOT (c="0" OR c="1" OR c IS NULL OR c="")) = 0`` — note an
+    all-NULL column therefore *is* binary.  One aggregation pass instead of
+    ceil(N/500) table scans; returns names in input-schema order.
+    """
+    cols = string_columns(df)
+    if not cols:
+        return []
+    found: list[str] = []
+    for batch in _chunks(cols, batch_size):
+        aggs = []
+        for name in batch:
+            c = F.col(name)
+            offending = ~((c == "0") | (c == "1") | c.isNull() | (c == ""))
+            aggs.append((F.count_if(offending) == 0).alias(name))
+        row = df.agg(*aggs).first()
+        found.extend(name for name in batch if row[name])
+    return found
+
+
+def false_array_columns_from_reference(
+    columns: list[str], reference_file_path: Optional[str] = None
+) -> list[str]:
+    """Name-only false-array detection against the concept-pair config.
+
+    A column matches when it equals ``d_<a>_d_<b>`` for some configured pair,
+    or is that prefix plus an all-digit loop suffix (``_19``, ``_1_1`` ...).
+    Zero data scans.  Parity: /root/reference/core/utils.py:505-580.
+    """
+    pairs = config.load_false_array_reference(reference_file_path)
+    patterns = [f"d_{p[0]}_d_{p[1]}" for p in pairs if isinstance(p, list) and len(p) >= 2]
+
+    matches: list[str] = []
+    for col in columns:
+        if col == "Connect_ID":
+            continue
+        for pat in patterns:
+            if col == pat:
+                matches.append(col)
+                break
+            if col.startswith(pat + "_"):
+                suffix = col[len(pat) + 1 :]
+                if suffix.replace("_", "").isdigit():
+                    matches.append(col)
+                    break
+    return matches
+
+
+def strict_false_array_columns(
+    df: DataFrame,
+    batch_size: int = config.FALSE_ARRAY_DETECTION_BATCH,
+    use_reference: bool = False,
+    reference_file_path: Optional[str] = None,
+) -> list[str]:
+    """Columns whose data proves them false arrays (or, fast path, whose
+    names match the reference file).
+
+    Computational mode checks, per column (parity with
+    /root/reference/core/utils.py:644-678, collapsed from 3 scalar
+    subqueries/column into aggregates on one scan):
+
+      1. 1 <= COUNT(DISTINCT c) <= 3  (some non-null value, few distincts);
+      2. no non-null value outside ``config.FALSE_ARRAY_VALUES``;
+      3. at most one distinct value matching ``[<9 digits>]``.
+    """
+    cols = [c for c in df.columns if c != "Connect_ID"]
+    if use_reference:
+        return false_array_columns_from_reference(cols, reference_file_path)
+    if not cols:
+        return []
+
+    found: list[str] = []
+    for batch in _chunks(cols, batch_size):
+        aggs = []
+        for name in batch:
+            c = F.col(name)
+            distinct_ok = F.count_distinct(c).between(1, 3)
+            values_ok = (
+                F.count_if(c.isNotNull() & ~c.isin(config.FALSE_ARRAY_VALUES)) == 0
+            )
+            single_cid = (
+                F.count_distinct(
+                    F.when(c.rlike(config.BRACKETED_NINE_DIGIT_PATTERN), c)
+                )
+                <= 1
+            )
+            aggs.append((distinct_ok & values_ok & single_cid).alias(name))
+        row = df.agg(*aggs).first()
+        found.extend(name for name in batch if row[name])
+    return found
+
+
+def false_array_columns_for_tables(
+    dfs: dict[str, DataFrame], **kwargs
+) -> dict[str, list[str]]:
+    """Run false-array detection per table; errors yield an empty list.
+
+    Parity: /root/reference/core/utils.py:700-748.
+    """
+    out: dict[str, list[str]] = {}
+    for table, df in dfs.items():
+        try:
+            out[table] = strict_false_array_columns(df, **kwargs)
+        except Exception:
+            out[table] = []
+    return out

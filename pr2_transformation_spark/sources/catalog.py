@@ -1,0 +1,98 @@
+"""Fully-qualified table name resolution.
+
+The reference addresses every table as BigQuery ``project.dataset.table``
+(/root/reference/core/utils.py:30-38).  This catalog keeps that addressing
+scheme but resolves names to a parquet lake (``<root>/<project>/<dataset>/
+<table>``), to explicitly registered paths, or to Spark catalog tables /
+temp views — so the operators stay storage-agnostic.
+
+Scale note: reads go through ``spark.read.parquet`` so Catalyst gets column
+pruning, predicate pushdown, and partition discovery for free; writes default
+to overwrite-mode parquet (the Spark analogue of the reference's
+``CREATE OR REPLACE TABLE`` CTAS, /root/reference/core/transformations.py:149).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parse_fq_table(fq_table: str) -> tuple[str, str, str]:
+    """Split ``project.dataset.table``; raise unless exactly three parts.
+
+    Parity: /root/reference/core/utils.py:30-38.
+    """
+    parts = fq_table.split(".")
+    if len(parts) != 3 or not all(parts):
+        raise ValueError(
+            f"expected fully-qualified 'project.dataset.table', got {fq_table!r}"
+        )
+    return parts[0], parts[1], parts[2]
+
+
+class Catalog:
+    """Maps fully-qualified table names to DataFrames and storage paths."""
+
+    def __init__(self, spark: SparkSession, root: Optional[str] = None):
+        self.spark = spark
+        self.root = root
+        self._paths: dict[str, str] = {}
+        self._frames: dict[str, DataFrame] = {}
+
+    # -- registration -----------------------------------------------------
+    def register_path(self, fq_table: str, path: str) -> None:
+        parse_fq_table(fq_table)
+        self._paths[fq_table] = path
+
+    def register_frame(self, fq_table: str, df: DataFrame) -> None:
+        """Register an in-memory DataFrame (tests, intermediate results)."""
+        parse_fq_table(fq_table)
+        self._frames[fq_table] = df
+
+    # -- resolution -------------------------------------------------------
+    def path_for(self, fq_table: str) -> Optional[str]:
+        if fq_table in self._paths:
+            return self._paths[fq_table]
+        if self.root:
+            project, dataset, table = parse_fq_table(fq_table)
+            return os.path.join(self.root, project, dataset, f"{table}.parquet")
+        return None
+
+    def read(self, fq_table: str) -> DataFrame:
+        if fq_table in self._frames:
+            return self._frames[fq_table]
+        path = self.path_for(fq_table)
+        if path and (path.startswith(("s3://", "gs://", "hdfs://")) or os.path.exists(path)):
+            return self.spark.read.parquet(path)
+        # Fall back to the Spark catalog (saveAsTable / temp views).
+        _, dataset, table = parse_fq_table(fq_table)
+        for candidate in (f"{dataset}.{table}", table):
+            try:
+                return self.spark.table(candidate)
+            except Exception:
+                continue
+        raise ValueError(f"table not found in catalog: {fq_table}")
+
+    def column_names(self, fq_table: str) -> list[str]:
+        """Schema-only listing (no data touched) — the engine's analogue of
+        the reference's metadata RPC (/root/reference/core/utils.py:40-52)."""
+        return self.read(fq_table).schema.names
+
+    # -- sink -------------------------------------------------------------
+    def write(self, df: DataFrame, fq_table: str, partition_by: Optional[list[str]] = None) -> str:
+        """Overwrite-write (CTAS semantics).  Returns the destination path
+        or table identifier actually used."""
+        path = self.path_for(fq_table)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if path:
+            writer.parquet(path)
+            return path
+        _, dataset, table = parse_fq_table(fq_table)
+        name = f"{dataset}.{table}"
+        writer.saveAsTable(name)
+        return name
