@@ -172,7 +172,7 @@ def _age_extract(source: str, target: str) -> Column:
     """1-3 digit string in [0, 125] -> LONG, else NULL."""
     c = F.col(source)
     return (
-        F.when(c.rlike(r"^\d{1,3}$") & c.cast("long").between(0, 125), c.cast("long"))
+        F.when(c.rlike(r"^\d{1,3}$") & c.try_cast("long").between(0, 125), c.try_cast("long"))
         .otherwise(F.lit(None).cast("long"))
         .alias(target)
     )
@@ -182,7 +182,7 @@ def _year_extract(source: str, target: str) -> Column:
     """Exactly-4-digit string -> LONG, else NULL."""
     c = F.col(source)
     return (
-        F.when(c.rlike(r"^\d{4}$"), c.cast("long"))
+        F.when(c.rlike(r"^\d{4}$"), c.try_cast("long"))
         .otherwise(F.lit(None).cast("long"))
         .alias(target)
     )
@@ -191,15 +191,15 @@ def _year_extract(source: str, target: str) -> Column:
 def _age_extract_sql(source: str, target: str) -> str:
     return (
         f"CASE WHEN `{source}` RLIKE '^\\\\d{{1,3}}$' "
-        f"AND CAST(`{source}` AS LONG) BETWEEN 0 AND 125 "
-        f"THEN CAST(`{source}` AS LONG) ELSE NULL END AS `{target}`"
+        f"AND TRY_CAST(`{source}` AS LONG) BETWEEN 0 AND 125 "
+        f"THEN TRY_CAST(`{source}` AS LONG) ELSE NULL END AS `{target}`"
     )
 
 
 def _year_extract_sql(source: str, target: str) -> str:
     return (
         f"CASE WHEN `{source}` RLIKE '^\\\\d{{4}}$' "
-        f"THEN CAST(`{source}` AS LONG) ELSE NULL END AS `{target}`"
+        f"THEN TRY_CAST(`{source}` AS LONG) ELSE NULL END AS `{target}`"
     )
 
 

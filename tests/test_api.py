@@ -1,0 +1,85 @@
+"""End-to-end service tests: catalog read -> operator -> audit SQL -> write."""
+
+import os
+
+import pytest
+
+from pr2_transformation_spark import api
+from pr2_transformation_spark.sources.catalog import Catalog, parse_fq_table
+
+
+def test_parse_fq_table():
+    assert parse_fq_table("p.d.t") == ("p", "d", "t")
+    for bad in ("p.d", "p.d.t.x", "", "p..t"):
+        with pytest.raises(ValueError):
+            parse_fq_table(bad)
+
+
+def test_heartbeat():
+    hb = api.heartbeat()
+    assert hb["status"] == "ok"
+    assert hb["service"] == "pr2-transformation-spark"
+
+
+def test_request_validation(spark, tmp_path):
+    cat = Catalog(spark, root=str(tmp_path))
+    with pytest.raises(ValueError, match="source"):
+        api.clean_rows(cat, "", "p.d.out")
+    with pytest.raises(ValueError, match="destination"):
+        api.clean_rows(cat, "p.d.in", "")
+
+
+def test_clean_rows_end_to_end(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    audit = str(tmp_path / "sql")
+    cat = Catalog(spark, root=root)
+
+    src = spark.createDataFrame(
+        [("900000001", "1", "[]"), ("900000002", "0", "[123456789]")],
+        "`Connect_ID` string, `d_820476880` string, `d_236590500_d_236590500` string",
+    )
+    cat.write(src, "proj.FlatConnect.module9")
+
+    resp = api.clean_rows(cat, "proj.FlatConnect.module9", "proj.CleanConnect.module9", audit_dir=audit)
+    assert "successfully created" in resp["status"]
+    assert os.path.exists(resp["submitted_sql_path"])
+    sql_text = open(resp["submitted_sql_path"]).read()
+    assert "CREATE OR REPLACE TABLE" in sql_text and "CASE" in sql_text
+
+    out = cat.read("proj.CleanConnect.module9")
+    rows = {r["Connect_ID"]: r for r in out.collect()}
+    assert rows["900000001"]["d_820476880"] == "353358909"
+    assert rows["900000001"]["d_236590500_d_236590500"] is None
+    assert rows["900000002"]["d_236590500_d_236590500"] == "123456789"
+
+
+def test_merge_end_to_end(spark, tmp_path):
+    cat = Catalog(spark, root=str(tmp_path / "lake"))
+    v1 = spark.createDataFrame(
+        [("1", "a")], "`Connect_ID` string, `d_100000001` string"
+    )
+    v2 = spark.createDataFrame(
+        [("2", "b")], "`Connect_ID` string, `d_100000001` string"
+    )
+    cat.write(v1, "p.FlatConnect.m1_v1")
+    cat.write(v2, "p.FlatConnect.m1_v2")
+    resp = api.merge_table_versions(
+        cat, ["p.FlatConnect.m1_v1", "p.FlatConnect.m1_v2"], "p.CleanConnect.m1",
+        audit_dir=str(tmp_path / "sql"),
+    )
+    assert "successfully created" in resp["status"]
+    out = cat.read("p.CleanConnect.m1")
+    assert sorted(r["Connect_ID"] for r in out.collect()) == ["1", "2"]
+
+
+def test_sensitive_tier_end_to_end(spark, tmp_path):
+    from pr2_transformation_spark import config
+
+    cat = Catalog(spark, root=str(tmp_path / "lake"))
+    cols = config.SENSITIVE_TIER_COLUMNS + ["d_111111111"]
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    df = spark.createDataFrame([tuple(str(i) for i in range(len(cols)))], schema)
+    cat.write(df, "p.CleanConnect.module1")
+    api.create_sensitive_tier(cat, "p.CleanConnect.module1", "p.Sensitive.module1")
+    out = cat.read("p.Sensitive.module1")
+    assert out.columns == config.SENSITIVE_TIER_COLUMNS
