@@ -1,38 +1,693 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (reference surface + EXT training-data operators), each paired
+with a DuckDB oracle in ``oracle_sql()`` where the semantics are
+SQL-expressible.  Column names and rounding are mirrored exactly on both
+sides; timestamps are surfaced as epoch BIGINTs and double aggregates are
+rounded to keep the value-hash comparison stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pr2_transformation_spark import profiling  # noqa: E402
+from pr2_transformation_spark.expressions import binary_recode, unwrap_singleton  # noqa: E402
+from pr2_transformation_spark.functions import dedup, similarity, textstats  # noqa: E402
+from pr2_transformation_spark.operators.merge import merge_versions_df  # noqa: E402
+from pr2_transformation_spark.streaming.windows import sessionize_batch  # noqa: E402
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    read nanos as long and convert with integer division (a double division
+    would lose microsecond precision at 1.7e18)."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ===========================================================================
+# Reference-surface queries (SURVEY.md §2.1-2.10)
+# ===========================================================================
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped scan+filter+agg (projection pushdown,
+    map-side partial agg, one shuffle on two low-cardinality keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_projection_rename_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core projection operator: rename + COALESCE + case standardization
+    (clean_columns' clause shapes on a TPC-H table)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_key"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")), F.col("p_type")).alias(
+            "brand_or_type"
+        ),
+        F.lower(F.col("p_name")).alias("name_lc"),
+        F.col("p_size").alias("size_num"),
+    )
+
+
+def q03_case_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary->CID CASE recode shape (/root/reference/core/utils.py:437-466)
+    applied to a status flag, plus group counts of the recoded value."""
+    orders = _t(spark, sf_dir, "orders")
+    recoded = orders.select(
+        F.when(F.col("o_orderstatus") == "F", F.lit("353358909"))
+        .when(F.col("o_orderstatus") == "O", F.lit("104430631"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("status_cid")
+    )
+    return recoded.groupBy("status_cid").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q04_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP_CONTAINS / REGEXP_REPLACE / extraction surface."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").rlike(r"^\d-"))
+        .select(
+            F.regexp_extract(F.col("o_orderpriority"), r"^(\d)", 1).alias("priority_num"),
+            F.regexp_replace(F.col("o_orderpriority"), r"^\d-", "").alias("priority_name"),
+        )
+        .groupBy("priority_num", "priority_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q05_guarded_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-guarded CAST (age/year custom-transform template shape,
+    /root/reference/core/constants.py:157-186)."""
+    part = _t(spark, sf_dir, "part")
+    digits = F.regexp_extract(F.col("p_brand"), r"#(\d+)$", 1)
+    brand_num = F.when(
+        digits.rlike(r"^\d{1,3}$") & digits.try_cast("long").between(0, 125),
+        digits.try_cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+    return (
+        part.select(brand_num.alias("brand_num"))
+        .groupBy("brand_num")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q06_merge_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_table_versions operator: case-insensitive common-column
+    COALESCE + unique pass-through + FULL OUTER chain on Connect_ID."""
+    cust = _t(spark, sf_dir, "customer")
+    v1 = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").cast("string").alias("Connect_ID"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.col("c_mktsegment").alias("c_mktsegment"),
+        F.col("c_nationkey").cast("string").alias("nat_v1"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").cast("string").alias("Connect_ID"),
+        F.col("c_name").alias("c_name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (F.col("c_nationkey") + 100).cast("string").alias("nat_v2"),
+    )
+    return merge_versions_df([v1, v2])
+
+
+def q07_profile_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column detector aggregate: COUNTIF(NOT allowed) = 0 per
+    column, one pass (/root/reference/core/utils.py:406-408)."""
+    li = _t(spark, sf_dir, "lineitem")
+    derived = li.select(
+        F.col("l_returnflag"),
+        F.when(F.col("l_linestatus") == "F", F.lit("1")).otherwise(F.lit("0")).alias("flag01"),
+    )
+
+    def is_binary(c):
+        col = F.col(c)
+        bad = ~((col == "0") | (col == "1") | col.isNull() | (col == ""))
+        return F.count_if(bad) == 0
+
+    return derived.agg(
+        is_binary("l_returnflag").alias("returnflag_is_binary"),
+        is_binary("flag01").alias("flag01_is_binary"),
+    )
+
+
+def q08_profile_false_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict false-array detector checks (distinct-count bounds, allowed
+    value set, <=1 bracketed CID) as one aggregation pass
+    (/root/reference/core/utils.py:644-664)."""
+    li = _t(spark, sf_dir, "lineitem")
+    fa = (
+        F.when(F.col("l_returnflag") == "A", F.lit("[]"))
+        .when(F.col("l_returnflag") == "N", F.lit("[178420302]"))
+        .otherwise(F.lit("[958239616]"))
+    )
+    d = li.select(fa.alias("fa"))
+    c = F.col("fa")
+    return d.agg(
+        F.count_distinct(c).alias("n_distinct"),
+        F.count_if(c.isNotNull() & ~c.isin(["[]", "[178420302]", "[958239616]"])).alias(
+            "n_outside_domain"
+        ),
+        F.count_distinct(F.when(c.rlike(r"^\[\d{9}\]$"), c)).alias("n_bracketed_distinct"),
+    )
+
+
+def q09_sensitive_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-list projection + pushed-down filter (sensitive-tier shape,
+    /root/reference/core/transformations.py:792-797)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("connect_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+
+
+def q10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem⨝orders⨝customer⨝nation⨝region + agg; small dims
+    broadcast, one shuffle for the final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q11_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function top-k: 3 highest-value orders per priority
+    (deterministic tie-break on key)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def q12_unwrap_singleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-array unwrap CASE (/root/reference/core/utils.py:750-778)
+    applied to constructed bracketed values, aggregated."""
+    li = _t(spark, sf_dir, "lineitem")
+    fa = (
+        F.when(F.col("l_returnflag") == "A", F.lit("[]"))
+        .when(F.col("l_returnflag") == "N", F.lit("[178420302]"))
+        .otherwise(F.lit("[958239616]"))
+    )
+    d = li.select(fa.alias("fa"))
+    unwrapped = d.select(unwrap_singleton("fa", "NULL").column)
+    return unwrapped.groupBy("fa").agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("fa", "unwrapped")
+
+
+# ===========================================================================
+# EXT queries: events (streaming batch-twins), documents, embeddings
+# ===========================================================================
+
+def q13_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregate (batch twin of the Structured
+    Streaming form in streaming/windows.py)."""
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "10 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/gap sessionization (30-minute gap): sessions + events per user."""
+    ev = _events(spark, sf_dir)
+    s = sessionize_batch(ev, "ts", "user_id", 30)
+    return s.groupBy("user_id").agg(
+        F.max("session_idx").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the props column + aggregate."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.select(k.alias("k"), F.col("value"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one kept row (min doc_id) per source group."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, ["source"], "doc_id")
+    return kept.select(F.col("source"), F.col("doc_id").alias("keep_id"))
+
+
+def q17_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text quality profile (token/punct/stopword metrics)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.char_count(t).alias("n_chars_c"),
+        textstats.punct_count(t).alias("n_punct"),
+        textstats.stopword_ratio(t).alias("stopword_ratio"),
+    )
+
+
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic, counted per guess."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(textstats.language_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q19_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 document fingerprints (dedup keys)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q20_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (exact ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+
+
+def q21_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity for same-(lang,source) document pairs
+    sharing at least one word bigram."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=2, min_jaccard=0.01, bucket_cols=["lang", "source"]
+    )
+
+
+# --- rows-only (no SQL-expressible oracle) ---------------------------------
+
+def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with exact-Jaccard verification
+    (hash-permutation pipeline; not expressible in portable SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_minhash(
+        docs, num_hashes=16, bands=4, threshold=0.2
+    )
+
+
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (bit-vote fold over token hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=16)
+
+
+def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (the 100 TB scale path; recall<1 by
+    design, so checked rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_lsh(corpus, queries, k=5, n_planes=6)
+
+
+def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-bucketing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.25, n_planes=4)
+
+
+# ===========================================================================
+# Contract functions
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
+    return q01_pricing_summary(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_projection_rename_coalesce": q02_projection_rename_coalesce,
+        "q03_case_recode": q03_case_recode,
+        "q04_regex_extract": q04_regex_extract,
+        "q05_guarded_cast": q05_guarded_cast,
+        "q06_merge_versions": q06_merge_versions,
+        "q07_profile_binary": q07_profile_binary,
+        "q08_profile_false_array": q08_profile_false_array,
+        "q09_sensitive_projection": q09_sensitive_projection,
+        "q10_star_join_revenue": q10_star_join_revenue,
+        "q11_window_topk": q11_window_topk,
+        "q12_unwrap_singleton": q12_unwrap_singleton,
+        "q13_events_tumbling": q13_events_tumbling,
+        "q14_sessionize": q14_sessionize,
+        "q15_json_extract": q15_json_extract,
+        "q16_dedup_exact": q16_dedup_exact,
+        "q17_text_stats": q17_text_stats,
+        "q18_lang_id": q18_lang_id,
+        "q19_fingerprint": q19_fingerprint,
+        "q20_ann_bruteforce": q20_ann_bruteforce,
+        "q21_ngram_jaccard": q21_ngram_jaccard,
+        "q22_minhash_lsh": q22_minhash_lsh,
+        "q23_simhash": q23_simhash,
+        "q24_ann_lsh": q24_ann_lsh,
+        "q25_embedding_near_dup": q25_embedding_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "'the','and','of','to','in'"
+_DE = "'der','die','das','und','ist'"
+_FR = "'le','les','une','est','dans'"
+_ES = "'el','los','una','que','por'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_projection_rename_coalesce": """
+            SELECT p_partkey AS part_key,
+                   coalesce(nullif(p_brand, 'Brand#13'), p_type) AS brand_or_type,
+                   lower(p_name) AS name_lc,
+                   p_size AS size_num
+            FROM part
+        """,
+        "q03_case_recode": """
+            SELECT CASE WHEN o_orderstatus = 'F' THEN '353358909'
+                        WHEN o_orderstatus = 'O' THEN '104430631'
+                        ELSE NULL END AS status_cid,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "q04_regex_extract": """
+            SELECT regexp_extract(o_orderpriority, '^([0-9])', 1) AS priority_num,
+                   regexp_replace(o_orderpriority, '^[0-9]-', '') AS priority_name,
+                   count(*) AS n
+            FROM orders
+            WHERE regexp_matches(o_orderpriority, '^[0-9]-')
+            GROUP BY 1, 2
+        """,
+        "q05_guarded_cast": """
+            WITH d AS (
+                SELECT regexp_extract(p_brand, '#([0-9]+)$', 1) AS digits FROM part
+            )
+            SELECT CASE WHEN regexp_matches(digits, '^[0-9]{1,3}$')
+                             AND TRY_CAST(digits AS BIGINT) BETWEEN 0 AND 125
+                        THEN TRY_CAST(digits AS BIGINT) ELSE NULL END AS brand_num,
+                   count(*) AS n_parts
+            FROM d GROUP BY 1
+        """,
+        "q06_merge_versions": """
+            WITH v1 AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                       CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS c_name,
+                       c_mktsegment,
+                       CAST(c_nationkey AS VARCHAR) AS nat_v1
+                FROM customer WHERE c_custkey % 3 != 0
+            ), v2 AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                       c_name,
+                       CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+                       CAST(c_nationkey + 100 AS VARCHAR) AS nat_v2
+                FROM customer WHERE c_custkey % 2 = 0
+            )
+            SELECT coalesce(v1.c_mktsegment, v2.c_mktsegment) AS c_mktsegment,
+                   coalesce(v1.c_name, v2.c_name) AS c_name,
+                   coalesce(v1.Connect_ID, v2.Connect_ID) AS Connect_ID,
+                   v1.nat_v1 AS nat_v1,
+                   v2.nat_v2 AS nat_v2
+            FROM v1 FULL OUTER JOIN v2 ON v1.Connect_ID = v2.Connect_ID
+        """,
+        "q07_profile_binary": """
+            WITH d AS (
+                SELECT l_returnflag,
+                       CASE WHEN l_linestatus = 'F' THEN '1' ELSE '0' END AS flag01
+                FROM lineitem
+            )
+            SELECT count(*) FILTER (WHERE NOT (l_returnflag = '0' OR l_returnflag = '1'
+                                               OR l_returnflag IS NULL OR l_returnflag = '')) = 0
+                       AS returnflag_is_binary,
+                   count(*) FILTER (WHERE NOT (flag01 = '0' OR flag01 = '1'
+                                               OR flag01 IS NULL OR flag01 = '')) = 0
+                       AS flag01_is_binary
+            FROM d
+        """,
+        "q08_profile_false_array": """
+            WITH d AS (
+                SELECT CASE WHEN l_returnflag = 'A' THEN '[]'
+                            WHEN l_returnflag = 'N' THEN '[178420302]'
+                            ELSE '[958239616]' END AS fa
+                FROM lineitem
+            )
+            SELECT count(DISTINCT fa) AS n_distinct,
+                   count(*) FILTER (WHERE fa IS NOT NULL
+                                    AND fa NOT IN ('[]', '[178420302]', '[958239616]'))
+                       AS n_outside_domain,
+                   count(DISTINCT CASE WHEN regexp_matches(fa, '^\\[[0-9]{9}\\]$')
+                                       THEN fa END) AS n_bracketed_distinct
+            FROM d
+        """,
+        "q09_sensitive_projection": """
+            SELECT c_custkey AS connect_key, c_name AS name, c_nationkey AS nation_key
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "q10_star_join_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q11_window_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "q12_unwrap_singleton": """
+            WITH d AS (
+                SELECT CASE WHEN l_returnflag = 'A' THEN '[]'
+                            WHEN l_returnflag = 'N' THEN '[178420302]'
+                            ELSE '[958239616]' END AS fa
+                FROM lineitem
+            ), u AS (
+                SELECT CASE WHEN fa = '[]' THEN NULL
+                            WHEN regexp_matches(fa, '\\[[0-9]{9}\\]')
+                                THEN regexp_replace(fa, '\\[([0-9]{9})\\]', '\\1')
+                            WHEN fa IS NULL THEN NULL
+                            ELSE CAST(NULL AS VARCHAR) END AS unwrapped
+                FROM d
+            )
+            SELECT unwrapped, count(*) AS n FROM u GROUP BY unwrapped
+        """,
+        "q13_events_tumbling": """
+            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q14_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "q15_json_extract": """
+            SELECT json_extract_string(props, '$.k') AS k,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q16_dedup_exact": """
+            SELECT source, min(doc_id) AS keep_id FROM documents GROUP BY source
+        """,
+        "q17_text_stats": """
+            SELECT doc_id,
+                   array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars_c,
+                   length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                   round(
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ('the','and','of','to','in')))
+                       / greatest(array_length(regexp_split_to_array(trim(text), '\\s+')), 1),
+                       4) AS stopword_ratio
+            FROM documents
+        """,
+        "q18_lang_id": f"""
+            WITH c AS (
+                SELECT len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_EN}))) AS en,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_DE}))) AS de,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_FR}))) AS fr,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_ES}))) AS es
+                FROM documents
+            ), g AS (
+                SELECT CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                            WHEN en = greatest(en, de, fr, es) THEN 'en'
+                            WHEN de = greatest(en, de, fr, es) THEN 'de'
+                            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                            ELSE 'es' END AS lang_guess
+                FROM c
+            )
+            SELECT lang_guess, count(*) AS n_docs FROM g GROUP BY lang_guess
+        """,
+        "q19_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "q20_ann_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id >= 10
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       round(list_cosine_similarity(q.qv, c.cv), 4) AS score
+                FROM q CROSS JOIN c
+            )
+            SELECT query_id, vec_id, score, rank FROM (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "q21_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, lang, source,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS s
+                FROM toks
+            ), e AS (
+                SELECT doc_id, lang, source, len(s) AS sz, unnest(s) AS g FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+                FROM e a JOIN e b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                 AND a.lang = b.lang AND a.source = b.source
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
+            FROM inter
+            WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.01
+        """,
+        # q22-q25: hash-permutation / LSH pipelines — not portably
+        # SQL-expressible; the driver records rows-only checks.
+    }
+
+
+if __name__ == "__main__":
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    df = entry(spark)
+    df.show()
+    print("rows:", df.count())

@@ -1,0 +1,268 @@
+"""Deduplication operators (EXT): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each variant):
+
+* **exact**: one shuffle on a 64-bit content hash — never on the raw text —
+  so 100 TB of documents shuffles only (hash, id) pairs plus a same-hash
+  verification.  Window ``row_number`` keeps the smallest id per group.
+* **MinHash + LSH**: signatures are computed scan-side with built-in
+  ``xxhash64``/``transform``/``array_min`` (no UDFs); candidate generation
+  shuffles only (band_hash, id), never O(n²).  Verification re-joins
+  shingle sets for the candidate pairs only.
+* **SimHash**: per-token hashes folded into a small bit signature
+  scan-side; near-dups = signatures equal (or banded by prefix).
+* **n-gram Jaccard**: exact similarity for *candidate* pairs — candidates
+  come from shared shingles (inverted-index join), so cost tracks true
+  overlap, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_cols: list[str], key_col: str) -> DataFrame:
+    """Keep one row (smallest ``key_col``) per distinct content.
+
+    Equivalent to ``SELECT ... QUALIFY row_number() OVER (PARTITION BY
+    content ORDER BY key) = 1``; the shuffle key is the content columns'
+    hash, computed by Spark's HashPartitioner on the partition expressions.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in content_cols]).orderBy(F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
+    """One-row summary: total rows, distinct contents, duplicate rows."""
+    total = F.count(F.lit(1)).alias("total_rows")
+    distinct = F.count_distinct(*[F.col(c) for c in content_cols]).alias("distinct_rows")
+    return df.agg(total, distinct).select(
+        "total_rows",
+        "distinct_rows",
+        (F.col("total_rows") - F.col("distinct_rows")).alias("duplicate_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Add a ``signature: array<bigint>`` MinHash column.
+
+    Each of the ``num_hashes`` permutations is simulated by seeding
+    ``xxhash64`` with the permutation index; the signature element is the
+    min hash over the document's distinct word shingles.  Entirely JVM-side.
+    """
+    def perm_hash(seed: int):
+        # single-arg lambda: extra lambda params would make Spark pass the
+        # array index as a second higher-order-function variable
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    # Materialize shingles in their own projection, then hash the *column
+    # reference*: inlining the shingle expression into all num_hashes
+    # signature slots would re-tokenize the text once per slot.
+    with_shingles = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), perm_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return with_shingles.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 8, sig_len: int | None = None
+) -> DataFrame:
+    """Banding: split each signature into ``bands`` slices; documents
+    agreeing on any band become a candidate pair (id_a < id_b).
+
+    Shuffle volume is O(n * bands) small rows; the per-bucket self-join is
+    quadratic only within a bucket, which LSH keeps tiny for non-dup data.
+    """
+    if sig_len is None:  # avoid this probe job when the caller knows the length
+        sig_len = sig_df.selectExpr("size(signature) AS n").first()["n"]
+    rows_per_band = max(1, sig_len // bands)
+
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("signature"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs."""
+    sh = sig_df.select(F.col(id_col), F.col("shingles"))
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
+    pairs -> exact Jaccard filter at ``threshold``.
+
+    The signature frame is persisted: it feeds both sides of the banded
+    self-join *and* both sides of the Jaccard verification join, and
+    recomputing tokenization+hashing four times dominates runtime otherwise.
+    """
+    sig = minhash_signature(df, text_col, id_col, num_hashes).persist()
+    cands = lsh_candidate_pairs(sig, id_col, bands, sig_len=num_hashes)
+    return jaccard_for_pairs(cands, sig, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Add a ``simhash: bigint`` column: for each bit position, sum +1/-1
+    over token hashes and take the sign.  Near-duplicate texts agree on most
+    bits; equality or small Hamming distance finds them."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_votes(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), bit_votes(i))
+        bit_cols.append(F.when(votes > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for b in bit_cols[1:]:
+        total = total + b
+    return df.select(F.col(id_col), total.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Groups of documents sharing an identical simhash (likely near-dups)."""
+    sh = simhash(df, text_col, id_col, bits)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted shingle index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_jaccard: float = 0.05,
+    bucket_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair sharing >=1 shingle
+    (optionally restricted to pairs agreeing on ``bucket_cols``).
+
+    The inverted-index join keys on the shingle string; at scale key on
+    ``xxhash64(shingle)`` instead to shrink shuffle rows (identical result).
+    """
+    bucket_cols = bucket_cols or []
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in bucket_cols],
+        word_shingles(F.col(text_col), n).alias("sh"),
+    )
+    sizes = sh.select(F.col(id_col), *bucket_cols, F.size("sh").alias("sz"), F.col("sh"))
+    expl = sizes.select(F.col(id_col), *bucket_cols, "sz", F.explode("sh").alias("s"))
+
+    a, b = expl.alias("a"), expl.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

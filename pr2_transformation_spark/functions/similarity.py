@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (EXT).
+
+Two paths:
+
+* **Brute force** — exact cosine top-k.  The (small) query set is
+  broadcast; every partition of the corpus scores its rows locally, then a
+  per-query window keeps k.  Cost is one corpus scan per batch of queries —
+  the right baseline, and exactly what a 1000-executor cluster does well.
+* **Hyperplane LSH** — random-projection sign bits bucket the corpus once
+  (16-32 bits -> 64K-4B buckets); queries probe their own bucket (plus
+  optional multiprobe neighbors), scoring only a tiny candidate slice.
+  The bucketing scan is reusable across query batches; this is the 100 TB
+  scale path (approximate: recall < 1.0 by design).
+
+All arithmetic is built-in ``zip_with``/``aggregate`` over array<double> —
+JVM-side, no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (query_id, vec_id, score, rank); ties broken by vec_id so the
+    result is fully deterministic.  ``queries`` is broadcast — never make
+    the corpus the broadcast side.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    scored = q.crossJoin(c).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-less Gaussian hyperplanes (driver-side, tiny)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec, planes: list[list[float]]):
+    """Sign-bit bucket id of ``vec`` (array<double>) under the hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket.  Recall improves with fewer planes (bigger buckets)
+    or multiprobe; this is the scale path, not the exactness path."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__bucket", lsh_bucket(F.col("__cv"), planes))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+        ).withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
+    )
+    scored = q.join(c, "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-bucketing: only
+    same-bucket pairs are scored (id_a < id_b), then filtered at
+    ``threshold``."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.__bucket") == F.col("y.__bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("x.__v"), F.col("y.__v")), 4).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines (EXT).
+
+All pure ``pyspark.sql.functions`` compositions — JVM-side, whole-stage
+codegen'd, no UDFs — so they run at full scan speed on 100 TB of documents.
+Each builder returns a Column; ``profile_documents`` assembles the standard
+quality-profile projection used by the correctness queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small deterministic stopword profiles for the lang-id heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "une", "est", "dans"],
+    "es": ["el", "los", "una", "que", "por"],
+}
+
+#: English stopwords used by the quality-score ratio.
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+_WS = r"\s+"
+_PUNCT_CLASS = "[^.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    """Number of sentence-punctuation characters."""
+    return F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.round(punct_count(text) / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    words = stopwords or QUALITY_STOPWORDS
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    return F.round(
+        stopword_count(text, stopwords) / F.greatest(token_count(text), F.lit(1)), 4
+    )
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0, 1] quality heuristic: length band + stopword
+    presence - punctuation excess.  Useful as a filter threshold in data
+    curation; the exact weights are arbitrary but stable."""
+    length_term = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_term = F.least(punct_ratio(text) * 10.0, F.lit(1.0))
+    return F.round(
+        0.5 * length_term + 0.3 * stop_term + 0.2 * (1.0 - punct_term), 4
+    )
+
+
+def language_guess(text: Column) -> Column:
+    """n-gram-free stopword-profile language ID.
+
+    Counts hits against each language's stopword set; highest count wins,
+    ties broken in en > de > fr > es order; zero hits -> 'und' (undetermined).
+    Deterministic and SQL-expressible (the DuckDB oracle mirrors the same
+    CASE chain).
+    """
+    counts = {lang: stopword_count(text, words) for lang, words in STOPWORDS.items()}
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of normalized text).
+    Stable across engines — DuckDB md5 produces the identical hex digest."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (lowercased)."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Standard per-document quality profile projection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        punct_count(t).alias("n_punct"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        avg_token_length(t).alias("avg_token_len"),
+        quality_score(t).alias("quality"),
+        language_guess(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

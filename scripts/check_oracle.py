@@ -1,0 +1,111 @@
+"""Local approximation of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column names, and
+an order-insensitive multiset of normalized row values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = sdf.collect()
+            spark_cols = sorted(sdf.columns)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle; rows-only)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {str(e)[:300]}")
+            continue
+        duck_cols = sorted(c.lower() for c in odf.columns)
+        s_cols_l = sorted(c.lower() for c in spark_cols)
+        if s_cols_l != duck_cols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ spark={s_cols_l} duck={duck_cols}")
+            continue
+        if len(spark_rows) != len(odf):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(spark_rows)} duck={len(odf)}")
+            continue
+        col_order = sorted(sdf.columns, key=lambda c: c.lower())
+        s_set = sorted(
+            tuple(norm(r[c]) for c in col_order) for r in spark_rows
+        )
+        odf.columns = [c.lower() for c in odf.columns]
+        d_set = sorted(
+            tuple(norm(v) for v in row)
+            for row in odf[[c.lower() for c in col_order]].itertuples(index=False, name=None)
+        )
+        if s_set != d_set:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
+            print(f"FAIL  {name}: values differ, first diffs: {diff}")
+            continue
+        print(f"OK    {name}: {len(spark_rows)} rows match")
+
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
