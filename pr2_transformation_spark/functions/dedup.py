@@ -21,7 +21,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import word_shingles
+from .textstats import shingles_from_tokens, tokens
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the scan produced fewer partitions than cores.
+
+    Small parquet files arrive as one input split, serializing expensive
+    per-row work (tokenization, hashing) onto a single core.  At warehouse
+    scale inputs have >> cores partitions and this is a no-op — the check is
+    on actual partition count, so no shuffle is ever added to a big scan.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -76,11 +91,15 @@ def minhash_signature(
         # array index as a second higher-order-function variable
         return lambda s: F.xxhash64(F.lit(seed), s)
 
-    # Materialize shingles in their own projection, then hash the *column
-    # reference*: inlining the shingle expression into all num_hashes
-    # signature slots would re-tokenize the text once per slot.
-    with_shingles = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    # Materialize tokens, then shingles, each in its own projection, then
+    # hash the *column reference*: inlining the tokenizer/shingle expression
+    # into all num_hashes signature slots would re-tokenize once per slot
+    # (HOF lambdas are interpreted — no codegen subexpression elimination).
+    with_tokens = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    with_shingles = with_tokens.select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles")
     )
     sig = F.array(
         *[
@@ -187,9 +206,19 @@ def near_dup_pairs_minhash(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Add a ``simhash: bigint`` column: for each bit position, sum +1/-1
     over token hashes and take the sign.  Near-duplicate texts agree on most
-    bits; equality or small Hamming distance finds them."""
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits; equality or small Hamming distance finds them.
+
+    Token hashes are materialized in their own projection: each of the
+    ``bits`` interpreted fold expressions references the hash *column*, not
+    the tokenize+hash expression (which would re-run per bit)."""
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")),
+            lambda t: F.xxhash64(t),
+        ).alias("__h"),
+    )
+    hashes = F.col("__h")
 
     def bit_votes(bit: int):
         return lambda acc, h: acc + F.when(
@@ -203,7 +232,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     total = bit_cols[0]
     for b in bit_cols[1:]:
         total = total + b
-    return df.select(F.col(id_col), total.cast("long").alias("simhash"))
+    return hashed.select(F.col(id_col), total.cast("long").alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
@@ -231,29 +260,51 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard for every pair sharing >=1 shingle
     (optionally restricted to pairs agreeing on ``bucket_cols``).
 
-    The inverted-index join keys on the shingle string; at scale key on
-    ``xxhash64(shingle)`` instead to shrink shuffle rows (identical result).
+    Implementation is an inverted index as *posting lists*: one shuffle
+    groups (bucket, shingle) -> sorted [(id, size)...], pairs are expanded
+    map-side from each list, and a second shuffle counts shared shingles per
+    pair.  This halves the shuffles of the naive exploded self-join (which
+    shuffles + sorts the full posting table twice) and the per-gram pair
+    expansion is bounded by true overlap, never O(n²) over the corpus.  At
+    scale, cap pathological posting lists (ultra-common shingles) with a
+    ``max_posting`` filter — a standard index-pruning tradeoff (not applied
+    here to keep exact-oracle semantics).
     """
     bucket_cols = bucket_cols or []
-    sh = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col), *[F.col(c) for c in bucket_cols],
-        word_shingles(F.col(text_col), n).alias("sh"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
     )
-    sizes = sh.select(F.col(id_col), *bucket_cols, F.size("sh").alias("sz"), F.col("sh"))
-    expl = sizes.select(F.col(id_col), *bucket_cols, "sz", F.explode("sh").alias("s"))
+    sh = tok.select(
+        F.col(id_col), *bucket_cols, shingles_from_tokens(F.col("__toks"), n).alias("sh")
+    )
+    # explode_outer + post-filter on the generated attribute, NOT explode:
+    # explode makes InferFiltersFromGenerate add `size(sh)>0 AND isnotnull
+    # (sh)`, and predicate pushdown then substitutes the full shingle
+    # expression into that filter and pushes it below the repartition
+    # Exchange — re-running tokenization twice per row on the (serial) scan
+    # side.  A filter on the generated column `s` cannot sink below the
+    # Generate, so the expensive projection stays put, post-shuffle.
+    expl = sh.select(
+        F.col(id_col), *bucket_cols, F.size("sh").alias("sz"),
+        F.explode_outer("sh").alias("s"),
+    ).filter(F.col("s").isNotNull())
 
-    a, b = expl.alias("a"), expl.alias("b")
-    cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in bucket_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    posts = (
+        expl.groupBy(*bucket_cols, "s")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "sz"))).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pair_expr = f"""
+        flatten(transform(docs, (x, i) ->
+            transform(slice(docs, i + 2, size(docs) - i - 1), y ->
+                struct(x.{id_col} AS id_a, y.{id_col} AS id_b,
+                       x.sz AS sz_a, y.sz AS sz_b))))
+    """
     inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
+        posts.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (

@@ -111,9 +111,16 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles (lowercased)."""
-    toks = tokens(F.lower(text))
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles from a pre-split token array.
+
+    ``toks`` should be a *materialized column reference* (project the token
+    array in its own ``select`` first).  Higher-order-function lambdas are
+    interpreted (not codegen'd), so an inlined ``split`` here would be
+    re-evaluated once per ``element_at`` — O(tokens²) per document.
+    Catalyst's CollapseProject keeps the two-step projection split because
+    the token array is referenced more than once.
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -122,6 +129,16 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (lowercased).
+
+    Prefer ``shingles_from_tokens`` over a materialized token column in
+    pipelines — this convenience form inlines the tokenizer into the HOF
+    (see ``shingles_from_tokens`` docstring for why that costs O(tokens²)).
+    """
+    return shingles_from_tokens(tokens(F.lower(text)), n)
 
 
 def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
