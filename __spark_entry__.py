@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pr2_transformation_spark import profiling  # noqa: E402
 from pr2_transformation_spark.expressions import binary_recode, unwrap_singleton  # noqa: E402
 from pr2_transformation_spark.functions import dedup, similarity, textstats  # noqa: E402
+from pr2_transformation_spark.operators.clean_columns import clean_columns_df  # noqa: E402
+from pr2_transformation_spark.operators.clean_rows import clean_rows_df  # noqa: E402
 from pr2_transformation_spark.operators.merge import merge_versions_df  # noqa: E402
 from pr2_transformation_spark.streaming.windows import sessionize_batch  # noqa: E402
 
@@ -252,6 +254,102 @@ def q12_unwrap_singleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unwrapped.groupBy("fa").agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("fa", "unwrapped")
 
 
+def _survey_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-shaped fixture built deterministically from `customer`: a flat
+    all-STRING table whose column names exercise the full CID grammar
+    (one-off rename, custom-transform source, loop variants, mid-name
+    version, multi-CID frozenset pair, substring excision collision, and an
+    impure name that must be dropped)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        k.cast("string").alias("Connect_ID"),
+        F.when(k % 11 == 0, F.lit(None).cast("string")).otherwise(F.col("c_name"))
+        .alias("D_150352141_D_206625031"),
+        F.when(k % 4 == 0, F.col("c_nationkey").cast("string"))
+        .when(k % 4 == 1, (F.lit(1900) + k % 150).cast("string"))
+        .when(k % 4 == 2, F.lit("abc"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("D_317093647"),
+        F.col("c_mktsegment").alias("d_110349197_1_1"),
+        F.concat(F.lit("ph-"), (k % 100).cast("string")).alias("D_110349197_2_2"),
+        F.concat(F.lit("ad-"), F.col("c_nationkey").cast("string")).alias("d_285476655_v2_1_1"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("cm-"), (k % 17).cast("string")))
+        .alias("d_111111111_d_222222222_5_5"),
+        F.concat(F.lit("cb-"), (k % 7).cast("string")).alias("d_222222222_d_111111111_5_5"),
+        F.when(k % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_nationkey").cast("string"))
+        .alias("state_d_934064808"),
+        (F.col("c_nationkey") + 1).cast("string").alias("d_934064808_num"),
+        F.lit("x").alias("biospecimen_flag"),
+    )
+
+
+def q26_clean_columns_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real clean_columns operator end-to-end on a survey-shaped frame:
+    all four clause builders + threaded processed-set + duplicate guard
+    (/root/reference/core/transformations.py:536-648)."""
+    return clean_columns_df(
+        _survey_frame(spark, sf_dir),
+        "FlatConnect.module1_v2_JP",
+        "proj.FlatConnect.module1_v2_JP",
+    )
+
+
+def q27_clean_rows_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real clean_rows operator with *computational* profiling (binary
+    detection + strict false-array detection as single-pass aggregations,
+    /root/reference/core/utils.py:375-435,582-698) composing recode/unwrap/
+    passthrough clauses from the data itself."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    fixture = orders.select(
+        k.cast("string").alias("Connect_ID"),
+        F.when(k % 5 == 0, F.lit("1"))
+        .when(k % 5 == 1, F.lit("0"))
+        .when(k % 5 == 2, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("d_111111111"),
+        F.when(k % 3 == 0, F.lit("[]"))
+        .when(k % 3 == 1, F.lit("[178420302]"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("d_222222222"),
+        F.col("o_orderpriority").alias("d_333333333"),
+    )
+    return clean_rows_df(fixture, use_reference=False)
+
+
+def q28_merge_three_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-version merge exercising the star-shaped FULL OUTER chain anchored
+    on the last source's key (SURVEY.md §2.6 note; /root/reference/core/
+    transformations.py:126-136), plus forbidden-column drop and
+    common-column COALESCE in alias order."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v1 = cust.filter(k % 2 == 0).select(
+        k.cast("string").alias("Connect_ID"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("common_col"),
+        F.concat(F.lit("u1-"), (k % 19).cast("string")).alias("uniq_v1"),
+        F.col("c_name").alias("token"),
+    )
+    v2 = cust.filter(k % 3 == 0).select(
+        k.cast("string").alias("Connect_ID"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("s2:"), F.col("c_mktsegment")))
+        .alias("common_col"),
+        F.concat(F.lit("u2-"), (k % 23).cast("string")).alias("uniq_v2"),
+    )
+    v3 = cust.filter(k % 5 == 0).select(
+        k.cast("string").alias("Connect_ID"),
+        F.concat(F.lit("s3:"), F.col("c_mktsegment")).alias("common_col"),
+        F.col("c_nationkey").cast("string").alias("uniq_v3"),
+    )
+    return merge_versions_df([v1, v2, v3])
+
+
 # ===========================================================================
 # EXT queries: events (streaming batch-twins), documents, embeddings
 # ===========================================================================
@@ -420,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_simhash": q23_simhash,
         "q24_ann_lsh": q24_ann_lsh,
         "q25_embedding_near_dup": q25_embedding_near_dup,
+        "q26_clean_columns_pipeline": q26_clean_columns_pipeline,
+        "q27_clean_rows_pipeline": q27_clean_rows_pipeline,
+        "q28_merge_three_versions": q28_merge_three_versions,
     }
 
 
@@ -678,6 +779,95 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q22-q25: hash-permutation / LSH pipelines — not portably
         # SQL-expressible; the driver records rows-only checks.
+        "q26_clean_columns_pipeline": """
+            WITH survey AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                       CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_name END AS src_rename,
+                       CASE WHEN c_custkey % 4 = 0 THEN CAST(c_nationkey AS VARCHAR)
+                            WHEN c_custkey % 4 = 1 THEN CAST(1900 + c_custkey % 150 AS VARCHAR)
+                            WHEN c_custkey % 4 = 2 THEN 'abc'
+                            ELSE NULL END AS d317,
+                       c_mktsegment AS loop1,
+                       'ph-' || CAST(c_custkey % 100 AS VARCHAR) AS loop2,
+                       'ad-' || CAST(c_nationkey AS VARCHAR) AS ver1,
+                       CASE WHEN c_custkey % 3 = 0 THEN NULL
+                            ELSE 'cm-' || CAST(c_custkey % 17 AS VARCHAR) END AS multi_a,
+                       'cb-' || CAST(c_custkey % 7 AS VARCHAR) AS multi_b,
+                       CASE WHEN c_custkey % 2 = 0 THEN NULL
+                            ELSE CAST(c_nationkey AS VARCHAR) END AS state_col,
+                       CAST(c_nationkey + 1 AS VARCHAR) AS num_col
+                FROM customer
+            )
+            SELECT Connect_ID,
+                   src_rename AS d_150352141_d_623218391,
+                   coalesce(state_col, num_col) AS d_934064808,
+                   CASE WHEN regexp_matches(d317, '^[0-9]{1,3}$')
+                             AND TRY_CAST(d317 AS BIGINT) BETWEEN 0 AND 125
+                        THEN TRY_CAST(d317 AS BIGINT) ELSE NULL
+                        END AS D_317093647_D_623218391,
+                   CASE WHEN regexp_matches(d317, '^[0-9]{4}$')
+                        THEN TRY_CAST(d317 AS BIGINT) ELSE NULL
+                        END AS D_317093647_D_802622485,
+                   loop1 AS d_110349197_1,
+                   loop2 AS d_110349197_2,
+                   ver1 AS d_285476655_1_v2,
+                   coalesce(multi_a, multi_b) AS d_111111111_d_222222222_5,
+                   d317 AS d_317093647
+            FROM survey
+        """,
+        "q27_clean_rows_pipeline": """
+            WITH f AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS Connect_ID,
+                       CASE WHEN o_orderkey % 5 = 0 THEN '1'
+                            WHEN o_orderkey % 5 = 1 THEN '0'
+                            WHEN o_orderkey % 5 = 2 THEN ''
+                            ELSE NULL END AS d1,
+                       CASE WHEN o_orderkey % 3 = 0 THEN '[]'
+                            WHEN o_orderkey % 3 = 1 THEN '[178420302]'
+                            ELSE NULL END AS d2,
+                       o_orderpriority AS d_333333333
+                FROM orders
+            )
+            SELECT CASE WHEN d1 = '1' THEN '353358909'
+                        WHEN d1 = '0' THEN '104430631'
+                        ELSE NULL END AS d_111111111,
+                   CASE WHEN d2 = '[]' THEN NULL
+                        WHEN regexp_matches(d2, '\\[[0-9]{9}\\]')
+                            THEN regexp_replace(d2, '\\[([0-9]{9})\\]', '\\1')
+                        WHEN d2 IS NULL THEN NULL
+                        ELSE CAST(NULL AS VARCHAR) END AS d_222222222,
+                   Connect_ID,
+                   d_333333333
+            FROM f
+        """,
+        "q28_merge_three_versions": """
+            WITH v1 AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                       CASE WHEN c_custkey % 7 = 0 THEN NULL
+                            ELSE c_mktsegment END AS common_col,
+                       'u1-' || CAST(c_custkey % 19 AS VARCHAR) AS uniq_v1
+                FROM customer WHERE c_custkey % 2 = 0
+            ), v2 AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                       CASE WHEN c_custkey % 5 = 0 THEN NULL
+                            ELSE 's2:' || c_mktsegment END AS common_col,
+                       'u2-' || CAST(c_custkey % 23 AS VARCHAR) AS uniq_v2
+                FROM customer WHERE c_custkey % 3 = 0
+            ), v3 AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                       's3:' || c_mktsegment AS common_col,
+                       CAST(c_nationkey AS VARCHAR) AS uniq_v3
+                FROM customer WHERE c_custkey % 5 = 0
+            )
+            SELECT coalesce(v1.Connect_ID, v2.Connect_ID, v3.Connect_ID) AS Connect_ID,
+                   coalesce(v1.common_col, v2.common_col, v3.common_col) AS common_col,
+                   v1.uniq_v1 AS uniq_v1,
+                   v2.uniq_v2 AS uniq_v2,
+                   v3.uniq_v3 AS uniq_v3
+            FROM v3
+            FULL OUTER JOIN v2 ON v3.Connect_ID = v2.Connect_ID
+            FULL OUTER JOIN v1 ON v3.Connect_ID = v1.Connect_ID
+        """,
     }
 
 

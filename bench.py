@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "q21_ngram_jaccard",
     "q22_minhash_lsh",
     "q23_simhash",
+    "q26_clean_columns_pipeline",
+    "q27_clean_rows_pipeline",
+    "q28_merge_three_versions",
 ]
 
 

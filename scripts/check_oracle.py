@@ -71,29 +71,30 @@ def main():
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle; rows-only)")
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            o_cols = [c.lower() for c in rel.columns]
+            o_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {str(e)[:300]}")
             continue
-        duck_cols = sorted(c.lower() for c in odf.columns)
+        duck_cols = sorted(o_cols)
         s_cols_l = sorted(c.lower() for c in spark_cols)
         if s_cols_l != duck_cols:
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={s_cols_l} duck={duck_cols}")
             continue
-        if len(spark_rows) != len(odf):
+        if len(spark_rows) != len(o_rows):
             failures.append(name)
-            print(f"FAIL  {name}: rowcount spark={len(spark_rows)} duck={len(odf)}")
+            print(f"FAIL  {name}: rowcount spark={len(spark_rows)} duck={len(o_rows)}")
             continue
         col_order = sorted(sdf.columns, key=lambda c: c.lower())
         s_set = sorted(
             tuple(norm(r[c]) for c in col_order) for r in spark_rows
         )
-        odf.columns = [c.lower() for c in odf.columns]
+        idx = [o_cols.index(c.lower()) for c in col_order]
         d_set = sorted(
-            tuple(norm(v) for v in row)
-            for row in odf[[c.lower() for c in col_order]].itertuples(index=False, name=None)
+            tuple(norm(row[i]) for i in idx) for row in o_rows
         )
         if s_set != d_set:
             failures.append(name)
