@@ -448,6 +448,88 @@ def q21_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (SURVEY.md §2.7 EXT surface)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q30_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level INTERSECT / EXCEPT ALL (SURVEY.md §2.8 EXT surface)."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk")
+    )
+    low_nation = cust.filter(F.col("c_nationkey") < 13).select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk")
+    )
+    even = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk")
+    )
+    return building.intersect(low_nation).exceptAll(even)
+
+
+def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute/5-minute window aggregate (batch twin of the
+    streaming form in streaming/windows.py)."""
+    from pr2_transformation_spark.streaming.windows import sliding_agg
+
+    ev = _events(spark, sf_dir)
+    out = sliding_agg(ev, "ts", "10 minutes", "5 minutes", ["event_type"])
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q32_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session_window (30-minute gap) per user; oracle is the
+    lag/gap-islands SQL equivalent."""
+    from pr2_transformation_spark.streaming.windows import session_agg
+
+    ev = _events(spark, sf_dir)
+    out = session_agg(ev, "ts", "30 minutes", ["user_id"])
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
+def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + Arrow-batched
+    mapInPandas feature extraction (stub decoder; Spark-side schema,
+    batching, and UDF signature are the real surface)."""
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.extract_features(media, "payload", "doc_id")
+
+
+def q34_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting next to whitespace counting (LLM token
+    budgeting estimator)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).alias("ws_tokens"),
+        textstats.bpe_ish_token_count(t).alias("bpe_tokens"),
+    )
+
+
 # --- rows-only (no SQL-expressible oracle) ---------------------------------
 
 def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_clean_columns_pipeline": q26_clean_columns_pipeline,
         "q27_clean_rows_pipeline": q27_clean_rows_pipeline,
         "q28_merge_three_versions": q28_merge_three_versions,
+        "q29_rollup": q29_rollup,
+        "q30_set_ops": q30_set_ops,
+        "q31_sliding_window": q31_sliding_window,
+        "q32_session_window_native": q32_session_window_native,
+        "q33_multimodal_features": q33_multimodal_features,
+        "q34_bpe_tokens": q34_bpe_tokens,
     }
 
 
@@ -779,6 +867,73 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q22-q25: hash-permutation / LSH pipelines — not portably
         # SQL-expressible; the driver records rows-only checks.
+        "q29_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q30_set_ops": """
+            WITH b AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+                 l AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+                       WHERE c_nationkey < 13),
+                 e AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+                       WHERE c_custkey % 2 = 0)
+            (SELECT * FROM b INTERSECT SELECT * FROM l)
+            EXCEPT ALL
+            SELECT * FROM e
+        """,
+        "q31_sliding_window": """
+            WITH e AS (
+                SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS s1,
+                       event_type, value
+                FROM events
+            ), x AS (
+                SELECT unnest([s1, s1 - 300]) AS window_start, event_type, value
+                FROM e
+            )
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM x GROUP BY 1, 2
+        """,
+        "q32_session_window_native": """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS eu FROM events
+            ), g AS (
+                SELECT user_id, eu,
+                       CASE WHEN lag(eu) OVER w IS NULL
+                                 OR eu - lag(eu) OVER w >= 1800000000
+                            THEN 1 ELSE 0 END AS ns
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY eu)
+            ), s AS (
+                SELECT user_id, eu,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY eu
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            )
+            SELECT user_id,
+                   CAST(floor(min(eu) / 1000000) AS BIGINT) AS session_start,
+                   CAST(floor((max(eu) + 1800000000) / 1000000) AS BIGINT) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "q33_multimodal_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   sha256(text) AS sha256,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   8 AS feat_dim,
+                   substr(sha256(text), 1, 16) AS feature_crc
+            FROM documents
+        """,
+        "q34_bpe_tokens": """
+            SELECT doc_id,
+                   array_length(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                       AS bpe_tokens
+            FROM documents
+        """,
         "q26_clean_columns_pipeline": """
             WITH survey AS (
                 SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,

@@ -141,6 +141,20 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     return shingles_from_tokens(tokens(F.lower(text)), n)
 
 
+#: GPT-2-style pre-tokenizer regex, simplified to the dialect-portable core
+#: (no lookarounds, identical semantics in Java regex and RE2/DuckDB):
+#: contraction tails, space-prefixed letter runs, digit runs, punctuation
+#: runs, and whitespace runs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the cheap
+    JVM-side estimator for LLM token budgeting (a real BPE merge table is a
+    lookup pass on top of this split)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Standard per-document quality profile projection."""
     t = F.col(text_col)

@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the scale posture is part of correctness.
+
+These tests pin the plan properties SURVEY.md §4/§7 promises: filters reach
+the parquet scan, projections prune the read schema, small dimensions
+broadcast, and the hot paths stay inside whole-stage codegen.  A regression
+here means a 100 TB run does extra scans/shuffles even if results match.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = plan_of(entrymod.q01_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_partial_aggregation(spark):
+    # map-side partial agg before the exchange: HashAggregate on both sides
+    plan = plan_of(entrymod.q01_pricing_summary(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_q09_column_pruning(spark):
+    plan = plan_of(entrymod.q09_sensitive_projection(spark, SF_DIR))
+    # ReadSchema keeps only the 3 projected + 1 filter column
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in read and "c_mktsegment" in read
+    assert "c_acctbal" not in read and "c_name" in read
+
+
+def test_q10_broadcasts_small_dims(spark):
+    plan = plan_of(entrymod.q10_star_join_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_dedup_single_shuffle(spark):
+    plan = plan_of(entrymod.q16_dedup_exact(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    # Spark inserts WindowGroupLimit below the shuffle: partial top-k
+    # map-side, so only group winners ride the Exchange at scale.
+    assert "WindowGroupLimit" in tree
+
+
+def test_q26_single_projection_no_shuffle(spark):
+    # clean_columns is one wide projection: no Exchange anywhere
+    plan = plan_of(entrymod.q26_clean_columns_pipeline(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_q21_posting_list_plan_shape(spark):
+    """The inverted-index path must not re-run tokenization below the
+    repartition Exchange (the InferFiltersFromGenerate regression)."""
+    plan = plan_of(entrymod.q21_ngram_jaccard(spark, SF_DIR))
+    scan_region = plan.split("Exchange")[0]
+    # no split/transform expression may appear before the first Exchange
+    assert "transform(" not in scan_region

@@ -1,0 +1,111 @@
+"""Structured Streaming forms produce the same results as their batch twins.
+
+Each test writes a small static fixture to parquet, replays it through
+``readStream`` with ``trigger(availableNow=True)`` into a memory sink, and
+compares against the batch-form DataFrame on identical input — proving the
+streaming wiring (source, watermark, output mode) around the shared logical
+plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pr2_transformation_spark.streaming.windows import (
+    streaming_dedup,
+    streaming_tumbling_agg,
+    tumbling_agg,
+)
+
+
+def _events_fixture(spark):
+    rows = [
+        (1, "2024-01-01 00:01:00", 10, "view", 1.0),
+        (2, "2024-01-01 00:04:30", 10, "view", 2.0),
+        (3, "2024-01-01 00:11:00", 10, "click", 3.0),
+        (4, "2024-01-01 00:12:00", 11, "view", 4.0),
+        (5, "2024-01-01 00:59:59", 11, "click", 5.0),
+        (6, "2024-01-01 01:00:00", 11, "click", 6.0),
+    ]
+    return (
+        spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def _run_stream(spark, stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    ev = _events_fixture(spark)
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    got = _run_stream(
+        spark,
+        streaming_tumbling_agg(stream, "ts", "10 minutes", "10 minutes", ["event_type"]),
+        "t_tumbling",
+    )
+    expected = tumbling_agg(ev, "ts", "10 minutes", ["event_type"])
+    assert _rows(got) == _rows(expected)
+    # sanity: window boundaries actually split the fixture
+    assert got.count() >= 4
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    ev = _events_fixture(spark)
+    dup = ev.union(ev.limit(2))  # two duplicate event_ids
+    path = str(tmp_path / "dup")
+    dup.write.parquet(path)
+
+    stream = spark.readStream.schema(dup.schema).parquet(path)
+    out = streaming_dedup(stream, ["event_id"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    assert got.count() == 6
+    assert got.select("event_id").distinct().count() == 6
+
+
+def test_streaming_session_agg_runs(spark, tmp_path):
+    """Session windows under streaming: state machinery runs end-to-end and
+    merges the two <30min-gap user-10 events into one session."""
+    from pr2_transformation_spark.streaming.windows import streaming_session_agg
+
+    ev = _events_fixture(spark)
+    path = str(tmp_path / "sess")
+    ev.write.parquet(path)
+
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    try:
+        got = _run_stream(
+            spark,
+            streaming_session_agg(stream, "ts", "30 minutes", "30 minutes", ["user_id"]),
+            "t_session",
+        )
+    except Exception as e:  # pragma: no cover - version-dependent support
+        pytest.skip(f"streaming session windows unsupported here: {e}")
+    # user 10: all events within 30min gaps -> 1 session of 3
+    u10 = [r for r in got.collect() if r["user_id"] == 10]
+    assert len(u10) == 1 and u10[0]["n_events"] == 3
