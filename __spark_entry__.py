@@ -564,6 +564,20 @@ def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.25, n_planes=4)
 
 
+def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse-quantizer cells + n_probe probing —
+    the second scale path next to hyperplane LSH; recall < 1 by design,
+    checked rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_ivf(
+        corpus, queries, k=5, n_centroids=16, n_probe=4
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -609,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_session_window_native": q32_session_window_native,
         "q33_multimodal_features": q33_multimodal_features,
         "q34_bpe_tokens": q34_bpe_tokens,
+        "q35_ann_ivf": q35_ann_ivf,
     }
 
 

@@ -120,6 +120,108 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids via Lloyd's k-means on a bounded sample.
+
+    Standard IVF practice: the quantizer trains on a small sample (driver-
+    side numpy — ``sample_rows`` caps the collect regardless of corpus
+    size); only *assignment* touches the full corpus, and that runs
+    distributed.  Vectors are L2-normalized so dot == cosine.
+    """
+    import numpy as np
+
+    sample = [
+        r[0]
+        for r in df.select(vec_col).limit(sample_rows).collect()
+        if r[0] is not None
+    ]
+    x = np.asarray(sample, dtype="float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents.tolist()
+
+
+def _centroid_scores(vec, centroids: list[list[float]]):
+    """array<double> of dot(vec, centroid_i) for all centroids (JVM-side)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    return F.transform(cent_lit, lambda c: _dot(vec, c))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into centroid cells once;
+    each query scores only its ``n_probe`` nearest cells.
+
+    The scale path when the corpus is huge and queries are many: the
+    assignment scan is done once and reusable (write the assigned corpus
+    out partitioned by ``__cell`` and later query batches prune cells at
+    the source).  Recall < 1.0 by design; raise ``n_probe`` to trade speed
+    for recall."""
+    centroids = train_ivf_centroids(corpus, vec_col, n_centroids, seed=seed)
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    c_scores = _centroid_scores(F.col("__cv"), centroids)
+    c = c.withColumn("__cell", F.array_position(c_scores, F.array_max(c_scores)))
+
+    # queries probe their n_probe best cells: sort (−score, idx) structs.
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    q_scores = _centroid_scores(F.col("__qv"), centroids)
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    q_scores,
+                    lambda s, i: F.struct((-s).alias("neg"), (i + 1).alias("idx")),
+                )
+            ),
+            lambda st: st["idx"],
+        ),
+        1,
+        n_probe,
+    )
+    q = F.broadcast(
+        q.withColumn("__cell", F.explode(probe_cells.cast("array<long>")))
+    )
+
+    scored = q.join(c, "__cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

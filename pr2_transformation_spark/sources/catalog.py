@@ -40,12 +40,17 @@ class Catalog:
         self.spark = spark
         self.root = root
         self._paths: dict[str, str] = {}
+        self._formats: dict[str, str] = {}
         self._frames: dict[str, DataFrame] = {}
 
     # -- registration -----------------------------------------------------
-    def register_path(self, fq_table: str, path: str) -> None:
+    def register_path(self, fq_table: str, path: str, format: str = "parquet") -> None:
+        """Register a storage path; ``format`` may be parquet (default), csv,
+        or json.  CSV reads use header + schema inference — register an
+        explicit DataFrame instead when the schema matters."""
         parse_fq_table(fq_table)
         self._paths[fq_table] = path
+        self._formats[fq_table] = format
 
     def register_frame(self, fq_table: str, df: DataFrame) -> None:
         """Register an in-memory DataFrame (tests, intermediate results)."""
@@ -66,6 +71,13 @@ class Catalog:
             return self._frames[fq_table]
         path = self.path_for(fq_table)
         if path and (path.startswith(("s3://", "gs://", "hdfs://")) or os.path.exists(path)):
+            fmt = self._formats.get(fq_table, "parquet")
+            if fmt == "csv":
+                return self.spark.read.option("header", "true").option(
+                    "inferSchema", "true"
+                ).csv(path)
+            if fmt == "json":
+                return self.spark.read.json(path)
             return self.spark.read.parquet(path)
         # Fall back to the Spark catalog (saveAsTable / temp views).
         _, dataset, table = parse_fq_table(fq_table)

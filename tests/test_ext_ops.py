@@ -1,0 +1,70 @@
+"""Tests for EXT operators added beyond the reference surface: IVF
+similarity search and skew-aware salted joins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pr2_transformation_spark.functions import similarity
+from pr2_transformation_spark.operators.joins import salted_join
+
+
+def _vectors(spark, n=60, dim=8):
+    rows = []
+    for i in range(n):
+        # three well-separated clusters along different axes
+        base = [0.0] * dim
+        base[i % 3] = 10.0
+        vec = [b + ((i * 7 + j * 3) % 5) * 0.1 for j, b in enumerate(base)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_matches_bruteforce_with_full_probe(spark):
+    """With n_probe == n_centroids IVF scores every cell => exact top-k."""
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+    ivf = similarity.cosine_topk_ivf(
+        corpus, queries, k=5, n_centroids=4, n_probe=4
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, ivf.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, exact.collect()), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_partial_probe_recall(spark):
+    """n_probe=1 on clustered data still recovers same-cluster neighbors."""
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    ivf = similarity.cosine_topk_ivf(corpus, queries, k=5, n_centroids=3, n_probe=1)
+    got = ivf.collect()
+    assert len(got) == 15  # 3 queries x k
+    # every returned neighbor shares the query's cluster (axis mod 3)
+    for r in got:
+        assert r["vec_id"] % 3 == r["query_id"] % 3
+        assert r["score"] > 0.9
+
+
+def test_salted_join_equals_plain_join(spark):
+    skewed = spark.createDataFrame(
+        [(1 if i % 10 else 2, f"v{i}") for i in range(200)], "k int, payload string"
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "k int, name string")
+    plain = sorted(map(tuple, skewed.join(dim, ["k"], "inner").collect()))
+    salted = sorted(map(tuple, salted_join(skewed, dim, ["k"], "inner", salt=8).collect()))
+    assert salted == plain
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (9, "b")], "k int, v string")
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    got = sorted(map(tuple, salted_join(left, dim, ["k"], "left", salt=4).collect()))
+    assert got == [(1, "a", "one"), (9, "b", None)]
