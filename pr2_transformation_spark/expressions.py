@@ -13,7 +13,7 @@ The patterns themselves (``\\[\\d{9}\\]`` etc.) are dialect-portable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from typing import Callable, Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -21,13 +21,39 @@ from pyspark.sql import functions as F
 from . import config
 
 
-@dataclass(frozen=True)
 class Clause:
-    """One output column of a composed projection."""
+    """One output column of a composed projection.
 
-    out_name: str   # the output column name (what the alias says)
-    column: Column  # native expression, already aliased to out_name
-    sql: str        # equivalent Spark-SQL SELECT fragment (audit artifact)
+    ``column`` is built lazily: constructing a pyspark ``Column`` costs
+    several Py4J round-trips, and ultra-wide survey tables compose
+    thousands of clauses — eager construction made 4k-column planning
+    take ~15 s of pure socket chatter.  Builders pass a zero-arg factory;
+    the Column materializes only if a caller actually needs it (wide
+    operators go through ``df.selectExpr(c.sql ...)`` — one Py4J call
+    total — and never touch ``.column``).
+    """
+
+    __slots__ = ("out_name", "sql", "_col")
+
+    def __init__(
+        self,
+        out_name: str,
+        column: Union[Column, Callable[[], Column]],
+        sql: str,
+    ):
+        self.out_name = out_name  # the output column name (what the alias says)
+        self.sql = sql            # Spark-SQL SELECT fragment (audit + selectExpr)
+        self._col = column
+
+    @property
+    def column(self) -> Column:
+        """Native expression, already aliased to ``out_name``."""
+        if callable(self._col):
+            self._col = self._col()
+        return self._col
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Clause({self.out_name!r}, sql={self.sql!r})"
 
 
 def q(name: str) -> str:
@@ -37,12 +63,14 @@ def q(name: str) -> str:
 
 def passthrough(name: str) -> Clause:
     """Identity projection (/root/reference/core/transformations.py:712-713)."""
-    return Clause(name, F.col(name), q(name))
+    return Clause(name, lambda: F.col(name), q(name))
 
 
 def rename(source: str, target: str) -> Clause:
     """``source AS target`` (/root/reference/core/transformations.py:267-268)."""
-    return Clause(target, F.col(source).alias(target), f"{q(source)} AS {q(target)}")
+    return Clause(
+        target, lambda: F.col(source).alias(target), f"{q(source)} AS {q(target)}"
+    )
 
 
 def coalesce(sources: list[str], target: str) -> Clause:
@@ -50,7 +78,7 @@ def coalesce(sources: list[str], target: str) -> Clause:
     (/root/reference/core/transformations.py:271,359,499)."""
     if len(sources) == 1:
         return rename(sources[0], target)
-    col = F.coalesce(*[F.col(s) for s in sources]).alias(target)
+    col = lambda: F.coalesce(*[F.col(s) for s in sources]).alias(target)
     sql = f"COALESCE({', '.join(q(s) for s in sources)}) AS {q(target)}"
     return Clause(target, col, sql)
 
@@ -58,7 +86,7 @@ def coalesce(sources: list[str], target: str) -> Clause:
 def qualified_coalesce(parts: list[Column], sql_parts: list[str], target: str) -> Clause:
     """COALESCE over already-qualified columns (merge path,
     /root/reference/core/transformations.py:99-105)."""
-    col = (parts[0] if len(parts) == 1 else F.coalesce(*parts)).alias(target)
+    col = lambda: (parts[0] if len(parts) == 1 else F.coalesce(*parts)).alias(target)
     if len(sql_parts) == 1:
         sql = f"{sql_parts[0]} AS {q(target)}"
     else:
@@ -73,13 +101,14 @@ def binary_recode(name: str) -> Clause:
     junk) -> NULL; output keeps the column's name.  Parity:
     /root/reference/core/utils.py:437-466.
     """
-    c = F.col(name)
-    col = (
-        F.when(c == "1", F.lit(config.YES_CID))
-        .when(c == "0", F.lit(config.NO_CID))
-        .otherwise(F.lit(None).cast("string"))
-        .alias(name)
-    )
+    def col():
+        c = F.col(name)
+        return (
+            F.when(c == "1", F.lit(config.YES_CID))
+            .when(c == "0", F.lit(config.NO_CID))
+            .otherwise(F.lit(None).cast("string"))
+            .alias(name)
+        )
     sql = (
         f"CASE WHEN {q(name)} = '1' THEN '{config.YES_CID}' "
         f"WHEN {q(name)} = '0' THEN '{config.NO_CID}' "
@@ -100,19 +129,20 @@ def unwrap_singleton(name: str, default_sql_literal: str = "NULL") -> Clause:
     passes ``NULL``).  Parity: /root/reference/core/utils.py:750-778 with the
     re2->Java backreference translation (``\\1`` -> ``$1``).
     """
-    c = F.col(name)
-    default_col = (
-        F.lit(None).cast("string")
-        if default_sql_literal.upper() == "NULL"
-        else F.lit(default_sql_literal.strip("'\"")).cast("string")
-    )
-    col = (
-        F.when(c == "[]", F.lit(None).cast("string"))
-        .when(c.rlike(_BRACKETED), F.regexp_replace(c, _BRACKETED_CAPTURE, "$1"))
-        .when(c.isNull(), F.lit(None).cast("string"))
-        .otherwise(default_col)
-        .alias(name)
-    )
+    def col():
+        c = F.col(name)
+        default_col = (
+            F.lit(None).cast("string")
+            if default_sql_literal.upper() == "NULL"
+            else F.lit(default_sql_literal.strip("'\"")).cast("string")
+        )
+        return (
+            F.when(c == "[]", F.lit(None).cast("string"))
+            .when(c.rlike(_BRACKETED), F.regexp_replace(c, _BRACKETED_CAPTURE, "$1"))
+            .when(c.isNull(), F.lit(None).cast("string"))
+            .otherwise(default_col)
+            .alias(name)
+        )
     sql = (
         f"CASE WHEN {q(name)} = '[]' THEN NULL "
         f"WHEN {q(name)} RLIKE '\\\\[\\\\d{{9}}\\\\]' "
@@ -131,7 +161,7 @@ def render_custom_transform(spec: dict) -> Clause:
     /root/reference/core/transformations.py:413.
     """
     source, target = spec["source"], spec["target"]
-    col = spec["transform_template"](source, target)
+    col = lambda: spec["transform_template"](source, target)
     sql = spec["sql_template"](source, target)
     return Clause(target, col, sql)
 

@@ -27,6 +27,7 @@ flow on to loop processing.
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -208,17 +209,21 @@ def compose_clean_columns(
     )
     clauses += _build_loop_variable_clauses(columns, processed)
 
-    out_names = [c.out_name.lower() for c in clauses]
-    dupes = {n for n in out_names if out_names.count(n) > 1}
+    counts = Counter(c.out_name.lower() for c in clauses)
+    dupes = {n for n, k in counts.items() if k > 1}
     if dupes:
         raise ValueError(f"duplicate output columns composed: {sorted(dupes)}")
     return clauses
 
 
 def clean_columns_df(df: DataFrame, table_identifier: str = "", fq_table: str = "") -> DataFrame:
-    """DataFrame-in/DataFrame-out form (no I/O)."""
+    """DataFrame-in/DataFrame-out form (no I/O).
+
+    Projects via ``selectExpr`` — ONE Py4J round-trip for the whole clause
+    list; building thousands of Column objects costs seconds of socket
+    chatter on ultra-wide survey tables (tests/test_wide_schema.py)."""
     clauses = compose_clean_columns(df.schema.names, table_identifier, fq_table)
-    return df.select(*[c.column for c in clauses])
+    return df.selectExpr(*[c.sql for c in clauses])
 
 
 def clean_columns(
@@ -240,7 +245,7 @@ def clean_columns(
     if audit_dir:
         sql = render_select_sql(clauses, source_table, destination_table)
         sql_path = save_sql_string(sql, audit_path_for(destination_table, audit_dir))
-    catalog.write(df.select(*[c.column for c in clauses]), destination_table)
+    catalog.write(df.selectExpr(*[c.sql for c in clauses]), destination_table)
     return {
         "status": f"Table {destination_table} successfully created with all transformations applied",
         "submitted_sql_path": sql_path,

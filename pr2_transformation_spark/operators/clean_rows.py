@@ -16,6 +16,7 @@ whole-stage-codegen'd CASE expressions — no shuffle anywhere.
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -51,8 +52,8 @@ def compose_clean_rows(
     clauses += [unwrap_singleton(c, "NULL") for c in sorted(false_arrays)]
     clauses += [passthrough(c) for c in sorted(rest)]
 
-    out_names = [c.out_name for c in clauses]
-    dupes = {n for n in out_names if out_names.count(n) > 1}
+    counts = Counter(c.out_name for c in clauses)
+    dupes = {n for n, k in counts.items() if k > 1}
     if dupes:
         raise ValueError(f"Duplicate column names detected: {sorted(dupes)}")
     return clauses
@@ -65,7 +66,8 @@ def clean_rows_df(
 ) -> DataFrame:
     """DataFrame-in/DataFrame-out form (no I/O)."""
     clauses = compose_clean_rows(df, use_reference, reference_file_path)
-    return df.select(*[c.column for c in clauses])
+    # one Py4J call for the whole (possibly 4k-wide) projection
+    return df.selectExpr(*[c.sql for c in clauses])
 
 
 def clean_rows(
@@ -84,7 +86,7 @@ def clean_rows(
     if audit_dir:
         sql = render_select_sql(clauses, source_table, destination_table)
         sql_path = save_sql_string(sql, audit_path_for(destination_table, audit_dir))
-    catalog.write(df.select(*[c.column for c in clauses]), destination_table)
+    catalog.write(df.selectExpr(*[c.sql for c in clauses]), destination_table)
     return {
         "status": f"Table {destination_table} successfully created with all transformations applied",
         "submitted_sql_path": sql_path,
