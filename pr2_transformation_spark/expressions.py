@@ -83,10 +83,13 @@ def coalesce(sources: list[str], target: str) -> Clause:
     return Clause(target, col, sql)
 
 
-def qualified_coalesce(parts: list[Column], sql_parts: list[str], target: str) -> Clause:
+def qualified_coalesce(parts: list, sql_parts: list[str], target: str) -> Clause:
     """COALESCE over already-qualified columns (merge path,
-    /root/reference/core/transformations.py:99-105)."""
-    col = lambda: (parts[0] if len(parts) == 1 else F.coalesce(*parts)).alias(target)
+    /root/reference/core/transformations.py:99-105).  ``parts`` may hold
+    Columns or zero-arg Column factories (lazy qualified refs)."""
+    def col():
+        resolved = [p() if callable(p) else p for p in parts]
+        return (resolved[0] if len(resolved) == 1 else F.coalesce(*resolved)).alias(target)
     if len(sql_parts) == 1:
         sql = f"{sql_parts[0]} AS {q(target)}"
     else:

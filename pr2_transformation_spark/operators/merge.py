@@ -48,7 +48,11 @@ def compose_merge(dfs: list[DataFrame]) -> tuple[DataFrame, list[Clause]]:
     for a, cols in table_columns.items():
         if not cols:
             raise ValueError(f"No columns retrieved from source {a}")
-    frames = dict(zip(aliases, dfs))
+    # Alias each frame so clause SQL can use qualified refs (v1.`c`) and the
+    # wide projection goes through ONE selectExpr Py4J call downstream —
+    # survey version tables run to thousands of columns (see the Clause
+    # docstring for why eager per-column refs are a driver bottleneck).
+    frames = {a: df.alias(a) for a, df in zip(aliases, dfs)}
     case_maps = {a: {c.lower(): c for c in cols} for a, cols in table_columns.items()}
 
     common_lower: set[str] = set(case_maps[aliases[0]])
@@ -58,20 +62,21 @@ def compose_merge(dfs: list[DataFrame]) -> tuple[DataFrame, list[Clause]]:
     processed: set[str] = set()
     clauses: list[Clause] = []
 
+    def qref(alias: str, col: str):
+        return lambda: frames[alias][col]
+
     for col_l in sorted(common_lower):
         out = "Connect_ID" if col_l == "connect_id" else col_l
-        parts = [frames[a][case_maps[a][col_l]] for a in aliases]
-        sql_parts = [f"{a}.{case_maps[a][col_l]}" for a in aliases]
-        clauses.append(qualified_coalesce(parts, sql_parts, out))
+        refs = [qref(a, case_maps[a][col_l]) for a in aliases]
+        sql_parts = [f"{a}.`{case_maps[a][col_l]}`" for a in aliases]
+        clauses.append(qualified_coalesce(refs, sql_parts, out))
         processed.add(col_l)
 
     for a in aliases:
         unique = [c for c in table_columns[a] if c.lower() not in processed]
         for col in sorted(unique):
             out = "Connect_ID" if col == "Connect_ID" else col.lower()
-            clauses.append(
-                qualified_coalesce([frames[a][col]], [f"{a}.{col}"], out)
-            )
+            clauses.append(qualified_coalesce([qref(a, col)], [f"{a}.`{col}`"], out))
             processed.add(col.lower())
 
     # Star-shaped FULL OUTER chain anchored on the last source's key.
@@ -86,9 +91,10 @@ def compose_merge(dfs: list[DataFrame]) -> tuple[DataFrame, list[Clause]]:
 
 
 def merge_versions_df(dfs: list[DataFrame]) -> DataFrame:
-    """DataFrame-in/DataFrame-out form (no I/O)."""
+    """DataFrame-in/DataFrame-out form (no I/O).  One selectExpr call for
+    the whole (possibly thousands-wide) COALESCE projection."""
     joined, clauses = compose_merge(dfs)
-    return joined.select(*[c.column for c in clauses])
+    return joined.selectExpr(*[c.sql for c in clauses])
 
 
 def merge_table_versions(
@@ -116,7 +122,7 @@ def merge_table_versions(
             f"SELECT\n    {body}\nFROM `{base}` v{len(source_tables)}\n{join_sql}"
         )
         sql_path = save_sql_string(sql, audit_path_for(destination_table, audit_dir))
-    catalog.write(joined.select(*[c.column for c in clauses]), destination_table)
+    catalog.write(joined.selectExpr(*[c.sql for c in clauses]), destination_table)
     return {
         "status": f"Table {destination_table} successfully created or replaced.",
         "submitted_sql_path": sql_path,
