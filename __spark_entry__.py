@@ -564,6 +564,12 @@ def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.25, n_planes=4)
 
 
+def q36_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication summary (total/distinct/duplicate rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_stats(docs, ["text"])
+
+
 def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse-quantizer cells + n_probe probing —
     the second scale path next to hyperplane LSH; recall < 1 by design,
@@ -624,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_multimodal_features": q33_multimodal_features,
         "q34_bpe_tokens": q34_bpe_tokens,
         "q35_ann_ivf": q35_ann_ivf,
+        "q36_duplicate_stats": q36_duplicate_stats,
     }
 
 
@@ -947,6 +954,12 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
+            FROM documents
+        """,
+        "q36_duplicate_stats": """
+            SELECT count(*) AS total_rows,
+                   count(DISTINCT text) AS distinct_rows,
+                   count(*) - count(DISTINCT text) AS duplicate_rows
             FROM documents
         """,
         "q26_clean_columns_pipeline": """

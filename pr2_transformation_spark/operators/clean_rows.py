@@ -35,12 +35,18 @@ def compose_clean_rows(
     """Profile ``df`` and compose the recoding projection."""
     all_columns = df.schema.names
 
-    binary = set(profiling.binary_columns(df))
-    false_arrays = set(
-        profiling.strict_false_array_columns(
-            df, use_reference=use_reference, reference_file_path=reference_file_path
+    if use_reference:
+        # name-only false-array fast path: binary detection is the only scan
+        binary = set(profiling.binary_columns(df))
+        false_arrays = set(
+            profiling.false_array_columns_from_reference(
+                [c for c in all_columns if c != "Connect_ID"], reference_file_path
+            )
         )
-    )
+    else:
+        # computational mode: both detectors share ONE aggregation scan
+        b, fa = profiling.profile_columns(df)
+        binary, false_arrays = set(b), set(fa)
     # A column claimed by both recodes only once (binary wins, matching the
     # reference's clause order where the binary CASE is emitted first and the
     # duplicate guard would reject a second alias).

@@ -111,23 +111,78 @@ def strict_false_array_columns(
 
     found: list[str] = []
     for batch in _chunks(cols, batch_size):
-        aggs = []
-        for name in batch:
-            c = F.col(name)
-            distinct_ok = F.count_distinct(c).between(1, 3)
-            values_ok = (
-                F.count_if(c.isNotNull() & ~c.isin(config.FALSE_ARRAY_VALUES)) == 0
-            )
-            single_cid = (
-                F.count_distinct(
-                    F.when(c.rlike(config.BRACKETED_NINE_DIGIT_PATTERN), c)
-                )
-                <= 1
-            )
-            aggs.append((distinct_ok & values_ok & single_cid).alias(name))
+        aggs = [_false_array_flag(name) for name in batch]
         row = df.agg(*aggs).first()
         found.extend(name for name in batch if row[name])
     return found
+
+
+def _false_array_flag(name: str):
+    """Single aggregate expression deciding the strict false-array checks.
+
+    Equivalent to the reference's three checks but **distinct-free**: under
+    check 2 every non-null value lies in ``config.FALSE_ARRAY_VALUES`` (3
+    values), so COUNT(DISTINCT c) BETWEEN 1 AND 3 collapses to "some
+    non-null exists", and "<=1 distinct bracketed CID" collapses to "at
+    most one of the bracketed domain values is present".  This matters at
+    scale: Spark rewrites multi-column COUNT(DISTINCT) aggregates with an
+    Expand operator that replicates every input row once per distinct
+    aggregate — 2 distincts x 100-column batches meant ~200x shuffle
+    amplification; presence flags keep the pass a plain one-shuffle-free
+    partial aggregation.
+    """
+    import re as _re
+
+    c = F.col(name)
+    bracketed_domain = [
+        v
+        for v in config.FALSE_ARRAY_VALUES
+        if _re.fullmatch(r"\[\d{9}\]", v)
+    ]
+    values_ok = F.count_if(c.isNotNull() & ~c.isin(config.FALSE_ARRAY_VALUES)) == 0
+    some_non_null = F.count_if(c.isNotNull()) > 0
+    n_bracketed_present = sum(
+        (F.count_if(c == v) > 0).cast("int") for v in bracketed_domain
+    )
+    return (values_ok & some_non_null & (n_bracketed_present <= 1)).alias(name)
+
+
+def profile_columns(
+    df: DataFrame,
+    batch_size: int = config.BINARY_DETECTION_BATCH,
+) -> tuple[list[str], list[str]]:
+    """Binary AND strict-false-array classification in ONE scan.
+
+    ``clean_rows`` needs both; running the detectors separately costs two
+    full-table scans.  Both flag families are plain conditional counts, so
+    they share a single (chunked) aggregation pass: at 100 TB this is the
+    difference between one and two passes over the table.
+
+    Returns ``(binary_cols, false_array_cols)`` in input-schema order.
+    """
+    str_cols = set(string_columns(df))
+    cols = list(df.columns)
+    bin_found: list[str] = []
+    fa_found: list[str] = []
+    for batch in _chunks(cols, batch_size):
+        aggs = []
+        key_of = {}
+        for name in batch:
+            c = F.col(name)
+            if name in str_cols:
+                bad = ~((c == "0") | (c == "1") | c.isNull() | (c == ""))
+                key_of[f"__bin_{name}"] = ("bin", name)
+                aggs.append((F.count_if(bad) == 0).alias(f"__bin_{name}"))
+            if name != "Connect_ID":
+                key_of[f"__fa_{name}"] = ("fa", name)
+                aggs.append(_false_array_flag(name).alias(f"__fa_{name}"))
+        if not aggs:
+            continue
+        row = df.agg(*aggs).first()
+        for alias, (kind, name) in key_of.items():
+            if row[alias]:
+                (bin_found if kind == "bin" else fa_found).append(name)
+    return bin_found, fa_found
 
 
 def false_array_columns_for_tables(
