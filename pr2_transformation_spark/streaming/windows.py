@@ -157,3 +157,71 @@ def streaming_dedup(
     """Exactly-once-per-key events within the watermark horizon
     (``dropDuplicatesWithinWatermark`` bounds the dedup state)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_user_stats(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "30 minutes",
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user profile (event count, value sum, last-seen epoch) maintained
+    across micro-batches, with processing-time state timeout so idle users'
+    state is evicted (bounded state at any user cardinality).
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregates can't express (cross-window running state, custom eviction);
+    everything expressible as a windowed agg should use those instead.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_seen_epoch", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("last", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+            last = max(last, int(pdf[ts_col].astype("int64").max() // 1_000_000_000))
+        state.update((n, s, last))
+        state.setTimeoutDuration(state_timeout_ms)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "sum_value": s, "last_seen_epoch": last}]
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

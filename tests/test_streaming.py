@@ -88,6 +88,31 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 6
 
 
+def test_streaming_stateful_user_stats(spark, tmp_path):
+    """applyInPandasWithState: running per-user totals across micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401 - import check
+
+    from pr2_transformation_spark.streaming.windows import streaming_user_stats
+
+    ev = _events_fixture(spark)
+    path = str(tmp_path / "state")
+    ev.write.parquet(path)
+
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = streaming_user_stats(stream, "user_id", "ts", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.table("t_state").collect()}
+    assert got[10]["n_events"] == 3 and abs(got[10]["sum_value"] - 6.0) < 1e-9
+    assert got[11]["n_events"] == 3 and abs(got[11]["sum_value"] - 15.0) < 1e-9
+
+
 def test_streaming_session_agg_runs(spark, tmp_path):
     """Session windows under streaming: state machinery runs end-to-end and
     merges the two <30min-gap user-10 events into one session."""
