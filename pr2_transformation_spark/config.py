@@ -220,6 +220,32 @@ CUSTOM_TRANSFORMS: dict[str, list[dict]] = {
     ]
 }
 
+def validate_custom_transforms(registry: dict) -> None:
+    """Validate the custom-transform registry shape before rendering.
+
+    Parity: /root/reference/core/transform_renderer.py:6-42 — the reference
+    validates {table: [{source, target, transform_template}]} and raises on
+    malformed entries; here specs additionally carry ``sql_template`` since
+    the SQL fragment is part of the executed plan (selectExpr path).
+    """
+    if not isinstance(registry, dict):
+        raise ValueError("custom-transform registry must be a dict of table -> spec list")
+    for table, specs in registry.items():
+        if not isinstance(table, str) or not table:
+            raise ValueError(f"invalid table identifier in registry: {table!r}")
+        if not isinstance(specs, list):
+            raise ValueError(f"registry entry for {table!r} must be a list of specs")
+        for spec in specs:
+            if not isinstance(spec, dict):
+                raise ValueError(f"spec for {table!r} must be a dict, got {type(spec).__name__}")
+            for key in ("source", "target"):
+                if not isinstance(spec.get(key), str) or not spec.get(key):
+                    raise ValueError(f"spec for {table!r} missing non-empty {key!r}")
+            for key in ("transform_template", "sql_template"):
+                if not callable(spec.get(key)):
+                    raise ValueError(f"spec for {table!r} field {key!r} must be callable")
+
+
 # ---------------------------------------------------------------------------
 # Sensitive tier (/root/reference/core/transformations.py:792-797)
 # ---------------------------------------------------------------------------

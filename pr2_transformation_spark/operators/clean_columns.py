@@ -131,6 +131,7 @@ def _build_custom_transform_clauses(
     for tid in table_identifiers:
         if tid in config.CUSTOM_TRANSFORMS:
             specs = config.CUSTOM_TRANSFORMS[tid]
+            config.validate_custom_transforms({tid: specs})
             break
 
     clauses: list[Clause] = []

@@ -170,3 +170,34 @@ def test_fix_impure_variable():
     )
     with pytest.raises(ValueError):
         names.fix_all_variables(["D_259089008_UNKNOWNWORD"], {})
+
+
+# ---------------------------------------------------------------------------
+# Custom-transform registry validation
+# (parity: /root/reference/core/transform_renderer.py:6-42)
+# ---------------------------------------------------------------------------
+
+def test_validate_custom_transforms_accepts_builtin_registry():
+    from pr2_transformation_spark import config
+    config.validate_custom_transforms(config.CUSTOM_TRANSFORMS)
+
+
+def test_validate_custom_transforms_rejects_malformed():
+    import pytest
+    from pr2_transformation_spark import config
+    cases = [
+        "not-a-dict",
+        {"t": "not-a-list"},
+        {"t": ["not-a-dict"]},
+        {"t": [{"source": "", "target": "x",
+                "transform_template": lambda s, t: None,
+                "sql_template": lambda s, t: ""}]},
+        {"t": [{"source": "a", "target": "b",
+                "transform_template": "not-callable",
+                "sql_template": lambda s, t: ""}]},
+        {"t": [{"source": "a", "target": "b",
+                "transform_template": lambda s, t: None}]},  # missing sql
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            config.validate_custom_transforms(bad)
