@@ -68,3 +68,24 @@ def test_salted_left_join_keeps_unmatched(spark):
     dim = spark.createDataFrame([(1, "one")], "k int, name string")
     got = sorted(map(tuple, salted_join(left, dim, ["k"], "left", salt=4).collect()))
     assert got == [(1, "a", "one"), (9, "b", None)]
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    """Hyperplane LSH with few planes keeps recall high on clustered data."""
+    emb = _vectors(spark, n=90)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk_lsh(
+            corpus, queries, k=5, n_planes=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"

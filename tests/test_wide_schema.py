@@ -66,3 +66,40 @@ def test_wide_clean_rows_end_to_end(spark):
     binary_cols = [f"d_{100000000 + i}_1_1" for i in range(0, N_COLS, 3)]
     vals = {row[c] for c in binary_cols}
     assert vals <= {"353358909", "104430631", None}
+
+
+def test_wide_merge_selectexpr_path(spark):
+    """Wide 3-version merge through the aliased selectExpr projection."""
+    from pr2_transformation_spark.operators.merge import merge_versions_df
+
+    n_cols = 300
+    base = spark.range(40).withColumnRenamed("id", "k")
+
+    def version(tag, keep):
+        cols = [F.col("k").cast("string").alias("Connect_ID")]
+        for i in range(n_cols):
+            cols.append(
+                F.concat(F.lit(f"{tag}-"), (F.col("k") % 9).cast("string"))
+                .alias(f"d_{200000000 + i}")
+            )
+        cols.append(F.lit(tag).alias(f"uniq_{tag}"))
+        return base.filter(F.col("k") % keep == 0).select(*cols)
+
+    out = merge_versions_df([version("a", 2), version("b", 3), version("c", 5)])
+    # commons coalesced once each + 3 unique columns + Connect_ID
+    assert len(out.columns) == n_cols + 4
+    rows = out.collect()
+    assert len(rows) > 0
+    # keys present in the base (v3) align all versions: v1 wins the COALESCE
+    aligned = {str(k) for k in range(0, 40, 10)}  # k%2==0 and k%5==0
+    seen_aligned = 0
+    for r in rows:
+        if r["Connect_ID"] in aligned:
+            seen_aligned += 1
+            assert r["d_200000000"].startswith("a-")
+    assert seen_aligned == len(aligned)
+    # star-chain semantic: a key absent from the base but in v1 AND v2
+    # (k=12: 12%2==0, 12%3==0, 12%5!=0) yields TWO unaligned output rows
+    k12 = [r for r in rows if r["Connect_ID"] == "12"]
+    assert len(k12) == 2
+    assert {r["d_200000000"] for r in k12} == {"a-3", "b-3"}
