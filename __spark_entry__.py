@@ -564,6 +564,16 @@ def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.25, n_planes=4)
 
 
+def q37_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profile (rows/nulls/min/max); the approx-
+    distinct sketch column is dropped here so the oracle stays exact."""
+    orders = _t(spark, sf_dir, "orders")
+    prof = profiling.table_profile(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+    return prof.select("column", "n_rows", "n_nulls", "min_value", "max_value")
+
+
 def q36_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplication summary (total/distinct/duplicate rows)."""
     docs = _t(spark, sf_dir, "documents")
@@ -631,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_bpe_tokens": q34_bpe_tokens,
         "q35_ann_ivf": q35_ann_ivf,
         "q36_duplicate_stats": q36_duplicate_stats,
+        "q37_table_profile": q37_table_profile,
     }
 
 
@@ -955,6 +966,27 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q37_table_profile": """
+            SELECT * FROM (
+                SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+                       count(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+                       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) FILTER (WHERE o_orderstatus IS NULL),
+                       CAST(min(o_orderstatus) AS VARCHAR),
+                       CAST(max(o_orderstatus) AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) FILTER (WHERE o_orderpriority IS NULL),
+                       CAST(min(o_orderpriority) AS VARCHAR),
+                       CAST(max(o_orderpriority) AS VARCHAR)
+                FROM orders
+            )
         """,
         "q36_duplicate_stats": """
             SELECT count(*) AS total_rows,

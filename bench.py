@@ -35,9 +35,13 @@ BENCH_QUERIES = [
     "q21_ngram_jaccard",
     "q22_minhash_lsh",
     "q23_simhash",
+    "q24_ann_lsh",
     "q26_clean_columns_pipeline",
     "q27_clean_rows_pipeline",
     "q28_merge_three_versions",
+    "q31_sliding_window",
+    "q32_session_window_native",
+    "q33_multimodal_features",
 ]
 
 

@@ -185,6 +185,46 @@ def profile_columns(
     return bin_found, fa_found
 
 
+def table_profile(df: DataFrame, columns: Optional[list[str]] = None) -> DataFrame:
+    """One-pass per-column profile: rows, nulls, exact min/max, approximate
+    distinct (HLL sketch — mergeable, so this scales to any cluster width).
+
+    Output is long-form (one row per column) so downstream tooling can
+    filter/join on column names.  The approx distinct column is a sketch
+    estimate (`approx_count_distinct`, default rsd 5%) — use exact
+    ``count_distinct`` only when the cost of its shuffle is justified.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for name in cols:
+        c = F.col(name)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{name}"),
+            F.count_if(c.isNull()).alias(f"__nulls_{name}"),
+            F.min(c).cast("string").alias(f"__min_{name}"),
+            F.max(c).cast("string").alias(f"__max_{name}"),
+            F.approx_count_distinct(c).alias(f"__approx_{name}"),
+        ]
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    out = [
+        (
+            name,
+            row[f"__rows_{name}"],
+            row[f"__nulls_{name}"],
+            row[f"__min_{name}"],
+            row[f"__max_{name}"],
+            row[f"__approx_{name}"],
+        )
+        for name in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows long, n_nulls long, min_value string, "
+        "max_value string, approx_distinct long",
+    )
+
+
 def false_array_columns_for_tables(
     dfs: dict[str, DataFrame], **kwargs
 ) -> dict[str, list[str]]:

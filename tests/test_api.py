@@ -83,3 +83,27 @@ def test_sensitive_tier_end_to_end(spark, tmp_path):
     api.create_sensitive_tier(cat, "p.CleanConnect.module1", "p.Sensitive.module1")
     out = cat.read("p.Sensitive.module1")
     assert out.columns == config.SENSITIVE_TIER_COLUMNS
+
+
+def test_catalog_partitioned_write(spark, tmp_path):
+    """Catalog.write(partition_by=...) lays out hive-partitioned parquet and
+    reads back with partition pruning available."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    df = spark.range(20).select(
+        F.col("id").cast("string").alias("Connect_ID"),
+        (F.col("id") % 3).cast("string").alias("version"),
+        F.lit("x").alias("payload"),
+    )
+    dest = "proj.CleanConnect.module1"
+    path = cat.write(df, dest, partition_by=["version"])
+    subdirs = sorted(d for d in os.listdir(path) if d.startswith("version="))
+    assert subdirs == ["version=0", "version=1", "version=2"]
+    back = cat.read(dest)
+    assert back.count() == 20
+    assert back.filter(F.col("version") == "1").count() == 7
