@@ -2,9 +2,10 @@
 
 Scale design notes (the point of each variant):
 
-* **exact**: one shuffle on a 64-bit content hash — never on the raw text —
-  so 100 TB of documents shuffles only (hash, id) pairs plus a same-hash
-  verification.  Window ``row_number`` keeps the smallest id per group.
+* **exact**: two forms.  ``exact_dedup`` windows over the content columns
+  (exact under hash collisions; shuffles full rows — right when rows are
+  narrow).  ``exact_dedup_by_hash`` shuffles only (xxhash64, key) pairs
+  and semi-joins keepers back — the 100 TB path for fat text rows.
 * **MinHash + LSH**: signatures are computed scan-side with built-in
   ``xxhash64``/``transform``/``array_min`` (no UDFs); candidate generation
   shuffles only (band_hash, id), never O(n²).  Verification re-joins
@@ -56,6 +57,35 @@ def exact_dedup(df: DataFrame, content_cols: list[str], key_col: str) -> DataFra
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def exact_dedup_by_hash(
+    df: DataFrame, content_cols: list[str], key_col: str
+) -> DataFrame:
+    """Scale-path exact dedup: shuffle narrow (hash, key) pairs, not rows.
+
+    ``exact_dedup`` windows over the content columns, so the shuffle carries
+    every full row sorted by content — at 100 TB of documents that shuffles
+    the corpus text.  This variant:
+
+      1. projects (key, xxhash64(content)) — 16 bytes/row on the wire;
+      2. groups by hash keeping min(key)  — one narrow shuffle;
+      3. left-semi joins the keeper keys back — AQE broadcasts the keeper
+         set when duplication is heavy (keepers << rows).
+
+    Trade-off: a 64-bit hash collision between two *different* contents
+    would drop a non-duplicate (probability ~n²/2⁶⁵; for exact-exact
+    semantics add a same-hash content verification pass or use
+    ``exact_dedup``).
+    """
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    keepers = (
+        df.select(F.col(key_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(key_col).alias(key_col))
+        .select(key_col)
+    )
+    return df.join(keepers, key_col, "left_semi")
 
 
 def duplicate_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:

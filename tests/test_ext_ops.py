@@ -89,3 +89,18 @@ def test_lsh_recall_against_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"
+
+
+def test_exact_dedup_by_hash_matches_window_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.functions.dedup import exact_dedup, exact_dedup_by_hash
+
+    df = spark.createDataFrame(
+        [(i, f"text-{i % 7}", f"src-{i % 3}") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    a = sorted(map(tuple, exact_dedup(df, ["text", "source"], "doc_id").collect()))
+    b = sorted(map(tuple, exact_dedup_by_hash(df, ["text", "source"], "doc_id").collect()))
+    assert a == b
+    assert len(a) == 21  # 7 texts x 3 sources
