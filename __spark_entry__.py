@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pr2_transformation_spark import profiling  # noqa: E402
-from pr2_transformation_spark.expressions import binary_recode, unwrap_singleton  # noqa: E402
+from pr2_transformation_spark.expressions import unwrap_singleton  # noqa: E402
 from pr2_transformation_spark.functions import dedup, similarity, textstats  # noqa: E402
 from pr2_transformation_spark.operators.clean_columns import clean_columns_df  # noqa: E402
 from pr2_transformation_spark.operators.clean_rows import clean_rows_df  # noqa: E402
@@ -564,6 +564,19 @@ def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.25, n_planes=4)
 
 
+def q38_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining text-quality metrics (avg token length, composite quality
+    score) completing the textstats oracle coverage."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.avg_token_length(t).alias("avg_token_len"),
+        textstats.punct_ratio(t).alias("punct_ratio"),
+        F.floor(textstats.quality_score_raw(t) * 10000).cast("long").alias("quality_x1e4"),
+    )
+
+
 def q37_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column table profile (rows/nulls/min/max); the approx-
     distinct sketch column is dropped here so the oracle stays exact."""
@@ -642,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_ann_ivf": q35_ann_ivf,
         "q36_duplicate_stats": q36_duplicate_stats,
         "q37_table_profile": q37_table_profile,
+        "q38_quality_profile": q38_quality_profile,
     }
 
 
@@ -966,6 +980,32 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q38_quality_profile": """
+            WITH b AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks,
+                       length(text) AS nchars,
+                       length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS npunct
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS ntok,
+                       list_sum(list_transform(toks, t -> len(t))) AS sumlen,
+                       npunct, nchars,
+                       len(list_filter(ltoks,
+                           t -> t IN ('the','and','of','to','in'))) AS nstop
+                FROM b
+            )
+            SELECT doc_id,
+                   round(sumlen / greatest(ntok, 1), 4) AS avg_token_len,
+                   round(npunct / greatest(nchars, 1), 4) AS punct_ratio,
+                   CAST(floor((0.5 * least(ntok / 100.0, 1.0)
+                         + 0.3 * least(round(nstop / greatest(ntok, 1), 4) * 5.0, 1.0)
+                         + 0.2 * (1.0 - least(round(npunct / greatest(nchars, 1), 4) * 10.0,
+                                              1.0))) * 10000) AS BIGINT) AS quality_x1e4
+            FROM m
         """,
         "q37_table_profile": """
             SELECT * FROM (

@@ -68,16 +68,25 @@ def avg_token_length(text: Column) -> Column:
     return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
 
 
-def quality_score(text: Column) -> Column:
-    """Deterministic [0, 1] quality heuristic: length band + stopword
-    presence - punctuation excess.  Useful as a filter threshold in data
-    curation; the exact weights are arbitrary but stable."""
+def quality_score_raw(text: Column) -> Column:
+    """Un-rounded [0, 1] quality heuristic: length band + stopword presence
+    - punctuation excess.  Useful as a filter threshold in data curation;
+    the exact weights are arbitrary but stable."""
     length_term = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
     stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
     punct_term = F.least(punct_ratio(text) * 10.0, F.lit(1.0))
-    return F.round(
-        0.5 * length_term + 0.3 * stop_term + 0.2 * (1.0 - punct_term), 4
-    )
+    return 0.5 * length_term + 0.3 * stop_term + 0.2 * (1.0 - punct_term)
+
+
+def quality_score(text: Column) -> Column:
+    """4-dp-rounded :func:`quality_score_raw`.
+
+    Cross-engine note: the weighted sum of 4-dp terms frequently lands on
+    exact .xxxx5 boundaries, where ROUND tie-breaking rules differ between
+    engines — for hash-compared outputs prefer
+    ``floor(quality_score_raw(t) * 10000)`` (deterministic on identical
+    IEEE doubles)."""
+    return F.round(quality_score_raw(text), 4)
 
 
 def language_guess(text: Column) -> Column:
