@@ -564,6 +564,28 @@ def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.25, n_planes=4)
 
 
+def q39_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the latest prior (or
+    simultaneous) view's value per user — the union+window trick (one
+    shuffle, zero joins); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pr2_transformation_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("last_view_value")
+    )
+    out = asof_join(clicks, views, ["user_id"], "ts", ["last_view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round(F.col("last_view_value"), 2).alias("last_view_value"),
+    )
+
+
 def q38_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining text-quality metrics (avg token length, composite quality
     score) completing the textstats oracle coverage."""
@@ -656,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_duplicate_stats": q36_duplicate_stats,
         "q37_table_profile": q37_table_profile,
         "q38_quality_profile": q38_quality_profile,
+        "q39_asof_join": q39_asof_join,
     }
 
 
@@ -980,6 +1003,16 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q39_asof_join": """
+            SELECT l.event_id,
+                   l.user_id,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+                   round(r.v2, 2) AS last_view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id AS u2, ts AS ts2, value AS v2
+                            FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.u2 AND l.ts >= r.ts2
         """,
         "q38_quality_profile": """
             WITH b AS (

@@ -44,3 +44,55 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )
     return big_salted.join(small_salted, on + [_SALT], how).drop(_SALT)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right.ts <= left.ts`` within its ``by`` group (NULLs when none).
+
+    Spark has no ASOF JOIN; the naive range join is O(n·m) per group.  This
+    is the scale-safe union trick — one shuffle on (by), one sort, zero
+    joins:
+
+      1. tag both sides and union (right carries its payload, left NULLs);
+      2. window ``last(payload, ignorenulls)`` ordered by (ts, side) —
+         right rows sort before left rows at equal timestamps so a tie
+         matches (<= semantics);
+      3. keep left rows with the carried payload.
+
+    Equivalent to DuckDB's ``ASOF JOIN`` (the q39 oracle).  Left columns
+    must not collide with ``right_cols``.
+    """
+    from pyspark.sql import Window
+
+    lt = left.withColumn("__side", F.lit(1)).select(
+        *by, F.col(ts_col).alias("__ts"), F.col("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*left.columns).alias("__lrow"),
+    )
+    rt = right.withColumn("__side", F.lit(0)).select(
+        *by, F.col(ts_col).alias("__ts"), F.col("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+    )
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__side", "__lrow",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_cols],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(c) for c in right_cols],
+    )
+    return out

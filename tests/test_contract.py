@@ -1,0 +1,41 @@
+"""Driver-contract consistency: every oracle key names a real query, every
+query callable has the (spark, sf_dir) signature, and the bench list only
+references declared queries.  Guards against silent-skip typos — unknown
+names are ignored by comparison harnesses, so a typo looks like a pass."""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as entrymod
+import bench
+
+
+def test_oracles_subset_of_queries():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracle entries without queries: {sorted(unknown)}"
+
+
+def test_query_signatures():
+    for name, fn in entrymod.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, f"{name} must take (spark, sf_dir), has {params}"
+
+
+def test_bench_queries_exist():
+    qs = entrymod.queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+    assert not missing, f"bench names not in queries(): {missing}"
+
+
+def test_rows_only_queries_are_the_documented_ones():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    rows_only = sorted(set(qs) - set(oracles))
+    assert rows_only == [
+        "q22_minhash_lsh",
+        "q23_simhash",
+        "q24_ann_lsh",
+        "q25_embedding_near_dup",
+        "q35_ann_ivf",
+    ], f"unexpected rows-only set: {rows_only}"

@@ -104,3 +104,27 @@ def test_exact_dedup_by_hash_matches_window_dedup(spark):
     b = sorted(map(tuple, exact_dedup_by_hash(df, ["text", "source"], "doc_id").collect()))
     assert a == b
     assert len(a) == 21  # 7 texts x 3 sources
+
+
+def test_asof_join_backward_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 11, 150), (5, 12, 100)],
+        "id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (10, 205, "c"), (11, 160, "d")],
+        "k long, t long, payload string",
+    )
+    out = {
+        r["id"]: r["payload"]
+        for r in asof_join(left, right, ["k"], "t", ["payload"]).collect()
+    }
+    assert out[1] == "a"      # exact-timestamp tie matches (<=)
+    assert out[2] == "c"      # latest at equal ts wins over earlier
+    assert out[3] == "c"      # carries forward
+    assert out[4] is None     # right row is in the future
+    assert out[5] is None     # no right rows for this key
