@@ -609,6 +609,18 @@ def q37_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("column", "n_rows", "n_nulls", "min_value", "max_value")
 
 
+def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out (1 asset -> many frames) through
+    mapInPandas; codec stubbed, distribution/schema real (rows-only)."""
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    media = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.sample_frames(media, "payload", "doc_id", every_nth=64)
+
+
 def q36_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplication summary (total/distinct/duplicate rows)."""
     docs = _t(spark, sf_dir, "documents")
@@ -679,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_table_profile": q37_table_profile,
         "q38_quality_profile": q38_quality_profile,
         "q39_asof_join": q39_asof_join,
+        "q40_frame_sample": q40_frame_sample,
     }
 
 

@@ -38,4 +38,5 @@ def test_rows_only_queries_are_the_documented_ones():
         "q24_ann_lsh",
         "q25_embedding_near_dup",
         "q35_ann_ivf",
+        "q40_frame_sample",
     ], f"unexpected rows-only set: {rows_only}"
