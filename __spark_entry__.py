@@ -609,6 +609,42 @@ def q37_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("column", "n_rows", "n_nulls", "min_value", "max_value")
 
 
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide) aggregate: revenue by market segment pivoted over
+    order status."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+def q42_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count: tokenize + explode + groupBy, top-100 by
+    (count desc, word) — the canonical array fan-out aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(textstats.tokens(F.lower(F.col("text")))).alias("word")
+    ).filter(F.col("word") != "")
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.col("word")).limit(100)
+
+
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median/p90 of quantity and
+    extended price)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("qty_p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+    )
+
+
 def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling fan-out (1 asset -> many frames) through
     mapInPandas; codec stubbed, distribution/schema real (rows-only)."""
@@ -692,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_quality_profile": q38_quality_profile,
         "q39_asof_join": q39_asof_join,
         "q40_frame_sample": q40_frame_sample,
+        "q41_pivot": q41_pivot,
+        "q42_word_count": q42_word_count,
+        "q43_percentiles": q43_percentiles,
     }
 
 
@@ -1016,6 +1055,32 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q41_pivot": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_f,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_o,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_p
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q42_word_count": """
+            WITH t AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+                FROM documents
+            )
+            SELECT word, count(*) AS n
+            FROM t WHERE word != ''
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 100
+        """,
+        "q43_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+                   round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q39_asof_join": """
             SELECT l.event_id,
