@@ -645,6 +645,59 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction: events per (day-of-week, hour) —
+    F.dayofweek/hour surface over the timestamp column."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hh"),
+        )
+        .groupBy("dow", "hh")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q45_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: sample stddev, Pearson
+    correlation, sample covariance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_cov"),
+    )
+
+
+def q46_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein fuzzy matching within (nation, segment) buckets — the
+    string-similarity analogue of the bucketed near-dup joins."""
+    cust = _t(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring(F.col("c_name"), -4, 4).alias("tail"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.k").alias("k_a"),
+        F.col("b.k").alias("k_b"),
+        F.levenshtein(F.col("a.tail"), F.col("b.tail")).alias("dist"),
+    )
+    return (
+        pairs.filter(F.col("dist") <= 1)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling fan-out (1 asset -> many frames) through
     mapInPandas; codec stubbed, distribution/schema real (rows-only)."""
@@ -731,6 +784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_pivot": q41_pivot,
         "q42_word_count": q42_word_count,
         "q43_percentiles": q43_percentiles,
+        "q44_time_features": q44_time_features,
+        "q45_stats": q45_stats,
+        "q46_fuzzy_match": q46_fuzzy_match,
     }
 
 
@@ -1055,6 +1111,31 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q44_time_features": """
+            SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                   CAST(hour(ts) AS INT) AS hh,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "q45_stats": """
+            SELECT l_linestatus,
+                   round(stddev_samp(l_quantity), 4) AS qty_sd,
+                   round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "q46_fuzzy_match": """
+            WITH c AS (
+                SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+                       right(c_name, 4) AS tail
+                FROM customer
+            )
+            SELECT levenshtein(a.tail, b.tail) AS dist, count(*) AS n_pairs
+            FROM c a JOIN c b
+              ON a.nk = b.nk AND a.seg = b.seg AND a.k < b.k
+            WHERE levenshtein(a.tail, b.tail) <= 1
+            GROUP BY 1
         """,
         "q41_pivot": """
             SELECT c_mktsegment,

@@ -55,6 +55,11 @@ def main():
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query names (not in queries()): {sorted(unknown)}")
+        spark.stop()
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
