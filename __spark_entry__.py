@@ -645,6 +645,15 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all grouping-set combinations of status x priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
 def q44_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar feature extraction: events per (day-of-week, hour) —
     F.dayofweek/hour surface over the timestamp column."""
@@ -787,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_time_features": q44_time_features,
         "q45_stats": q45_stats,
         "q46_fuzzy_match": q46_fuzzy_match,
+        "q47_cube": q47_cube,
     }
 
 
@@ -1111,6 +1121,11 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q47_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "q44_time_features": """
             SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
