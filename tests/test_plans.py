@@ -74,3 +74,42 @@ def test_q21_posting_list_plan_shape(spark):
     scan_region = plan.split("Exchange")[0]
     # no split/transform expression may appear before the first Exchange
     assert "transform(" not in scan_region
+
+
+def test_bucketed_merge_is_shuffle_free(spark):
+    """SCALE.md claim: version tables bucketed on Connect_ID sort-merge-join
+    without any shuffle Exchange (bucket spec satisfies the join's
+    distribution requirement)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(1000).select(
+        F.col("id").cast("string").alias("Connect_ID"),
+        (F.col("id") % 50).cast("string").alias("payload"),
+    )
+    for name in ("bm_v1", "bm_v2"):
+        (
+            base.write.mode("overwrite")
+            .bucketBy(8, "Connect_ID")
+            .sortBy("Connect_ID")
+            .saveAsTable(name)
+        )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            v1, v2 = spark.table("bm_v1"), spark.table("bm_v2")
+            joined = v1.join(v2, "Connect_ID")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            tree = buf.getvalue().split("(1) Scan")[0]
+            assert "SortMergeJoin" in tree
+            assert "Exchange" not in tree, f"bucketed join shuffled:\n{tree}"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm_v1")
+        spark.sql("DROP TABLE IF EXISTS bm_v2")
