@@ -134,3 +134,41 @@ def test_streaming_session_agg_runs(spark, tmp_path):
     # user 10: all events within 30min gaps -> 1 session of 3
     u10 = [r for r in got.collect() if r["user_id"] == 10]
     assert len(u10) == 1 and u10[0]["n_events"] == 3
+
+
+def test_streaming_checkpoint_recovery_dedup_state(spark, tmp_path):
+    """Dedup state survives a query restart via checkpoint: events already
+    seen before the restart are still suppressed after it."""
+    ev = _events_fixture(spark)
+    data_dir = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # memory sink does not support recovery; the file sink does
+        stream = spark.readStream.schema(ev.schema).parquet(data_dir)
+        q = (
+            streaming_dedup(stream, ["event_id"], "ts", "2 hours")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase A: first three events
+    ev.filter(F.col("event_id") <= 3).write.parquet(data_dir)
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 3
+
+    # phase B: new files re-deliver events 2,3 plus new events 4-6;
+    # a fresh query resumes from the same checkpoint
+    ev.filter(F.col("event_id").isin(2, 3, 4, 5, 6)).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    run_once()
+    emitted = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
+    # recovered dedup state suppressed the 2,3 redeliveries
+    assert emitted == [1, 2, 3, 4, 5, 6]
