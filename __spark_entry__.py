@@ -645,6 +645,21 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (z-score of order totals within each
+    priority) — built-in window form; the applyInPandas twin is pinned
+    result-equal in tests/test_ext_ops.py."""
+    from pr2_transformation_spark.functions.scoring import zscore_window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    z = zscore_window(orders, ["o_orderpriority"], "o_totalprice")
+    return z.select(
+        "o_orderkey", "o_orderpriority", F.round("zscore", 4).alias("zscore")
+    )
+
+
 def q47_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate (all grouping-set combinations of status x priority)."""
     orders = _t(spark, sf_dir, "orders")
@@ -797,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_stats": q45_stats,
         "q46_fuzzy_match": q46_fuzzy_match,
         "q47_cube": q47_cube,
+        "q48_zscore": q48_zscore,
     }
 
 
@@ -1121,6 +1137,18 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q48_zscore": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(CASE WHEN stddev_samp(o_totalprice)
+                                   OVER (PARTITION BY o_orderpriority) > 0
+                              THEN (o_totalprice
+                                    - avg(o_totalprice)
+                                      OVER (PARTITION BY o_orderpriority))
+                                   / stddev_samp(o_totalprice)
+                                     OVER (PARTITION BY o_orderpriority)
+                              END, 4) AS zscore
+            FROM orders
         """,
         "q47_cube": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -1,0 +1,49 @@
+"""Per-group scoring (EXT): grouped standardization in two forms.
+
+``zscore_window`` is the production path — pure built-in window
+aggregates, whole-stage codegen'd, one shuffle on the group key.
+``zscore_apply_in_pandas`` computes the identical result through an
+Arrow-batched grouped UDF (``applyInPandas``) — the escape hatch for
+per-group logic that genuinely needs Python/numpy (model inference,
+sklearn transforms); kept result-equal to the window form so tests can
+pin the equivalence.  UDFs are the slow path: prefer the window form
+whenever the math is expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zscore_window(
+    df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """(v - group_mean) / group_stddev_samp via window aggregates; NULL for
+    single-row groups (stddev undefined) and zero-variance groups."""
+    w = Window.partitionBy(*group_cols)
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.when(sd > 0, (F.col(value_col) - mu) / sd)
+    return df.withColumn(out_col, z)
+
+
+def zscore_apply_in_pandas(
+    df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """Same semantics through an Arrow-batched grouped pandas UDF."""
+    import pandas as pd  # noqa: F401 - arrow path
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def score(pdf):
+        sd = pdf[value_col].std(ddof=1)
+        if sd and sd > 0:
+            pdf[out_col] = (pdf[value_col] - pdf[value_col].mean()) / sd
+        else:
+            pdf[out_col] = None
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(score, out_schema)

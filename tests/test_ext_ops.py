@@ -128,3 +128,28 @@ def test_asof_join_backward_semantics(spark):
     assert out[3] == "c"      # carries forward
     assert out[4] is None     # right row is in the future
     assert out[5] is None     # no right rows for this key
+
+
+def test_zscore_applyinpandas_matches_window(spark):
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.functions.scoring import (
+        zscore_apply_in_pandas,
+        zscore_window,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float((i * 37) % 101)) for i in range(120)]
+        + [(200, "solo", 5.0)],  # single-row group -> NULL zscore
+        "id long, g string, v double",
+    )
+    a = {
+        r["id"]: (None if r["zscore"] is None else round(r["zscore"], 6))
+        for r in zscore_window(df, ["g"], "v").collect()
+    }
+    b = {
+        r["id"]: (None if r["zscore"] is None else round(r["zscore"], 6))
+        for r in zscore_apply_in_pandas(df, ["g"], "v").collect()
+    }
+    assert a == b
+    assert a[200] is None
