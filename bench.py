@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "q31_sliding_window",
     "q32_session_window_native",
     "q33_multimodal_features",
+    "q39_asof_join",
+    "q48_zscore",
 ]
 
 
