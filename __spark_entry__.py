@@ -645,6 +645,31 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props column into
+    map<string,string>, explode entries, aggregate per key."""
+    ev = _events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,string>")
+    entries = ev.select(F.explode(m).alias("k", "v"))
+    return entries.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("v").alias("n_distinct_values"),
+    )
+
+
+def q50_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: average order-to-ship latency in days per
+    priority (datediff over timestamp columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 4)
+        .alias("avg_days_to_ship"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q48_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group standardization (z-score of order totals within each
     priority) — built-in window form; the applyInPandas twin is pinned
@@ -813,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_fuzzy_match": q46_fuzzy_match,
         "q47_cube": q47_cube,
         "q48_zscore": q48_zscore,
+        "q49_map_functions": q49_map_functions,
+        "q50_date_arithmetic": q50_date_arithmetic,
     }
 
 
@@ -1137,6 +1164,26 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q49_map_functions": """
+            WITH t AS (
+                SELECT unnest(json_keys(props)) AS k,
+                       json_extract_string(props, '$.' ||
+                           unnest(json_keys(props))) AS v
+                FROM events
+            )
+            SELECT k, count(*) AS n,
+                   count(DISTINCT v) AS n_distinct_values
+            FROM t GROUP BY k
+        """,
+        "q50_date_arithmetic": """
+            SELECT o_orderpriority,
+                   round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE))), 4)
+                       AS avg_days_to_ship,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "q48_zscore": """
             SELECT o_orderkey, o_orderpriority,
