@@ -680,8 +680,12 @@ def q48_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     z = zscore_window(orders, ["o_orderpriority"], "o_totalprice")
+    # + 0.0 normalizes IEEE negative zero (round(-1e-5, 4) -> -0.0, which
+    # formats as "-0.0" and breaks value-hash comparison against engines
+    # that produce +0.0)
     return z.select(
-        "o_orderkey", "o_orderpriority", F.round("zscore", 4).alias("zscore")
+        "o_orderkey", "o_orderpriority",
+        (F.round("zscore", 4) + F.lit(0.0)).alias("zscore"),
     )
 
 
@@ -714,8 +718,8 @@ def q45_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_cov"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias("qty_disc_cov"),
     )
 
 
@@ -1061,7 +1065,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings WHERE vec_id >= 10
             ), scored AS (
                 SELECT q.query_id, c.vec_id,
-                       round(list_cosine_similarity(q.qv, c.cv), 4) AS score
+                       round(list_cosine_similarity(q.qv, c.cv), 4) + 0 AS score
                 FROM q CROSS JOIN c
             )
             SELECT query_id, vec_id, score, rank FROM (
@@ -1194,7 +1198,7 @@ def oracle_sql() -> dict[str, str]:
                                       OVER (PARTITION BY o_orderpriority))
                                    / stddev_samp(o_totalprice)
                                      OVER (PARTITION BY o_orderpriority)
-                              END, 4) AS zscore
+                              END, 4) + 0 AS zscore
             FROM orders
         """,
         "q47_cube": """
@@ -1211,8 +1215,8 @@ def oracle_sql() -> dict[str, str]:
         "q45_stats": """
             SELECT l_linestatus,
                    round(stddev_samp(l_quantity), 4) AS qty_sd,
-                   round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-                   round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov
+                   round(corr(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_discount), 4) + 0 AS qty_disc_cov
             FROM lineitem GROUP BY l_linestatus
         """,
         "q46_fuzzy_match": """

@@ -59,10 +59,11 @@ def cosine_topk_bruteforce(
         )
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+    # + 0.0 normalizes IEEE negative zero for cross-engine value hashing
     scored = q.crossJoin(c).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("score"),
+        (F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits) + F.lit(0.0)).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (

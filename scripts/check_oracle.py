@@ -30,6 +30,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            v = 0.0  # collapse IEEE negative zero
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(bool(v)).lower()
