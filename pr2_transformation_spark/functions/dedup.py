@@ -89,9 +89,27 @@ def exact_dedup_by_hash(
 
 
 def duplicate_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
-    """One-row summary: total rows, distinct contents, duplicate rows."""
+    """One-row summary: total rows, distinct contents, duplicate rows.
+
+    Exact form: COUNT(DISTINCT content) shuffles the content itself (and
+    costs an Expand rewrite).  For fat text at warehouse scale use
+    :func:`duplicate_stats_by_hash`."""
     total = F.count(F.lit(1)).alias("total_rows")
     distinct = F.count_distinct(*[F.col(c) for c in content_cols]).alias("distinct_rows")
+    return df.agg(total, distinct).select(
+        "total_rows",
+        "distinct_rows",
+        (F.col("total_rows") - F.col("distinct_rows")).alias("duplicate_rows"),
+    )
+
+
+def duplicate_stats_by_hash(df: DataFrame, content_cols: list[str]) -> DataFrame:
+    """Scale twin of :func:`duplicate_stats`: distinct-count over the
+    64-bit content hash, so only 8-byte keys ride the distinct machinery
+    (same collision caveat as :func:`exact_dedup_by_hash`)."""
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    total = F.count(F.lit(1)).alias("total_rows")
+    distinct = F.count_distinct(h).alias("distinct_rows")
     return df.agg(total, distinct).select(
         "total_rows",
         "distinct_rows",

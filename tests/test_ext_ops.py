@@ -153,3 +153,17 @@ def test_zscore_applyinpandas_matches_window(spark):
     }
     assert a == b
     assert a[200] is None
+
+
+def test_duplicate_stats_hash_matches_exact(spark):
+    from pr2_transformation_spark.functions.dedup import (
+        duplicate_stats,
+        duplicate_stats_by_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text-{i % 13}") for i in range(300)], "id long, text string"
+    )
+    exact = duplicate_stats(df, ["text"]).collect()[0]
+    hashed = duplicate_stats_by_hash(df, ["text"]).collect()[0]
+    assert tuple(exact) == tuple(hashed) == (300, 13, 287)
