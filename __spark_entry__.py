@@ -645,6 +645,26 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins: per segment, customers with vs
+    without orders (existence joins never widen rows — the cheap
+    existence-check shape at scale)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    with_orders = cust.join(orders, cond, "left_semi").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_with_orders")
+    )
+    without = cust.join(orders, cond, "left_anti").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_without_orders")
+    )
+    return with_orders.join(without, "c_mktsegment", "full").select(
+        "c_mktsegment",
+        F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+        F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+    )
+
+
 def q49_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: parse the JSON props column into
     map<string,string>, explode entries, aggregate per key."""
@@ -844,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_zscore": q48_zscore,
         "q49_map_functions": q49_map_functions,
         "q50_date_arithmetic": q50_date_arithmetic,
+        "q51_semi_anti_join": q51_semi_anti_join,
     }
 
 
@@ -1168,6 +1189,23 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q51_semi_anti_join": """
+            WITH w AS (
+                SELECT c_mktsegment, count(*) AS n_with_orders
+                FROM customer
+                WHERE c_custkey IN (SELECT o_custkey FROM orders)
+                GROUP BY c_mktsegment
+            ), wo AS (
+                SELECT c_mktsegment, count(*) AS n_without_orders
+                FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+                GROUP BY c_mktsegment
+            )
+            SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+                   coalesce(w.n_with_orders, 0) AS n_with_orders,
+                   coalesce(wo.n_without_orders, 0) AS n_without_orders
+            FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
         """,
         "q49_map_functions": """
             WITH t AS (
