@@ -645,6 +645,34 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two version slices with different column
+    sets combined row-wise, missing columns NULL-filled
+    (unionByName(allowMissingColumns=True))."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    v1 = cust.filter(k % 2 == 0).select(
+        k.cast("string").alias("Connect_ID"), F.col("c_name").alias("a")
+    )
+    v2 = cust.filter(k % 2 == 1).select(
+        k.cast("string").alias("Connect_ID"), F.col("c_mktsegment").alias("b")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+def q53_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: lpad / translate / concat_ws formatting."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        F.concat_ws(
+            "-",
+            F.lit("C"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+            F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou"),
+        ).alias("customer_code")
+    )
+
+
 def q51_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi and left-anti joins: per segment, customers with vs
     without orders (existence joins never widen rows — the cheap
@@ -865,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_map_functions": q49_map_functions,
         "q50_date_arithmetic": q50_date_arithmetic,
         "q51_semi_anti_join": q51_semi_anti_join,
+        "q52_union_by_name": q52_union_by_name,
+        "q53_string_functions": q53_string_functions,
     }
 
 
@@ -1189,6 +1219,22 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        "q52_union_by_name": """
+            (SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                    c_name AS a, NULL AS b
+             FROM customer WHERE c_custkey % 2 = 0)
+            UNION ALL
+            (SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,
+                    NULL AS a, c_mktsegment AS b
+             FROM customer WHERE c_custkey % 2 = 1)
+        """,
+        "q53_string_functions": """
+            SELECT concat_ws('-', 'C',
+                             lpad(CAST(c_custkey AS VARCHAR), 8, '0'),
+                             translate(c_mktsegment, 'AEIOU', 'aeiou'))
+                       AS customer_code
+            FROM customer
         """,
         "q51_semi_anti_join": """
             WITH w AS (
