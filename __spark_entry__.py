@@ -1351,7 +1351,7 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'view') r
               ON l.user_id = r.u2 AND l.ts >= r.ts2
         """,
-        "q38_quality_profile": """
+        "q38_quality_profile": r"""
             WITH b AS (
                 SELECT doc_id,
                        regexp_split_to_array(trim(text), '\s+') AS toks,
