@@ -831,6 +831,195 @@ def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status-only, priority-only, grand total)
+    with GROUPING() flags disambiguating real NULLs from subtotal rows —
+    the general form behind ROLLUP (q29) and CUBE (q47)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q55_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue: aggregate-then-window. The
+    global (unpartitioned) window frame is safe at any input scale because
+    it runs on the *daily* aggregate — cardinality = distinct days, tiny
+    by construction after the first groupBy reduces 100 TB to rows-per-day."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        "rev",
+        F.round(F.avg("rev").over(w), 4).alias("ma7"),
+    )
+
+
+def q56_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window features per order: quartile (ntile),
+    percent_rank, cume_dist within priority — deterministic via the
+    (totalprice, orderkey) tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        (F.round(F.percent_rank().over(w), 4) + F.lit(0.0)).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+def q57_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) of per-flag measure columns into
+    (measure, value) rows — the inverse of q41's pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return m.unpivot("l_returnflag", ["qty", "price", "disc"], "measure", "value")
+
+
+def q58_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: L2 norm via
+    fold (F.aggregate), positive-component count via F.filter, array_max —
+    all JVM-side, no UDF (SURVEY.md §2.10 EXT array surface)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select(
+        "vec_id",
+        F.round(l2, 4).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        (F.round(F.array_max(v), 4) + F.lit(0.0)).alias("max_val"),
+    )
+
+
+def q59_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: orders matched to price bands by interval
+    containment, not equality. The band table is broadcast so the
+    non-equi condition evaluates as a BroadcastNestedLoopJoin — no
+    shuffle of the big side, the only sane plan for interval joins
+    against a small dimension."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            (0, 0.0, 100_000.0),
+            (1, 100_000.0, 200_000.0),
+            (2, 200_000.0, 300_000.0),
+            (3, 300_000.0, 1e12),
+        ],
+        "band INT, lo DOUBLE, hi DOUBLE",
+    )
+    j = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def q60_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: customers whose total spend exceeds the
+    all-customer average. The 1-row aggregate is broadcast (crossJoin of
+    a broadcast single row = free), never a driver collect."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    avg_spend = spend.agg(F.avg("spend").alias("avg_spend"))
+    big = spend.crossJoin(F.broadcast(avg_spend)).filter(
+        F.col("spend") > F.col("avg_spend")
+    )
+    return (
+        big.join(cust, big["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_spenders"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+        )
+    )
+
+
+def q61_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with per-bucket stats (floor-division
+    bucketing — portable across engines, unlike width_bucket)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50_000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q62_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document curation: per-language keep/drop
+    counts plus per-rule failure tallies (so a curation run shows *why*
+    documents fail). Pure scan-side expressions — no shuffle except the
+    final small groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    flags = textstats.quality_rule_columns(t)
+    d = docs.select(
+        "lang",
+        textstats.quality_pass(t).alias("keep"),
+        *[(~c).cast("int").alias(f"fail_{n[5:]}") for n, c in flags.items()],
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("keep")).alias("n_keep"),
+        F.sum("fail_token_count").alias("n_fail_tokens"),
+        F.sum("fail_avg_token_len").alias("n_fail_avg_len"),
+        F.sum("fail_punct_ratio").alias("n_fail_punct"),
+        F.sum("fail_stopword_ratio").alias("n_fail_stopword"),
+    )
+
+
+def q63_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components (min-label propagation) on a
+    deterministic chain graph — the dedup-cluster resolution step that
+    turns near-dup *pairs* into transitive keep/drop clusters. Oracle is
+    a recursive-CTE transitive closure in DuckDB."""
+    from pr2_transformation_spark.operators.graph import connected_components
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    edges = cust.filter(k % 7 != 0).select(k.alias("src"), (k + 3).alias("dst"))
+    return connected_components(edges)
+
+
+def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts next to exact ones
+    (sketch implementations differ across engines, so rows-only; the
+    3-sigma accuracy contract is pinned in tests/test_ext_ops.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -895,6 +1084,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_semi_anti_join": q51_semi_anti_join,
         "q52_union_by_name": q52_union_by_name,
         "q53_string_functions": q53_string_functions,
+        "q54_grouping_sets": q54_grouping_sets,
+        "q55_rolling_avg": q55_rolling_avg,
+        "q56_rank_features": q56_rank_features,
+        "q57_unpivot": q57_unpivot,
+        "q58_array_functions": q58_array_functions,
+        "q59_range_band_join": q59_range_band_join,
+        "q60_scalar_subquery": q60_scalar_subquery,
+        "q61_histogram": q61_histogram,
+        "q62_quality_filter": q62_quality_filter,
+        "q63_connected_components": q63_connected_components,
+        "q64_approx_distinct": q64_approx_distinct,
     }
 
 
@@ -1323,7 +1523,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
-        "q42_word_count": """
+        "q42_word_count": r"""
             WITH t AS (
                 SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
                 FROM documents
@@ -1465,6 +1665,145 @@ def oracle_sql() -> dict[str, str]:
                    d_333333333
             FROM f
         """,
+        "q54_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                   CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q55_rolling_avg": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       round(sum(o_totalprice), 2) AS rev
+                FROM orders GROUP BY 1
+            )
+            SELECT CAST(d AS VARCHAR) AS day, rev,
+                   round(avg(rev) OVER (ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+            FROM daily
+        """,
+        "q56_rank_features": """
+            SELECT o_orderkey, o_orderpriority,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 4) + 0 AS pct_rank,
+                   round(cume_dist() OVER w, 4) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+        """,
+        "q57_unpivot": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       round(sum(l_quantity), 2) AS qty,
+                       round(sum(l_extendedprice), 2) AS price,
+                       round(sum(l_discount), 2) AS disc
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'qty' AS measure, qty AS value FROM m
+            UNION ALL
+            SELECT l_returnflag, 'price', price FROM m
+            UNION ALL
+            SELECT l_returnflag, 'disc', disc FROM m
+        """,
+        "q58_array_functions": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2_norm,
+                   len(list_filter(v, x -> x > 0)) AS n_positive,
+                   round(list_max(v), 4) + 0 AS max_val
+            FROM e
+        """,
+        "q59_range_band_join": """
+            SELECT band, count(*) AS n_orders,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders
+            JOIN (VALUES (0, 0.0, 100000.0), (1, 100000.0, 200000.0),
+                         (2, 200000.0, 300000.0), (3, 300000.0, 1e12))
+                 AS b(band, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "q60_scalar_subquery": """
+            WITH spend AS (
+                SELECT o_custkey, sum(o_totalprice) AS spend
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_mktsegment,
+                   count(*) AS n_big_spenders,
+                   round(sum(spend), 2) AS total_spend
+            FROM spend JOIN customer ON o_custkey = c_custkey
+            WHERE spend > (SELECT avg(spend) FROM spend)
+            GROUP BY c_mktsegment
+        """,
+        "q61_histogram": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY 1
+        """,
+        "q62_quality_filter": r"""
+            WITH b AS (
+                SELECT lang,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks,
+                       length(text) AS nchars,
+                       length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS npunct
+                FROM documents
+            ), m AS (
+                SELECT lang,
+                       len(toks) AS ntok,
+                       round(list_sum(list_transform(toks, t -> len(t)))
+                             / greatest(len(toks), 1), 4) AS avglen,
+                       round(npunct / greatest(nchars, 1), 4) AS pr,
+                       round(len(list_filter(ltoks,
+                                 t -> t IN ('the','and','of','to','in')))
+                             / greatest(len(toks), 1), 4) AS sr
+                FROM b
+            ), f AS (
+                SELECT lang,
+                       (ntok BETWEEN 5 AND 100000) AS p_tok,
+                       (avglen BETWEEN 2.0 AND 12.0) AS p_len,
+                       (pr <= 0.20) AS p_punct,
+                       (sr >= 0.01) AS p_stop
+                FROM m
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE p_tok AND p_len AND p_punct AND p_stop)
+                       AS n_keep,
+                   CAST(sum(CASE WHEN p_tok THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_fail_tokens,
+                   CAST(sum(CASE WHEN p_len THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_fail_avg_len,
+                   CAST(sum(CASE WHEN p_punct THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_fail_punct,
+                   CAST(sum(CASE WHEN p_stop THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_fail_stopword
+            FROM f GROUP BY lang
+        """,
+        "q63_connected_components": """
+            WITH RECURSIVE e AS (
+                SELECT c_custkey AS a, c_custkey + 3 AS b
+                FROM customer WHERE c_custkey % 7 != 0
+            ), sym AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), v AS (
+                SELECT DISTINCT a AS id FROM sym
+            ), reach(id, r) AS (
+                SELECT id, id FROM v
+                UNION
+                SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+            )
+            SELECT id, min(r) AS comp FROM reach GROUP BY id
+        """,
+        # q64: HLL sketch values are implementation-specific — rows-only;
+        # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.
         "q28_merge_three_versions": """
             WITH v1 AS (
                 SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "q33_multimodal_features",
     "q39_asof_join",
     "q48_zscore",
+    "q55_rolling_avg",
+    "q58_array_functions",
+    "q62_quality_filter",
+    "q63_connected_components",
 ]
 
 

@@ -164,6 +164,48 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shape, simplified to
+#: the metrics computable here); each rule is independently reported so
+#: curation runs can see *why* a document failed, not just that it did.
+QUALITY_RULES = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "max_punct_ratio": 0.20,
+    "min_stopword_ratio": 0.01,
+}
+
+
+def quality_rule_columns(text: Column, rules: dict | None = None) -> dict[str, Column]:
+    """Per-rule boolean pass flags for Gopher-style document filtering.
+
+    Returns named flags so the caller can project them individually
+    (diagnostics) or AND them (the filter).  All JVM-side expressions —
+    the rule pass over 100 TB is a pure scan with no shuffle.
+    """
+    r = {**QUALITY_RULES, **(rules or {})}
+    ntok = token_count(text)
+    return {
+        "pass_token_count": ntok.between(r["min_tokens"], r["max_tokens"]),
+        "pass_avg_token_len": avg_token_length(text).between(
+            r["min_avg_token_len"], r["max_avg_token_len"]
+        ),
+        "pass_punct_ratio": punct_ratio(text) <= r["max_punct_ratio"],
+        "pass_stopword_ratio": stopword_ratio(text) >= r["min_stopword_ratio"],
+    }
+
+
+def quality_pass(text: Column, rules: dict | None = None) -> Column:
+    """AND of every :func:`quality_rule_columns` flag — True for documents
+    a Gopher-style curation pass would keep."""
+    flags = list(quality_rule_columns(text, rules).values())
+    out = flags[0]
+    for f in flags[1:]:
+        out = out & f
+    return out
+
+
 def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Standard per-document quality profile projection."""
     t = F.col(text_col)

@@ -39,4 +39,5 @@ def test_rows_only_queries_are_the_documented_ones():
         "q25_embedding_near_dup",
         "q35_ann_ivf",
         "q40_frame_sample",
+        "q64_approx_distinct",
     ], f"unexpected rows-only set: {rows_only}"

@@ -167,3 +167,86 @@ def test_duplicate_stats_hash_matches_exact(spark):
     exact = duplicate_stats(df, ["text"]).collect()[0]
     hashed = duplicate_stats_by_hash(df, ["text"]).collect()[0]
     assert tuple(exact) == tuple(hashed) == (300, 13, 287)
+
+
+def test_connected_components_known_graph(spark):
+    """Two multi-edge components + transitive link + a disconnected pair:
+    labels must be the min reachable id, including across indirect hops."""
+    from pr2_transformation_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3), (10, 11), (5, 5), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    # 5 only appears in a self-loop -> dropped from the vertex set entirely.
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-vertex path needs multiple propagation rounds; the label must
+    still reach the far end (exercises the iteration/checkpoint loop)."""
+    from pr2_transformation_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    got = connected_components(edges)
+    assert got.count() == 21
+    assert got.agg(F.count_distinct("comp")).collect()[0][0] == 1
+    assert got.filter(F.col("comp") != 0).count() == 0
+
+
+def test_dedup_clusters_keeps_min_and_singletons(spark):
+    from pr2_transformation_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 3, 7, 9]], "doc_id long")
+    got = {r["id"]: (r["cluster"], r["keep"]) for r in
+           dedup_clusters(pairs, ids, "doc_id", "id_a", "id_b").collect()}
+    assert got == {1: (1, True), 3: (3, True), 7: (3, False), 9: (3, False)}
+
+
+def test_approx_distinct_accuracy(spark):
+    """Default HLL++ rsd is 0.05; hold the estimate to 3 sigma, and a
+    tightened-rsd sketch to 3 sigma of its own (smaller) bound."""
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4999).alias("k"), F.col("id")
+    )
+    row = df.agg(
+        F.approx_count_distinct("k").alias("approx"),
+        F.approx_count_distinct("k", 0.01).alias("approx_tight"),
+        F.count_distinct("k").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.15
+    assert abs(row["approx_tight"] - row["exact"]) / row["exact"] < 0.03
+
+
+def test_quality_rules_flag_reasons(spark):
+    """Each Gopher-style rule fires on the document shaped to break it."""
+    from pr2_transformation_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on one of the mats, quietly."),
+            (2, "tiny"),  # under min_tokens
+            (3, "!!! ??? ;;; ,,, ... !!!"),  # punctuation soup
+            (4, "supercalifragilistic pneumonoultramicroscopic " * 5),  # long tokens
+        ],
+        "doc_id long, text string",
+    )
+    flags = textstats.quality_rule_columns(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            textstats.quality_pass(F.col("text")).alias("keep"),
+            *[c.alias(n) for n, c in flags.items()],
+        ).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and not out[2]["pass_token_count"]
+    assert not out[3]["keep"] and not out[3]["pass_punct_ratio"]
+    assert not out[4]["keep"] and not out[4]["pass_avg_token_len"]

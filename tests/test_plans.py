@@ -113,3 +113,19 @@ def test_bucketed_merge_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm_v1")
         spark.sql("DROP TABLE IF EXISTS bm_v2")
+
+
+def test_q59_band_join_broadcasts_not_shuffles(spark):
+    """The non-equi band join must evaluate as BroadcastNestedLoopJoin:
+    the fact table streams, only the 4-row band table moves."""
+    plan = plan_of(entrymod.q59_range_band_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    before_agg = plan.split("HashAggregate")[0]
+    assert "Exchange" not in before_agg.split("BroadcastExchange")[0]
+
+
+def test_q55_rolling_window_after_aggregate(spark):
+    """The moving-average window must sit on top of the daily aggregate
+    (tiny input), never on the raw fact table."""
+    plan = plan_of(entrymod.q55_rolling_avg(spark, SF_DIR))
+    assert plan.index("Window") < plan.index("HashAggregate")
