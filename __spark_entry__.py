@@ -1020,6 +1020,216 @@ def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median plus deterministic mode per group. Spark's ``mode()``
+    breaks ties arbitrarily, so the mode is computed as ``max_by`` over a
+    zero-padded (count, value) sort key — identical tie-break on both
+    engines, and still a single pair of partial-aggregated shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sort_key = F.concat(
+        F.lpad(F.col("cnt").cast("string"), 10, "0"), F.col("o_orderstatus")
+    )
+    mode = counts.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderstatus", sort_key).alias("mode_status")
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return med.join(mode, "o_orderpriority")
+
+
+def q66_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: per-group sorted distinct arrays
+    (``array_sort(collect_set)``) — collection aggregates are
+    order-nondeterministic across partitions, so the sort makes the
+    result canonical (and hash-comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_sort(F.collect_set(F.col("l_linenumber").cast("long"))).alias(
+            "linenumbers"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q67_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label dimension-wise centroid via posexplode — the
+    lateral-view/ordinality surface, and the reduce step of k-means-style
+    embedding clustering. Explode emits narrow (label, pos, val) rows, so
+    the shuffle is (labels × dims) after partial aggregation regardless of
+    corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        emb.select("label", F.posexplode(v).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 4).alias("centroid"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q68_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame per
+    customer (deterministic (date, key) ordering), reduced to one row per
+    customer with a row_number filter."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_totalprice").over(wall).alias("first_price"),
+            F.last("o_totalprice").over(wall).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(wall).alias("second_price"),
+            F.count(F.lit(1)).over(wall).alias("n_orders"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q69_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the reproducible alternative to
+    ``randomSplit`` for training-data pipelines. Bucket = first md5 byte of
+    the key mod 10 (split is a pure scan-side expression: stable across
+    runs, engines, and partitionings; no shuffle until the tiny final agg).
+    Hex digits are decoded with instr() against a constant alphabet so the
+    exact same integer arithmetic runs on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    d1 = "instr('0123456789abcdef', substr(md5(cast(o_orderkey as string)), 1, 1)) - 1"
+    d2 = "instr('0123456789abcdef', substr(md5(cast(o_orderkey as string)), 2, 1)) - 1"
+    bucket = F.expr(f"(({d1}) * 16 + ({d2})) % 10")
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return orders.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q70_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents (per language, in stable doc_id
+    order) are laid out contiguously and cut into 8192-token bins by the
+    exclusive cumulative token count — the shard-planning step before
+    writing training sequences. One window pass; bin assignment is pure
+    arithmetic on the running sum."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = textstats.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = docs.select("lang", "doc_id", toks.alias("toks")).withColumn(
+        "offset", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    )
+    return (
+        d.groupBy("lang", (F.floor(F.col("offset") / 8192)).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("tokens"))
+    )
+
+
+def q71_source_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition (docs, distinct languages, mean length,
+    corpus share) — the crawl-mix report a curation run starts from. The
+    share denominator is a window sum over the already-aggregated rows
+    (cardinality = sources), not a second scan."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "avg_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(total), 4).alias("share"),
+    )
+
+
+def q72_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, then count exact duplicates of the *normalized*
+    text per language — catches near-dups that differ only in case,
+    punctuation, or spacing. Normalization is scan-side; the distinct-count
+    shuffle carries one normalized string per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9 ]", ""),
+        r" +",
+        " ",
+    )
+    return docs.select("lang", norm.alias("norm")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("norm").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct("norm")).alias("n_dups"),
+    )
+
+
+def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (change-data-capture between two table versions):
+    FULL OUTER JOIN on the key, classify added / removed / changed /
+    unchanged. The two versions are derived deterministically from orders
+    (drop-by-modulus + price restatement) so the oracle sees identical
+    inputs. At scale both sides shuffle on the key once — or zero times if
+    the snapshots are bucket-partitioned on it (SCALE.md)."""
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price1")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price2"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("price1").isNull(), F.lit("added"))
+        .when(F.col("price2").isNull(), F.lit("removed"))
+        .when(F.col("price1") != F.col("price2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q74_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals: each event's state is valid until the
+    user's next event (lead over a (user, ts, id) window). Surfaces
+    interval counts and mean duration per event type; open intervals
+    (latest per user) are counted separately. Microsecond integer
+    arithmetic on both engines — no float time math."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t0"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t1"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("t1").alias("n_closed"),
+        F.round(F.avg((F.col("t1") - F.col("t0")) / 1_000_000.0), 2).alias(
+            "avg_valid_sec"
+        ),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1095,6 +1305,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_quality_filter": q62_quality_filter,
         "q63_connected_components": q63_connected_components,
         "q64_approx_distinct": q64_approx_distinct,
+        "q65_median_mode": q65_median_mode,
+        "q66_sorted_list_agg": q66_sorted_list_agg,
+        "q67_embedding_centroid": q67_embedding_centroid,
+        "q68_first_last_window": q68_first_last_window,
+        "q69_hash_split": q69_hash_split,
+        "q70_sequence_packing": q70_sequence_packing,
+        "q71_source_share": q71_source_share,
+        "q72_normalized_dedup": q72_normalized_dedup,
+        "q73_snapshot_diff": q73_snapshot_diff,
+        "q74_validity_intervals": q74_validity_intervals,
     }
 
 
@@ -1801,6 +2021,161 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
             )
             SELECT id, min(r) AS comp FROM reach GROUP BY id
+        """,
+        "q65_median_mode": """
+            WITH counts AS (
+                SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+                FROM orders GROUP BY 1, 2
+            ), mode AS (
+                SELECT o_orderpriority,
+                       arg_max(o_orderstatus,
+                               lpad(CAST(cnt AS VARCHAR), 10, '0') || o_orderstatus)
+                           AS mode_status
+                FROM counts GROUP BY 1
+            ), med AS (
+                SELECT o_orderpriority,
+                       round(median(o_totalprice), 2) AS median_price,
+                       count(*) AS n
+                FROM orders GROUP BY 1
+            )
+            SELECT med.o_orderpriority, median_price, n, mode_status
+            FROM med JOIN mode USING (o_orderpriority)
+        """,
+        "q66_sorted_list_agg": """
+            SELECT l_returnflag,
+                   list_sort(list(DISTINCT l_linestatus)) AS statuses,
+                   list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT)))
+                       AS linenumbers,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q67_embedding_centroid": """
+            WITH e AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            )
+            SELECT label, pos,
+                   round(avg(val), 4) AS centroid,
+                   count(*) AS n
+            FROM e GROUP BY label, pos
+        """,
+        "q68_first_last_window": """
+            SELECT o_custkey,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   last_value(o_totalprice) OVER w AS last_price,
+                   nth_value(o_totalprice, 2) OVER w AS second_price,
+                   count(*) OVER w AS n_orders
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ) = 1
+        """,
+        "q69_hash_split": """
+            WITH b AS (
+                SELECT o_totalprice,
+                       ((instr('0123456789abcdef',
+                               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)
+                        * 16 +
+                        (instr('0123456789abcdef',
+                               substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)
+                       ) % 10 AS bucket
+                FROM orders
+            )
+            SELECT CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM b GROUP BY 1
+        """,
+        "q70_sequence_packing": r"""
+            WITH d AS (
+                SELECT lang, doc_id,
+                       array_length(regexp_split_to_array(trim(text), '\s+'))
+                           AS toks
+                FROM documents
+            ), o AS (
+                SELECT lang, doc_id, toks,
+                       COALESCE(sum(toks) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS off
+                FROM d
+            )
+            SELECT lang,
+                   CAST(floor(off / 8192) AS BIGINT) AS bin,
+                   count(*) AS n_docs,
+                   sum(toks) AS tokens
+            FROM o GROUP BY 1, 2
+        """,
+        "q71_source_share": """
+            WITH per AS (
+                SELECT source,
+                       count(*) AS n_docs,
+                       count(DISTINCT lang) AS n_langs,
+                       round(avg(n_chars), 2) AS avg_chars
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_langs, avg_chars,
+                   round(n_docs / sum(n_docs) OVER (), 4) AS share
+            FROM per
+        """,
+        "q72_normalized_dedup": """
+            WITH n AS (
+                SELECT lang,
+                       regexp_replace(
+                           regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g') AS norm
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(DISTINCT norm) AS n_distinct,
+                   count(*) - count(DISTINCT norm) AS n_dups
+            FROM n GROUP BY lang
+        """,
+        "q73_snapshot_diff": """
+            WITH v1 AS (
+                SELECT o_orderkey, o_totalprice AS price1
+                FROM orders WHERE o_orderkey % 97 != 0
+            ), v2 AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 10 = 0
+                            THEN round(o_totalprice * 1.1, 2)
+                            ELSE o_totalprice END AS price2
+                FROM orders WHERE o_orderkey % 89 != 0
+            )
+            SELECT CASE WHEN price1 IS NULL THEN 'added'
+                        WHEN price2 IS NULL THEN 'removed'
+                        WHEN price1 != price2 THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   count(*) AS n
+            FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+            GROUP BY 1
+        """,
+        "q74_validity_intervals": """
+            WITH m AS (
+                SELECT event_type, event_id, user_id,
+                       epoch_ns(ts) // 1000 AS t0
+                FROM events
+            ), iv AS (
+                SELECT event_type, t0,
+                       lead(t0) OVER (
+                           PARTITION BY user_id ORDER BY t0, event_id
+                       ) AS t1
+                FROM m
+            )
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(t1) AS n_closed,
+                   round(avg((t1 - t0) / 1000000.0), 2) AS avg_valid_sec
+            FROM iv GROUP BY event_type
         """,
         # q64: HLL sketch values are implementation-specific — rows-only;
         # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.

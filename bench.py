@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "q58_array_functions",
     "q62_quality_filter",
     "q63_connected_components",
+    "q67_embedding_centroid",
+    "q69_hash_split",
+    "q70_sequence_packing",
+    "q73_snapshot_diff",
 ]
 
 

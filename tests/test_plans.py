@@ -124,6 +124,13 @@ def test_q59_band_join_broadcasts_not_shuffles(spark):
     assert "Exchange" not in before_agg.split("BroadcastExchange")[0]
 
 
+def test_q69_hash_split_single_shuffle(spark):
+    """The split expression must stay scan-side: exactly one Exchange
+    (the 3-group final aggregate), none before the partial aggregate."""
+    tree = plan_of(entrymod.q69_hash_split(spark, SF_DIR)).split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+
+
 def test_q55_rolling_window_after_aggregate(spark):
     """The moving-average window must sit on top of the daily aggregate
     (tiny input), never on the raw fact table."""
