@@ -108,3 +108,31 @@ class Catalog:
         name = f"{dataset}.{table}"
         writer.saveAsTable(name)
         return name
+
+    def write_sorted_shards(
+        self,
+        df: DataFrame,
+        fq_table: str,
+        sort_cols: list[str],
+        num_shards: int,
+    ) -> str:
+        """Range-partitioned, within-shard-sorted sink — the training-shard
+        layout: ``num_shards`` files with globally range-disjoint, locally
+        sorted key ranges (shard i's keys all precede shard i+1's).
+
+        ``repartitionByRange`` samples the keys to pick balanced range
+        bounds (one sampling pass + one shuffle), then each shard sorts
+        locally — a distributed total order without ever sorting on one
+        node.  Downstream readers get merge-free globally-ordered
+        consumption and min/max footer pruning on the sort key.
+        """
+        path = self.path_for(fq_table)
+        if path is None:
+            raise ValueError(f"write_sorted_shards needs a path-backed table: {fq_table}")
+        (
+            df.repartitionByRange(num_shards, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path

@@ -107,3 +107,40 @@ def test_catalog_partitioned_write(spark, tmp_path):
     back = cat.read(dest)
     assert back.count() == 20
     assert back.filter(F.col("version") == "1").count() == 7
+
+
+def test_write_sorted_shards_layout(spark, tmp_path):
+    """Range-disjoint, locally sorted shard files: every file is sorted and
+    file key-ranges don't overlap (a global total order across shards)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    dest = str(tmp_path / "shards")
+    cat.register_path("p.d.shards", dest)
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("key"), F.col("id").alias("payload")
+    )
+    plan_df = df.repartitionByRange(8, "key").sortWithinPartitions("key")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "rangepartitioning" in buf.getvalue()
+
+    cat.write_sorted_shards(df, "p.d.shards", ["key"], 8)
+    files = sorted(glob.glob(dest + "/part-*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        keys = [r["key"] for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys), f"shard {f} not locally sorted"
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "shard key ranges overlap"

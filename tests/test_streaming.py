@@ -172,3 +172,78 @@ def test_streaming_checkpoint_recovery_dedup_state(spark, tmp_path):
     emitted = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
     # recovered dedup state suppressed the 2,3 redeliveries
     assert emitted == [1, 2, 3, 4, 5, 6]
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join (clicks within 10m of an impression,
+    same user) equals the batch interval join on identical input."""
+    from pr2_transformation_spark.streaming.joins import (
+        interval_join,
+        streaming_interval_join,
+    )
+
+    imps = spark.createDataFrame(
+        [
+            (100, "2024-01-01 00:00:00", 10),
+            (101, "2024-01-01 00:30:00", 10),
+            (102, "2024-01-01 00:05:00", 11),
+        ],
+        "imp_id long, ts string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    clicks = spark.createDataFrame(
+        [
+            (200, "2024-01-01 00:04:00", 10),  # matches imp 100 only
+            (201, "2024-01-01 00:36:00", 10),  # matches imp 101 only
+            (202, "2024-01-01 00:20:00", 11),  # outside 10m of imp 102
+        ],
+        "click_id long, ts string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    p1, p2 = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imps.write.parquet(p1)
+    clicks.write.parquet(p2)
+    s1 = spark.readStream.schema(imps.schema).parquet(p1)
+    s2 = spark.readStream.schema(clicks.schema).parquet(p2)
+
+    joined = streaming_interval_join(
+        s1, s2, "user_id", "ts", "ts", "10 minutes", "10 minutes"
+    ).select("imp_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.table("t_ssjoin"))
+
+    expected = _rows(
+        interval_join(imps, clicks, "user_id", "ts", "ts", "10 minutes").select(
+            "imp_id", "click_id"
+        )
+    )
+    assert got == expected == [("100", "200"), ("101", "201")]
+
+
+def test_streaming_enrich_is_stateless_broadcast(spark, tmp_path):
+    from pr2_transformation_spark.streaming.joins import enrich
+
+    ev = _events_fixture(spark)
+    path = str(tmp_path / "ev_enrich")
+    ev.write.parquet(path)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = enrich(stream, dim, "user_id").select("event_id", "tier")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.table("t_enrich"))
+    assert got == _rows(ev.join(dim, "user_id").select("event_id", "tier"))
