@@ -1230,6 +1230,102 @@ def q74_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top term per document: explode→count for tf, a per-term
+    aggregate for df, the corpus size as a broadcast 1-row aggregate, and a
+    per-doc row_number to pick the winner (score desc, term asc tie-break).
+    Three shuffles total — tf (doc,term), df (term), and the final window
+    on doc — each carrying counts, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    terms = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", F.round("score", 4).alias("tfidf"))
+    )
+
+
+def q76_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams per language for n-gram LM stats. Bigram assembly is
+    a JVM-side higher-order function over the token array (sequence +
+    element_at — no UDF, no self-join); only the (lang, bigram) counts
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # sequence(1, 0) is DESCENDING in Spark (not empty), so guard the
+    # single-token case explicitly.
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    bigrams = F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "bigram", "n", "rn")
+    )
+
+
+def q77_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical diversity: mean type-token ratio (distinct
+    tokens / tokens per doc) and mean token count — array_distinct runs
+    scan-side, so the shuffle is one row per language."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    return (
+        docs.select("lang", ttr.alias("ttr"), F.size(toks).alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ttr"), 4).alias("avg_ttr"),
+            F.round(F.avg("ntok"), 2).alias("avg_tokens"),
+        )
+    )
+
+
+def q78_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (6 PRECEDING on the day *number*):
+    unlike q55's ROWS frame, calendar gaps shrink the window — the correct
+    trailing-7-days semantics when days can be missing. Same
+    aggregate-then-window posture: the frame runs over the daily rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    dnum = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.orderBy(dnum).rangeBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        "rev",
+        F.round(F.sum("rev").over(w), 2).alias("rev_7d"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1315,6 +1411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_normalized_dedup": q72_normalized_dedup,
         "q73_snapshot_diff": q73_snapshot_diff,
         "q74_validity_intervals": q74_validity_intervals,
+        "q75_tfidf": q75_tfidf,
+        "q76_bigrams": q76_bigrams,
+        "q77_lexical_diversity": q77_lexical_diversity,
+        "q78_range_frame": q78_range_frame,
     }
 
 
@@ -2176,6 +2276,78 @@ def oracle_sql() -> dict[str, str]:
                    count(t1) AS n_closed,
                    round(avg((t1 - t0) / 1000000.0), 2) AS avg_valid_sec
             FROM iv GROUP BY event_type
+        """,
+        "q75_tfidf": r"""
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                           AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms GROUP BY doc_id, term
+            ), dft AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT doc_id, term,
+                       tf * ln(n_docs / df) AS score
+                FROM tf JOIN dft USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, round(score, 4) AS tfidf
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+            ) = 1
+        """,
+        "q76_bigrams": r"""
+            WITH t AS (
+                SELECT lang,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents
+            ), b AS (
+                SELECT lang,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1]
+                       )) AS bigram
+                FROM t
+            ), c AS (
+                SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram
+            )
+            SELECT lang, bigram, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, bigram ASC
+                   ) AS INT) AS rn
+            FROM c
+            QUALIFY rn <= 10
+        """,
+        "q77_lexical_diversity": r"""
+            WITH t AS (
+                SELECT lang,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(len(list_distinct(toks)) * 1.0 / len(toks)), 4)
+                       AS avg_ttr,
+                   round(avg(len(toks)), 2) AS avg_tokens
+            FROM t GROUP BY lang
+        """,
+        "q78_range_frame": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       round(sum(o_totalprice), 2) AS rev
+                FROM orders GROUP BY 1
+            )
+            SELECT CAST(d AS VARCHAR) AS day, rev,
+                   round(sum(rev) OVER (
+                       ORDER BY date_diff('day', DATE '1970-01-01', d)
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ), 2) AS rev_7d
+            FROM daily
         """,
         # q64: HLL sketch values are implementation-specific — rows-only;
         # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q69_hash_split",
     "q70_sequence_packing",
     "q73_snapshot_diff",
+    "q75_tfidf",
+    "q76_bigrams",
 ]
 
 

@@ -220,3 +220,31 @@ def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         language_guess(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+#: Conservative PII patterns (email, NANP phone, SSN-shaped) for
+#: training-data scrubbing. Kept RE2-compatible so the same patterns run on
+#: other engines' regex dialects unchanged.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Replace every PII match with ``[<KIND>]`` — scan-side regexp_replace
+    chain, no UDF, so PII scrubbing over 100 TB runs at parquet-scan speed
+    inside whole-stage codegen."""
+    out = text
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(text: Column, patterns: dict[str, str] | None = None) -> dict[str, Column]:
+    """Per-kind match counts (for scrub-rate reporting)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in (patterns or PII_PATTERNS).items()
+    }

@@ -144,3 +144,26 @@ def test_write_sorted_shards_layout(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "shard key ranges overlap"
+
+
+def test_register_csv_json_sources(spark, tmp_path):
+    """Catalog reads non-parquet formats through the same FQ-name surface."""
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    df = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("dbl"), F.lit("x").alias("tag")
+    )
+    csv_path, json_path = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", True).csv(csv_path)
+    df.write.json(json_path)
+    cat.register_path("p.d.csvt", csv_path, format="csv")
+    cat.register_path("p.d.jsont", json_path, format="json")
+
+    got_csv = cat.read("p.d.csvt")
+    got_json = cat.read("p.d.jsont")
+    assert got_csv.count() == got_json.count() == 10
+    assert set(got_csv.columns) == set(got_json.columns) == {"id", "dbl", "tag"}
+    assert got_json.agg(F.sum("dbl")).collect()[0][0] == 90

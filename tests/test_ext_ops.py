@@ -250,3 +250,30 @@ def test_quality_rules_flag_reasons(spark):
     assert not out[2]["keep"] and not out[2]["pass_token_count"]
     assert not out[3]["keep"] and not out[3]["pass_punct_ratio"]
     assert not out[4]["keep"] and not out[4]["pass_avg_token_len"]
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from pr2_transformation_spark.functions import textstats
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call 555-867-5309."),
+        (2, "ssn 123-45-6789 appears once; phone 555.123.4567 too"),
+        (3, "clean text, no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = textstats.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.redact_pii(F.col("text")).alias("red"),
+            *[c.alias(k) for k, c in counts.items()],
+        ).collect()
+    }
+    assert "[EMAIL]" in out[1]["red"] and "jane" not in out[1]["red"]
+    assert "[PHONE]" in out[1]["red"] and "5309" not in out[1]["red"]
+    assert (out[1]["email"], out[1]["phone"], out[1]["ssn"]) == (1, 1, 0)
+    assert "[SSN]" in out[2]["red"] and "6789" not in out[2]["red"]
+    assert (out[2]["email"], out[2]["phone"], out[2]["ssn"]) == (0, 1, 1)
+    assert out[3]["red"] == rows[2][1]
+    assert (out[3]["email"], out[3]["phone"], out[3]["ssn"]) == (0, 0, 0)
