@@ -25,9 +25,14 @@ from pr2_transformation_spark.functions import dedup, similarity, textstats  # n
 from pr2_transformation_spark.operators.clean_columns import clean_columns_df  # noqa: E402
 from pr2_transformation_spark.operators.clean_rows import clean_rows_df  # noqa: E402
 from pr2_transformation_spark.operators.merge import merge_versions_df  # noqa: E402
+from pr2_transformation_spark.operators.sampling import bucket_sql  # noqa: E402
 from pr2_transformation_spark.streaming.windows import sessionize_batch  # noqa: E402
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+#: The sampling hash-bucket expression, shared verbatim between the Spark
+#: queries and the DuckDB oracles (operators/sampling.py keeps it portable).
+_BUCKET_SQL = bucket_sql("c_custkey")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1326,6 +1331,67 @@ def q78_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-segment keep rates from
+    operators/sampling.py (hash-bucket membership — reproducible across
+    runs/engines/partitionings, unlike df.sample). Reports kept vs total
+    per stratum so the realized rate is visible next to the target."""
+    from pr2_transformation_spark.operators.sampling import hash_bucket
+
+    cust = _t(spark, sf_dir, "customer")
+    rates = {
+        "AUTOMOBILE": 0.5,
+        "BUILDING": 0.25,
+        "FURNITURE": 0.1,
+        "HOUSEHOLD": 1.0,
+        "MACHINERY": 0.05,
+    }
+    bucket = hash_bucket("c_custkey")
+    thr = F.lit(None).cast("int")
+    for seg, fr in rates.items():
+        thr = F.when(F.col("c_mktsegment") == seg, int(fr * 10_000)).otherwise(thr)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(bucket < thr).alias("n_kept"),
+        F.round(F.count_if(bucket < thr) / F.count(F.lit(1)), 4).alias("rate"),
+    )
+
+
+def q80_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle: global order by md5(key) — the
+    training-data shuffle that doesn't change when the pipeline reruns.
+    Top-100 via orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k, then a 100-row merge on one reducer — never a
+    global sort); the row_number window runs on the 100 survivors only.
+    The full-corpus form of this layout is Catalog.write_sorted_shards
+    keyed on the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    top = docs.select("doc_id", h.alias("h")).orderBy("h", "doc_id").limit(100)
+    w = Window.orderBy("h", "doc_id")
+    return top.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+
+
+def q81_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context windows of 64 tokens,
+    stride 48 → 16-token overlap): chunk counts and per-chunk token totals
+    computed entirely with array HOFs (sequence/transform/slice) — no
+    explode, no UDF; the per-doc result is narrow."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    chunk_sizes = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 48).cast("int")),
+        lambda i: F.size(F.slice(toks, i * 48 + 1, 64)),
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(chunk_sizes).alias("n_chunks"),
+        F.aggregate(chunk_sizes, F.lit(0), lambda a, x: a + x).alias("chunk_tokens"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1415,6 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_bigrams": q76_bigrams,
         "q77_lexical_diversity": q77_lexical_diversity,
         "q78_range_frame": q78_range_frame,
+        "q79_stratified_sample": q79_stratified_sample,
+        "q80_deterministic_shuffle": q80_deterministic_shuffle,
+        "q81_chunking": q81_chunking,
     }
 
 
@@ -2348,6 +2417,54 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
                    ), 2) AS rev_7d
             FROM daily
+        """,
+        "q79_stratified_sample": f"""
+            WITH b AS (
+                SELECT c_mktsegment,
+                       {_BUCKET_SQL} AS bucket,
+                       CASE c_mktsegment
+                            WHEN 'AUTOMOBILE' THEN 5000
+                            WHEN 'BUILDING' THEN 2500
+                            WHEN 'FURNITURE' THEN 1000
+                            WHEN 'HOUSEHOLD' THEN 10000
+                            WHEN 'MACHINERY' THEN 500
+                       END AS thr
+                FROM customer
+            )
+            SELECT c_mktsegment,
+                   count(*) AS n_total,
+                   count(*) FILTER (WHERE bucket < thr) AS n_kept,
+                   round((count(*) FILTER (WHERE bucket < thr)) * 1.0 / count(*), 4)
+                       AS rate
+            FROM b GROUP BY c_mktsegment
+        """,
+        "q80_deterministic_shuffle": """
+            WITH top AS (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents ORDER BY h, doc_id LIMIT 100
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) AS INT)
+                       AS shuffle_rank
+            FROM top
+        """,
+        "q81_chunking": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       list_transform(
+                           generate_series(0, CAST(floor((len(toks) - 1) / 48) AS INT)),
+                           i -> len(list_slice(toks, i * 48 + 1, i * 48 + 64))
+                       ) AS cs
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   len(cs) AS n_chunks,
+                   list_sum(cs) AS chunk_tokens
+            FROM c
         """,
         # q64: HLL sketch values are implementation-specific — rows-only;
         # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.

@@ -1,0 +1,93 @@
+"""Deterministic, hash-based sampling (EXT — training-data pipelines).
+
+``df.sample``/``randomSplit`` draw per-task random numbers: results change
+across retries, partitionings, and engines, which poisons reproducibility
+and makes train/test leakage audits impossible.  Everything here derives
+the sampling decision from a *hash of the row's key*, so membership is a
+pure function of the data:
+
+* stable under task retry, repartitioning, AQE re-planning;
+* identical on any engine that has md5 (the arithmetic below sticks to
+  instr/substr/md5 so oracles can mirror it verbatim);
+* scan-side expressions — sampling 100 TB adds zero shuffles, and the
+  filter reaches the parquet scan for free.
+
+The unit is a 1/10000 bucket: fractions are quantized to 0.01 % which is
+plenty for mixture weights, and keeps the decode at 4 hex digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "stratified_sample",
+    "assign_splits",
+    "BUCKETS",
+]
+
+BUCKETS = 10_000
+
+
+def _hex_digit(key_sql: str, i: int) -> str:
+    return f"(instr('0123456789abcdef', substr(md5({key_sql}), {i}, 1)) - 1)"
+
+
+def bucket_sql(key_col: str) -> str:
+    """The bucket expression as engine-portable SQL text (also used by the
+    DuckDB oracles — same string, same arithmetic, same result)."""
+    key_sql = f"cast({key_col} as string)"
+    d = [_hex_digit(key_sql, i) for i in (1, 2, 3, 4)]
+    return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]}) % {BUCKETS}"
+
+
+def hash_bucket(key_col: str) -> Column:
+    """Uniform bucket in [0, 10000) from the md5 of the key."""
+    return F.expr(bucket_sql(key_col))
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash (reproducible)."""
+    return df.filter(hash_bucket(key_col) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weights primitive
+    (e.g. keep 100 % of rare languages, 5 % of English).  Strata absent
+    from ``fractions`` are dropped."""
+    bucket = hash_bucket(key_col)
+    threshold = F.lit(None).cast("int")
+    for stratum, frac in fractions.items():
+        threshold = (
+            F.when(F.col(strata_col) == stratum, int(round(frac * BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.filter(bucket < threshold)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Partition rows into named splits by cumulative hash-bucket ranges
+    (train/val/test).  Weights must sum to 1; every row lands in exactly
+    one split, and membership never changes as data is added elsewhere."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(key_col)
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        hi = int(round(acc * BUCKETS))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)

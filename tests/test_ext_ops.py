@@ -4,6 +4,7 @@ similarity search and skew-aware salted joins."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from pr2_transformation_spark.functions import similarity
 from pr2_transformation_spark.operators.joins import salted_join
@@ -277,3 +278,46 @@ def test_redact_pii_masks_and_counts(spark):
     assert (out[2]["email"], out[2]["phone"], out[2]["ssn"]) == (0, 1, 1)
     assert out[3]["red"] == rows[2][1]
     assert (out[3]["email"], out[3]["phone"], out[3]["ssn"]) == (0, 0, 0)
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from pr2_transformation_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    a = sorted(r["k"] for r in deterministic_sample(df, "k", 0.3).collect())
+    b = sorted(
+        r["k"]
+        for r in deterministic_sample(df.repartition(17, "k"), "k", 0.3).collect()
+    )
+    assert a == b, "membership must be a pure function of the key"
+    assert 0.25 < len(a) / 5000 < 0.35
+
+
+def test_assign_splits_partition_exactly(spark):
+    from pr2_transformation_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    out = assign_splits(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000  # every row in exactly one split
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "k", {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_rates_and_drops(spark):
+    from pr2_transformation_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = stratified_sample(df, "k", "lang", {"en": 0.1, "de": 1.0})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "fr" not in counts, "strata without a fraction are dropped"
+    assert counts["de"] == 2000, "fraction 1.0 keeps everything"
+    assert 120 < counts["en"] < 280

@@ -136,3 +136,10 @@ def test_q55_rolling_window_after_aggregate(spark):
     (tiny input), never on the raw fact table."""
     plan = plan_of(entrymod.q55_rolling_avg(spark, SF_DIR))
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_q80_shuffle_uses_top_k_not_global_sort(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-k), never a full Sort of the corpus before the limit."""
+    plan = plan_of(entrymod.q80_deterministic_shuffle(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
