@@ -34,6 +34,15 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: queries and the DuckDB oracles (operators/sampling.py keeps it portable).
 _BUCKET_SQL = bucket_sql("c_custkey")
 
+#: Morton-interleave SQL for the q85 z-value oracle — the same shift/mask
+#: arithmetic operators/zorder.py builds as a Column expression, emitted as
+#: portable integer-bitwise SQL (6 bits per axis).
+_Z_SQL = "(" + " | ".join(
+    f"((((c_custkey % 64) >> {i}) & 1) << {2 * i})"
+    f" | ((((CAST(c_nationkey AS BIGINT) % 64) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(6)
+) + ")"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -1392,6 +1401,144 @@ def q81_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic re-aggregation: monthly stats composed from *daily partial
+    aggregates* (sum-of-sums, sum-of-counts, min-of-mins, avg = Σsum/Σn) —
+    the incremental-rollup pattern where yesterday's partials never get
+    rescanned. Correct because sum/count/min/max are algebraic; avg is
+    re-derived, never averaged-of-averages."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    return (
+        daily.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.round(F.sum("s"), 2).alias("total"),
+            F.round(F.min("mn"), 2).alias("min_price"),
+            F.round(F.max("mx"), 2).alias("max_price"),
+            F.round(F.sum("s") / F.sum("c"), 2).alias("avg_price"),
+        )
+    )
+
+
+def q83_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage's timestamp
+    must follow the previous stage's. Three co-partitioned user-key
+    aggregations (every shuffle is on user_id, so at scale the stages
+    reuse one partitioning); time kept as integer microseconds."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    view = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(view, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    j = (
+        users.join(view, "user_id", "left")
+        .join(click, "user_id", "left")
+        .join(purchase, "user_id", "left")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        F.round(F.count("t_purchase") / F.count("t_view"), 4).alias(
+            "view_to_purchase"
+        ),
+    )
+
+
+def q84_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion report: null keys, key uniqueness, referential
+    integrity (orphan orders), domain ranges — each check one small
+    aggregate, unioned into a (check, n_violations) frame. The orphan check
+    is a LEFT ANTI join (no row explosion); everything else is scan-side
+    count_if."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check"), F.col("n").cast("long"))
+
+    checks = [
+        one(
+            "orders_null_custkey",
+            orders.agg(F.count_if(F.col("o_custkey").isNull()).alias("n")),
+        ),
+        one(
+            "orders_dup_orderkey",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count_if(F.col("c") > 1).alias("n")),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.join(
+                cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "orders_nonpositive_price",
+            orders.agg(F.count_if(F.col("o_totalprice") <= 0).alias("n")),
+        ),
+        one(
+            "lineitem_dup_line",
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count_if(F.col("c") > 1).alias("n")),
+        ),
+        one(
+            "lineitem_discount_range",
+            li.agg(
+                F.count_if(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ).alias("n")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def q85_zvalue_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value (operators/zorder.py) computed per customer — proven
+    bit-for-bit identical to an independent engine's shift/mask arithmetic
+    by the oracle. This is the layout key write_sorted_shards would range-
+    partition on for two-column data skipping."""
+    from pr2_transformation_spark.operators.zorder import z_value
+
+    cust = _t(spark, sf_dir, "customer")
+    x = F.col("c_custkey") % 64
+    y = F.col("c_nationkey").cast("long") % 64
+    return cust.select(
+        "c_custkey",
+        z_value(x, y, bits=6).alias("z"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1484,6 +1631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_stratified_sample": q79_stratified_sample,
         "q80_deterministic_shuffle": q80_deterministic_shuffle,
         "q81_chunking": q81_chunking,
+        "q82_reaggregate": q82_reaggregate,
+        "q83_funnel": q83_funnel,
+        "q84_dq_report": q84_dq_report,
+        "q85_zvalue_parity": q85_zvalue_parity,
     }
 
 
@@ -2465,6 +2616,81 @@ def oracle_sql() -> dict[str, str]:
                    len(cs) AS n_chunks,
                    list_sum(cs) AS chunk_tokens
             FROM c
+        """,
+        "q82_reaggregate": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       sum(o_totalprice) AS s,
+                       count(*) AS c,
+                       min(o_totalprice) AS mn,
+                       max(o_totalprice) AS mx
+                FROM orders GROUP BY 1
+            )
+            SELECT strftime(d, '%Y-%m') AS month,
+                   sum(c) AS n,
+                   round(sum(s), 2) AS total,
+                   round(min(mn), 2) AS min_price,
+                   round(max(mx), 2) AS max_price,
+                   round(sum(s) / sum(c), 2) AS avg_price
+            FROM daily GROUP BY 1
+        """,
+        "q83_funnel": """
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+                FROM events
+            ), v AS (
+                SELECT user_id, min(t) AS t_view FROM ev
+                WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+                SELECT user_id, min(t) AS t_click
+                FROM ev JOIN v USING (user_id)
+                WHERE event_type = 'click' AND t >= t_view GROUP BY 1
+            ), p AS (
+                SELECT user_id, min(t) AS t_purchase
+                FROM ev JOIN c USING (user_id)
+                WHERE event_type = 'purchase' AND t >= t_click GROUP BY 1
+            ), u AS (
+                SELECT DISTINCT user_id FROM ev
+            )
+            SELECT count(*) AS n_users,
+                   count(t_view) AS n_viewed,
+                   count(t_click) AS n_clicked,
+                   count(t_purchase) AS n_purchased,
+                   round(count(t_purchase) * 1.0 / count(t_view), 4)
+                       AS view_to_purchase
+            FROM u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+        """,
+        "q84_dq_report": """
+            SELECT 'orders_null_custkey' AS check,
+                   CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n
+            FROM orders
+            UNION ALL
+            SELECT 'orders_dup_orderkey',
+                   CAST(count(*) FILTER (WHERE c > 1) AS BIGINT)
+            FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+            UNION ALL
+            SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+            FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT 'orders_nonpositive_price',
+                   CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_dup_line',
+                   CAST(count(*) FILTER (WHERE c > 1) AS BIGINT)
+            FROM (SELECT l_orderkey, l_linenumber, count(*) AS c
+                  FROM lineitem GROUP BY 1, 2)
+            UNION ALL
+            SELECT 'lineitem_discount_range',
+                   CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                        AS BIGINT)
+            FROM lineitem
+        """,
+        "q85_zvalue_parity": f"""
+            SELECT c_custkey, {_Z_SQL} AS z FROM customer
         """,
         # q64: HLL sketch values are implementation-specific — rows-only;
         # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.

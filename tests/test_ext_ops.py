@@ -321,3 +321,54 @@ def test_stratified_sample_rates_and_drops(spark):
     assert "fr" not in counts, "strata without a fraction are dropped"
     assert counts["de"] == 2000, "fraction 1.0 keeps everything"
     assert 120 < counts["en"] < 280
+
+
+def test_z_value_interleaves_bits(spark):
+    from pr2_transformation_spark.operators.zorder import z_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 1), (1, 3), (7, 7)], "x long, y long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(z_value(F.col("x"), F.col("y"), 3).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    # hand-interleaved: z(0,0)=0; z(1,3)=0b1011=11; z(3,1)=0b0111=7; z(7,7)=63
+    assert got == [0, 11, 7, 63]
+    with pytest.raises(ValueError, match="bits"):
+        z_value(F.col("x"), F.col("y"), 40)
+
+
+def test_zorder_layout_bounds_both_columns(spark):
+    """On a 64x64 grid split into 16 shards, z-ordered shards must bound
+    BOTH coordinates: mean bounding-box area well under the x-sorted
+    layout's (which leaves y unbounded)."""
+    from pr2_transformation_spark.operators.zorder import zorder_frame
+
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def extents(df, order_col):
+        return (
+            df.repartitionByRange(16, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x") + 1).alias("dx"),
+                (F.max("y") - F.min("y") + 1).alias("dy"),
+            )
+            .agg(F.max("dx").alias("dx"), F.max("dy").alias("dy"))
+            .collect()[0]
+        )
+
+    z = extents(zorder_frame(grid, "x", "y", bits=6), "_z")
+    x = extents(grid.withColumn("_z", F.col("x")), "_z")
+    # Lexicographic x-sort: tight on x, y completely unbounded (no shard
+    # can ever be pruned by a y predicate). Z-order bounds BOTH dims: the
+    # 16 shards are ~16x16 quadrant tiles.
+    assert x["dy"] == 64
+    assert z["dx"] <= 16 and z["dy"] <= 16
