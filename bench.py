@@ -15,9 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession
-
 import __spark_entry__ as entrymod
+from pr2_transformation_spark.session import build_session
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -62,16 +61,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("pr2-transformation-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
+    spark = build_session(
+        "pr2-transformation-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -167,3 +167,21 @@ def test_register_csv_json_sources(spark, tmp_path):
     assert got_csv.count() == got_json.count() == 10
     assert set(got_csv.columns) == set(got_json.columns) == {"id", "dbl", "tag"}
     assert got_json.agg(F.sum("dbl")).collect()[0][0] == 90
+
+
+def test_build_session_configs(spark):
+    """The tuned factory must apply the engine posture configs (checked on
+    the running session via a fresh builder against the same JVM)."""
+    from pr2_transformation_spark.session import ENGINE_CONFIGS, build_session
+
+    s = build_session("cfg-probe", master="local[2]", shuffle_partitions=7)
+    try:
+        for key in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.parquet.filterPushdown",
+            "spark.sql.execution.arrow.pyspark.enabled",
+        ):
+            assert s.conf.get(key) == ENGINE_CONFIGS[key], key
+    finally:
+        pass  # shared JVM: do not stop() the session-scoped fixture's context
