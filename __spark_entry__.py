@@ -1539,6 +1539,224 @@ def q85_zvalue_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query: selective dimension filter
+    broadcast into a fact-fact join, then a high-cardinality groupBy pruned
+    by a HAVING threshold (threshold instead of top-k keeps the result a
+    deterministic SET — no cross-engine float-ordering hazard)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", F.to_date("o_orderdate").cast("string").alias("orderdate"))
+        # Sum integer cents, not doubles: the per-term product is IEEE-identical
+        # across engines, but double-sum order is not — cent-longs are exact.
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+        .filter(F.col("revenue") > 100000.0)
+    )
+
+
+def q87_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join (two facts + four dims) with the
+    local-supplier constraint c_nationkey = s_nationkey. Region/nation fold
+    into one broadcast; AQE picks broadcast for supplier/customer at small
+    SF and sort-merge at scale."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    local_nations = F.broadcast(
+        nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(local_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q88_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: orders counted by priority when at least one
+    lineitem shipped > 60 days after the order date. The correlated EXISTS
+    compiles to one LEFT SEMI join with a non-equi residual — no row
+    explosion for multi-lineitem orders."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late_orders"))
+
+
+def q89_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped argmax: per-supplier revenue over a ship-date
+    window, then keep the supplier(s) equal to the global max. The 1-row
+    max is a broadcast scalar-subquery join (no second scan of lineitem);
+    comparison happens on the ROUNDED value on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q90_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each event opens a 5-minute activity
+    interval; +1/-1 deltas, per-type running sum, max. Ordering (t, d) puts
+    closes before opens at the same instant; within a tie group all deltas
+    are equal so the running max is order-invariant — deterministic without
+    a total order. Parallelism is per event_type (the partition key)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.unix_micros("ts").alias("t")
+    )
+    deltas = ev.select("event_type", "t", F.lit(1).alias("d")).unionByName(
+        ev.select(
+            "event_type", (F.col("t") + F.lit(300_000_000)).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("c", F.sum("d").over(w))
+    return running.groupBy("event_type").agg(
+        F.max("c").cast("long").alias("peak_concurrency")
+    )
+
+
+def q91_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — a behavioral
+    diversity feature. Two aggregations both keyed on user_id, so the
+    second reuses the first's shuffle partitioning (one exchange total)."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.sum("c").over(Window.partitionBy("user_id"))
+    return (
+        counts.withColumn("plogp", p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.round(-F.sum("plogp"), 4).alias("entropy"),
+        )
+    )
+
+
+def q92_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lead() under a (ts, event_id) total order — event_id breaks timestamp
+    ties deterministically — then conditional probabilities via a window
+    over the source state."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    seq = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(seq)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("event_type")), 4
+        ).alias("p"),
+    )
+
+
+def q93_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (functions/sketches.py): bounded-memory
+    per-partition candidate pass (10 counters vs ~50k distinct keys, no
+    shuffle), then exact counts for candidates only via broadcast semi-join.
+    Skew is synthesized deterministically (two hot keys at ~1/6 of rows
+    each over a long cold tail); result is EXACT, oracle is the plain
+    GROUP BY ... HAVING the sketch path avoids shuffling."""
+    from pr2_transformation_spark.functions.sketches import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 3 == 0,
+            F.concat(F.lit("hot-"), (F.col("l_orderkey") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold-"), F.col("l_orderkey").cast("string")))
+        .alias("k")
+    )
+    return heavy_hitters(li, "k", support=0.10)
+
+
+def q94_near_dup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus canonicalization: exact bigram-Jaccard pairs at
+    0.5 (posting-list index, same operator as q21) → connected components
+    (min-label propagation) → per-document (cluster, keep) decision with
+    singletons as their own keepers. This is the full dedup pass a
+    training-data pipeline runs before sampling; every stage is
+    deterministic so the DuckDB oracle replays it with a recursive CTE."""
+    from pr2_transformation_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=2, min_jaccard=0.5, bucket_cols=["lang", "source"]
+    )
+    return dedup_clusters(pairs, docs, "doc_id", "id_a", "id_b")
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1635,6 +1853,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_funnel": q83_funnel,
         "q84_dq_report": q84_dq_report,
         "q85_zvalue_parity": q85_zvalue_parity,
+        "q86_shipping_priority": q86_shipping_priority,
+        "q87_local_supplier_volume": q87_local_supplier_volume,
+        "q88_late_shipment_priority": q88_late_shipment_priority,
+        "q89_top_supplier": q89_top_supplier,
+        "q90_concurrent_sessions": q90_concurrent_sessions,
+        "q91_event_entropy": q91_event_entropy,
+        "q92_markov_transitions": q92_markov_transitions,
+        "q93_heavy_hitters": q93_heavy_hitters,
+        "q94_near_dup_canonicalize": q94_near_dup_canonicalize,
     }
 
 
@@ -2691,6 +2918,161 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q85_zvalue_parity": f"""
             SELECT c_custkey, {_Z_SQL} AS z FROM customer
+        """,
+        "q86_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                  AS BIGINT)) / 100.0, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY 1, 2
+            HAVING round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                  AS BIGINT)) / 100.0, 2) > 100000.0
+        """,
+        "q87_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q88_late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY 1
+        """,
+        "q89_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q90_concurrent_sessions": """
+            WITH ev AS (
+                SELECT event_type, epoch_ns(ts) // 1000 AS t FROM events
+            ), d AS (
+                SELECT event_type, t, 1 AS d FROM ev
+                UNION ALL
+                SELECT event_type, t + 300000000, -1 FROM ev
+            ), r AS (
+                SELECT event_type,
+                       sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c
+                FROM d
+            )
+            SELECT event_type, CAST(max(c) AS BIGINT) AS peak_concurrency
+            FROM r GROUP BY 1
+        """,
+        "q91_event_entropy": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), p AS (
+                SELECT user_id, c,
+                       c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS pr
+                FROM counts
+            )
+            SELECT user_id, sum(c) AS n_events,
+                   round(-sum(pr * ln(pr)), 4) AS entropy
+            FROM p GROUP BY 1
+        """,
+        "q92_markov_transitions": """
+            WITH seq AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ns(ts) // 1000, event_id
+                       ) AS next_type
+                FROM events
+            ), counts AS (
+                SELECT event_type, next_type, count(*) AS n
+                FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT event_type, next_type, n,
+                   round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 4) AS p
+            FROM counts
+        """,
+        "q93_heavy_hitters": """
+            WITH k AS (
+                SELECT CASE WHEN l_orderkey % 3 = 0
+                            THEN 'hot-' || CAST(l_orderkey % 2 AS VARCHAR)
+                            ELSE 'cold-' || CAST(l_orderkey AS VARCHAR)
+                       END AS value
+                FROM lineitem
+            )
+            SELECT value, count(*) AS n,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM k), 4) AS share
+            FROM k GROUP BY 1
+            HAVING count(*) > 0.10 * (SELECT count(*) FROM k)
+        """,
+        "q94_near_dup_canonicalize": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, lang, source,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS s
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, lang, source, len(s) AS sz, unnest(s) AS g FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                 AND a.lang = b.lang AND a.source = b.source
+                GROUP BY 1, 2, 3, 4
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.5
+            ), sym AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), v AS (
+                SELECT DISTINCT a AS id FROM sym
+            ), reach(id, r) AS (
+                SELECT id, id FROM v
+                UNION
+                SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+            ), comp AS (
+                SELECT id, min(r) AS comp FROM reach GROUP BY id
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(comp.comp, d.doc_id) AS cluster,
+                   d.doc_id = coalesce(comp.comp, d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
         """,
         # q64: HLL sketch values are implementation-specific — rows-only;
         # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.

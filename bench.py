@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     "q73_snapshot_diff",
     "q75_tfidf",
     "q76_bigrams",
+    "q86_shipping_priority",
+    "q87_local_supplier_volume",
+    "q88_late_shipment_priority",
+    "q90_concurrent_sessions",
+    "q92_markov_transitions",
+    "q93_heavy_hitters",
+    "q94_near_dup_canonicalize",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Frequency-sketch operators: exact-verified heavy hitters at scale.
+
+The reference surface has no frequency analysis (SURVEY.md §2.7 ABSENT), but a
+training-data pipeline needs "which values dominate this column" over columns
+whose full groupBy would shuffle billions of distinct keys.  The classic
+scale answer is Misra-Gries: a bounded-memory per-partition summary whose
+candidate set is a guaranteed SUPERSET of every value with frequency
+> n/capacity.  We run it as ``mapInPandas`` (one pass, no shuffle), then
+exact-count only the surviving candidates with a broadcast semi-join — so the
+big shuffle happens on ~capacity keys instead of every distinct key.
+
+Guarantee: for support threshold ``s`` (fraction of rows) and per-partition
+capacity ``k >= ceil(1/s)``, every value occurring in more than ``s * n`` rows
+appears in some partition summary with a retained count, so the union of
+candidates contains all true heavy hitters; the verify pass then removes false
+positives.  Result is therefore EXACT — same rows as a full groupBy + HAVING —
+while the shuffle touches only candidate keys.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _misra_gries_partition(
+    batches: Iterator[pd.DataFrame], column: str, capacity: int
+) -> Iterator[pd.DataFrame]:
+    """Bounded-memory frequency summary of one partition (classic MG update:
+    increment if tracked, insert if space, else decrement every counter)."""
+    counters: dict[object, int] = {}
+    for pdf in batches:
+        for v in pdf[column]:
+            if v is None:
+                continue
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < capacity:
+                counters[v] = 1
+            else:
+                dead = [k for k in counters if counters[k] == 1]
+                for k in counters:
+                    counters[k] -= 1
+                for k in dead:
+                    del counters[k]
+    yield pd.DataFrame(
+        {"candidate": list(counters.keys()), "retained": list(counters.values())}
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, column: str, support: float, capacity: int | None = None
+) -> DataFrame:
+    """Exact values of ``column`` occurring in > ``support`` fraction of rows.
+
+    One full-scan mapInPandas pass produces <= capacity candidates per
+    partition; the exact pass aggregates only rows whose value is in the
+    (broadcast) candidate set.  Output: (value, n, share) — identical to
+    ``GROUP BY column HAVING count(*) > support * n`` but with a shuffle
+    bounded by the candidate count, not the distinct-key count.
+    """
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    cap = capacity or max(math.ceil(1.0 / support), 8)
+
+    candidates = (
+        df.select(column)
+        .mapInPandas(
+            lambda it: _misra_gries_partition(it, column, cap),
+            schema=f"candidate {dict(df.dtypes)[column]}, retained long",
+        )
+        .select("candidate")
+        .distinct()
+    )
+
+    total = df.count()
+    threshold = support * total
+    return (
+        df.join(
+            F.broadcast(candidates),
+            df[column] == candidates["candidate"],
+            "left_semi",
+        )
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 4))
+    )

@@ -372,3 +372,35 @@ def test_zorder_layout_bounds_both_columns(spark):
     # 16 shards are ~16x16 quadrant tiles.
     assert x["dy"] == 64
     assert z["dx"] <= 16 and z["dy"] <= 16
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    """MG candidate pass + exact verify == plain groupBy/HAVING, and the
+    per-partition summary honors its capacity bound."""
+    from pr2_transformation_spark.functions.sketches import (
+        _misra_gries_partition,
+        heavy_hitters,
+    )
+    import pandas as pd
+
+    n = 30000
+    df = spark.range(0, n).select(
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("hot"), (F.col("id") % 2).cast("string")))
+        .otherwise(F.col("id").cast("string"))
+        .alias("v")
+    ).repartition(8)
+
+    got = {r["value"]: r["n"] for r in heavy_hitters(df, "v", support=0.1).collect()}
+    want = {
+        r["v"]: r["n"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0.1 * n).collect()
+    }
+    assert got == want and set(got) == {"hot0", "hot1"}
+
+    # capacity bound: one partition with 1000 distinct values, cap 10
+    batches = iter([pd.DataFrame({"v": [str(i) for i in range(1000)]})])
+    (summary,) = _misra_gries_partition(batches, "v", 10)
+    assert len(summary) <= 10
+
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(df, "v", support=1.5)
