@@ -1629,9 +1629,12 @@ def q88_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q89_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q15-shaped argmax: per-supplier revenue over a ship-date
-    window, then keep the supplier(s) equal to the global max. The 1-row
-    max is a broadcast scalar-subquery join (no second scan of lineitem);
-    comparison happens on the ROUNDED value on both engines."""
+    window, then keep the supplier(s) equal to the global max. The max is
+    an empty-partition window over the ALREADY-AGGREGATED frame (one row
+    per supplier — bounded), so lineitem is scanned exactly once
+    (tests/test_plans.py pins the single scan); a scalar-subquery join
+    would re-derive the aggregate from a second scan. Comparison happens
+    on the ROUNDED value on both engines."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -1645,10 +1648,15 @@ def q89_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = (
+        rev.withColumn(
+            "mx", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .drop("mx")
+    )
     return (
-        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
-        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        top.join(F.broadcast(supp), top["l_suppkey"] == supp["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1681,8 +1689,10 @@ def q90_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q91_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy of the event-type mix — a behavioral
-    diversity feature. Two aggregations both keyed on user_id, so the
-    second reuses the first's shuffle partitioning (one exchange total)."""
+    diversity feature. The wide exchange is the (user_id, event_type)
+    groupBy over raw events; the window's user_id exchange and the final
+    groupBy then operate on the aggregated frame (<= users x event types
+    rows), so data volume collapses before any re-partitioning."""
     ev = _events(spark, sf_dir)
     counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
     p = F.col("c") / F.sum("c").over(Window.partitionBy("user_id"))

@@ -12,6 +12,8 @@ import contextlib
 import io
 import os
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -143,3 +145,54 @@ def test_q80_shuffle_uses_top_k_not_global_sort(spark):
     top-k), never a full Sort of the corpus before the limit."""
     plan = plan_of(entrymod.q80_deterministic_shuffle(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q86_broadcasts_filtered_dims(spark):
+    """Both dimension sides (segment-filtered customer, date-filtered
+    orders) must broadcast; lineitem streams through two BHJs and the only
+    wide Exchange is the final group aggregate. The ship-date filter must
+    reach the parquet scan."""
+    plan = plan_of(entrymod.q86_shipping_priority(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan and "GreaterThan(l_shipdate" in plan
+
+
+def test_q88_exists_compiles_to_semi_join(spark):
+    """The correlated EXISTS must run as ONE LeftSemi join carrying the
+    non-equi interval residual — no row explosion, no distinct."""
+    plan = plan_of(entrymod.q88_late_shipment_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "INTERVAL '60' DAY" in plan
+
+
+def test_q89_single_lineitem_scan(spark):
+    """The argmax must reuse the per-supplier aggregate for its global max
+    (window over the aggregated frame) — exactly one lineitem scan, vs the
+    two a scalar-subquery re-derivation costs."""
+    plan = plan_of(entrymod.q89_top_supplier(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 2  # lineitem once + supplier once
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on a hive-partition column must prune at planning time:
+    the scan's PartitionFilters carries the predicate and only matching
+    partition directories are read."""
+    import os as _os
+
+    src = entrymod._t(spark, SF_DIR, "customer")
+    dest = str(tmp_path / "part_cust")
+    src.write.mode("overwrite").partitionBy("c_mktsegment").parquet(dest)
+
+    df = spark.read.parquet(dest).filter(F.col("c_mktsegment") == "BUILDING")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "c_mktsegment" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # files actually read = only the BUILDING directory
+    n_read = df.count()
+    n_building = (
+        spark.read.parquet(_os.path.join(dest, "c_mktsegment=BUILDING")).count()
+    )
+    assert n_read == n_building > 0
