@@ -1767,6 +1767,84 @@ def q94_near_dup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs, "doc_id", "id_a", "id_b")
 
 
+def q95_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price with dense_rank — ties KEPT,
+    so the result is a deterministic set (no arbitrary row drop at rank
+    boundaries). Spark plans the rank filter as WindowGroupLimit: each
+    shuffle partition pre-truncates to its local top-k before the window
+    sort, so no partition ever materializes a full brand."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+def q96_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user. The
+    classic date - row_number() grouping trick — island id is constant
+    within a streak. Everything is keyed on user_id; distinct days,
+    numbering, and streak aggregation share one partitioning."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "isl", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+def q97_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile / GK at accuracy
+    10000) per order priority — the single-pass scale path where exact
+    percentiles (q43) would need a per-group sort. Sketch internals are
+    engine-specific, so this is a rows-only check; the 1%-of-exact
+    tolerance contract is pinned in tests/test_ext_ops.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75], 10000
+        ).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q98_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling: per source, keep the 5 documents with
+    the smallest hash/weight priority (weight = n_chars, so longer docs
+    are proportionally likelier — the A-Res scheme with an integer-only
+    priority that is bit-identical across engines: md5 hex digits decoded
+    with instr(), integer division by the weight). One window per source
+    partition; no RNG, so the sample is reproducible run-to-run."""
+    docs = _t(spark, sf_dir, "documents")
+    d = [
+        f"(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), {i}, 1)) - 1)"
+        for i in (1, 2, 3, 4)
+    ]
+    h = f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]})"
+    prio = F.expr(f"(cast({h} as bigint) * 1000000) div greatest(n_chars, 1)")
+    w = Window.partitionBy("source").orderBy("prio", "doc_id")
+    return (
+        docs.withColumn("prio", prio)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars", "prio", "rn")
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1872,6 +1950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_markov_transitions": q92_markov_transitions,
         "q93_heavy_hitters": q93_heavy_hitters,
         "q94_near_dup_canonicalize": q94_near_dup_canonicalize,
+        "q95_topk_per_group": q95_topk_per_group,
+        "q96_gap_islands": q96_gap_islands,
+        "q97_approx_quantiles": q97_approx_quantiles,
+        "q98_weighted_sample": q98_weighted_sample,
     }
 
 
@@ -3084,6 +3166,62 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id = coalesce(comp.comp, d.doc_id) AS keep
             FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
         """,
+        "q95_topk_per_group": """
+            SELECT p_brand, p_partkey, p_retailprice, rnk
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       CAST(dense_rank() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey
+                       ) AS INT) AS rnk
+                FROM part
+            ) WHERE rnk <= 3
+        """,
+        "q96_gap_islands": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), isl AS (
+                SELECT user_id,
+                       d - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY d) AS INT) AS isl
+                FROM days
+            ), streaks AS (
+                SELECT user_id, isl, count(*) AS len
+                FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_streaks,
+                   max(len) AS longest_streak,
+                   sum(len) AS active_days
+            FROM streaks GROUP BY 1
+        """,
+        "q98_weighted_sample": """
+            WITH dg AS (
+                SELECT source, doc_id, n_chars,
+                       instr('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS d1,
+                       instr('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS d2,
+                       instr('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS d3,
+                       instr('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS d4
+                FROM documents
+            ), r AS (
+                SELECT source, doc_id, n_chars,
+                       (CAST(((d1 * 16 + d2) * 16 + d3) * 16 + d4 AS BIGINT)
+                        * 1000000) // greatest(n_chars, 1) AS prio
+                FROM dg
+            )
+            SELECT source, doc_id, n_chars, prio,
+                   CAST(rn AS INT) AS rn
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY prio, doc_id) AS rn
+                FROM r
+            ) WHERE rn <= 5
+        """,
+        # q97: approx_percentile sketch values are engine-specific —
+        # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.
         # q64: HLL sketch values are implementation-specific — rows-only;
         # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.
         "q28_merge_three_versions": """

@@ -1,0 +1,58 @@
+"""Streaming sinks (EXT — SURVEY.md §2.11): exactly-once parquet output.
+
+Structured Streaming's retry unit is the micro-batch: after a failure the
+same ``batch_id`` is replayed, so any ``foreachBatch`` sink is exactly-once
+IFF re-writing a batch id is idempotent.  The standard pattern on a plain
+parquet lake (no table format's transaction log) is batch-id directory
+overwrite: every micro-batch lands in its own ``batch_id=N`` partition with
+``overwrite`` semantics — a replay of batch N rewrites N's directory and
+touches nothing else.  Readers see the union of all batch directories; the
+batch-id column also gives downstream consumers a replay-safe incremental
+cursor (process batch dirs > last seen).
+
+At scale this is also the right write shape: each micro-batch writes only
+its own partition directory (no full-table rewrite), and the per-batch
+`repartition` controls output file count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_batch_idempotent(
+    batch_df: DataFrame, batch_id: int, dest: str, files_per_batch: int = 1
+) -> None:
+    """Write one micro-batch to ``dest/batch_id=N``, overwriting any partial
+    output a failed earlier attempt of the SAME batch left behind."""
+    (
+        batch_df.repartition(files_per_batch)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dest, f"batch_id={batch_id}"))
+    )
+
+
+def idempotent_parquet_sink(dest: str, files_per_batch: int = 1):
+    """A ``foreachBatch`` callable: ``writeStream.foreachBatch(
+    idempotent_parquet_sink(dest))``.  Replaying a batch id is a no-op-
+    equivalent overwrite, making the sink exactly-once end-to-end when the
+    source is replayable (file source, Kafka with stored offsets)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(batch_df, batch_id, dest, files_per_batch)
+
+    return _write
+
+
+def read_sink(spark, dest: str) -> DataFrame:
+    """Read everything the sink has produced (all batch directories).
+    ``basePath`` keeps the ``batch_id`` partition column visible. Batch
+    replays REWRITE directories, so the session's FileStatusCache must be
+    invalidated first or a prior read's listing serves deleted part files."""
+    spark.catalog.refreshByPath(dest)
+    return spark.read.option("basePath", dest).parquet(
+        os.path.join(dest, "batch_id=*")
+    )

@@ -40,4 +40,5 @@ def test_rows_only_queries_are_the_documented_ones():
         "q35_ann_ivf",
         "q40_frame_sample",
         "q64_approx_distinct",
+        "q97_approx_quantiles",
     ], f"unexpected rows-only set: {rows_only}"

@@ -404,3 +404,34 @@ def test_heavy_hitters_exact_on_skewed_data(spark):
 
     with pytest.raises(ValueError, match="support"):
         heavy_hitters(df, "v", support=1.5)
+
+
+def test_approx_quantiles_within_rank_tolerance(spark):
+    """q97's GK sketch guarantees RANK error (<= n/accuracy), not value
+    error — so each approx quartile must lie between the exact quantiles
+    at p +/- 0.02 (generous: the sketch's own bound at this size is ~1
+    rank)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["o_orderpriority"]: r["price_quartiles"]
+        for r in entrymod.q97_approx_quantiles(spark, sf).collect()
+    }
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    ps = [0.23, 0.25, 0.27, 0.48, 0.50, 0.52, 0.73, 0.75, 0.77]
+    exact = {
+        r["o_orderpriority"]: r["q"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                f"percentile(o_totalprice, array({', '.join(map(str, ps))}))"
+            ).alias("q")
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for grp, qs in approx.items():
+        for i, a in enumerate(qs):
+            lo, hi = exact[grp][3 * i], exact[grp][3 * i + 2]
+            assert lo <= a <= hi, (grp, a, lo, hi)

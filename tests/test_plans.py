@@ -196,3 +196,10 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
         spark.read.parquet(_os.path.join(dest, "c_mktsegment=BUILDING")).count()
     )
     assert n_read == n_building > 0
+
+
+def test_q95_rank_filter_uses_window_group_limit(spark):
+    """dense_rank <= k must compile to WindowGroupLimit: partitions
+    pre-truncate to local top-k before the window sort."""
+    plan = plan_of(entrymod.q95_topk_per_group(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan

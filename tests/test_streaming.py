@@ -247,3 +247,50 @@ def test_streaming_enrich_is_stateless_broadcast(spark, tmp_path):
     q.awaitTermination(120)
     got = _rows(spark.table("t_enrich"))
     assert got == _rows(ev.join(dim, "user_id").select("event_id", "tier"))
+
+
+def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
+    """Exactly-once contract of the batch-id-overwrite sink: streaming a
+    fixture lands every row once; simulating a failure-replay of an
+    already-written batch (partial AND full rewrite) changes nothing."""
+    from pr2_transformation_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        read_sink,
+        write_batch_idempotent,
+    )
+
+    ev = _events_fixture(spark)
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(idempotent_parquet_sink(dest))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = read_sink(spark, dest)
+    assert got.count() == ev.count()
+    assert "batch_id" in got.columns
+    batch_ids = [r["batch_id"] for r in got.select("batch_id").distinct().collect()]
+
+    # Replay every batch (as the engine would after a sink failure): first a
+    # partial write of a subset, then the full batch again. Rows come from
+    # the (replayable) source, not the sink being overwritten.
+    replay = {
+        bid: got.filter(F.col("batch_id") == bid).drop("batch_id").collect()
+        for bid in batch_ids
+    }
+    expected = _rows(got.drop("batch_id"))
+    for bid, rows in replay.items():
+        full = spark.createDataFrame(rows, ev.schema)
+        write_batch_idempotent(full.limit(1), bid, dest)
+        write_batch_idempotent(full, bid, dest)
+
+    again = read_sink(spark, dest)
+    assert _rows(again.drop("batch_id")) == expected
