@@ -1844,6 +1844,294 @@ def q98_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cent_sum(expr) -> F.Column:
+    """Cent-exact revenue sum (per-term round to integer cents, sum longs,
+    divide once) — the double-sum-order-portable aggregation used by every
+    revenue query since q86."""
+    return F.round(F.sum(F.round(expr * 100, 0).cast("long")) / 100.0, 2)
+
+
+def q99_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bidirectional nation-pair volume: supplier nation x
+    customer nation with a disjunctive pair predicate and per-year revenue.
+    Both nation lookups are one broadcast each (25 rows); the disjunction
+    runs as a post-join residual on the already-joined fact rows, so the
+    big join keys stay simple equi-keys Catalyst can shuffle-plan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_cent_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("volume"))
+    )
+
+
+def q100_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3's share of STANDARD-part
+    revenue sold to EUROPE customers, by order year. The share is a ratio
+    of two conditional cent-sums computed in ONE aggregation — no second
+    scan, no join-back; integer cents make the ratio bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"]).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    vol_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(eu_nations, cust["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(
+                nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol_cents).otherwise(F.lit(0))).alias("nation_cents"),
+            F.sum(vol_cents).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_cents") / F.col("total_cents"), 6).alias("mkt_share"),
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_volume"),
+        )
+    )
+
+
+def q101_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit by supplier nation and year. The testdata has
+    no partsupp/supplycost table, so cost is the deterministic proxy
+    0.6 * p_retailprice * l_quantity — the join/agg shape (fact x part x
+    supplier x nation, two independent dims broadcast) is Q9's."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_cent_sum(amount).alias("sum_profit"))
+    )
+
+
+def q102_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders: aggregate the fact to
+    per-order quantity, HAVING-filter to the big tail, then join the
+    surviving handful BACK to orders/customer. The join-back input is the
+    post-aggregation frame (a few rows), so AQE turns both joins into
+    broadcasts of the aggregate side — the fact table shuffles once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 260.0)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "l_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q103_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped blame assignment: suppliers who were the ONLY late
+    supplier (ship > order date + 90 days) on a multi-supplier order.
+    Q21's EXISTS/NOT-EXISTS pair collapses into one (order, supplier)
+    aggregate plus order-level window counts — the fact shuffles once on
+    l_orderkey and the window reuses that same partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("int")
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_name", "l_suppkey", "numwait")
+    )
+
+
+def q104_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant high-balance accounts: customers above the
+    global positive-balance average with no order since 1999, rolled up by
+    nation. The scalar average is a 1-row broadcast cross join; the
+    no-recent-orders test is a LEFT ANTI join (no row explosion)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q105_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped per-part argmin: for each small part, the supplier
+    offering the lowest observed unit price. No partsupp table exists, so
+    unit price is derived from lineitem (cent-rounded so the tie-break is
+    exact); rank-1 selection with a (price, suppkey) order is the
+    WindowGroupLimit pattern — each partition pre-truncates to rank 1."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 15)
+    )
+    offers = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0).cast("long")
+            ).alias("unit_cents")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cents", "l_suppkey")
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.round(F.col("unit_cents") / 100.0, 2).alias("best_unit_price"),
+        )
+    )
+
+
+def q106_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped share-of-total filter: parts whose revenue exceeds
+    0.05% of global revenue. The global total is an empty-frame window over
+    the ALREADY-AGGREGATED per-part rows (one scan of the fact, like q89),
+    not a scalar-subquery second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("total", F.sum("cents").over(w))
+        .filter(F.col("cents") > F.col("total") * 0.0005)
+        .select(
+            "l_partkey",
+            F.round(F.col("cents") / 100.0, 2).alias("part_revenue"),
+            F.round(F.col("cents") / F.col("total"), 6).alias("revenue_share"),
+        )
+    )
+
+
+def q107_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: fraction of word trigrams
+    that are duplicates of an earlier trigram in the SAME document, rolled
+    up per (lang, source). Trigram assembly is the zip_with-over-slices
+    form (O(tokens), scan-local, no shuffle before the final rollup) —
+    a high-repetition doc is LM-training noise, this is the filter
+    signal."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    m = F.size(toks)
+    length = F.greatest(m - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, length),
+            F.slice(toks, 2, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, length),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # Materialize the trigram array once so array_distinct and size share
+    # it (HOF lambdas are interpreted — see shingles_from_tokens).
+    per_doc = docs.withColumn("tri", tri).select(
+        "lang",
+        "source",
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_uniq"),
+    )
+    rep = (F.col("n_tri") - F.col("n_uniq")) / F.col("n_tri")
+    return (
+        per_doc.filter(F.col("n_tri") > 0)
+        .select("lang", "source", rep.alias("rep"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep"), 4).alias("avg_repetition"),
+            F.round(F.max("rep"), 4).alias("max_repetition"),
+        )
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1953,6 +2241,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_gap_islands": q96_gap_islands,
         "q97_approx_quantiles": q97_approx_quantiles,
         "q98_weighted_sample": q98_weighted_sample,
+        "q99_nation_pair_volume": q99_nation_pair_volume,
+        "q100_market_share": q100_market_share,
+        "q101_product_profit": q101_product_profit,
+        "q102_large_orders": q102_large_orders,
+        "q103_sole_late_supplier": q103_sole_late_supplier,
+        "q104_idle_rich_customers": q104_idle_rich_customers,
+        "q105_cheapest_supplier": q105_cheapest_supplier,
+        "q106_important_parts": q106_important_parts,
+        "q107_repetition_ratio": q107_repetition_ratio,
     }
 
 
@@ -3218,6 +3515,157 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY source ORDER BY prio, doc_id) AS rn
                 FROM r
             ) WHERE rn <= 5
+        """,
+        "q99_nation_pair_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                                  AS BIGINT)) / 100.0, 2) AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q100_market_share": """
+            WITH j AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                            AS BIGINT) AS cents,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN cents ELSE 0 END) / sum(cents), 6)
+                       AS mkt_share,
+                   round(sum(cents) / 100.0, 2) AS total_volume
+            FROM j GROUP BY 1
+        """,
+        "q101_product_profit": """
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+                                         - 0.6 * p_retailprice * l_quantity) * 100)
+                                  AS BIGINT)) / 100.0, 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1, 2
+        """,
+        "q102_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 260.0
+            )
+            SELECT c_name, c_custkey, l_orderkey,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q103_sole_late_supplier": """
+            WITH per_os AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ), flagged AS (
+                SELECT l_suppkey,
+                       count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                       sum(late) OVER (PARTITION BY l_orderkey) AS n_late,
+                       late
+                FROM per_os
+            )
+            SELECT s_name, l_suppkey, count(*) AS numwait
+            FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+            WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+            GROUP BY 1, 2
+        """,
+        "q104_idle_rich_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY 1
+        """,
+        "q105_cheapest_supplier": """
+            WITH offers AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(round(l_extendedprice / l_quantity * 100)
+                                AS BIGINT)) AS unit_cents
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'SMALL' AND p_size < 15
+                GROUP BY 1, 2
+            )
+            SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+                   round(unit_cents / 100.0, 2) AS best_unit_price
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY l_partkey ORDER BY unit_cents, l_suppkey) AS rn
+                FROM offers
+            ) WHERE rn = 1
+        """,
+        "q106_important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                                AS BIGINT)) AS cents
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey,
+                   round(cents / 100.0, 2) AS part_revenue,
+                   round(cents / (sum(cents) OVER ()), 6) AS revenue_share
+            FROM per_part
+            QUALIFY cents > (sum(cents) OVER ()) * 0.0005
+        """,
+        "q107_repetition_ratio": r"""
+            WITH t AS (
+                SELECT lang, source,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents
+            ), tri AS (
+                SELECT lang, source,
+                       list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                       ) AS grams
+                FROM t
+                WHERE len(toks) >= 3
+            ), per_doc AS (
+                SELECT lang, source,
+                       (len(grams) - len(list_distinct(grams)))
+                           * 1.0 / len(grams) AS rep
+                FROM tri
+            )
+            SELECT lang, source, count(*) AS n_docs,
+                   round(avg(rep), 4) AS avg_repetition,
+                   round(max(rep), 4) AS max_repetition
+            FROM per_doc GROUP BY 1, 2
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

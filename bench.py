@@ -60,6 +60,16 @@ BENCH_QUERIES = [
     "q92_markov_transitions",
     "q93_heavy_hitters",
     "q94_near_dup_canonicalize",
+    "q95_topk_per_group",
+    "q96_gap_islands",
+    "q98_weighted_sample",
+    "q99_nation_pair_volume",
+    "q101_product_profit",
+    "q102_large_orders",
+    "q103_sole_late_supplier",
+    "q105_cheapest_supplier",
+    "q106_important_parts",
+    "q107_repetition_ratio",
 ]
 
 
