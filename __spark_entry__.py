@@ -1990,8 +1990,15 @@ def q103_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
+    # Repartition on l_orderkey ALONE before the pair-key groupBy:
+    # HashPartitioning(l_orderkey) satisfies the (l_orderkey, l_suppkey)
+    # clustering requirement (subset rule), and the order-level window
+    # then reuses the exact same partitioning — one shuffle feeds both.
+    # Letting groupBy hash the pair would force a second full reshuffle
+    # for the window (pair-partitioning does not satisfy l_orderkey).
     per_os = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -2132,6 +2139,59 @@ def q107_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any exact
+    word 4-gram with the held-out eval slice (doc_id % 97 == 0 — the
+    deterministic stand-in for a benchmark suite). The eval n-gram set is
+    tiny (~1% of docs), so it BROADCASTS — the training side never
+    shuffles; contamination is counted gram-wise per training doc. The
+    standard pre-training hygiene pass (e.g. GPT-3 appendix C) expressed
+    as a broadcast semi-structure join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    m = F.size(toks)
+    length = F.greatest(m - 3, F.lit(0))
+    grams = F.slice(toks, 1, length)
+    for j in range(1, 4):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    with_grams = docs.withColumn("g5", grams)
+    eval_grams = (
+        with_grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct("g5")).alias("gram"))
+        .distinct()
+    )
+    train = with_grams.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(F.array_distinct("g5")).alias("gram")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+def q109_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each of the next 7 days they return. First-active day is a min
+    aggregate reused via join (both sides partition on user_id — AQE
+    coalesces to one effective shuffle); the output is the
+    (cohort, day_offset) -> distinct-user count analytics staple."""
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        days.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("d", "d0"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy(F.col("d0").cast("string").alias("cohort"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2250,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_cheapest_supplier": q105_cheapest_supplier,
         "q106_important_parts": q106_important_parts,
         "q107_repetition_ratio": q107_repetition_ratio,
+        "q108_decontamination": q108_decontamination,
+        "q109_cohort_retention": q109_cohort_retention,
     }
 
 
@@ -3666,6 +3728,40 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(rep), 4) AS avg_repetition,
                    round(max(rep), 4) AS max_repetition
             FROM per_doc GROUP BY 1, 2
+        """,
+        "q108_decontamination": r"""
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(toks) - 3),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                || ' ' || toks[i+3]
+                       )) AS g5
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 4
+            ), ev AS (
+                SELECT DISTINCT unnest(g5) AS gram FROM g WHERE doc_id % 97 = 0
+            ), train AS (
+                SELECT doc_id, unnest(g5) AS gram FROM g WHERE doc_id % 97 <> 0
+            )
+            SELECT doc_id, count(*) AS n_contaminated_grams
+            FROM train JOIN ev USING (gram)
+            GROUP BY 1
+        """,
+        "q109_cohort_retention": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), first AS (
+                SELECT user_id, min(d) AS d0 FROM days GROUP BY 1
+            )
+            SELECT CAST(d0 AS VARCHAR) AS cohort,
+                   CAST(date_diff('day', d0, d) AS INT) AS day_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM days JOIN first USING (user_id)
+            WHERE date_diff('day', d0, d) BETWEEN 0 AND 7
+            GROUP BY 1, 2
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "q105_cheapest_supplier",
     "q106_important_parts",
     "q107_repetition_ratio",
+    "q108_decontamination",
+    "q109_cohort_retention",
 ]
 
 

@@ -203,3 +203,44 @@ def test_q95_rank_filter_uses_window_group_limit(spark):
     pre-truncate to local top-k before the window sort."""
     plan = plan_of(entrymod.q95_topk_per_group(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_q99_nation_lookups_broadcast(spark):
+    """Q7 shape: both nation lookups plus supplier broadcast — the fact
+    side never shuffles for a dimension."""
+    plan = plan_of(entrymod.q99_nation_pair_volume(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+
+
+def test_q103_one_shuffle_feeds_agg_and_window(spark):
+    """Q21 shape: the l_orderkey repartition must satisfy BOTH the
+    pair-key groupBy (subset rule) and the order-level window. Tree
+    exchanges: that repartition + final per-supplier groupBy + 2
+    broadcasts — a 5th would mean the window re-shuffled."""
+    plan = plan_of(entrymod.q103_sole_late_supplier(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 4
+    assert tree.count("BroadcastHashJoin") == 2
+
+
+def test_q105_argmin_uses_window_group_limit(spark):
+    plan = plan_of(entrymod.q105_cheapest_supplier(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q106_single_fact_scan(spark):
+    """Share-of-total via empty-frame window over the aggregated frame:
+    lineitem is scanned exactly once (a scalar-subquery formulation would
+    scan it twice)."""
+    plan = plan_of(entrymod.q106_important_parts(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_q108_eval_grams_broadcast(spark):
+    """Decontamination joins the tiny eval n-gram set as a broadcast —
+    the training corpus side must not shuffle for the probe."""
+    plan = plan_of(entrymod.q108_decontamination(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert "BroadcastHashJoin" in tree
