@@ -2192,6 +2192,30 @@ def q109_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: each source gets a repeat weight (0.5 /
+    1.4 / 2.3 / 3.2 by source index mod 4 — the up/down-weighting a data
+    mixture spec assigns); every document is emitted floor(w) times plus
+    one more iff its md5-derived uniform < frac(w). Fully deterministic
+    (md5 integer compare, no RNG) so epoch assembly is reproducible and
+    shard-stable; the explode is map-side — no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 8).cast("int")
+    w_tenths = (idx % 4) * 9 + 5
+    d = [
+        f"(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), {i}, 1)) - 1)"
+        for i in (1, 2, 3, 4)
+    ]
+    h = F.expr(f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]})")
+    k = (w_tenths / 10).cast("int") + (h * 10 < (w_tenths % 10) * 65536).cast("int")
+    # sequence(1, 0) is DESCENDING in Spark, so guard k = 0 (dropped docs)
+    # with an empty array; plain explode then skips them.
+    epochs = F.when(
+        k >= 1, F.sequence(F.lit(1), k)
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select("doc_id", "source", F.explode(epochs).alias("epoch"))
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2312,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_repetition_ratio": q107_repetition_ratio,
         "q108_decontamination": q108_decontamination,
         "q109_cohort_retention": q109_cohort_retention,
+        "q110_mixture_epochs": q110_mixture_epochs,
     }
 
 
@@ -3762,6 +3787,29 @@ def oracle_sql() -> dict[str, str]:
             FROM days JOIN first USING (user_id)
             WHERE date_diff('day', d0, d) BETWEEN 0 AND 7
             GROUP BY 1, 2
+        """,
+        "q110_mixture_epochs": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       (CAST(substr(source, 4) AS INT) % 4) * 9 + 5 AS w_tenths,
+                       ((((instr('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                          + instr('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+                          + instr('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                          + instr('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h
+                FROM documents
+            ), k AS (
+                SELECT doc_id, source,
+                       w_tenths // 10
+                       + CASE WHEN h * 10 < (w_tenths % 10) * 65536
+                              THEN 1 ELSE 0 END AS k
+                FROM w
+            )
+            SELECT doc_id, source, CAST(unnest(generate_series(1, k)) AS INT) AS epoch
+            FROM k WHERE k >= 1
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

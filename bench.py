@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q107_repetition_ratio",
     "q108_decontamination",
     "q109_cohort_retention",
+    "q110_mixture_epochs",
 ]
 
 
