@@ -136,3 +136,44 @@ class Catalog:
             .parquet(path)
         )
         return path
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, fq_table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite a path-backed table into ~``target_file_bytes`` files.
+
+        The small-files problem is the dominant lake-maintenance task at
+        warehouse scale: streaming sinks and fine partition writes leave
+        thousands of KB-sized files whose per-file open/footer cost
+        swamps the scan.  Compaction = size the output file count from
+        the CURRENT on-disk byte size (not row counts — rows vary in
+        width), coalesce/repartition to it, and atomically swap via an
+        overwrite of a temp-staged rewrite.
+
+        Returns the number of files written.  Uses ``repartition`` (not
+        ``coalesce``) so the rewrite parallelizes and output sizes
+        balance; the one shuffle is the price of even files, paid once
+        per maintenance run.
+        """
+        path = self.path_for(fq_table)
+        if path is None or not os.path.isdir(path):
+            raise ValueError(f"compact needs an existing path-backed table: {fq_table}")
+        total = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_file_bytes))  # ceil division
+        df = self.spark.read.parquet(path)
+        staged = path.rstrip("/") + ".__compacting__"
+        df.repartition(n_files).write.mode("overwrite").parquet(staged)
+        # Swap: the staged rewrite is complete and footer-valid before the
+        # original is replaced (local FS analogue of a metastore pointer
+        # flip; object stores would rename the prefix or update the table
+        # format's manifest instead).
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(staged, path)
+        self.spark.catalog.refreshByPath(path)
+        return n_files

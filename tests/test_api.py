@@ -185,3 +185,36 @@ def test_build_session_configs(spark):
             assert s.conf.get(key) == ENGINE_CONFIGS[key], key
     finally:
         pass  # shared JVM: do not stop() the session-scoped fixture's context
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction rewrites a many-tiny-file table into the byte-sized
+    file count, preserves every row, and leaves a readable table (the
+    staged-swap never exposes a half-written directory)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    dest = str(tmp_path / "frag")
+    cat.register_path("p.d.frag", dest)
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(64).write.parquet(dest)
+    assert len(glob.glob(dest + "/part-*.parquet")) == 64
+
+    before = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(dest + "/part-*.parquet")
+    )
+    # Target = total bytes → exactly 1 output file; a tiny target yields
+    # ceil(total/target) files.
+    n = cat.compact("p.d.frag", target_file_bytes=before + 1)
+    assert n == 1
+    files = glob.glob(dest + "/part-*.parquet")
+    assert len(files) == 1
+    out = spark.read.parquet(dest)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
