@@ -77,6 +77,12 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "id")
         )
+        # Lazy checkpoint + full count: the convergence probe is the action
+        # that materializes (and lineage-truncates) the new labels — one
+        # job per iteration instead of an eager-checkpoint job followed by
+        # a probe job.  (A limit(1) probe would be cheaper per se, but it
+        # short-circuits materialization and would leave the checkpoint
+        # unpopulated for the next round.)
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -86,9 +92,9 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
