@@ -2216,6 +2216,59 @@ def q110_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source", F.explode(epochs).alias("epoch"))
 
 
+def q111_group_integrity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: events are assigned to train/val/test by a hash
+    of USER_ID (the entity), never the event — every user's whole history
+    lands in exactly one split, so session-level signals can't leak across
+    the boundary. The assignment is a scan-side md5 expression (no
+    shuffle, retry-stable); output counts both events and distinct users
+    per split so the no-leakage property is visible in the result."""
+    ev = _events(spark, sf_dir)
+    d = [
+        f"(instr('0123456789abcdef', substr(md5(cast(user_id as string)), {i}, 1)) - 1)"
+        for i in (1, 2)
+    ]
+    bucket = F.expr(f"({d[0]} * 16 + {d[1]}) % 10")
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.select(split.alias("split"), "user_id", "event_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q112_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget trimming: each source contributes documents
+    in quality order (longest first, doc_id tie-break) until a 10k-token
+    budget is crossed — the corpus-assembly step that caps any one
+    source's share. INCLUSIVE of the crossing document (standard 'fill
+    then stop'), expressed as an exclusive running sum < budget; one
+    window pass per source partition, no second scan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = textstats.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = docs.select("source", "doc_id", "n_chars", toks.alias("toks")).withColumn(
+        "prior", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    )
+    kept = d.filter(F.col("prior") < 10_000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("tokens"),
+        F.max("prior").alias("last_offset"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2337,6 +2390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_decontamination": q108_decontamination,
         "q109_cohort_retention": q109_cohort_retention,
         "q110_mixture_epochs": q110_mixture_epochs,
+        "q111_group_integrity_split": q111_group_integrity_split,
+        "q112_token_budget_trim": q112_token_budget_trim,
     }
 
 
@@ -3810,6 +3865,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, CAST(unnest(generate_series(1, k)) AS INT) AS epoch
             FROM k WHERE k >= 1
+        """,
+        "q111_group_integrity_split": """
+            WITH b AS (
+                SELECT event_id, user_id,
+                       ((instr('0123456789abcdef',
+                               substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+                        + instr('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)
+                       % 10 AS bucket
+                FROM events
+            )
+            SELECT CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket < 9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM b GROUP BY 1
+        """,
+        "q112_token_budget_trim": r"""
+            WITH d AS (
+                SELECT source, doc_id, n_chars,
+                       array_length(regexp_split_to_array(trim(text), '\s+'))
+                           AS toks
+                FROM documents
+            ), o AS (
+                SELECT source, doc_id, toks,
+                       coalesce(sum(toks) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS prior
+                FROM d
+            )
+            SELECT source, count(*) AS n_docs, sum(toks) AS tokens,
+                   max(prior) AS last_offset
+            FROM o WHERE prior < 10000 GROUP BY 1
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

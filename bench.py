@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q108_decontamination",
     "q109_cohort_retention",
     "q110_mixture_epochs",
+    "q112_token_budget_trim",
 ]
 
 
