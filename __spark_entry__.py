@@ -2269,6 +2269,302 @@ def q112_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q113_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue delta: three range predicates and a
+    single scalar aggregate — the purest pushdown test.  All three filters
+    reach the parquet scan (PushedFilters on l_shipdate/l_discount/
+    l_quantity); the agg is a map-side partial + 1-row final, so the only
+    exchange moves one partial per task.  Cent-long sum keeps the scalar
+    IEEE-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast(
+                        "long"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q114_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: quarter of orders joined to
+    returned lineitems (l_returnflag = 'R'), revenue lost per customer with
+    the nation dimension folded in by broadcast.  HAVING threshold instead
+    of top-20 keeps the result an order-free set.  Join order is
+    li⨝orders first (both filtered facts, one l_orderkey shuffle) then a
+    broadcast of customer⨝nation — no fact ever shuffles twice."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cust_nat = F.broadcast(
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).select(
+            "c_custkey", "c_name", "c_acctbal", "n_name"
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_nat, orders["o_custkey"] == cust_nat["c_custkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .filter(F.col("revenue") > 50000.0)
+    )
+
+
+def q115_priority_shipment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped two-tier conditional count (testdata has no
+    l_shipmode/l_receiptdate, so l_linestatus stands in for shipmode and
+    the late predicate is shipdate > orderdate + 90 days): per class,
+    how many late shipments carried high- vs low-priority orders.  The
+    CASE-sum pair collapses to one pass over the joined rows — Q12's
+    signature map-side conditional aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q116_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer-order-count distribution: LEFT OUTER join
+    so customers with zero qualifying orders survive as c_count = 0, then a
+    second aggregation over the counts.  Two shuffles total (o_custkey,
+    then c_count); the first agg runs on the join's own partitioning —
+    AQE reuses the exchange rather than adding a third."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q117_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue share: one month of lineitems,
+    broadcast part, conditional/total cent-sum ratio in a single pass.
+    Both numerator and denominator are exact cent longs, so the final
+    ratio is one IEEE division — deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 4
+            ).alias("promo_revenue_pct"),
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q118_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity-order revenue: lineitems below 20 %
+    of their part's average quantity.  The correlated scalar subquery
+    becomes a per-part aggregate joined back to the fact; the comparison
+    qty < 0.2 * avg is done in exact integer arithmetic
+    (qty_cents * 5 * n < sum_qty_cents * 100 avoids the cross-engine
+    float hazard of 0.2 * avg on borderline rows).  Brand filter
+    broadcasts into both the agg input and the probe, so the per-part
+    aggregate is built over ~1/25 of the fact."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    branded = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_partkey", "l_extendedprice", qty_cents.alias("qty_cents")
+    )
+    per_part = branded.groupBy("l_partkey").agg(
+        F.sum("qty_cents").alias("sum_qty_cents"), F.count(F.lit(1)).alias("n_lines")
+    ).withColumnRenamed("l_partkey", "agg_partkey")
+    return (
+        branded.join(
+            per_part, branded["l_partkey"] == per_part["agg_partkey"]
+        )
+        .filter(
+            F.col("qty_cents") * 5 * F.col("n_lines")
+            < F.col("sum_qty_cents") * 100
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 700.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def q119_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive join: OR of three (brand, size-range,
+    quantity-range) conjunction blocks over li⨝part.  Catalyst extracts
+    the common l_partkey = p_partkey equi-condition out of the
+    disjunction, so this stays a broadcast HASH join with the OR as a
+    residual filter — not a nested-loop over the cross product."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    block = lambda brand, smin, smax, qmin, qmax: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(smin, smax))
+        & (F.col("l_quantity") >= qmin)
+        & (F.col("l_quantity") <= qmax)
+    )
+    return (
+        joined.filter(
+            block("Brand#12", 1, 15, 1, 11)
+            | block("Brand#23", 10, 30, 10, 20)
+            | block("Brand#34", 20, 50, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q120_segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style cross-document segment dedup signal: split each doc
+    into consecutive 10-word segments, mark segments that occur in more
+    than one distinct document, report each document's duplicated-segment
+    fraction.  Two shuffles (segment text, then doc_id); the per-segment
+    distinct-doc count uses the segment exchange the join probe also
+    needs.  At 100 TB the segment column would be hashed (xxhash64) before
+    the shuffle so the exchange moves 8-byte keys, not 60-char strings —
+    kept as text here for oracle exactness (same trade-off as q36)."""
+    docs = _t(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 10 THEN "
+                "transform(sequence(0, size(split(text, ' ')) div 10 - 1), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10))) "
+                "ELSE array() END"
+            )
+        ).alias("seg"),
+    )
+    seg_docs = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        segs.join(seg_docs, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def q121_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing document fingerprints: 5-token k-grams hashed
+    to a portable 24-bit integer (md5 hex digits via instr — bit-identical
+    across engines, same trick as q98), then the minimum hash of every
+    4-gram window is selected; the distinct window-minima are the
+    document's fingerprint set.  Guarantees any shared run of >= 8 tokens
+    produces at least one common fingerprint — the substring-level dedup
+    signal that segment (q120) and whole-doc (q16) hashing miss.  One
+    exchange total: gram rows shuffle on doc_id for the window, and the
+    window-min, validity filter, and distinct aggregation all reuse that
+    partitioning (no second shuffle for the groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 5 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 5), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "gram"),
+    )
+    digits = [
+        f"(instr('0123456789abcdef', substr(md5(gram), {i}, 1)) - 1)"
+        for i in (1, 2, 3, 4, 5, 6)
+    ]
+    h_expr = digits[0]
+    for d in digits[1:]:
+        h_expr = f"({h_expr} * 16 + {d})"
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = (
+        grams.withColumn("h", F.expr(h_expr).cast("long"))
+        .withColumn("minh", F.min("h").over(w))
+        # winnowing windows must hold w=4 grams: the last valid window
+        # starts at gram (n_grams - 4) = (n_toks - 4) - 4.
+        .filter(F.col("pos") <= F.col("n_toks") - 8)
+    )
+    return fp.groupBy("doc_id").agg(
+        F.countDistinct("minh").alias("n_fingerprints"),
+        F.sum_distinct(F.col("minh")).alias("fingerprint_sum"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2392,6 +2688,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_mixture_epochs": q110_mixture_epochs,
         "q111_group_integrity_split": q111_group_integrity_split,
         "q112_token_budget_trim": q112_token_budget_trim,
+        "q113_forecast_revenue": q113_forecast_revenue,
+        "q114_returned_items": q114_returned_items,
+        "q115_priority_shipment_classes": q115_priority_shipment_classes,
+        "q116_order_count_distribution": q116_order_count_distribution,
+        "q117_promo_revenue": q117_promo_revenue,
+        "q118_small_quantity_revenue": q118_small_quantity_revenue,
+        "q119_disjunctive_predicate_join": q119_disjunctive_predicate_join,
+        "q120_segment_dedup_fraction": q120_segment_dedup_fraction,
+        "q121_winnowing_fingerprints": q121_winnowing_fingerprints,
     }
 
 
@@ -3901,6 +4206,156 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs, sum(toks) AS tokens,
                    max(prior) AS last_offset
             FROM o WHERE prior < 10000 GROUP BY 1
+        """,
+        "q113_forecast_revenue": """
+            SELECT round(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                                  AS BIGINT)) / 100.0, 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q114_returned_items": """
+            WITH co AS (
+                SELECT c_custkey, c_name, c_acctbal, n_name
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT co.c_custkey, co.c_name, co.n_name,
+                   round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                                  AS BIGINT)) / 100.0, 2) AS revenue,
+                   round(max(co.c_acctbal), 2) AS c_acctbal
+            FROM lineitem li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN co ON o.o_custkey = co.c_custkey
+            WHERE li.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3
+            HAVING revenue > 50000.0
+        """,
+        "q115_priority_shipment_classes": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1
+        """,
+        "q116_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN (
+                    SELECT * FROM orders
+                    WHERE o_orderpriority <> '4-NOT SPECIFIED'
+                ) o ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+        """,
+        "q117_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                            AS BIGINT) AS cents,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+            )
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents
+                                          ELSE 0 END) / sum(cents), 4)
+                       AS promo_revenue_pct,
+                   round(sum(cents) / 100.0, 2) AS total_revenue
+            FROM j
+        """,
+        "q118_small_quantity_revenue": """
+            WITH branded AS (
+                SELECT l_partkey, l_extendedprice,
+                       CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23'
+            ), per_part AS (
+                SELECT l_partkey AS agg_partkey,
+                       sum(qty_cents) AS sum_qty_cents,
+                       count(*) AS n_lines
+                FROM branded GROUP BY 1
+            )
+            SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                         / 700.0, 2) AS avg_yearly,
+                   count(*) AS n_small
+            FROM branded b JOIN per_part p ON b.l_partkey = p.agg_partkey
+            WHERE b.qty_cents * 5 * p.n_lines < p.sum_qty_cents * 100
+        """,
+        "q119_disjunctive_predicate_join": """
+            SELECT round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                                  AS BIGINT)) / 100.0, 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q120_segment_dedup_fraction": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), segs AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(t) // 10),
+                           i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')))
+                           AS seg
+                FROM toks
+            ), stats AS (
+                SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1
+            )
+            SELECT s.doc_id, count(*) AS n_segments,
+                   round(sum(CASE WHEN st.nd > 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 4) AS dup_fraction
+            FROM segs s JOIN stats st ON s.seg = st.seg
+            GROUP BY 1
+        """,
+        "q121_winnowing_fingerprints": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), grams AS (
+                SELECT doc_id, len(t) AS n_toks,
+                       unnest(range(CASE WHEN len(t) >= 5 THEN len(t) - 4
+                                         ELSE 0 END)) AS pos,
+                       unnest(list_transform(
+                           range(CASE WHEN len(t) >= 5 THEN len(t) - 4
+                                      ELSE 0 END),
+                           i -> array_to_string(t[i + 1 : i + 5], ' ')))
+                           AS gram
+                FROM toks
+            ), h AS (
+                SELECT doc_id, n_toks, pos,
+                       CAST((((((instr('0123456789abcdef', substr(md5(gram), 1, 1)) - 1)
+                           * 16 + (instr('0123456789abcdef', substr(md5(gram), 2, 1)) - 1))
+                           * 16 + (instr('0123456789abcdef', substr(md5(gram), 3, 1)) - 1))
+                           * 16 + (instr('0123456789abcdef', substr(md5(gram), 4, 1)) - 1))
+                           * 16 + (instr('0123456789abcdef', substr(md5(gram), 5, 1)) - 1))
+                           * 16 + (instr('0123456789abcdef', substr(md5(gram), 6, 1)) - 1)
+                           AS BIGINT) AS h
+                FROM grams
+            ), m AS (
+                SELECT doc_id, n_toks, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS minh
+                FROM h
+            )
+            SELECT doc_id, count(DISTINCT minh) AS n_fingerprints,
+                   sum(DISTINCT minh) AS fingerprint_sum
+            FROM m WHERE pos <= n_toks - 8
+            GROUP BY 1
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

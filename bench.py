@@ -74,6 +74,13 @@ BENCH_QUERIES = [
     "q109_cohort_retention",
     "q110_mixture_epochs",
     "q112_token_budget_trim",
+    "q113_forecast_revenue",
+    "q114_returned_items",
+    "q116_order_count_distribution",
+    "q118_small_quantity_revenue",
+    "q119_disjunctive_predicate_join",
+    "q120_segment_dedup_fraction",
+    "q121_winnowing_fingerprints",
 ]
 
 

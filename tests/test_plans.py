@@ -244,3 +244,43 @@ def test_q108_eval_grams_broadcast(spark):
     plan = plan_of(entrymod.q108_decontamination(spark, SF_DIR))
     tree = plan.split("(1) Scan")[0]
     assert "BroadcastHashJoin" in tree
+
+
+def test_q113_all_three_filters_pushed(spark):
+    """Q6 shape is pure pushdown: the date, discount, and quantity range
+    predicates must ALL reach the parquet scan, and the scalar aggregate
+    must run as partial + 1-row final (no wide shuffle)."""
+    plan = plan_of(entrymod.q113_forecast_revenue(spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("HashAggregate") == 2
+
+
+def test_q119_disjunction_stays_hash_join(spark):
+    """Catalyst must extract the common l_partkey = p_partkey equi-condition
+    out of the OR blocks: a BroadcastHashJoin with the disjunction as a
+    residual, never a nested-loop over the cross product."""
+    plan = plan_of(entrymod.q119_disjunctive_predicate_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q118_aggregate_built_on_branded_subset(spark):
+    """The per-part average is computed AFTER the brand broadcast filter —
+    both the agg input and the probe side read the brand-pruned join, so
+    the fact contributes ~1/|brands| of its rows to the shuffle."""
+    plan = plan_of(entrymod.q118_small_quantity_revenue(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in tree or "Exchange" in tree
+
+
+def test_q121_single_exchange_for_window_and_distinct_agg(spark):
+    """Winnowing: the gram rows shuffle ONCE on doc_id; the window-min and
+    the distinct fingerprint aggregation both reuse that partitioning."""
+    plan = plan_of(entrymod.q121_winnowing_fingerprints(spark, SF_DIR))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
