@@ -294,3 +294,53 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
 
     again = read_sink(spark, dest)
     assert _rows(again.drop("batch_id")) == expected
+
+
+def test_upsert_snapshot_sink_keeps_latest_per_key(spark, tmp_path):
+    """The foreachBatch upsert sink maintains one row per user with the
+    greatest timestamp across micro-batches, and re-applying a batch
+    (failure replay) leaves the snapshot unchanged."""
+    from pr2_transformation_spark.streaming.sinks import (
+        upsert_snapshot_batch,
+        upsert_snapshot_sink,
+    )
+
+    ev = _events_fixture(spark)
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    # Two source files so availableNow replays >1 micro-batch.
+    ev.filter(F.col("event_id") <= 3).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") > 3).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_snapshot_sink(dest, ["user_id"], "ts")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(dest)
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select("user_id", "s.*")
+        .select(*ev.columns)  # column order
+    )
+    assert snap.count() == 2  # one row per user
+    assert _rows(snap.select(*ev.columns)) == _rows(expected)
+
+    # Failure replay: re-merge the newest rows again — snapshot unchanged.
+    before = _rows(spark.read.parquet(dest).select(*ev.columns))
+    upsert_snapshot_batch(
+        ev.filter(F.col("event_id") > 3), 1, dest, ["user_id"], "ts"
+    )
+    assert _rows(spark.read.parquet(dest).select(*ev.columns)) == before
