@@ -2544,16 +2544,13 @@ def q121_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    digits = [
-        f"(instr('0123456789abcdef', substr(md5(gram), {i}, 1)) - 1)"
-        for i in (1, 2, 3, 4, 5, 6)
-    ]
-    h_expr = digits[0]
-    for d in digits[1:]:
-        h_expr = f"({h_expr} * 16 + {d})"
+    # conv(hex, 16, 10) parses the first 6 md5 hex digits in one call —
+    # numerically identical to the oracle's digit-by-digit instr chain
+    # (both are the base-16 value of md5[0:6]) at a fraction of the cost.
+    h = F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10).cast("long")
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     fp = (
-        grams.withColumn("h", F.expr(h_expr).cast("long"))
+        grams.withColumn("h", h)
         .withColumn("minh", F.min("h").over(w))
         # winnowing windows must hold w=4 grams: the last valid window
         # starts at gram (n_grams - 4) = (n_toks - 4) - 4.
@@ -2562,6 +2559,19 @@ def q121_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("doc_id").agg(
         F.countDistinct("minh").alias("n_fingerprints"),
         F.sum_distinct(F.col("minh")).alias("fingerprint_sum"),
+    )
+
+
+def q122_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus: nearest of
+    8 deterministic seed centroids prunes the pair space to cluster-local
+    quadratics, then any vector with a lower-id neighbor at cosine >= 0.25
+    inside its cluster is marked dropped.  The embedding-space twin of
+    q94's text-space canonicalization (see similarity.semantic_dedup for
+    the n² -> Σnᵢ² scale argument)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", n_seed_centroids=8, threshold=0.25
     )
 
 
@@ -2697,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_disjunctive_predicate_join": q119_disjunctive_predicate_join,
         "q120_segment_dedup_fraction": q120_segment_dedup_fraction,
         "q121_winnowing_fingerprints": q121_winnowing_fingerprints,
+        "q122_semantic_dedup": q122_semantic_dedup,
     }
 
 
@@ -4356,6 +4367,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(DISTINCT minh) AS fingerprint_sum
             FROM m WHERE pos <= n_toks - 8
             GROUP BY 1
+        """,
+        "q122_semantic_dedup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), c AS (
+                SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, e.v, c.cid,
+                       round(list_cosine_similarity(e.v, c.cv), 4) + 0 AS cs
+                FROM e CROSS JOIN c
+            ), assigned AS (
+                SELECT vec_id, v, cid AS cluster FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY cs DESC, cid) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ), dropped AS (
+                SELECT DISTINCT b.vec_id
+                FROM assigned a
+                JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25
+            )
+            SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS keep
+            FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

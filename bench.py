@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q119_disjunctive_predicate_join",
     "q120_segment_dedup_fraction",
     "q121_winnowing_fingerprints",
+    "q122_semantic_dedup",
 ]
 
 

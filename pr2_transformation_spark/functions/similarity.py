@@ -253,3 +253,71 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_seed_centroids: int = 8,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """SemDeDup-style cluster-pruned semantic deduplication (Abbas et al.
+    2023, arXiv:2303.09540): assign every vector to its nearest centroid,
+    score pairs only WITHIN a cluster, and drop any vector that has a
+    lower-id neighbor above the cosine threshold.  Returns
+    ``(id, cluster, keep)``.
+
+    The point of the clustering is to replace the corpus-quadratic pair
+    join with k cluster-local quadratics (n²→ Σnᵢ²): at 100 TB the
+    centroid count scales with the corpus (√N rule of thumb) so clusters
+    stay bounded; here centroids are the first ``n_seed_centroids``
+    vectors by id — deterministic, no RNG, so an external oracle can
+    replay the exact assignment (a trained k-means quantizer drops in via
+    ``train_ivf_centroids`` without changing any downstream shape).
+
+    Scores are rounded to 4 digits before the argmax/threshold compare so
+    assignment and drop decisions are stable across engines; ties prefer
+    the smaller centroid id.
+    """
+    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    cents = F.broadcast(
+        e.filter(F.col(id_col) < n_seed_centroids).select(
+            F.col(id_col).alias("__cid"), F.col("__v").alias("__cv")
+        )
+    )
+    scored = e.crossJoin(cents).select(
+        id_col,
+        "__v",
+        "__cid",
+        (F.round(cosine(F.col("__v"), F.col("__cv")), 4) + F.lit(0.0)).alias("__cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), "__cid")
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__v"), F.col("__cid").alias("cluster"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4) >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias("__dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, F.col(id_col) == F.col("__dropped_id"), "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.col("__dropped_id").isNull().alias("keep"),
+        )
+    )

@@ -435,3 +435,43 @@ def test_approx_quantiles_within_rank_tolerance(spark):
         for i, a in enumerate(qs):
             lo, hi = exact[grp][3 * i], exact[grp][3 * i + 2]
             assert lo <= a <= hi, (grp, a, lo, hi)
+
+
+def test_semantic_dedup_keeper_invariants(spark):
+    """SemDeDup keep/drop decisions: every vector is assigned exactly one
+    cluster, the lowest id in every cluster is always kept (it can have no
+    lower-id neighbor), and a dropped vector really has a kept-or-dropped
+    lower-id neighbor above threshold in its own cluster."""
+    from pr2_transformation_spark.functions.similarity import (
+        cosine,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, n_seed_centroids=4, threshold=0.25).cache()
+
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+
+    # Minimum id per cluster must be kept.
+    min_ids = out.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+    not_kept_min = out.join(min_ids, ["cluster", "vec_id"]).filter(~F.col("keep"))
+    assert not_kept_min.count() == 0
+
+    # Every dropped vector has a lower-id same-cluster neighbor >= threshold.
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    labeled = out.join(v, "vec_id")
+    a, b = labeled.alias("a"), labeled.alias("b")
+    witnesses = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= 0.25)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    dropped = out.filter(~F.col("keep")).select("vec_id")
+    assert dropped.exceptAll(witnesses).count() == 0
+    assert witnesses.exceptAll(dropped).count() == 0
