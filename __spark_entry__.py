@@ -2575,6 +2575,49 @@ def q122_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q123_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal with no external model: an add-one-
+    smoothed bigram LM is estimated FROM the corpus (bigram counts,
+    context counts, vocab size), then every document is scored by its
+    average negative log-likelihood under that LM — high avg_nll marks
+    statistically unusual text, the classic perplexity filter.  Bigram
+    assembly is the O(tokens) zip_with form (q76); the LM tables shuffle
+    once each on their own keys and join back to the per-position bigram
+    stream; the 1-row vocab size rides a broadcast cross join.  avg(-ln p)
+    decomposes as avg(ln(c1+V)) - avg(ln(c2+1)) over exactly-representable
+    integer inputs, so the rounded score is engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("g"))
+    cnt2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = (
+        bg.select(F.substring_index("g", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = docs.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(cnt2, "g")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(cnt1, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(F.log(F.col("c1") + F.col("v")) - F.log(F.col("c2") + 1)), 4
+        ).alias("avg_nll"),
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2708,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_segment_dedup_fraction": q120_segment_dedup_fraction,
         "q121_winnowing_fingerprints": q121_winnowing_fingerprints,
         "q122_semantic_dedup": q122_semantic_dedup,
+        "q123_bigram_perplexity": q123_bigram_perplexity,
     }
 
 
@@ -4391,6 +4435,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS keep
             FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        """,
+        "q123_bigram_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1])) AS g
+                FROM toks
+            ), cnt2 AS (
+                SELECT g, count(*) AS c2 FROM bg GROUP BY g
+            ), cnt1 AS (
+                SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+                FROM bg GROUP BY 1
+            ), vocab AS (
+                SELECT count(DISTINCT w) AS v
+                FROM (SELECT unnest(t) AS w FROM toks)
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(c1 + v) - ln(c2 + 1)), 4) AS avg_nll
+            FROM bg
+            JOIN cnt2 USING (g)
+            JOIN cnt1 ON split_part(g, ' ', 1) = cnt1.w1
+            CROSS JOIN vocab
+            GROUP BY doc_id
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q120_segment_dedup_fraction",
     "q121_winnowing_fingerprints",
     "q122_semantic_dedup",
+    "q123_bigram_perplexity",
 ]
 
 
