@@ -284,3 +284,39 @@ def test_q121_single_exchange_for_window_and_distinct_agg(spark):
     plan = plan_of(entrymod.q121_winnowing_fingerprints(spark, SF_DIR))
     tree = plan.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Scale posture: with a selective build side, Catalyst injects a
+    runtime bloom filter (might_contain) on the probe side of a shuffle
+    join, cutting probe rows BEFORE the exchange.  Test data is far below
+    the default 10 GB application-side threshold, so the thresholds are
+    lowered here only to prove the wiring — at warehouse scan sizes the
+    defaults trigger on their own."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        orders = entrymod._t(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = entrymod._t(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
