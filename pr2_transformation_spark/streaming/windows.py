@@ -225,3 +225,95 @@ def streaming_user_stats(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_user_stats_tws(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "30 minutes",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """The ``transformWithStateInPandas`` form of ``streaming_user_stats``:
+    Spark 4's typed-state operator API (named state cells with per-cell
+    TTL, timers, composite list/map state) superseding the single-tuple
+    state of ``applyInPandasWithState``.  Output contract is identical so
+    the two forms are drop-in interchangeable; state eviction here is a
+    declarative TTL on the value cell rather than a manually re-armed
+    processing-time timeout.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) — which is also the right provider at
+    scale: state lives off-heap/on-disk per task with changelog
+    checkpointing, so per-executor state size is bounded by disk, not
+    memory.  Also requires the ``protobuf`` Python package (the operator's
+    Python↔JVM state server speaks protobuf); environments without it
+    should use ``streaming_user_stats`` (identical output contract).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_seen_epoch", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("last", LongType()),
+        ]
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", state_schema, state_ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, last = self._stats.get() if self._stats.exists() else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+                last = max(
+                    last, int(pdf[ts_col].astype("int64").max() // 1_000_000_000)
+                )
+            self._stats.update((n, s, last))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "sum_value": s,
+                        "last_seen_epoch": last,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -344,3 +344,45 @@ def test_upsert_snapshot_sink_keeps_latest_per_key(spark, tmp_path):
         ev.filter(F.col("event_id") > 3), 1, dest, ["user_id"], "ts"
     )
     assert _rows(spark.read.parquet(dest).select(*ev.columns)) == before
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The transformWithStateInPandas form produces the same final
+    per-user profile as the applyInPandasWithState form. Skipped where the
+    protobuf Python package (the TWS state-server protocol) is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pr2_transformation_spark.streaming.windows import (
+        streaming_user_stats,
+        streaming_user_stats_tws,
+    )
+
+    ev = _events_fixture(spark)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        results = {}
+        for name, op in (
+            ("aipws", streaming_user_stats),
+            ("tws", streaming_user_stats_tws),
+        ):
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                op(stream)
+                .writeStream.format("memory")
+                .queryName(f"uxs_{name}")
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            results[name] = _rows(spark.table(f"uxs_{name}"))
+        assert results["tws"] == results["aipws"]
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
