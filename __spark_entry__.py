@@ -2618,6 +2618,60 @@ def q123_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_supplier_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier-diversity count (testdata has no
+    partsupp, so the supplier-part relation derives from observed
+    lineitem shipments): per (brand, type, size) class — minus an
+    excluded brand/type — how many DISTINCT suppliers shipped it.  The
+    distinct rides the (brand, type, size, suppkey) pre-aggregation, so
+    the wide fact collapses map-side before the distinct-count shuffle;
+    part broadcasts into the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q125_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested-semi-join: suppliers in a given nation who
+    shipped MORE than 30 % of some part's total 1997 volume (the
+    partsupp availqty predicate re-expressed over observed shipments).
+    Inner query: per (part, supplier) quantity vs per-part total via an
+    empty-frame window on the aggregated frame — one lineitem scan, one
+    shuffle, integer-exact 10*sq > 3*total compare in quantity-cents;
+    outer: LEFT SEMI from the nation-filtered supplier dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    per_ps = (
+        li.select("l_partkey", "l_suppkey", qty_cents.alias("qc"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qc").alias("sq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("total", F.sum("sq").over(w))
+        .filter(F.col("sq") * 10 > F.col("total") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(dominant, supp["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2752,6 +2806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_winnowing_fingerprints": q121_winnowing_fingerprints,
         "q122_semantic_dedup": q122_semantic_dedup,
         "q123_bigram_perplexity": q123_bigram_perplexity,
+        "q124_supplier_part_classes": q124_supplier_part_classes,
+        "q125_dominant_suppliers": q125_dominant_suppliers,
     }
 
 
@@ -4462,6 +4518,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt1 ON split_part(g, ' ', 1) = cnt1.w1
             CROSS JOIN vocab
             GROUP BY doc_id
+        """,
+        "q124_supplier_part_classes": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+            GROUP BY 1, 2, 3
+        """,
+        "q125_dominant_suppliers": """
+            WITH per_ps AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sq
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2
+            ), dom AS (
+                SELECT DISTINCT l_suppkey FROM (
+                    SELECT l_suppkey, sq,
+                           sum(sq) OVER (PARTITION BY l_partkey) AS total
+                    FROM per_ps
+                ) WHERE sq * 10 > total * 3
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+            WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
         """,
         # q97: approx_percentile sketch values are engine-specific —
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.

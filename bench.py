@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "q121_winnowing_fingerprints",
     "q122_semantic_dedup",
     "q123_bigram_perplexity",
+    "q124_supplier_part_classes",
+    "q125_dominant_suppliers",
 ]
 
 
