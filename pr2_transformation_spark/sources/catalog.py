@@ -45,8 +45,8 @@ class Catalog:
 
     # -- registration -----------------------------------------------------
     def register_path(self, fq_table: str, path: str, format: str = "parquet") -> None:
-        """Register a storage path; ``format`` may be parquet (default), csv,
-        or json.  CSV reads use header + schema inference — register an
+        """Register a storage path; ``format`` may be parquet (default), orc,
+        csv, or json.  CSV reads use header + schema inference — register an
         explicit DataFrame instead when the schema matters."""
         parse_fq_table(fq_table)
         self._paths[fq_table] = path
@@ -78,6 +78,8 @@ class Catalog:
                 ).csv(path)
             if fmt == "json":
                 return self.spark.read.json(path)
+            if fmt == "orc":
+                return self.spark.read.orc(path)
             return self.spark.read.parquet(path)
         # Fall back to the Spark catalog (saveAsTable / temp views).
         _, dataset, table = parse_fq_table(fq_table)

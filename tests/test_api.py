@@ -157,16 +157,26 @@ def test_register_csv_json_sources(spark, tmp_path):
         F.col("id"), (F.col("id") * 2).alias("dbl"), F.lit("x").alias("tag")
     )
     csv_path, json_path = str(tmp_path / "c"), str(tmp_path / "j")
+    orc_path = str(tmp_path / "o")
     df.write.option("header", True).csv(csv_path)
     df.write.json(json_path)
+    df.write.orc(orc_path)
     cat.register_path("p.d.csvt", csv_path, format="csv")
     cat.register_path("p.d.jsont", json_path, format="json")
+    cat.register_path("p.d.orct", orc_path, format="orc")
 
     got_csv = cat.read("p.d.csvt")
     got_json = cat.read("p.d.jsont")
-    assert got_csv.count() == got_json.count() == 10
-    assert set(got_csv.columns) == set(got_json.columns) == {"id", "dbl", "tag"}
+    got_orc = cat.read("p.d.orct")
+    assert got_csv.count() == got_json.count() == got_orc.count() == 10
+    assert (
+        set(got_csv.columns)
+        == set(got_json.columns)
+        == set(got_orc.columns)
+        == {"id", "dbl", "tag"}
+    )
     assert got_json.agg(F.sum("dbl")).collect()[0][0] == 90
+    assert got_orc.agg(F.sum("dbl")).collect()[0][0] == 90
 
 
 def test_build_session_configs(spark):
