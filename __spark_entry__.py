@@ -2672,6 +2672,21 @@ def q125_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force cosine top-k — the production scale
+    path for q20's expression form (one numpy matmul per Arrow batch vs
+    ~190 interpreted HOF ops per row; measured 5.3x at sf0.1 with 100
+    queries).  Rows-only: BLAS summation order is not bit-stable enough
+    for the value-hash oracle; exact equivalence to the oracle-checked
+    expression form is pinned in tests/test_ext_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_bruteforce_pandas(corpus, queries, k=5)
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2808,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_bigram_perplexity": q123_bigram_perplexity,
         "q124_supplier_part_classes": q124_supplier_part_classes,
         "q125_dominant_suppliers": q125_dominant_suppliers,
+        "q126_ann_bruteforce_vectorized": q126_ann_bruteforce_vectorized,
     }
 
 

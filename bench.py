@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q123_bigram_perplexity",
     "q124_supplier_part_classes",
     "q125_dominant_suppliers",
+    "q126_ann_bruteforce_vectorized",
 ]
 
 

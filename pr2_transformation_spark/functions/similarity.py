@@ -321,3 +321,70 @@ def semantic_dedup(
             F.col("__dropped_id").isNull().alias("keep"),
         )
     )
+
+
+def cosine_topk_bruteforce_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``cosine_topk_bruteforce``: the query
+    matrix collects to the driver (queries are small by contract — the
+    expression path broadcasts them for the same reason) and each corpus
+    partition scores against it as ONE numpy matmul inside
+    ``mapInPandas``, emitting only its partition-local top-k per query;
+    a final window reduces the per-partition candidates exactly.
+
+    This is the production path for embedding math: per-element
+    higher-order-function lambdas (`aggregate`/`zip_with`) evaluate
+    interpreted per row — a 64-dim cosine is ~190 interpreted ops/row —
+    while the Arrow batch form is one BLAS call per ~10k-row batch.
+    Results are identical to the expression form up to float summation
+    order (scores round to ``round_digits``); the candidate set per
+    partition provably contains the global top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = [
+        (r[0], r[1])
+        for r in queries.select(query_id_col, vec_col).collect()
+        if r[1] is not None
+    ]
+    qids = np.asarray([r[0] for r in qrows])
+    qm = np.asarray([r[1] for r in qrows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.asarray(list(pdf[vec_col]), dtype="float64")
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+            sims = qm @ cm.T  # (n_queries, batch)
+            ids = pdf[id_col].to_numpy()
+            top = min(k, sims.shape[1])
+            # partition-local top-k per query bounds rows leaving the task
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids, top),
+                    id_col: ids[idx].ravel(),
+                    "score": np.round(
+                        np.take_along_axis(sims, idx, axis=1).ravel(), round_digits
+                    )
+                    + 0.0,
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )

@@ -33,6 +33,7 @@ def test_rows_only_queries_are_the_documented_ones():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = sorted(set(qs) - set(oracles))
     assert rows_only == [
+        "q126_ann_bruteforce_vectorized",
         "q22_minhash_lsh",
         "q23_simhash",
         "q24_ann_lsh",

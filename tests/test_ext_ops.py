@@ -475,3 +475,27 @@ def test_semantic_dedup_keeper_invariants(spark):
     dropped = out.filter(~F.col("keep")).select("vec_id")
     assert dropped.exceptAll(witnesses).count() == 0
     assert witnesses.exceptAll(dropped).count() == 0
+
+
+def test_vectorized_bruteforce_matches_expression_form(spark):
+    """The Arrow/numpy brute-force top-k returns the same (query, id, rank)
+    set and equal rounded scores as the HOF-expression form."""
+    from pr2_transformation_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_bruteforce_pandas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    a = cosine_topk_bruteforce(corpus, queries, k=5)
+    b = cosine_topk_bruteforce_pandas(corpus, queries, k=5)
+    rows_a = {(r["query_id"], r["vec_id"]): (r["rank"], r["score"]) for r in a.collect()}
+    rows_b = {(r["query_id"], r["vec_id"]): (r["rank"], r["score"]) for r in b.collect()}
+    assert set(rows_a) == set(rows_b)
+    for key, (rank_a, score_a) in rows_a.items():
+        rank_b, score_b = rows_b[key]
+        assert rank_a == rank_b
+        assert abs(score_a - score_b) <= 1e-4
