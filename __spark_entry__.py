@@ -2528,37 +2528,17 @@ def q121_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's fingerprint set.  Guarantees any shared run of >= 8 tokens
     produces at least one common fingerprint — the substring-level dedup
     signal that segment (q120) and whole-doc (q16) hashing miss.  One
-    exchange total: gram rows shuffle on doc_id for the window, and the
-    window-min, validity filter, and distinct aggregation all reuse that
-    partitioning (no second shuffle for the groupBy)."""
+    exchange total: gram rows shuffle on doc_id for the window (already
+    reduced to the 8-byte hash — conv over the md5 hex prefix matches the
+    oracle's digit-by-digit instr chain), and the window-min, validity
+    filter, and distinct aggregation all reuse that partitioning.
+    Operator: functions/dedup.winnowing_fingerprints (+ winnowing_pairs
+    for the posting-list candidate join)."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
-        F.posexplode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 5 THEN "
-                "transform(sequence(0, size(split(text, ' ')) - 5), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5))) "
-                "ELSE array() END"
-            )
-        ).alias("pos", "gram"),
-    )
-    # conv(hex, 16, 10) parses the first 6 md5 hex digits in one call —
-    # numerically identical to the oracle's digit-by-digit instr chain
-    # (both are the base-16 value of md5[0:6]) at a fraction of the cost.
-    h = F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10).cast("long")
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    fp = (
-        grams.withColumn("h", h)
-        .withColumn("minh", F.min("h").over(w))
-        # winnowing windows must hold w=4 grams: the last valid window
-        # starts at gram (n_grams - 4) = (n_toks - 4) - 4.
-        .filter(F.col("pos") <= F.col("n_toks") - 8)
-    )
+    fp = dedup.winnowing_fingerprints(docs, "text", "doc_id", k=5, w=4)
     return fp.groupBy("doc_id").agg(
-        F.countDistinct("minh").alias("n_fingerprints"),
-        F.sum_distinct(F.col("minh")).alias("fingerprint_sum"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("fingerprint").alias("fingerprint_sum"),
     )
 
 

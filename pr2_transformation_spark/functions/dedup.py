@@ -365,3 +365,79 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprint set per document (Schleimer,
+    Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD'03): hash every k-token gram, slide a window
+    of ``w`` gram positions, keep each window's minimum hash; the
+    distinct minima are the fingerprints.  Guarantee: any token run of
+    length >= k + w - 1 shared between two documents yields at least one
+    common fingerprint — substring-level sensitivity that whole-document
+    and fixed-segment hashing miss.
+
+    Returns ``(id, fingerprint)`` distinct rows.  One exchange: gram rows
+    shuffle on the id for the window, already reduced to an 8-byte hash
+    (conv over the md5 hex prefix — portable to external engines); the
+    window-min and distinct reuse that partitioning.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("__n_toks"),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+                f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))) "
+                "ELSE array() END"
+            )
+        ).alias("__pos", "__gram"),
+    )
+    h = F.conv(F.substring(F.md5("__gram"), 1, 6), 16, 10).cast("long")
+    win = (
+        Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn("__h", h)
+        .withColumn("fingerprint", F.min("__h").over(win))
+        # n_grams = n_toks - k + 1 grams at positions 0..n_toks-k; the last
+        # window of w grams starts at n_grams - w = n_toks - k - w + 1
+        .filter(F.col("__pos") <= F.col("__n_toks") - k - w + 1)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints: the
+    substring-sensitive complement to ``ngram_jaccard_pairs`` (which
+    measures whole-document shingle overlap).  Fingerprints form a
+    posting list; same-fingerprint doc pairs join bucket-locally and
+    pairs sharing >= ``min_shared`` fingerprints survive.  Returns
+    ``(id_a, id_b, n_shared)`` with id_a < id_b — feed to
+    ``operators.graph.dedup_clusters`` for transitive canonicalization.
+    """
+    fp = winnowing_fingerprints(df, text_col, id_col, k, w)
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

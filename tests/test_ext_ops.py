@@ -499,3 +499,30 @@ def test_vectorized_bruteforce_matches_expression_form(spark):
         rank_b, score_b = rows_b[key]
         assert rank_a == rank_b
         assert abs(score_a - score_b) <= 1e-4
+
+
+def test_winnowing_pairs_catch_shared_runs(spark):
+    """Two documents sharing a >= k+w-1 token run must share at least one
+    fingerprint (the winnowing guarantee); unrelated documents with
+    disjoint vocabularies share none."""
+    from pr2_transformation_spark.functions.dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "fully disjoint tokens nothing in common here at all friend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(docs, k=5, w=4)
+    f1 = {r["fingerprint"] for r in fp.filter("doc_id = 1").collect()}
+    f2 = {r["fingerprint"] for r in fp.filter("doc_id = 2").collect()}
+    f3 = {r["fingerprint"] for r in fp.filter("doc_id = 3").collect()}
+    assert f1 & f2, "winnowing guarantee violated: shared run, no shared fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+
+    pairs = winnowing_pairs(docs, k=5, w=4, min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
