@@ -280,23 +280,46 @@ def semantic_dedup(
     assignment and drop decisions are stable across engines; ties prefer
     the smaller centroid id.
     """
-    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    # Norms are per-ROW: computed once here instead of inside every pair's
+    # cosine (the pair join evaluates |cluster|²/2 scores — recomputing two
+    # 64-element norm folds per pair tripled the interpreted work).  The
+    # score dot/(na*nb) is the identical float expression the fused cosine
+    # evaluates, so results are bit-equal to the external-oracle formula.
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__nrm", _norm(F.col("__v")))
     cents = F.broadcast(
         e.filter(F.col(id_col) < n_seed_centroids).select(
-            F.col(id_col).alias("__cid"), F.col("__v").alias("__cv")
+            F.col(id_col).alias("__cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__nrm").alias("__cnrm"),
         )
     )
     scored = e.crossJoin(cents).select(
         id_col,
         "__v",
+        "__nrm",
         "__cid",
-        (F.round(cosine(F.col("__v"), F.col("__cv")), 4) + F.lit(0.0)).alias("__cs"),
+        (
+            F.round(
+                _dot(F.col("__v"), F.col("__cv"))
+                / (F.col("__nrm") * F.col("__cnrm")),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("__cs"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), "__cid")
+    # The assignment frame feeds three plan arms (both pair-join sides and
+    # the output join) — materialize once instead of re-running the
+    # crossJoin+window per arm.
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__v"), F.col("__cid").alias("cluster"))
+        .select(
+            F.col(id_col), F.col("__v"), F.col("__nrm"), F.col("__cid").alias("cluster")
+        )
+        .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
@@ -306,7 +329,12 @@ def semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4) >= threshold
+            F.round(
+                _dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                4,
+            )
+            >= threshold
         )
         .select(F.col(f"b.{id_col}").alias("__dropped_id"))
         .distinct()

@@ -320,3 +320,44 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Scale posture: AQE's skew-join handling splits oversized partitions
+    at runtime (skew=true in the final plan). 95% of left rows share one
+    key; thresholds are lowered only because local test bytes sit far
+    under the 256 MB default — at warehouse partition sizes the defaults
+    fire on their own. Salting (operators/joins.salted_join) remains the
+    manual fallback for non-AQE paths."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        j.collect()
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
