@@ -53,13 +53,27 @@ def _utc(spark: SparkSession) -> None:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    read nanos as long and convert with integer division (a double division
-    would lose microsecond precision at 1.7e18)."""
+    """Load events.parquet with a session-TZ (UTC) ``ts`` timestamp column.
+
+    The testdata generator has shipped ``ts`` as either TIMESTAMP(MICROS)
+    (reads back as TIMESTAMP_NTZ) or TIMESTAMP(NANOS) (reads back as BIGINT
+    under ``nanosAsLong``), so branch on the dtype that actually arrives:
+
+    - timestamp / timestamp_ntz → cast to session-TZ timestamp (UTC session,
+      so the NTZ wall-clock is reinterpreted as the same UTC instant DuckDB's
+      naive TIMESTAMP gives the oracles);
+    - long → nanos→micros with integer division (a double division would
+      lose microsecond precision at 1.7e18).
+    """
+    from pyspark.sql.types import LongType
+
     _utc(spark)
+    # Harmless for micros files; required to even read a nanos file's schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ===========================================================================
