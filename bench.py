@@ -102,21 +102,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # JVM/codegen warmup on the smallest table.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # JVM/codegen warmup on the smallest table (best-effort: a missing table
+    # must not kill the run before a single timing is emitted).
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: warmup failed: {exc}", file=sys.stderr)
 
     # Two timed executions per query, keep the min: steady-state throughput,
     # not first-touch JIT/codegen-compile noise (q22's persist timing was
     # observed varying 2.6-11s run-to-run under concurrent stage scheduling).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        try:
+            fn = qs[name]
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — one broken query must not zero the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -126,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
