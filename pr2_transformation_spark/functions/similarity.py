@@ -259,7 +259,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_seed_centroids: int = 8,
+    n_seed_centroids: int | None = None,
     threshold: float = 0.25,
 ) -> DataFrame:
     """SemDeDup-style cluster-pruned semantic deduplication (Abbas et al.
@@ -269,17 +269,23 @@ def semantic_dedup(
     ``(id, cluster, keep)``.
 
     The point of the clustering is to replace the corpus-quadratic pair
-    join with k cluster-local quadratics (n²→ Σnᵢ²): at 100 TB the
-    centroid count scales with the corpus (√N rule of thumb) so clusters
-    stay bounded; here centroids are the first ``n_seed_centroids``
-    vectors by id — deterministic, no RNG, so an external oracle can
-    replay the exact assignment (a trained k-means quantizer drops in via
-    ``train_ivf_centroids`` without changing any downstream shape).
+    join with k cluster-local quadratics (n²→ Σnᵢ²).  For that to survive
+    growth the centroid count must scale with the corpus, so the default
+    ``n_seed_centroids=None`` derives it as ``max(8, int(sqrt(count)))``
+    (the √N rule: expected cluster size ~√N, total pair work ~N^1.5
+    instead of N²).  The count is one metadata-cheap job on the parquet
+    footer; pass an explicit int to skip it (and to pin the centroid set
+    when an external oracle must replay the same assignment).  Centroids
+    are the first k vectors by id — deterministic, no RNG (a trained
+    k-means quantizer drops in via ``train_ivf_centroids`` without
+    changing any downstream shape).
 
     Scores are rounded to 4 digits before the argmax/threshold compare so
     assignment and drop decisions are stable across engines; ties prefer
     the smaller centroid id.
     """
+    if n_seed_centroids is None:
+        n_seed_centroids = max(8, int(math.sqrt(df.count())))
     # Norms are per-ROW: computed once here instead of inside every pair's
     # cosine (the pair join evaluates |cluster|²/2 scores — recomputing two
     # 64-element norm folds per pair tripled the interpreted work).  The

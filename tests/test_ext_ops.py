@@ -526,3 +526,33 @@ def test_winnowing_pairs_catch_shared_runs(spark):
 
     pairs = winnowing_pairs(docs, k=5, w=4, min_shared=1).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_semantic_dedup_default_centroids_scale_with_corpus():
+    """The default centroid count follows the SemDeDup √N rule, so expected
+    cluster size (N/k ≈ √N) — and with it the cluster-local quadratic pair
+    work — stays bounded relative to corpus growth: a 4x corpus gets 2x the
+    clusters, not 1x."""
+    import math
+
+    from pr2_transformation_spark.functions.similarity import semantic_dedup
+    from pr2_transformation_spark.session import build_session
+
+    spark = build_session("test-semdedup-scale", master="local[4]", shuffle_partitions=4)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    emb4 = emb
+    for shift in (1, 2, 3):
+        emb4 = emb4.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(shift * n))
+        )
+
+    out1 = semantic_dedup(emb, threshold=0.25)
+    out4 = semantic_dedup(emb4, threshold=0.25)
+    k1 = out1.agg(F.max("cluster")).first()[0]
+    k4 = out4.agg(F.max("cluster")).first()[0]
+    # clusters are the first k ids; max assigned cluster id < k == max(8, √N)
+    assert k1 < max(8, int(math.sqrt(n)))
+    assert k4 < max(8, int(math.sqrt(4 * n)))
+    # the derived k itself doubled with the 4x corpus (√N scaling).
+    assert max(8, int(math.sqrt(4 * n))) == 2 * max(8, int(math.sqrt(n)))
