@@ -228,3 +228,32 @@ def test_compact_small_files(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert out.count() == 20_000
     assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_audit_sink_remote_writer_injection(tmp_path):
+    """Object-store audit paths dispatch to the injected per-scheme writer
+    (the reference passes a storage client into its saver the same way:
+    /root/reference/core/utils.py:54-89); unregistered schemes fail loudly."""
+    from pr2_transformation_spark.plans import audit
+
+    with pytest.raises(RuntimeError, match="no writer registered"):
+        audit.save_sql_string("SELECT 1", "gs://bucket/sql/t.sql")
+
+    written = {}
+    audit.register_remote_writer("gs://", lambda path, sql: written.update({path: sql}))
+    try:
+        p = audit.audit_path_for("dest_table", "gs://bucket/sql")
+        assert p == "gs://bucket/sql/dest_table.sql"
+        assert audit.save_sql_string("SELECT 1", p) == p
+        assert written == {"gs://bucket/sql/dest_table.sql": "SELECT 1"}
+    finally:
+        audit.register_remote_writer("gs://", None)
+
+    # unknown scheme rejected at registration
+    with pytest.raises(ValueError, match="unknown remote scheme"):
+        audit.register_remote_writer("ftp://", lambda p, s: None)
+
+    # local path still writes through to disk
+    local = audit.audit_path_for("t2", str(tmp_path / "sql"))
+    audit.save_sql_string("SELECT 2", local)
+    assert open(local).read() == "SELECT 2"
