@@ -32,14 +32,15 @@ def test_bench_queries_exist():
 def test_rows_only_queries_are_the_documented_ones():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = sorted(set(qs) - set(oracles))
+    # q22/q23/q40/q126 gained DuckDB oracles (deterministic md5-based
+    # folds / exact-equivalence SQL); the survivors are legitimately
+    # recall-based (LSH/IVF) or engine-specific approximations (HLL++,
+    # approx_percentile) that have recall-floor / tolerance unit tests
+    # instead (tests/test_ext_ops.py).
     assert rows_only == [
-        "q126_ann_bruteforce_vectorized",
-        "q22_minhash_lsh",
-        "q23_simhash",
         "q24_ann_lsh",
         "q25_embedding_near_dup",
         "q35_ann_ivf",
-        "q40_frame_sample",
         "q64_approx_distinct",
         "q97_approx_quantiles",
     ], f"unexpected rows-only set: {rows_only}"
