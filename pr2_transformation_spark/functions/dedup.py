@@ -25,17 +25,85 @@ from pyspark.sql import functions as F
 from .textstats import shingles_from_tokens, tokens
 
 
+def _parse_byte_conf(raw: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "4MB")."""
+    s = raw.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate a file scan's partition count from file sizes, driver-side.
+
+    Mirrors Spark's ``FilePartition`` packing: splits are capped at
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (totalBytes + nFiles*openCost) / defaultParallelism))`` and small files
+    are padded with the open cost.  Returns ``None`` when the frame isn't a
+    plain local-file scan (no input files, or non-local URIs) — the caller
+    then falls back to materializing the RDD lineage for an exact count.
+    This keeps the common path (raw parquet scan feeding per-row hashing)
+    free of the DataFrame→RDD conversion, which plans the whole query.
+    """
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — estimator is best-effort by contract
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" in uri:
+            return None  # remote store: sizes unknowable driver-side
+        else:
+            path = uri
+        try:
+            sizes.append(_os.path.getsize(path))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    max_part = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    open_cost = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    padded_total = sum(sizes) + len(sizes) * open_cost
+    max_split = min(max_part, max(open_cost, padded_total // max(parallelism, 1)))
+    # Each file yields ceil(size/maxSplit) splits; splits then bin-pack, so
+    # the partition count is bounded below by ceil(paddedTotal/maxSplit)
+    # and above by the per-file split sum — use the lower bound (being low
+    # only risks a repartition that the guard wanted anyway).
+    return max(1, -(-padded_total // max(max_split, 1)))
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the scan produced fewer partitions than cores.
 
     Small parquet files arrive as one input split, serializing expensive
     per-row work (tokenization, hashing) onto a single core.  At warehouse
-    scale inputs have >> cores partitions and this is a no-op — the check is
-    on actual partition count, so no shuffle is ever added to a big scan.
+    scale inputs have >> cores partitions and this is a no-op — the check
+    estimates the scan's partition count from file sizes without touching
+    ``df.rdd`` (which re-plans the query to build an RDD DAG), so no
+    shuffle and no extra planning cost is ever added to a big scan.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    current = _estimated_scan_partitions(df)
+    if current is None:
+        current = df.rdd.getNumPartitions()
+    if current < target:
         return df.repartition(target)
     return df
 

@@ -556,3 +556,30 @@ def test_semantic_dedup_default_centroids_scale_with_corpus():
     assert k4 < max(8, int(math.sqrt(4 * n)))
     # the derived k itself doubled with the 4x corpus (√N scaling).
     assert max(8, int(math.sqrt(4 * n))) == 2 * max(8, int(math.sqrt(n)))
+
+
+def test_estimated_scan_partitions_matches_actual_for_tiny_scan(spark, tmp_path):
+    """Estimator path: a tiny local parquet scan estimates <= cores
+    partitions without touching df.rdd, agreeing with the exact count
+    closely enough for the guard's purpose; non-scan frames fall back
+    (return None) instead of guessing."""
+    from pr2_transformation_spark.functions.dedup import (
+        _estimated_scan_partitions,
+        ensure_parallelism,
+    )
+
+    path = str(tmp_path / "tiny.parquet")
+    spark.range(100).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    est = _estimated_scan_partitions(df)
+    assert est is not None
+    assert est <= spark.sparkContext.defaultParallelism
+    # the guard repartitions the tiny scan up to cores
+    out = ensure_parallelism(df)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    # in-memory frame: no input files -> estimator declines, no crash
+    assert _estimated_scan_partitions(spark.range(10)) is None
+    # already-parallel frame: guard is a no-op object-wise
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    assert ensure_parallelism(wide) is wide
