@@ -2,10 +2,11 @@
 
 The reference exposes five Flask routes called by Airflow
 (/root/reference/core/endpoints.py:11-87); here they are plain functions
-over a :class:`Catalog` — a web framework is deliberately out of scope (the
-engine is a library; any HTTP shim can wrap these 1:1).  Request validation
-and response envelopes follow /root/reference/core/request_helpers.py:3-12
-and /root/reference/core/endpoints.py:28-35.
+over a :class:`Catalog`, and :mod:`pr2_transformation_spark.service`
+mounts them on the matching Flask routes (same paths, status codes, and
+envelopes).  Request validation and response envelopes follow
+/root/reference/core/request_helpers.py:3-12 and
+/root/reference/core/endpoints.py:28-35.
 """
 
 from __future__ import annotations
