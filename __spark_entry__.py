@@ -2549,13 +2549,17 @@ def q120_segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle so the exchange moves 8-byte keys, not 60-char strings —
     kept as text here for oracle exactness (same trade-off as q36)."""
     docs = _t(spark, sf_dir, "documents")
-    segs = docs.select(
+    # tokenize once per row, then segment off the bound column — an inlined
+    # split() inside the transform() lambda would re-tokenize the full text
+    # at every segment position (same fix as winnowing_fingerprints).
+    toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    segs = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 10 THEN "
-                "transform(sequence(0, size(split(text, ' ')) div 10 - 1), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10))) "
+                "CASE WHEN size(__toks) >= 10 THEN "
+                "transform(sequence(0, size(__toks) div 10 - 1), "
+                "i -> concat_ws(' ', slice(__toks, i * 10 + 1, 10))) "
                 "ELSE array() END"
             )
         ).alias("seg"),

