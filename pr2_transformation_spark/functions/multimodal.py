@@ -2,11 +2,18 @@
 
 Images / audio / video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct.  Everything Spark-side is real — schemas,
-Arrow-batched ``mapInPandas`` plumbing, partition sizing — while the actual
-codec work is STUBBED (this environment ships no image/audio libraries): the
-default decoder is a clearly-marked deterministic fake, and passing
-``decoder=None`` raises ``NotImplementedError`` at the call site where a real
-``PIL``/``torchaudio`` decoder would plug in.
+Arrow-batched ``mapInPandas`` plumbing, partition sizing.  Codec coverage is
+split by what this environment can honestly do (no PIL/torchaudio/libav):
+
+* REAL, pure-numpy decoders: uncompressed BMP (:func:`bmp_decode` headers,
+  :func:`bmp_pixels` pixel arrays + :func:`resize_images` nearest-neighbor
+  resample) and RIFF/WAVE PCM (:func:`wav_decode` headers,
+  :func:`pcm_samples` sample arrays + :func:`audio_features` RMS/ZCR/peak).
+* STUBBED: compressed formats (png/jpeg/mp3/mp4).  The feature extractor's
+  default decoder is a clearly-marked deterministic fake, and passing
+  ``decoder=None`` raises ``NotImplementedError`` at the seam where a
+  ``PIL``/``torchaudio`` wrapper would plug into the same callable
+  signature the real decoders use.
 
 Scale notes: binary payloads dominate row size, so `maxPartitionBytes`-driven
 splits keep tasks balanced; the mapInPandas batch size is rows-per-Arrow-batch
@@ -89,6 +96,188 @@ def bmp_decode(payload: bytes) -> dict:
         "width": abs(width),
         "height": abs(height),
     }
+
+
+def wav_decode(payload: bytes) -> dict:
+    """REAL (non-stub) audio decoder for RIFF/WAVE PCM — pure Python.
+
+    Walks the RIFF chunk list for ``fmt `` and ``data``, returning channel
+    count, sample rate, bit depth, and sample/duration counts with no codec
+    library.  Together with :func:`pcm_samples` this makes the audio path
+    genuinely decode-capable (header *and* sample access); a torchaudio/
+    soundfile wrapper plugs into the same ``bytes -> dict`` seam for
+    compressed formats.  Raises ``ValueError`` for non-WAV bytes.
+    """
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", payload, body)
+        elif cid == b"data":
+            data_size = min(size, len(payload) - body)
+        pos = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or n_channels == 0 or block_align == 0:
+        raise ValueError("only uncompressed PCM is decodable without codecs")
+    n_frames = data_size // block_align
+    return {
+        "media_type": "audio",
+        "format": "wav",
+        "n_channels": int(n_channels),
+        "sample_rate_hz": int(sample_rate),
+        "bit_depth": int(bits),
+        "n_frames": int(n_frames),
+        "duration_ms": int(round(n_frames * 1000 / sample_rate)) if sample_rate else 0,
+    }
+
+
+def pcm_samples(payload: bytes):
+    """Decode a 16-bit PCM WAV payload to a ``(n_frames, n_channels)``
+    numpy int16 array (REAL sample access, numpy only)."""
+    import struct
+
+    import numpy as np
+
+    meta = wav_decode(payload)
+    if meta["bit_depth"] != 16:
+        raise ValueError("pcm_samples supports 16-bit PCM")
+    # find the data chunk body again (wav_decode validated the layout)
+    pos = 12
+    while True:
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"data":
+            break
+        pos = body + size + (size & 1)
+    n = meta["n_frames"] * meta["n_channels"]
+    samples = np.frombuffer(payload, dtype="<i2", count=n, offset=body)
+    return samples.reshape(meta["n_frames"], meta["n_channels"])
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", StringType()),        # fixed-4dp string: exact cross-engine compare
+        StructField("zero_cross_rate", StringType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL audio feature extraction: RMS energy, zero-crossing rate, and
+    peak amplitude over decoded PCM samples — numpy inside Arrow-batched
+    ``mapInPandas``, no audio library.  Undecodable payloads yield NULL
+    features (decode errors are data, not job failures)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    meta = wav_decode(raw)
+                    mono = pcm_samples(raw).astype(np.float64).mean(axis=1)
+                    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+                    zcr = (
+                        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        if len(mono) > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        {
+                            "asset_id": str(asset_id),
+                            "n_channels": meta["n_channels"],
+                            "sample_rate_hz": meta["sample_rate_hz"],
+                            "duration_ms": meta["duration_ms"],
+                            "rms": f"{rms:.4f}",
+                            "zero_cross_rate": f"{zcr:.4f}",
+                            "peak": int(np.max(np.abs(mono))) if len(mono) else 0,
+                        }
+                    )
+                except ValueError:
+                    rows.append({"asset_id": str(asset_id), "n_channels": None,
+                                 "sample_rate_hz": None, "duration_ms": None,
+                                 "rms": None, "zero_cross_rate": None, "peak": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, binary_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def bmp_pixels(payload: bytes):
+    """Decode an uncompressed 24-bit BMP to an ``(h, w, 3)`` RGB numpy
+    array (REAL pixel access: data-offset lookup, 4-byte row padding,
+    bottom-up vs top-down row order).  numpy only."""
+    import struct
+
+    import numpy as np
+
+    meta = bmp_decode(payload)  # validates the BM magic + header
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width_raw, height_raw = struct.unpack_from("<ii", payload, 18)
+    bits = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bits != 24 or compression != 0:
+        raise ValueError("bmp_pixels supports uncompressed 24-bit BMP")
+    w, h = meta["width"], meta["height"]
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if height_raw > 0:  # positive height = bottom-up row order
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("rgb", BinaryType()),  # row-major h*w*3 RGB bytes
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, binary_col: str, id_col: str, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL image resize: nearest-neighbor resample of decoded BMP pixels
+    via numpy index gather, emitted as raw RGB bytes + final dimensions.
+    The standard training-data preprocessing shape (decode -> resize ->
+    feature model); swap :func:`bmp_pixels` for a PIL decode to cover
+    compressed formats.  Undecodable payloads yield NULL rgb."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    img = bmp_pixels(raw)
+                    h, w = img.shape[:2]
+                    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    resized = img[yi][:, xi]
+                    rows.append({"asset_id": str(asset_id), "width": out_w,
+                                 "height": out_h, "rgb": resized.tobytes()})
+                except ValueError:
+                    rows.append({"asset_id": str(asset_id), "width": None,
+                                 "height": None, "rgb": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select(id_col, binary_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
 #: Output schema of :func:`decode_media` — MEDIA_META_SCHEMA flattened

@@ -78,3 +78,83 @@ def test_sample_frames_fanout_and_determinism(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     expect0 = hashlib.sha256(payload + b"#0").hexdigest()[:12]
     assert rows[0]["frame_crc"] == expect0
+
+
+def _wav_bytes(samples, sample_rate=8000, n_channels=1):
+    """Minimal valid RIFF/WAVE: fmt chunk + 16-bit PCM data chunk."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _full_bmp_bytes(pixels_rgb) -> bytes:
+    """Valid 24-bit BMP with a pixel array (bottom-up rows, 4-byte pad)."""
+    import numpy as np
+
+    img = np.asarray(pixels_rgb, dtype="uint8")
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype="uint8")
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
+    data = rows.tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return file_header + info_header + data
+
+
+def test_wav_decode_and_samples_pure_numpy():
+    import numpy as np
+
+    samples = [0, 1000, -1000, 500, -500, 0, 2000, -2000]
+    raw = _wav_bytes(samples, sample_rate=4000)
+    meta = multimodal.wav_decode(raw)
+    assert (meta["n_channels"], meta["sample_rate_hz"], meta["bit_depth"]) == (1, 4000, 16)
+    assert meta["n_frames"] == len(samples)
+    assert meta["duration_ms"] == 2  # 8 frames / 4000 Hz
+    assert np.array_equal(multimodal.pcm_samples(raw).ravel(), np.array(samples))
+    for bad in (b"", b"RIFFxxxxNOPE", b"plain text"):
+        with pytest.raises(ValueError):
+            multimodal.wav_decode(bad)
+
+
+def test_audio_features_end_to_end(spark):
+    import numpy as np
+
+    samples = [1000, -1000] * 50  # alternating: zcr ~ 1, rms = 1000
+    rows = [("a1", _wav_bytes(samples)), ("junk", b"not audio")]
+    df = spark.createDataFrame(rows, "asset string, payload binary")
+    out = {r["asset_id"]: r for r in
+           multimodal.audio_features(df, "payload", "asset").collect()}
+    a1 = out["a1"]
+    assert a1["sample_rate_hz"] == 8000 and a1["n_channels"] == 1
+    assert a1["rms"] == "1000.0000"
+    assert float(a1["zero_cross_rate"]) > 0.98
+    assert a1["peak"] == 1000
+    assert out["junk"]["rms"] is None  # undecodable -> NULL features, row kept
+
+
+def test_bmp_pixels_roundtrip_and_resize(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype="uint8")
+    raw = _full_bmp_bytes(img)
+    assert np.array_equal(multimodal.bmp_pixels(raw), img)  # exact pixel roundtrip
+
+    rows = [("i1", raw), ("junk", b"nope")]
+    df = spark.createDataFrame(rows, "asset string, payload binary")
+    out = {r["asset_id"]: r for r in
+           multimodal.resize_images(df, "payload", "asset", 2, 3).collect()}
+    got = np.frombuffer(out["i1"]["rgb"], dtype="uint8").reshape(3, 2, 3)
+    yi = (np.arange(3) * 6 // 3).clip(0, 5)
+    xi = (np.arange(2) * 5 // 2).clip(0, 4)
+    assert np.array_equal(got, img[yi][:, xi])  # nearest-neighbor exactness
+    assert out["junk"]["rgb"] is None
