@@ -412,6 +412,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     min_jaccard: float = 0.05,
     bucket_cols: list[str] | None = None,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for every pair sharing >=1 shingle
     (optionally restricted to pairs agreeing on ``bucket_cols``).
@@ -421,10 +422,18 @@ def ngram_jaccard_pairs(
     map-side from each list, and a second shuffle counts shared shingles per
     pair.  This halves the shuffles of the naive exploded self-join (which
     shuffles + sorts the full posting table twice) and the per-gram pair
-    expansion is bounded by true overlap, never O(n²) over the corpus.  At
-    scale, cap pathological posting lists (ultra-common shingles) with a
-    ``max_posting`` filter — a standard index-pruning tradeoff (not applied
-    here to keep exact-oracle semantics).
+    expansion is bounded by true overlap, never O(n²) over the corpus.
+
+    ``max_posting`` is the scale lever for pathological shingles: a posting
+    list longer than the cap (ultra-common phrases — boilerplate headers,
+    license blurbs) is dropped *whole* before pair expansion, bounding any
+    single shingle's pair fan-out at max_posting² instead of (corpus
+    frequency)².  The tradeoff is standard index pruning: similarity is
+    then computed only over *discriminating* shingles, so reported jaccard
+    for a surviving pair can undercount by the pruned common shingles and
+    pairs sharing ONLY ultra-common shingles vanish — almost always the
+    intent of near-dup mining.  Default ``None`` keeps exact-oracle
+    semantics.
     """
     bucket_cols = bucket_cols or []
     tok = ensure_parallelism(df).select(
@@ -451,6 +460,8 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "sz"))).alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    if max_posting is not None:
+        posts = posts.filter(F.size("docs") <= max_posting)
     pair_expr = f"""
         flatten(transform(docs, (x, i) ->
             transform(slice(docs, i + 2, size(docs) - i - 1), y ->
@@ -538,6 +549,7 @@ def winnowing_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from shared winnowing fingerprints: the
     substring-sensitive complement to ``ngram_jaccard_pairs`` (which
@@ -546,8 +558,23 @@ def winnowing_pairs(
     pairs sharing >= ``min_shared`` fingerprints survive.  Returns
     ``(id_a, id_b, n_shared)`` with id_a < id_b — feed to
     ``operators.graph.dedup_clusters`` for transitive canonicalization.
+
+    ``max_posting`` prunes fingerprints carried by more than that many
+    documents (boilerplate substrings) before the self-join, bounding the
+    per-fingerprint pair fan-out at max_posting² — same index-pruning
+    tradeoff, and same default-off exactness, as ``ngram_jaccard_pairs``.
+    The hot-fingerprint list is tiny by construction (only
+    above-threshold counts survive), so the exclusion join broadcasts.
     """
     fp = winnowing_fingerprints(df, text_col, id_col, k, w)
+    if max_posting is not None:
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") > max_posting)
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
     return (

@@ -583,3 +583,40 @@ def test_estimated_scan_partitions_matches_actual_for_tiny_scan(spark, tmp_path)
     # already-parallel frame: guard is a no-op object-wise
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
     assert ensure_parallelism(wide) is wide
+
+
+def test_max_posting_prunes_boilerplate_shingles(spark):
+    """Index-pruning lever: with a posting cap, pairs related ONLY through
+    an ultra-common shingle disappear and surviving pairs' jaccard is
+    computed over discriminating shingles; with the default (None) the
+    exact-oracle semantics are unchanged."""
+    from pr2_transformation_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        winnowing_pairs,
+    )
+
+    boiler = "all rights reserved by the example corporation"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon {boiler}"),
+        (2, f"alpha beta gamma delta epsilon {boiler}"),  # true near-dup of 1
+        (3, f"zeta eta theta iota kappa {boiler}"),       # only boilerplate shared
+        (4, f"zeta eta theta iota kappa {boiler}"),       # true near-dup of 3
+        (5, "completely different text with nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = {(r.id_a, r.id_b) for r in
+                ngram_jaccard_pairs(df, min_jaccard=0.01).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              ngram_jaccard_pairs(df, min_jaccard=0.01, max_posting=2).collect()}
+    assert (1, 2) in capped and (3, 4) in capped  # real dups survive
+    assert (1, 3) in uncapped and (1, 3) not in capped  # boilerplate-only pruned
+    assert capped < uncapped
+
+    wp_uncapped = {(r.id_a, r.id_b) for r in
+                   winnowing_pairs(df, min_shared=1).collect()}
+    wp_capped = {(r.id_a, r.id_b) for r in
+                 winnowing_pairs(df, min_shared=1, max_posting=2).collect()}
+    assert (1, 2) in wp_capped and (3, 4) in wp_capped
+    assert wp_capped <= wp_uncapped
+    assert (1, 3) not in wp_capped
