@@ -1439,13 +1439,18 @@ def q81_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed entirely with array HOFs (sequence/transform/slice) — no
     explode, no UDF; the per-doc result is narrow."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
+    # bind the token array before the transform() lambda: the lambda body
+    # embeds its free expressions, so an unbound split here would
+    # re-tokenize the document once per chunk (see winnowing_fingerprints)
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks")
+    )
+    n = F.size("__toks")
     chunk_sizes = F.transform(
         F.sequence(F.lit(0), F.floor((n - 1) / 48).cast("int")),
-        lambda i: F.size(F.slice(toks, i * 48 + 1, 64)),
+        lambda i: F.size(F.slice(F.col("__toks"), i * 48 + 1, 64)),
     )
-    return docs.select(
+    return toks.select(
         "doc_id",
         n.alias("n_tokens"),
         F.size(chunk_sizes).alias("n_chunks"),
