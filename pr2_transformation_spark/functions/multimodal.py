@@ -117,6 +117,8 @@ def wav_decode(payload: bytes) -> dict:
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = pos + 8
         if cid == b"fmt " and size >= 16:
+            if body + 16 > len(payload):  # declared size lies about the payload
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", payload, body)
         elif cid == b"data":
             data_size = min(size, len(payload) - body)
@@ -224,6 +226,8 @@ def bmp_pixels(payload: bytes):
     import numpy as np
 
     meta = bmp_decode(payload)  # validates the BM magic + header
+    if len(payload) < 34:  # bmp_decode only guarantees the dimension fields
+        raise ValueError("truncated BMP info header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     width_raw, height_raw = struct.unpack_from("<ii", payload, 18)
     bits = struct.unpack_from("<H", payload, 28)[0]
@@ -232,6 +236,8 @@ def bmp_pixels(payload: bytes):
         raise ValueError("bmp_pixels supports uncompressed 24-bit BMP")
     w, h = meta["width"], meta["height"]
     stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    if data_offset + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel array")
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
     img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if height_raw > 0:  # positive height = bottom-up row order

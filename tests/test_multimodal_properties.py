@@ -1,0 +1,131 @@
+"""Property-based round-trip invariants for the pure-numpy media codecs.
+
+Encoders here are *test-side* (struct-packed RIFF/BMP writers); the
+decoders under test are the production seam (`wav_decode`/`pcm_samples`,
+`bmp_decode`/`bmp_pixels`).  encode(decode(x)) == x over random payload
+shapes exercises the padding/alignment/row-order corners that fixed
+fixtures miss (odd-size RIFF chunks, BMP stride padding at w % 4 != 0,
+top-down vs bottom-up row order).  Driver-side only — no SparkSession.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pr2_transformation_spark.functions import multimodal
+
+
+def wav_bytes(samples: np.ndarray, sample_rate: int, n_channels: int) -> bytes:
+    pcm = samples.astype("<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) & 1:  # RIFF chunks are 2-byte aligned: odd data gets a pad byte
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def bmp_bytes(img: np.ndarray, top_down: bool) -> bytes:
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype="uint8")
+    bgr = img[:, :, ::-1] if top_down else img[::-1, :, ::-1]
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = rows.tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    return file_header + info_header + data
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    n_frames=st.integers(0, 64),
+    n_channels=st.integers(1, 4),
+    sample_rate=st.integers(1, 96_000),
+)
+def test_wav_roundtrip(data, n_frames, n_channels, sample_rate):
+    samples = np.array(
+        data.draw(
+            st.lists(
+                st.integers(-(2**15), 2**15 - 1),
+                min_size=n_frames * n_channels,
+                max_size=n_frames * n_channels,
+            )
+        ),
+        dtype=np.int64,
+    ).reshape(n_frames, n_channels)
+    raw = wav_bytes(samples, sample_rate, n_channels)
+    meta = multimodal.wav_decode(raw)
+    assert meta["n_frames"] == n_frames
+    assert meta["n_channels"] == n_channels
+    assert meta["sample_rate_hz"] == sample_rate
+    assert meta["duration_ms"] == int(round(n_frames * 1000 / sample_rate))
+    got = multimodal.pcm_samples(raw)
+    assert got.shape == (n_frames, n_channels)
+    assert np.array_equal(got, samples)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.data(),
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    top_down=st.booleans(),
+)
+def test_bmp_pixel_roundtrip(data, w, h, top_down):
+    flat = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+    )
+    img = np.array(flat, dtype="uint8").reshape(h, w, 3)
+    raw = bmp_bytes(img, top_down)
+    meta = multimodal.bmp_decode(raw)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert np.array_equal(multimodal.bmp_pixels(raw), img)
+
+
+@settings(max_examples=100, deadline=None)
+@given(junk=st.binary(max_size=80))
+def test_decoders_reject_or_parse_never_crash(junk):
+    """Arbitrary bytes either parse (if they happen to be valid headers) or
+    raise ValueError — never IndexError/struct.error, since at 100 TB
+    decode errors must be catchable data, not executor crashes."""
+    for decode in (
+        multimodal.wav_decode,
+        multimodal.bmp_decode,
+        multimodal.pcm_samples,
+        multimodal.bmp_pixels,
+    ):
+        try:
+            decode(junk)
+        except ValueError:
+            pass
+
+
+def test_truncated_headers_raise_value_error_not_struct_error():
+    """Headers whose declared sizes lie about the actual payload length are
+    the adversarial case random fuzzing rarely hits: a fmt chunk claiming
+    16 bytes with 4 present, a BMP cut off mid-info-header, a pixel array
+    shorter than stride*height."""
+    import pytest
+
+    fmt_lies = b"RIFF" + struct.pack("<I", 16) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    with pytest.raises(ValueError):
+        multimodal.wav_decode(fmt_lies)
+
+    img = np.zeros((2, 2, 3), dtype="uint8")
+    full = bmp_bytes(img, top_down=False)
+    with pytest.raises(ValueError):
+        multimodal.bmp_pixels(full[:30])  # mid-info-header cut
+    with pytest.raises(ValueError):
+        multimodal.bmp_pixels(full[:-5])  # pixel array short of stride*h
