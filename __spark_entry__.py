@@ -2882,6 +2882,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: Portable 60-bit md5 hash (see functions/dedup.py:md5_long) as DuckDB SQL.
 _MD5L = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
 
+#: Affine-permutation constants for the q22 MinHash oracle — the SAME
+#: (i, a, b) rows dedup.minhash_signature(hasher="md5") uses in Spark.
+_MINHASH_PERMS = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(dedup.minhash_affine_constants(16))
+)
+
 #: 16-bit SimHash bit-vote fold over a per-token hash column ``h`` —
 #: the exact arithmetic dedup.simhash(hasher="md5") runs in Spark.
 _SIMHASH_FOLD = " + ".join(
@@ -3157,11 +3164,13 @@ def oracle_sql() -> dict[str, str]:
                        list_distinct(list_transform(range(1, len(t) - 1),
                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
                 FROM toks
+            ), hashed AS (
+                SELECT doc_id, ({_MD5L.format(x="u.g")}) % 2147483647 AS h
+                FROM sh, UNNEST(sh.s) AS u(g)
             ), sig AS (
                 SELECT doc_id, p.i AS perm,
-                       min({_MD5L.format(x="CAST(p.i AS VARCHAR) || '|' || u.g")}) AS m
-                FROM sh, UNNEST(sh.s) AS u(g),
-                     (SELECT unnest(range(16)) AS i) p
+                       min((p.a * hashed.h + p.b) % 2147483647) AS m
+                FROM hashed, (VALUES {_MINHASH_PERMS}) p(i, a, b)
                 GROUP BY doc_id, p.i
             ), sigarr AS (
                 SELECT doc_id, list(m ORDER BY perm) AS sig

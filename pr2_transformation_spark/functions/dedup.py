@@ -201,6 +201,24 @@ def duplicate_stats_by_hash(df: DataFrame, content_cols: list[str]) -> DataFrame
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+#: Modulus for affine MinHash permutations: Mersenne prime 2^31 - 1.  The
+#: base hash is reduced mod P first, so a * h + b stays under 2^62 — no
+#: overflow in Spark's wrapping LongType OR DuckDB's checked BIGINT, which
+#: is what makes the md5 mode bit-replayable across engines.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_affine_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine permutation family
+    ``h -> (a_i * h + b_i) % MINHASH_P`` — LCG-derived, a_i forced nonzero.
+    Shared by the Spark implementation and the generated oracle SQL."""
+    out = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % MINHASH_P or 1
+        b = (69069 * (i + 1) + 1) % MINHASH_P
+        out.append((a, b))
+    return out
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -215,17 +233,17 @@ def minhash_signature(
     hash with the permutation index; the signature element is the min hash
     over the document's distinct word shingles.  Entirely JVM-side.
 
-    ``hasher="xxhash64"`` (default) is the production path;
-    ``hasher="md5"`` uses :func:`md5_long` over ``"<seed>|<shingle>"`` so a
-    DuckDB oracle can reproduce the signature bit-for-bit.
+    ``hasher="xxhash64"`` (default) is the production path: one seeded JVM
+    intrinsic per (permutation, shingle).  ``hasher="md5"`` is the
+    cross-engine-deterministic mode: ONE :func:`md5_long` per shingle,
+    then each permutation is an affine map ``(a_i * (h % P) + b_i) % P``
+    over the base hash (P = 2^31 - 1, constants from
+    :func:`minhash_affine_constants`) — standard affine MinHash, and a
+    DuckDB oracle replays the integer arithmetic exactly.  (An earlier
+    form md5-hashed ``"<seed>|<shingle>"`` per permutation: num_hashes
+    full md5 rounds per shingle on BOTH engines, ~6x slower end-to-end
+    at 16 permutations.)
     """
-    def perm_hash(seed: int):
-        # single-arg lambda: extra lambda params would make Spark pass the
-        # array index as a second higher-order-function variable
-        if hasher == "md5":
-            return lambda s: md5_long(F.concat(F.lit(f"{seed}|"), s))
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
     # Materialize tokens, then shingles, each in its own projection, then
     # hash the *column reference*: inlining the tokenizer/shingle expression
     # into all num_hashes signature slots would re-tokenize once per slot
@@ -236,9 +254,32 @@ def minhash_signature(
     with_shingles = with_tokens.select(
         F.col(id_col), shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles")
     )
+    # Factory closures, NOT default-arg lambdas: Spark derives the HOF's
+    # expected variable count from the lambda's parameter list, so
+    # ``lambda h, a=a: ...`` reads as a 2-arg (value, index) lambda.
+    if hasher == "md5":
+        def affine(a: int, b: int):
+            return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+        hashed = with_shingles.select(
+            F.col(id_col),
+            F.col("shingles"),
+            F.transform(F.col("shingles"), lambda s: md5_long(s) % MINHASH_P).alias("__h"),
+        )
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("__h"), affine(a, b)))
+                for a, b in minhash_affine_constants(num_hashes)
+            ]
+        )
+        return hashed.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
+
+    def seeded(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), perm_hash(i)))
+            F.array_min(F.transform(F.col("shingles"), seeded(i)))
             for i in range(num_hashes)
         ]
     )
@@ -336,11 +377,19 @@ def near_dup_pairs_minhash(
     """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
     pairs -> exact Jaccard filter at ``threshold``.
 
-    The signature frame is persisted: it feeds both sides of the banded
-    self-join *and* both sides of the Jaccard verification join, and
-    recomputing tokenization+hashing four times dominates runtime otherwise.
+    The signature frame is materialized once (eager ``localCheckpoint``):
+    it feeds both sides of the banded self-join *and* both sides of the
+    Jaccard verification join, and recomputing tokenization+hashing four
+    times dominates runtime otherwise.  localCheckpoint over ``persist``
+    because the pipeline returns before the result is consumed, so an
+    explicit ``unpersist`` has nowhere to live — a cache entry would
+    outlive the call forever, while checkpoint blocks are reclaimed by the
+    ContextCleaner once the result frame is garbage-collected.  (On a
+    multi-executor cluster a lost executor invalidates local checkpoint
+    blocks; a reliable checkpoint dir or an explicit signature table is
+    the durable variant at 100 TB.)
     """
-    sig = minhash_signature(df, text_col, id_col, num_hashes, hasher=hasher).persist()
+    sig = minhash_signature(df, text_col, id_col, num_hashes, hasher=hasher).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sig, id_col, bands, sig_len=num_hashes, hasher=hasher)
     return jaccard_for_pairs(cands, sig, id_col).filter(F.col("jaccard") >= threshold)
 
