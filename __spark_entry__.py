@@ -690,6 +690,38 @@ def q52_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True)
 
 
+def q127_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/joins.salted_join): the big fact side
+    carries a deterministic row-hash salt mod 16 and the supplier side
+    replicates 16x, so one hot l_suppkey spreads over 16 shuffle tasks.
+    Result is identical to the plain equi-join — the oracle IS the plain
+    join, which is the operator's correctness contract.  Revenue uses the
+    exact-cents trick (sum over rounded long cents) so double summation
+    order can't diverge across engines."""
+    from pr2_transformation_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, supp, on=["l_suppkey"], salt=16)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
+    )
+
+
 def q53_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface: lpad / translate / concat_ws formatting."""
     cust = _t(spark, sf_dir, "customer")
@@ -2796,6 +2828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_date_arithmetic": q50_date_arithmetic,
         "q51_semi_anti_join": q51_semi_anti_join,
         "q52_union_by_name": q52_union_by_name,
+        # in the driver's 50-slot graded window (slot 50): the one §2.6
+        # operator that previously had only unit-test coverage
+        "q127_salted_skew_join": q127_salted_skew_join,
         "q53_string_functions": q53_string_functions,
         "q54_grouping_sets": q54_grouping_sets,
         "q55_rolling_avg": q55_rolling_avg,
@@ -4548,6 +4583,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_small
             FROM branded b JOIN per_part p ON b.l_partkey = p.agg_partkey
             WHERE b.qty_cents * 5 * p.n_lines < p.sum_qty_cents * 100
+        """,
+        "q127_salted_skew_join": """
+            SELECT s_nationkey,
+                   count(*) AS n_items,
+                   round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                                  AS BIGINT)) / 100.0, 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
         """,
         "q119_disjunctive_predicate_join": """
             SELECT round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
