@@ -8,6 +8,7 @@ so timings reflect query execution, not session startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -126,6 +127,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — one broken query must not zero the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        # Drop the dropped-frame references NOW so the ContextCleaner frees
+        # localCheckpoint blocks between queries instead of letting block-
+        # manager memory pile up and tax later queries' GC.
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
