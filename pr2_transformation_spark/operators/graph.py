@@ -60,10 +60,19 @@ def connected_components(
     # without truncation that whole pipeline would re-execute inside EVERY
     # iteration's neighbor join plus the initial label build — measured 3x
     # end-to-end cost on the q94 canonicalization pass.
+    #
+    # Hash-partition AND sort the edge list on the join key BEFORE the
+    # checkpoint: LogicalRDD captures outputPartitioning/outputOrdering, so
+    # every iteration's sort-merge join reuses them and the edge side (the
+    # BIG side — |edges| >= |vertices| on near-dup graphs) joins with zero
+    # exchange and zero sort; only the per-iteration label frame shuffles.
+    # Without this, the full edge list re-shuffled O(diameter) times.
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
+        .repartition("b")
+        .sortWithinPartitions("b")
         .localCheckpoint(eager=True)
     )
 

@@ -361,3 +361,47 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cc_iteration_edge_side_needs_no_exchange_or_sort(spark):
+    """The CC edge list is hash-partitioned + sorted on the join key before
+    its checkpoint, so each iteration's SMJ consumes it with ZERO Exchange
+    and ZERO Sort — only the per-iteration label frame shuffles.  AQE and
+    auto-broadcast off so the tiny fixture plans like the at-scale SMJ."""
+    from pr2_transformation_spark.operators import graph
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "src bigint, dst bigint"
+        )
+        fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        sym = (
+            fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .repartition("b")
+            .sortWithinPartitions("b")
+            .localCheckpoint(eager=True)
+        )
+        labels = (
+            sym.select(F.col("a").alias("id")).distinct()
+            .select("id", F.col("id").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        step = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
+        )
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        # edge side: Scan ExistingRDD feeds the SMJ directly (no Sort above it)
+        assert plan.count("Exchange") == 2  # labels join side + groupBy only
+        assert plan.count("Sort [") == 1    # labels side only
+        # and the full operator still resolves components correctly
+        comp = {r["id"]: r["comp"] for r in graph.connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
