@@ -318,13 +318,19 @@ def semantic_dedup(
     w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), "__cid")
     # The assignment frame feeds three plan arms (both pair-join sides and
     # the output join) — materialize once instead of re-running the
-    # crossJoin+window per arm.
+    # crossJoin+window per arm.  Partition + sort on `cluster` BEFORE the
+    # checkpoint: LogicalRDD captures partitioning/ordering, so the
+    # cluster-keyed SELF-join consumes both alias sides with no Exchange
+    # and no Sort (same reuse trick as connected_components' edge list) —
+    # one up-front shuffle replaces two pair-join shuffles.
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             F.col(id_col), F.col("__v"), F.col("__nrm"), F.col("__cid").alias("cluster")
         )
+        .repartition("cluster")
+        .sortWithinPartitions("cluster")
         .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
