@@ -389,7 +389,18 @@ def near_dup_pairs_minhash(
     blocks; a reliable checkpoint dir or an explicit signature table is
     the durable variant at 100 TB.)
     """
-    sig = minhash_signature(df, text_col, id_col, num_hashes, hasher=hasher).localCheckpoint(eager=True)
+    # Partition + sort on the id before the checkpoint: the Jaccard
+    # verification joins the signature frame on id twice (id_a, id_b), and
+    # LogicalRDD's captured partitioning serves both — the (big) signature
+    # side of each verification join needs no Exchange and no Sort; only
+    # the (small) candidate-pair side shuffles.  The banding arm reshuffles
+    # by (band, bucket) regardless, so it loses nothing.
+    sig = (
+        minhash_signature(df, text_col, id_col, num_hashes, hasher=hasher)
+        .repartition(id_col)
+        .sortWithinPartitions(id_col)
+        .localCheckpoint(eager=True)
+    )
     cands = lsh_candidate_pairs(sig, id_col, bands, sig_len=num_hashes, hasher=hasher)
     return jaccard_for_pairs(cands, sig, id_col).filter(F.col("jaccard") >= threshold)
 
