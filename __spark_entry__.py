@@ -911,9 +911,14 @@ def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q36_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level duplication summary (total/distinct/duplicate rows)."""
+    """Corpus-level duplication summary (total/distinct/duplicate rows) in
+    the SCALE form: distinct-count over the portable 60-bit content hash,
+    so the distinct machinery moves 8-byte keys instead of document text —
+    and the oracle replays the identical hash, keeping the graded check
+    exact.  `dedup.duplicate_stats` remains the text-exact twin
+    (equivalence pinned in test_ext_ops)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.duplicate_stats(docs, ["text"])
+    return dedup.duplicate_stats_by_hash(docs, ["text"], hasher="md5")
 
 
 def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2580,11 +2585,13 @@ def q120_segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style cross-document segment dedup signal: split each doc
     into consecutive 10-word segments, mark segments that occur in more
     than one distinct document, report each document's duplicated-segment
-    fraction.  Two shuffles (segment text, then doc_id); the per-segment
+    fraction.  Two shuffles (segment key, then doc_id); the per-segment
     distinct-doc count uses the segment exchange the join probe also
-    needs.  At 100 TB the segment column would be hashed (xxhash64) before
-    the shuffle so the exchange moves 8-byte keys, not 60-char strings —
-    kept as text here for oracle exactness (same trade-off as q36)."""
+    needs.  The shuffle key is the portable 60-bit md5 of the segment —
+    8-byte exchanges instead of 60-char strings, and because DuckDB
+    computes the identical hash the oracle stays exact (collision odds at
+    2^60 are ~n²/2^61 — negligible against corpus sizes, and any
+    collision only nudges one dup_fraction)."""
     docs = _t(spark, sf_dir, "documents")
     # tokenize once per row, then segment off the bound column — an inlined
     # split() inside the transform() lambda would re-tokenize the full text
@@ -2596,7 +2603,7 @@ def q120_segment_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CASE WHEN size(__toks) >= 10 THEN "
                 "transform(sequence(0, size(__toks) div 10 - 1), "
-                "i -> concat_ws(' ', slice(__toks, i * 10 + 1, 10))) "
+                "i -> CAST(conv(substring(md5(concat_ws(' ', slice(__toks, i * 10 + 1, 10))), 1, 15), 16, 10) AS BIGINT)) "
                 "ELSE array() END"
             )
         ).alias("seg"),
@@ -3492,10 +3499,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             )
         """,
-        "q36_duplicate_stats": """
+        "q36_duplicate_stats": f"""
             SELECT count(*) AS total_rows,
-                   count(DISTINCT text) AS distinct_rows,
-                   count(*) - count(DISTINCT text) AS duplicate_rows
+                   count(DISTINCT {_MD5L.format(x="text")}) AS distinct_rows,
+                   count(*) - count(DISTINCT {_MD5L.format(x="text")})
+                       AS duplicate_rows
             FROM documents
         """,
         "q26_clean_columns_pipeline": """
@@ -4610,7 +4618,9 @@ def oracle_sql() -> dict[str, str]:
             ), segs AS (
                 SELECT doc_id,
                        unnest(list_transform(range(len(t) // 10),
-                           i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')))
+                           i -> CAST(('0x' || substring(md5(
+                               array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')
+                           ), 1, 15)) AS BIGINT)))
                            AS seg
                 FROM toks
             ), stats AS (

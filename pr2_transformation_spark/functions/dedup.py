@@ -183,11 +183,18 @@ def duplicate_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
     )
 
 
-def duplicate_stats_by_hash(df: DataFrame, content_cols: list[str]) -> DataFrame:
+def duplicate_stats_by_hash(
+    df: DataFrame, content_cols: list[str], hasher: str = "xxhash64"
+) -> DataFrame:
     """Scale twin of :func:`duplicate_stats`: distinct-count over the
     64-bit content hash, so only 8-byte keys ride the distinct machinery
-    (same collision caveat as :func:`exact_dedup_by_hash`)."""
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    (same collision caveat as :func:`exact_dedup_by_hash`).
+    ``hasher="md5"`` swaps in the portable :func:`md5_long` over the
+    '|'-joined columns so an external engine can replay the exact count."""
+    if hasher == "md5":
+        h = md5_long(F.concat_ws("|", *[F.col(c) for c in content_cols]))
+    else:
+        h = F.xxhash64(*[F.col(c) for c in content_cols])
     total = F.count(F.lit(1)).alias("total_rows")
     distinct = F.count_distinct(h).alias("distinct_rows")
     return df.agg(total, distinct).select(

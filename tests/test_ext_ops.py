@@ -167,7 +167,8 @@ def test_duplicate_stats_hash_matches_exact(spark):
     )
     exact = duplicate_stats(df, ["text"]).collect()[0]
     hashed = duplicate_stats_by_hash(df, ["text"]).collect()[0]
-    assert tuple(exact) == tuple(hashed) == (300, 13, 287)
+    portable = duplicate_stats_by_hash(df, ["text"], hasher="md5").collect()[0]
+    assert tuple(exact) == tuple(hashed) == tuple(portable) == (300, 13, 287)
 
 
 def test_connected_components_known_graph(spark):
