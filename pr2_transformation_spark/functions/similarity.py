@@ -230,15 +230,33 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-bucketing: only
     same-bucket pairs are scored (id_a < id_b), then filtered at
-    ``threshold``."""
+    ``threshold``.
+
+    ``max_bucket`` is the skew guard: a hyperplane bucket holding more
+    than that many vectors (a dense embedding cluster — the quadratic
+    hot spot) is excluded whole before the pair join, bounding any
+    bucket's fan-out at max_bucket².  Same index-pruning contract as
+    ``dedup.ngram_jaccard_pairs(max_posting=...)``: default ``None``
+    keeps every bucket; with a cap, pairs inside oversized clusters are
+    deliberately skipped (route those clusters to ``semantic_dedup``,
+    which handles dense regions by construction)."""
     dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    if max_bucket is not None:
+        hot = (
+            b.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .filter(F.col("__nb") > max_bucket)
+            .select("__bucket")
+        )
+        b = b.join(F.broadcast(hot), "__bucket", "left_anti")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(

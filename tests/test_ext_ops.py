@@ -621,3 +621,28 @@ def test_max_posting_prunes_boilerplate_shingles(spark):
     assert (1, 2) in wp_capped and (3, 4) in wp_capped
     assert wp_capped <= wp_uncapped
     assert (1, 3) not in wp_capped
+
+
+def test_embedding_lsh_max_bucket_prunes_dense_clusters(spark):
+    """Skew guard: with a bucket cap, pairs inside an oversized LSH bucket
+    vanish while pairs in small buckets survive; default keeps everything."""
+    import numpy as np
+
+    from pr2_transformation_spark.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    # 12 near-identical vectors (one dense bucket) + 2 isolated near-dups
+    rows = [(i, (base + rng.normal(scale=1e-3, size=8)).tolist()) for i in range(12)]
+    iso = rng.normal(size=8)
+    rows += [(100, iso.tolist()), (101, (iso + 1e-4).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full = embedding_near_dup_pairs(df, threshold=0.99)
+    capped = embedding_near_dup_pairs(df, threshold=0.99, max_bucket=4)
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in full_pairs and (100, 101) in capped_pairs
+    dense_full = {p for p in full_pairs if p[0] < 50}
+    dense_capped = {p for p in capped_pairs if p[0] < 50}
+    assert len(dense_full) > 0 and len(dense_capped) == 0
