@@ -646,3 +646,48 @@ def test_embedding_lsh_max_bucket_prunes_dense_clusters(spark):
     dense_full = {p for p in full_pairs if p[0] < 50}
     dense_capped = {p for p in capped_pairs if p[0] < 50}
     assert len(dense_full) > 0 and len(dense_capped) == 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized equivalence oracle: our union-trick backward as-of join
+    must agree with pandas.merge_asof (allow_exact_matches=True,
+    direction='backward') over random keys/timestamps, including
+    duplicate timestamps within a group and keys absent from one side."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    left_pd = pd.DataFrame({
+        "id": np.arange(300),
+        "k": rng.integers(0, 8, 300),
+        "t": rng.integers(0, 1000, 300),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 6, 150),          # keys 6,7 missing on right
+        "t": rng.integers(0, 1000, 150),
+        "payload": [f"p{i}" for i in range(150)],
+    })
+    # pandas reference: sort by time; break right-side ties deterministically
+    # (merge_asof takes the LAST among equal timestamps, as does ours via
+    # the max-payload-at-max-t convention) — drop dup (k, t) keeping last.
+    right_ref = (
+        right_pd.sort_values(["t", "payload"])
+        .drop_duplicates(["k", "t"], keep="last")
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values("t"), right_ref.sort_values("t"),
+        on="t", by="k", direction="backward", allow_exact_matches=True,
+    ).set_index("id")["payload"].to_dict()
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(
+        right_ref
+    )
+    got = {
+        r["id"]: r["payload"]
+        for r in asof_join(left, right, ["k"], "t", ["payload"]).collect()
+    }
+    norm = lambda v: None if (v is None or v != v) else v
+    assert {k: norm(v) for k, v in expected.items()} == {k: norm(v) for k, v in got.items()}
