@@ -691,3 +691,39 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     }
     norm = lambda v: None if (v is None or v != v) else v
     assert {k: norm(v) for k, v in expected.items()} == {k: norm(v) for k, v in got.items()}
+
+
+def test_two_phase_cc_matches_min_label_and_handles_long_chains(spark):
+    """Kiveris et al. two-phase CC: identical components to min-label
+    propagation wherever the latter converges, AND resolves a 200-vertex
+    chain (which exceeds min-label's diameter bound) in O(log n) rounds."""
+    import random
+
+    from pr2_transformation_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    random.seed(5)
+    for es in (
+        [(i, i - i % 4) for i in range(40) if i % 4],
+        [(random.randrange(300), random.randrange(300)) for _ in range(250)],
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        [(i, i + 1) for i in range(20)],
+    ):
+        ed = spark.createDataFrame(
+            [e for e in es if e[0] != e[1]], "src long, dst long"
+        )
+        ref = {r["id"]: r["comp"] for r in connected_components(ed).collect()}
+        got = {r["id"]: r["comp"]
+               for r in connected_components_two_phase(ed).collect()}
+        assert got == ref
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="two_phase"):
+        connected_components(chain)  # diameter 200 exceeds the label bound
+    comp = {r["id"]: r["comp"]
+            for r in connected_components_two_phase(chain).collect()}
+    assert len(comp) == 201 and set(comp.values()) == {0}
