@@ -1111,6 +1111,21 @@ def q63_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q128_connected_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (large-star/small-star) connected components on the SAME
+    graph as q63 — O(log n) rounds regardless of diameter (Kiveris et al.
+    SoCC'14), sharing q63's recursive-CTE oracle: both algorithms must
+    produce the identical transitive closure."""
+    from pr2_transformation_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    edges = cust.filter(k % 7 != 0).select(k.alias("src"), (k + 3).alias("dst"))
+    return connected_components_two_phase(edges)
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -2910,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_supplier_part_classes": q124_supplier_part_classes,
         "q125_dominant_suppliers": q125_dominant_suppliers,
         "q126_ann_bruteforce_vectorized": q126_ann_bruteforce_vectorized,
+        "q128_connected_components_two_phase": q128_connected_components_two_phase,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -3690,6 +3706,21 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY lang
         """,
         "q63_connected_components": """
+            WITH RECURSIVE e AS (
+                SELECT c_custkey AS a, c_custkey + 3 AS b
+                FROM customer WHERE c_custkey % 7 != 0
+            ), sym AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), v AS (
+                SELECT DISTINCT a AS id FROM sym
+            ), reach(id, r) AS (
+                SELECT id, id FROM v
+                UNION
+                SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+            )
+            SELECT id, min(r) AS comp FROM reach GROUP BY id
+        """,
+        "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
                 SELECT c_custkey AS a, c_custkey + 3 AS b
                 FROM customer WHERE c_custkey % 7 != 0
