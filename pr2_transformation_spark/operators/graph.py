@@ -216,6 +216,7 @@ def dedup_clusters(
     id_col: str,
     left_col: str,
     right_col: str,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Pairs → keep/drop decision per document.
 
@@ -224,8 +225,18 @@ def dedup_clusters(
     with no near-dup) appear with themselves as keeper.  Returns
     ``(id, cluster, keep)`` where ``keep`` marks the minimum id of each
     transitive cluster — the row a dedup pass would retain.
+
+    ``algorithm="label"`` (default) is min-label propagation — fewest
+    shuffles per pass, right for the star/clique clusters near-dup pairs
+    form; ``"two_phase"`` switches to the O(log n)-round star algorithm
+    for graphs that may contain long chains.
     """
-    comp = connected_components(pairs, src=left_col, dst=right_col)
+    if algorithm == "two_phase":
+        comp = connected_components_two_phase(pairs, src=left_col, dst=right_col)
+    elif algorithm == "label":
+        comp = connected_components(pairs, src=left_col, dst=right_col)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r} (label | two_phase)")
     universe = all_ids.select(F.col(id_col).alias("id")).distinct()
     labeled = universe.join(comp, "id", "left").select(
         "id", F.coalesce("comp", F.col("id")).alias("cluster")
