@@ -168,7 +168,9 @@ def connected_components_two_phase(
     prev_sig = None
     for _ in range(max_rounds):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        mins = sym.groupBy("a").agg(F.min("b").alias("__mn")).select(
+            "a", F.least(F.col("__mn"), F.col("a")).alias("m")
+        )
         large = (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
