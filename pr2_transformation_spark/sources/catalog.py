@@ -18,6 +18,7 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def parse_fq_table(fq_table: str) -> tuple[str, str, str]:
@@ -46,8 +47,11 @@ class Catalog:
     # -- registration -----------------------------------------------------
     def register_path(self, fq_table: str, path: str, format: str = "parquet") -> None:
         """Register a storage path; ``format`` may be parquet (default), orc,
-        csv, or json.  CSV reads use header + schema inference — register an
-        explicit DataFrame instead when the schema matters."""
+        csv, json, or text.  CSV reads use header + schema inference —
+        register an explicit DataFrame instead when the schema matters.
+        ``text`` yields one row per line as ``(value string,
+        source_file string)`` — the raw-crawl ingestion shape (each file
+        split line-parallel; pair with ``input_file_name`` provenance)."""
         parse_fq_table(fq_table)
         self._paths[fq_table] = path
         self._formats[fq_table] = format
@@ -80,6 +84,10 @@ class Catalog:
                 return self.spark.read.json(path)
             if fmt == "orc":
                 return self.spark.read.orc(path)
+            if fmt == "text":
+                return self.spark.read.text(path).withColumn(
+                    "source_file", F.input_file_name()
+                )
             return self.spark.read.parquet(path)
         # Fall back to the Spark catalog (saveAsTable / temp views).
         _, dataset, table = parse_fq_table(fq_table)

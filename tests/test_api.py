@@ -257,3 +257,19 @@ def test_audit_sink_remote_writer_injection(tmp_path):
     local = audit.audit_path_for("t2", str(tmp_path / "sql"))
     audit.save_sql_string("SELECT 2", local)
     assert open(local).read() == "SELECT 2"
+
+
+def test_catalog_text_format_reads_lines_with_provenance(spark, tmp_path):
+    """Raw-text source: one row per line plus the originating file path —
+    the crawl-ingestion shape feeding the dedup/quality operators."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.txt").write_text("first line\nsecond line\n")
+    (d / "b.txt").write_text("third line\n")
+    cat = Catalog(spark, root=str(tmp_path))
+    cat.register_path("p.raw.crawl", str(d), format="text")
+    rows = cat.read("p.raw.crawl").collect()
+    assert sorted(r["value"] for r in rows) == ["first line", "second line", "third line"]
+    assert all(r["source_file"].endswith((".txt",)) for r in rows)
+    by_line = {r["value"]: r["source_file"] for r in rows}
+    assert by_line["third line"].endswith("b.txt")
