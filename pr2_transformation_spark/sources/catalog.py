@@ -148,6 +148,40 @@ class Catalog:
         return path
 
     # -- maintenance ------------------------------------------------------
+    def export_jsonl(
+        self,
+        df: DataFrame,
+        path: str,
+        num_shards: Optional[int] = None,
+        target_shard_bytes: int = 256 * 1024 * 1024,
+        compression: Optional[str] = "gzip",
+    ) -> int:
+        """Newline-delimited-JSON shard export — the LM-training handoff
+        format (one JSON object per line, gzip shards).
+
+        ``num_shards=None`` sizes the shard count from the data: average
+        serialized row length over a bounded 1k-row sample × exact row
+        count / ``target_shard_bytes`` (pre-compression bytes — the
+        sampling job is bounded regardless of corpus size, and uneven
+        compression ratios only skew shard sizes, never correctness).
+        Uses ``repartition`` so the write parallelizes and shards balance;
+        returns the shard count used.
+        """
+        if num_shards is None:
+            n = df.count()
+            avg = (
+                df.limit(1000)
+                .select(F.avg(F.length(F.to_json(F.struct("*")))).alias("b"))
+                .first()["b"]
+            )
+            est_bytes = int(n * ((avg or 0) + 1))  # +1 per newline
+            num_shards = max(1, -(-est_bytes // target_shard_bytes))
+        writer = df.repartition(num_shards).write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.json(path)
+        return num_shards
+
     def compact(self, fq_table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite a path-backed table into ~``target_file_bytes`` files.
 

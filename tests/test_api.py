@@ -273,3 +273,33 @@ def test_catalog_text_format_reads_lines_with_provenance(spark, tmp_path):
     assert all(r["source_file"].endswith((".txt",)) for r in rows)
     by_line = {r["value"]: r["source_file"] for r in rows}
     assert by_line["third line"].endswith("b.txt")
+
+
+def test_export_jsonl_roundtrip_and_shard_sizing(spark, tmp_path):
+    """JSONL export: rows round-trip through newline-delimited JSON, shard
+    count derives from the byte-size estimate, and explicit num_shards is
+    honored."""
+    import glob
+    import os
+
+    cat = Catalog(spark, root=str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"text body {i}", f"s{i % 3}") for i in range(500)],
+        "doc_id long, text string, source string",
+    )
+    out = str(tmp_path / "export")
+    # rows ~30 bytes; tiny target forces multiple shards from the estimator
+    shards = cat.export_jsonl(df, out, target_shard_bytes=4096, compression=None)
+    assert shards > 1
+    files = glob.glob(os.path.join(out, "part-*"))
+    assert len(files) == shards
+    back = spark.read.json(out)
+    assert back.count() == 500
+    got = {r["doc_id"]: (r["text"], r["source"]) for r in back.collect()}
+    assert got[7] == ("text body 7", "s1")
+
+    out2 = str(tmp_path / "export2")
+    assert cat.export_jsonl(df, out2, num_shards=3, compression="gzip") == 3
+    gz = glob.glob(os.path.join(out2, "part-*.gz"))
+    assert len(gz) == 3
+    assert spark.read.json(out2).count() == 500  # transparent gzip read-back
