@@ -1,0 +1,135 @@
+"""End-to-end training-corpus preparation — the operator families composed
+the way a real pre-training data job runs them.
+
+One call chains the hygiene passes this engine provides piecemeal:
+
+    language filter -> quality rules -> PII redaction -> exact dedup ->
+    near-dup removal (MinHash-LSH + transitive clusters) ->
+    decontamination vs a held-out eval set -> per-source token budget
+
+Every stage is a pure DataFrame transformation (lazily composed — one
+Spark plan unless stats are requested), each individually oracle-checked
+or unit-tested elsewhere; this module only sequences them, so the whole
+pipeline inherits the per-operator scale posture (bucketed candidate
+generation, broadcast eval grams, hash-keyed shuffles).  No reference
+analogue (the reference pipeline is survey-ETL); cited in SURVEY.md §2.12
+EXT as the training-data composition layer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup, textstats
+from .operators.graph import dedup_clusters
+
+__all__ = ["prepare_training_corpus"]
+
+
+def _contaminated_ids(
+    docs: DataFrame, eval_docs: DataFrame, text_col: str, id_col: str, n: int = 4
+) -> DataFrame:
+    """ids of training docs sharing any exact word n-gram with the eval set
+    (GPT-3-appendix-C-style decontamination).  The eval gram set is tiny by
+    contract, so it broadcasts — the training side never shuffles."""
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        m = F.size(toks)
+        length = F.greatest(m - (n - 1), F.lit(0))
+        g = F.slice(toks, 1, length)
+        for j in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(toks, 1 + j, length),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(*cols, F.explode(F.array_distinct(g)).alias("__gram"))
+
+    eval_grams = F.broadcast(grams(eval_docs, keep_id=False).distinct())
+    return (
+        grams(docs, keep_id=True)
+        .join(eval_grams, "__gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: Optional[str] = "source",
+    langs: Optional[list[str]] = None,
+    quality_rules: Optional[dict] = None,
+    redact_pii: bool = True,
+    near_dup: bool = True,
+    jaccard_threshold: float = 0.5,
+    eval_docs: Optional[DataFrame] = None,
+    max_tokens_per_source: Optional[int] = None,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict]:
+    """Run the standard pre-training hygiene sequence over ``docs``.
+
+    Returns ``(clean_df, stats)``.  ``stats`` maps stage -> surviving row
+    count and is only populated when ``collect_stats=True`` (each count is
+    an extra job; leave it off in production and read the final count from
+    the sink).  Stage order follows the usual cost gradient: cheap
+    scan-side filters first, the shuffling dedup passes on the reduced
+    corpus, decontamination and budget trims last.
+    """
+    stats: dict[str, int] = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats[stage] = df.count()
+        return df
+
+    out = note("input", docs)
+
+    if langs is not None:
+        out = note(
+            "language",
+            out.filter(textstats.language_guess(F.col(text_col)).isin(*langs)),
+        )
+    out = note(
+        "quality", out.filter(textstats.quality_pass(F.col(text_col), quality_rules))
+    )
+    if redact_pii:
+        out = out.withColumn(text_col, textstats.redact_pii(F.col(text_col)))
+
+    out = note("exact_dedup", dedup.exact_dedup_by_hash(out, [text_col], id_col))
+
+    if near_dup:
+        pairs = dedup.near_dup_pairs_minhash(
+            out, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+        )
+        keep = dedup_clusters(
+            pairs, out.select(id_col), id_col, "id_a", "id_b"
+        ).filter(F.col("keep")).select(F.col("id").alias(id_col))
+        out = note("near_dup", out.join(keep, id_col, "left_semi"))
+
+    if eval_docs is not None:
+        bad = _contaminated_ids(out, eval_docs, text_col, id_col)
+        out = note("decontaminated", out.join(bad, id_col, "left_anti"))
+
+    if max_tokens_per_source is not None:
+        if source_col is None:
+            raise ValueError("max_tokens_per_source requires source_col")
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = note(
+            "token_budget",
+            out.withColumn("__cum", F.sum(textstats.token_count(F.col(text_col))).over(w))
+            .filter(F.col("__cum") <= max_tokens_per_source)
+            .drop("__cum"),
+        )
+
+    return out, stats

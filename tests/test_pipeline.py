@@ -1,0 +1,80 @@
+"""End-to-end corpus-preparation pipeline: stage composition, monotone
+shrinkage, and per-stage semantics on a corpus with planted artifacts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pr2_transformation_spark.pipeline import prepare_training_corpus
+
+
+@pytest.fixture()
+def corpus(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away. " * 3
+    rows = []
+    for i in range(40):
+        rows.append((i, good + f"unique tail number {i}", "web"))
+    rows.append((100, good + "unique tail number 0", "web"))       # exact dup of doc 0
+    rows.append((101, good + "unique tail number 1 extra", "web")) # near dup of doc 1
+    rows.append((102, "x", "web"))                                  # fails quality (too short)
+    rows.append((103, "le renard brun rapide saute par dessus le chien paresseux et court tres loin maintenant " * 4, "web"))  # non-English
+    rows.append((104, good + "contact me at alice@example.com now please", "mail"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_pipeline_full_sequence(spark, corpus):
+    eval_docs = spark.createDataFrame(
+        [(0, "unique tail number 7 " * 2)], "doc_id long, text string"
+    )
+    out, stats = prepare_training_corpus(
+        corpus,
+        langs=["en"],
+        near_dup=True,
+        jaccard_threshold=0.9,
+        eval_docs=eval_docs,
+        collect_stats=True,
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    assert 102 not in ids          # quality-filtered
+    assert 103 not in ids          # language-filtered
+    assert 100 not in ids and 0 in ids   # exact dup dropped, keeper stays
+    assert 7 not in ids            # decontaminated (shares eval 4-grams)
+    assert 1 in ids                # near-dup keeper survives
+    # near-dup of doc 1 dropped at 0.9 jaccard
+    assert 101 not in ids
+    # PII redacted, not dropped
+    t104 = out.filter(F.col("doc_id") == 104).first()["text"]
+    assert "alice@example.com" not in t104 and 104 in ids
+    # stats shrink monotonically through the recorded stages
+    order = ["input", "language", "quality", "exact_dedup", "near_dup", "decontaminated"]
+    vals = [stats[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    assert stats["input"] == 45
+
+
+def test_pipeline_token_budget_per_source(spark, corpus):
+    out, _ = prepare_training_corpus(
+        corpus,
+        near_dup=False,
+        redact_pii=False,
+        max_tokens_per_source=200,
+    )
+    per_source = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # ~42 tokens/doc -> at most 4 docs per source fit a 200-token budget
+    assert per_source.get("web", 0) <= 4
+    # budget keeps the LOWEST doc_ids (deterministic cumulative order)
+    kept_web = sorted(
+        r["doc_id"] for r in out.filter(F.col("source") == "web").collect()
+    )
+    assert kept_web == list(range(len(kept_web)))
+
+
+def test_pipeline_lazy_without_stats(spark, corpus):
+    out, stats = prepare_training_corpus(corpus, near_dup=False)
+    assert stats == {}
+    assert out.count() > 0
