@@ -140,7 +140,7 @@ def exact_dedup(df: DataFrame, content_cols: list[str], key_col: str) -> DataFra
 
 
 def exact_dedup_by_hash(
-    df: DataFrame, content_cols: list[str], key_col: str
+    df: DataFrame, content_cols: list[str], key_col: str, hasher: str = "xxhash64"
 ) -> DataFrame:
     """Scale-path exact dedup: shuffle narrow (hash, key) pairs, not rows.
 
@@ -156,9 +156,14 @@ def exact_dedup_by_hash(
     Trade-off: a 64-bit hash collision between two *different* contents
     would drop a non-duplicate (probability ~n²/2⁶⁵; for exact-exact
     semantics add a same-hash content verification pass or use
-    ``exact_dedup``).
+    ``exact_dedup``).  ``hasher="md5"`` swaps in the portable
+    :func:`md5_long` over the '|'-joined columns (external engines can
+    replay the keeper choice exactly).
     """
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    if hasher == "md5":
+        h = md5_long(F.concat_ws("|", *[F.col(c) for c in content_cols]))
+    else:
+        h = F.xxhash64(*[F.col(c) for c in content_cols])
     keepers = (
         df.select(F.col(key_col), h.alias("__h"))
         .groupBy("__h")

@@ -72,6 +72,7 @@ def prepare_training_corpus(
     eval_docs: Optional[DataFrame] = None,
     max_tokens_per_source: Optional[int] = None,
     collect_stats: bool = False,
+    hasher: str = "xxhash64",
 ) -> tuple[DataFrame, dict]:
     """Run the standard pre-training hygiene sequence over ``docs``.
 
@@ -102,11 +103,18 @@ def prepare_training_corpus(
     if redact_pii:
         out = out.withColumn(text_col, textstats.redact_pii(F.col(text_col)))
 
-    out = note("exact_dedup", dedup.exact_dedup_by_hash(out, [text_col], id_col))
+    out = note(
+        "exact_dedup",
+        dedup.exact_dedup_by_hash(out, [text_col], id_col, hasher=hasher),
+    )
 
     if near_dup:
         pairs = dedup.near_dup_pairs_minhash(
-            out, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=jaccard_threshold,
+            hasher=hasher,
         )
         keep = dedup_clusters(
             pairs, out.select(id_col), id_col, "id_a", "id_b"
