@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "q124_supplier_part_classes",
     "q125_dominant_suppliers",
     "q126_ann_bruteforce_vectorized",
+    "q127_salted_skew_join",
+    "q129_corpus_prep",
 ]
 
 
