@@ -30,9 +30,14 @@ def _require(value, name: str):
 
 
 def heartbeat() -> dict:
-    """Health check (/root/reference/core/endpoints.py:11-18)."""
+    """Health check (/root/reference/core/endpoints.py:11-18).
+
+    ``status`` is "healthy" verbatim — a monitor ported from the reference
+    checks that exact string; ``spark_version`` is an additive field (extra
+    keys don't break reference clients, a changed value would).
+    """
     return {
-        "status": "ok",
+        "status": "healthy",
         "timestamp": datetime.now(timezone.utc).isoformat(),
         "service": SERVICE_NAME,
         "spark_version": pyspark.__version__,

@@ -88,19 +88,42 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return max(1, -(-padded_total // max(max_split, 1)))
 
 
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff the frame's logical plan is just relation + narrow nodes
+    (projections / filters / aliases) — the only shapes where the FILE sizes
+    predict the frame's partitioning.  Downstream of a shuffle (aggregate,
+    join, repartition, window...) ``df.inputFiles()`` still reports the
+    underlying scan, so the size estimate would be wrong there; this guard
+    routes those frames to the exact RDD-partition count instead."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — estimator gating is best-effort
+        return False
+    allowed = ("Project", "Filter", "Relation", "LogicalRelation",
+               "SubqueryAlias", "View", "GlobalLimit", "LocalLimit")
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        if node and not node.startswith(allowed):
+            return False
+    return True
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the scan produced fewer partitions than cores.
 
     Small parquet files arrive as one input split, serializing expensive
     per-row work (tokenization, hashing) onto a single core.  At warehouse
-    scale inputs have >> cores partitions and this is a no-op — the check
-    estimates the scan's partition count from file sizes without touching
+    scale inputs have >> cores partitions and this is a no-op — when the
+    frame is a bare scan (relation + projections/filters) the check
+    estimates the partition count from file sizes without touching
     ``df.rdd`` (which re-plans the query to build an RDD DAG), so no
-    shuffle and no extra planning cost is ever added to a big scan.
+    shuffle and no extra planning cost is ever added to a big scan.  For
+    frames downstream of a shuffle the file estimate no longer describes
+    the frame's actual partitioning, so the exact RDD count is used.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    current = _estimated_scan_partitions(df)
+    current = _estimated_scan_partitions(df) if _is_bare_scan(df) else None
     if current is None:
         current = df.rdd.getNumPartitions()
     if current < target:

@@ -112,7 +112,7 @@ def wav_decode(payload: bytes) -> dict:
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data_size = 12, None, None
+    pos, fmt, data_size, data_offset = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = pos + 8
@@ -120,8 +120,15 @@ def wav_decode(payload: bytes) -> dict:
             if body + 16 > len(payload):  # declared size lies about the payload
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", payload, body)
-        elif cid == b"data":
+        elif cid == b"data" and data_size is None:
+            # FIRST data chunk only — a multi-data RIFF must not mix one
+            # chunk's frame count with another chunk's bytes; the returned
+            # data_offset is what pcm_samples reads from, keeping both
+            # functions pinned to the same chunk.
             data_size = min(size, len(payload) - body)
+            data_offset = body
+        if fmt is not None and data_size is not None:
+            break
         pos = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
     if fmt is None or data_size is None:
         raise ValueError("missing fmt/data chunk")
@@ -137,29 +144,22 @@ def wav_decode(payload: bytes) -> dict:
         "bit_depth": int(bits),
         "n_frames": int(n_frames),
         "duration_ms": int(round(n_frames * 1000 / sample_rate)) if sample_rate else 0,
+        "data_offset": int(data_offset),
     }
 
 
 def pcm_samples(payload: bytes):
     """Decode a 16-bit PCM WAV payload to a ``(n_frames, n_channels)``
     numpy int16 array (REAL sample access, numpy only)."""
-    import struct
-
     import numpy as np
 
     meta = wav_decode(payload)
     if meta["bit_depth"] != 16:
         raise ValueError("pcm_samples supports 16-bit PCM")
-    # find the data chunk body again (wav_decode validated the layout)
-    pos = 12
-    while True:
-        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
-        body = pos + 8
-        if cid == b"data":
-            break
-        pos = body + size + (size & 1)
+    # wav_decode already located the first data chunk; read from ITS offset so
+    # frame count and sample bytes always come from the same chunk.
     n = meta["n_frames"] * meta["n_channels"]
-    samples = np.frombuffer(payload, dtype="<i2", count=n, offset=body)
+    samples = np.frombuffer(payload, dtype="<i2", count=n, offset=meta["data_offset"])
     return samples.reshape(meta["n_frames"], meta["n_channels"])
 
 

@@ -151,16 +151,25 @@ def connected_components_two_phase(
 
     Convergence = the edge multiset stops changing, detected by a
     (count, bit_xor of per-edge xxhash64) signature — order-independent
-    and overflow-free under ANSI mode; the one-in-2^64 xor collision risk
-    only costs an extra confirmation round, never a wrong result, because
-    a stable edge set re-produces itself.
+    and overflow-free under ANSI mode.  A signature match between two
+    DIFFERENT consecutive edge sets (probability ~2^-64 per round) would
+    otherwise terminate with unconverged labels, so the match is
+    confirmed with ONE exact set comparison (symmetric anti-join counts)
+    before breaking — the confirmation runs once, at convergence, over
+    the already-shrunk edge set.
+
+    Vertex ids may be any orderable type (long, string hash ids, ...):
+    ``min``/``least`` and the ``<``/``>`` star splits use the column's
+    native ordering and ``xxhash64`` accepts any input type, so no cast
+    is applied — a cast to long would NULL out (ANSI off) or raise
+    (ANSI on) on the string document ids hash-based corpus dedup emits.
 
     Returns ``(id, comp)`` with comp = the component's minimum vertex id
     — same contract as :func:`connected_components` (self-loop-only
     vertices are likewise dropped).
     """
     e = (
-        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -196,9 +205,22 @@ def connected_components_two_phase(
             F.expr("bit_xor(xxhash64(a, b))").alias("h"),
         ).first()
         sig = (sig_row["n"], sig_row["h"])
-        e = nxt
         if prev_sig == sig:
-            break
+            # Signature match: confirm with an exact multiset comparison so
+            # a ~2^-64 xor collision between two different consecutive edge
+            # sets can never end the loop with unconverged labels.  Both
+            # frames are checkpointed and, at this point, small (the edge
+            # set only shrinks), so the two anti-join counts are cheap and
+            # run exactly once per call on the non-collision path.
+            stable = (
+                e.exceptAll(nxt).limit(1).count() == 0
+                and nxt.exceptAll(e).limit(1).count() == 0
+            )
+            e = nxt
+            if stable:
+                break
+        else:
+            e = nxt
         prev_sig = sig
     else:
         raise RuntimeError(

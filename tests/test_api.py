@@ -17,7 +17,7 @@ def test_parse_fq_table():
 
 def test_heartbeat():
     hb = api.heartbeat()
-    assert hb["status"] == "ok"
+    assert hb["status"] == "healthy"  # reference envelope verbatim (core/endpoints.py:15)
     assert hb["service"] == "pr2-transformation-spark"
 
 

@@ -727,3 +727,69 @@ def test_two_phase_cc_matches_min_label_and_handles_long_chains(spark):
     comp = {r["id"]: r["comp"]
             for r in connected_components_two_phase(chain).collect()}
     assert len(comp) == 201 and set(comp.values()) == {0}
+
+
+def test_two_phase_cc_string_ids(spark):
+    """Two-phase CC must work on non-integral vertex ids (hash-based corpus
+    doc ids are strings) — regression for a cast-to-long that NULLed or
+    raised on string ids.  Components use the string ordering's minimum."""
+    from pr2_transformation_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+        dedup_clusters,
+    )
+
+    edges = [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y")]
+    ed = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["comp"] for r in connected_components_two_phase(ed).collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+    assert got == {r["id"]: r["comp"] for r in connected_components(ed).collect()}
+
+    ids = spark.createDataFrame(
+        [("doc_a",), ("doc_b",), ("doc_c",), ("doc_x",), ("doc_y",), ("solo",)],
+        "doc_id string",
+    )
+    keep = {r["id"]: (r["cluster"], r["keep"]) for r in dedup_clusters(
+        ed, ids, "doc_id", "src", "dst", algorithm="two_phase"
+    ).collect()}
+    assert keep["solo"] == ("solo", True)
+    assert keep["doc_a"] == ("doc_a", True) and keep["doc_c"] == ("doc_a", False)
+
+
+def test_ensure_parallelism_post_shuffle_uses_exact_partitions(spark, tmp_path):
+    """ensure_parallelism must not trust the file-size estimate for frames
+    downstream of a shuffle — inputFiles() still reports the scan there, but
+    the frame's real partitioning is the shuffle's (regression: a post-agg
+    frame got a redundant repartition / skipped a needed one)."""
+    from pr2_transformation_spark.functions.dedup import (
+        _is_bare_scan,
+        ensure_parallelism,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    # many files -> the file-size ESTIMATE reports >= 16 partitions
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS k").repartition(16).write.parquet(p)
+    scan = spark.read.parquet(p).select("k", "id").filter("id >= 0")
+    assert _is_bare_scan(scan)
+
+    shuffled = spark.read.parquet(p).groupBy("k").count()
+    assert not _is_bare_scan(shuffled)
+    # The tiny aggregate's ACTUAL partitioning (AQE-coalesced, ~1) is far
+    # below the 16-file scan estimate; trusting the estimate would skip the
+    # needed repartition.  The exact path must add it.
+    actual = shuffled.rdd.getNumPartitions()
+    target = actual + 4
+    out = ensure_parallelism(shuffled, min_partitions=target)
+    assert "Repartition" in out._jdf.queryExecution().analyzed().toString()
+
+    # bare-scan path: the file estimate answers without touching .rdd, and a
+    # target at/below the estimate adds no repartition node
+    from pr2_transformation_spark.functions.dedup import _estimated_scan_partitions
+
+    est = _estimated_scan_partitions(scan)
+    assert est is not None and est > 1
+    same = ensure_parallelism(scan, min_partitions=est)
+    assert "Repartition" not in same._jdf.queryExecution().analyzed().toString()

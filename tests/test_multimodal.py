@@ -158,3 +158,21 @@ def test_bmp_pixels_roundtrip_and_resize(spark):
     xi = (np.arange(2) * 5 // 2).clip(0, 4)
     assert np.array_equal(got, img[yi][:, xi])  # nearest-neighbor exactness
     assert out["junk"]["rgb"] is None
+
+
+def test_wav_multiple_data_chunks_use_first_chunk_consistently():
+    """A RIFF file with TWO data chunks: frame count and samples must both
+    come from the FIRST chunk (regression: wav_decode used to keep the last
+    chunk's size while pcm_samples read the first chunk's bytes)."""
+    import numpy as np
+
+    first = [100, -100, 200, -200]
+    second = [9, 9]  # different length AND content than the first chunk
+    raw = _wav_bytes(first, sample_rate=4000)
+    pcm2 = np.asarray(second, dtype="<i2").tobytes()
+    raw2 = raw + b"data" + struct.pack("<I", len(pcm2)) + pcm2
+    raw2 = raw2[:4] + struct.pack("<I", len(raw2) - 8) + raw2[8:]  # fix RIFF size
+
+    meta = multimodal.wav_decode(raw2)
+    assert meta["n_frames"] == len(first)  # first chunk's frame count
+    assert np.array_equal(multimodal.pcm_samples(raw2).ravel(), np.array(first))

@@ -28,7 +28,7 @@ def test_heartbeat_route(client):
     resp = c.get("/heartbeat")
     assert resp.status_code == 200
     body = resp.get_json()
-    assert body["status"] == "ok"
+    assert body["status"] == "healthy"  # reference envelope verbatim (core/endpoints.py:15)
     assert body["service"] == "pr2-transformation-spark"
     assert "timestamp" in body
 
