@@ -21,8 +21,11 @@ unprocessed column (its grouping loop runs over ``all_columns``,
 /root/reference/core/transformations.py:322-338), which would mark the whole
 table processed and disable loop-variable coalescing for that run.  That
 contradicts the pass's stated purpose and the reference's own loop tests, so
-here the pass only claims columns that actually contain a substring; the rest
-flow on to loop processing.
+here the pass claims only columns that actually contain a substring — plus
+any plain column whose name IS one of the excised targets, which must join
+the COALESCE group (the one outcome of the reference's sweep that protects
+data) — and the rest flow on to loop processing.  The deviation is pinned
+verbatim by tests/test_reference_differential.py (golden + property).
 """
 
 from __future__ import annotations
@@ -98,8 +101,29 @@ def _build_substring_removal_clauses(
     if not subset:
         return []
 
+    # Targets this pass will produce; a plain column whose standardized name
+    # IS one of those targets must join the COALESCE group (the reference
+    # reaches the same outcome via its sweep-all loop) — otherwise the plain
+    # column's data would be silently dropped when the excised rename claims
+    # its name.
+    targets = {
+        names.standardize_column_case(
+            names.excise_substrings(c, config.SUBSTRINGS_TO_FIX)
+        )
+        for c in subset
+    }
+    candidates = [
+        c
+        for c in columns
+        if c.lower() not in processed
+        and (
+            any(s in c for s in config.SUBSTRINGS_TO_FIX)
+            or names.standardize_column_case(c) in targets
+        )
+    ]
+
     groups: dict[str, list[str]] = {}
-    for col in subset:
+    for col in candidates:
         new = names.standardize_column_case(
             names.excise_substrings(col, config.SUBSTRINGS_TO_FIX)
         )
