@@ -5,15 +5,19 @@ with a typed metadata struct.  Everything Spark-side is real — schemas,
 Arrow-batched ``mapInPandas`` plumbing, partition sizing.  Codec coverage is
 split by what this environment can honestly do (no PIL/torchaudio/libav):
 
-* REAL, pure-numpy decoders: uncompressed BMP (:func:`bmp_decode` headers,
-  :func:`bmp_pixels` pixel arrays + :func:`resize_images` nearest-neighbor
-  resample) and RIFF/WAVE PCM (:func:`wav_decode` headers,
-  :func:`pcm_samples` sample arrays + :func:`audio_features` RMS/ZCR/peak).
-* STUBBED: compressed formats (png/jpeg/mp3/mp4).  The feature extractor's
-  default decoder is a clearly-marked deterministic fake, and passing
-  ``decoder=None`` raises ``NotImplementedError`` at the seam where a
-  ``PIL``/``torchaudio`` wrapper would plug into the same callable
-  signature the real decoders use.
+* REAL, pure-stdlib/numpy decoders: uncompressed BMP (:func:`bmp_decode`
+  headers, :func:`bmp_pixels` pixel arrays), PNG (:func:`png_decode`
+  headers, :func:`png_pixels` — zlib inflate + all five scanline filters),
+  :func:`resize_images` nearest-neighbor resample over either format via
+  the :func:`image_pixels` dispatcher, and RIFF/WAVE PCM
+  (:func:`wav_decode` headers, :func:`pcm_samples` sample arrays +
+  :func:`audio_features` RMS/ZCR/peak).
+* STUBBED: formats needing codec libraries this environment lacks
+  (jpeg/webp/mp3/mp4).  The feature extractor's default decoder is a
+  clearly-marked deterministic fake, and passing ``decoder=None`` raises
+  ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
+  wrapper would plug into the same callable signature the real decoders
+  use.
 
 Scale notes: binary payloads dominate row size, so `maxPartitionBytes`-driven
 splits keep tasks balanced; the mapInPandas batch size is rows-per-Arrow-batch
@@ -148,6 +152,154 @@ def wav_decode(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: 8-bit channel counts per PNG color type (grayscale, RGB, gray+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode(payload: bytes) -> dict:
+    """REAL (non-stub) image decoder for PNG headers — pure stdlib.
+
+    Parses the IHDR chunk (width, height, bit depth, color type) with no
+    codec library; :func:`png_pixels` completes the path with zlib inflate +
+    filter reconstruction.  Raises ``ValueError`` for non-PNG bytes or a
+    malformed chunk stream.
+    """
+    import struct
+
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    length, ctype = struct.unpack_from(">I4s", payload, 8)
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG missing leading IHDR chunk")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack_from(
+        ">IIBBBBB", payload, 16
+    )
+    if w == 0 or h == 0:
+        raise ValueError("PNG with zero dimension")
+    return {
+        "media_type": "image",
+        "format": "png",
+        "width": int(w),
+        "height": int(h),
+        "bit_depth": int(bit_depth),
+        "color_type": int(color_type),
+        "interlace": int(interlace),
+    }
+
+
+def png_pixels(payload: bytes):
+    """Decode an 8-bit PNG to an ``(h, w, channels)`` numpy uint8 array —
+    REAL pixel access with zero codec libraries: stdlib ``zlib`` inflate of
+    the concatenated IDAT stream, then per-scanline reconstruction of all
+    five PNG filters (None/Sub/Up/Average/Paeth).
+
+    Supports bit depth 8 and color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced — i.e. what standard encoders emit for
+    truecolor/grayscale.  Palette (3), 16-bit, and Adam7 interlacing raise
+    ``ValueError`` (decode errors are data, not job failures).
+
+    Scale note: Sub/Average/Paeth have a sequential along-row dependency, so
+    reconstruction is a Python loop over bytes — fine for fixtures and small
+    assets; a production cluster with heavy image traffic should inject a
+    PIL/turbojpeg decoder into the same ``bytes -> array`` seam.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    meta = png_decode(payload)
+    if meta["bit_depth"] != 8:
+        raise ValueError("png_pixels supports 8-bit channels")
+    if meta["color_type"] not in _PNG_CHANNELS:
+        raise ValueError("png_pixels supports gray/RGB/gray+alpha/RGBA")
+    if meta["interlace"] != 0:
+        raise ValueError("png_pixels does not support Adam7 interlacing")
+    w, h = meta["width"], meta["height"]
+    channels = _PNG_CHANNELS[meta["color_type"]]
+
+    idat, pos = [], 8
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = pos + 8
+        if body + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IDAT":
+            idat.append(payload[body : body + length])
+        elif ctype == b"IEND":
+            break
+        pos = body + length + 4  # skip CRC
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+
+    stride = w * channels  # bytes per scanline (8-bit), bpp = channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data shorter than dimensions imply")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += stride + 1
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — no along-row dependency: vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, channels)
+
+
+def image_decode(payload: bytes) -> dict:
+    """Format-dispatching image header decoder: BMP and PNG are decoded for
+    real (pure stdlib/numpy); other magics raise ``ValueError``.  This is
+    the natural default for :func:`decode_media` on mixed image corpora."""
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    if payload[:8] == _PNG_SIG:
+        return png_decode(payload)
+    raise ValueError("unrecognized image payload (BMP and PNG are decodable)")
+
+
+def image_pixels(payload: bytes):
+    """Format-dispatching pixel decoder (BMP 24-bit -> RGB, PNG 8-bit ->
+    native channels).  Same ``bytes -> (h, w, c) uint8`` seam a PIL wrapper
+    would fill for jpeg/webp."""
+    if payload[:2] == b"BM":
+        return bmp_pixels(payload)
+    if payload[:8] == _PNG_SIG:
+        return png_pixels(payload)
+    raise ValueError("unrecognized image payload (BMP and PNG are decodable)")
+
+
 def pcm_samples(payload: bytes):
     """Decode a 16-bit PCM WAV payload to a ``(n_frames, n_channels)``
     numpy int16 array (REAL sample access, numpy only)."""
@@ -258,11 +410,11 @@ RESIZE_SCHEMA = StructType(
 def resize_images(
     df: DataFrame, binary_col: str, id_col: str, out_w: int, out_h: int
 ) -> DataFrame:
-    """REAL image resize: nearest-neighbor resample of decoded BMP pixels
-    via numpy index gather, emitted as raw RGB bytes + final dimensions.
-    The standard training-data preprocessing shape (decode -> resize ->
-    feature model); swap :func:`bmp_pixels` for a PIL decode to cover
-    compressed formats.  Undecodable payloads yield NULL rgb."""
+    """REAL image resize: nearest-neighbor resample of decoded BMP/PNG
+    pixels via numpy index gather, emitted as raw RGB bytes + final
+    dimensions.  The standard training-data preprocessing shape (decode ->
+    resize -> feature model); swap :func:`image_pixels` for a PIL decode to
+    cover jpeg/webp.  Undecodable payloads yield NULL rgb."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -271,7 +423,11 @@ def resize_images(
             for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    img = bmp_pixels(raw)
+                    img = image_pixels(raw)
+                    if img.shape[2] <= 2:  # gray / gray+alpha -> replicate to RGB
+                        img = np.repeat(img[:, :, :1], 3, axis=2)
+                    else:  # RGB / RGBA -> drop alpha
+                        img = img[:, :, :3]
                     h, w = img.shape[:2]
                     yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                     xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
@@ -317,8 +473,9 @@ def decode_media(
     """
     if decoder is None:
         raise NotImplementedError(
-            "media decoding requires a decoder callable (bmp_decode, or a "
-            "PIL/torchaudio wrapper in environments that ship codecs)"
+            "media decoding requires a decoder callable (image_decode for "
+            "BMP/PNG, wav_decode for PCM audio, or a PIL/torchaudio wrapper "
+            "for jpeg/webp/mp3/mp4 in environments that ship codecs)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -176,3 +176,128 @@ def test_wav_multiple_data_chunks_use_first_chunk_consistently():
     meta = multimodal.wav_decode(raw2)
     assert meta["n_frames"] == len(first)  # first chunk's frame count
     assert np.array_equal(multimodal.pcm_samples(raw2).ravel(), np.array(first))
+
+
+def _png_bytes(img, color_type, filters=None):
+    """Minimal PNG encoder for fixtures: 8-bit, non-interlaced, one IDAT,
+    per-row filter type taken from ``filters`` (cycled) so every decoder
+    filter path (None/Sub/Up/Average/Paeth) gets exercised."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype="uint8")
+    h, w = img.shape[:2]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    flat = img.reshape(h, w * channels).astype(np.int32)
+    filters = filters or [0]
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = flat[y]
+        if ft == 0:
+            enc = line.copy()
+        elif ft == 1:
+            enc = line.copy()
+            enc[bpp:] = (line[bpp:] - line[:-bpp]) % 256
+        elif ft == 2:
+            enc = (line - prev) % 256
+        elif ft == 3:
+            enc = line.copy()
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) % 256
+        elif ft == 4:
+            enc = line.copy()
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype("uint8").tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        import zlib as _z
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_and_pixels_all_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for color_type, shape in [(0, (9, 7, 1)), (2, (10, 5, 3)),
+                              (4, (6, 6, 2)), (6, (7, 4, 4))]:
+        img = rng.integers(0, 256, size=shape, dtype="uint8")
+        raw = _png_bytes(img, color_type, filters=[0, 1, 2, 3, 4])
+        meta = multimodal.png_decode(raw)
+        assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+        assert meta["format"] == "png" and meta["bit_depth"] == 8
+        got = multimodal.png_pixels(raw)
+        assert np.array_equal(got, img), f"color_type={color_type}"
+
+    for bad in (b"", b"\x89PNG\r\n\x1a\njunk", b"BMnot a png", b"plain"):
+        with pytest.raises(ValueError):
+            multimodal.png_decode(bad)
+
+
+def test_png_decode_single_filter_each():
+    """Each filter type alone, full image — catches a filter whose bug
+    cancels out when mixed with others."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(8, 9, 3), dtype="uint8")
+    for ft in range(5):
+        raw = _png_bytes(img, 2, filters=[ft])
+        assert np.array_equal(multimodal.png_pixels(raw), img), f"filter={ft}"
+
+
+def test_image_dispatch_and_resize_png(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype="uint8")
+    png = _png_bytes(img, 2, filters=[4])
+    bmp = _full_bmp_bytes(img)
+    assert np.array_equal(multimodal.image_pixels(png), img)
+    assert np.array_equal(multimodal.image_pixels(bmp), img)
+    assert multimodal.image_decode(png)["format"] == "png"
+    assert multimodal.image_decode(bmp)["format"] == "bmp"
+
+    gray = rng.integers(0, 256, size=(6, 5, 1), dtype="uint8")
+    rows = [("p1", png), ("g1", _png_bytes(gray, 0)), ("junk", b"\xff\xd8jpeg?")]
+    df = spark.createDataFrame(rows, "asset string, payload binary")
+    out = {r["asset_id"]: r for r in
+           multimodal.resize_images(df, "payload", "asset", 2, 3).collect()}
+    got = np.frombuffer(out["p1"]["rgb"], dtype="uint8").reshape(3, 2, 3)
+    yi = (np.arange(3) * 6 // 3).clip(0, 5)
+    xi = (np.arange(2) * 5 // 2).clip(0, 4)
+    assert np.array_equal(got, img[yi][:, xi])
+    gotg = np.frombuffer(out["g1"]["rgb"], dtype="uint8").reshape(3, 2, 3)
+    assert np.array_equal(gotg, np.repeat(gray, 3, axis=2)[yi][:, xi])
+    assert out["junk"]["rgb"] is None  # jpeg stays at the injection seam
+
+    # decode_media with the dispatching decoder fills real dimensions
+    meta = {r["asset_id"]: r for r in multimodal.decode_media(
+        df, "payload", "asset", decoder=multimodal.image_decode
+    ).collect()}
+    assert (meta["p1"]["width"], meta["p1"]["height"]) == (5, 6)
+    assert meta["junk"]["width"] is None
