@@ -408,6 +408,7 @@ def near_dup_pairs_minhash(
     bands: int = 8,
     threshold: float = 0.5,
     hasher: str = "xxhash64",
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
     pairs -> exact Jaccard filter at ``threshold``.
@@ -419,22 +420,24 @@ def near_dup_pairs_minhash(
     because the pipeline returns before the result is consumed, so an
     explicit ``unpersist`` has nowhere to live — a cache entry would
     outlive the call forever, while checkpoint blocks are reclaimed by the
-    ContextCleaner once the result frame is garbage-collected.  (On a
+    ContextCleaner once the result frame is garbage-collected.  On a
     multi-executor cluster a lost executor invalidates local checkpoint
-    blocks; a reliable checkpoint dir or an explicit signature table is
-    the durable variant at 100 TB.)
+    blocks — pass ``checkpoint="reliable"`` (with a configured
+    ``setCheckpointDir``) for the durable variant at 100 TB, or ``None``
+    to skip materialization (see ``checkpointing.checkpoint_frame``).
     """
+    from ..checkpointing import checkpoint_frame
     # Partition + sort on the id before the checkpoint: the Jaccard
     # verification joins the signature frame on id twice (id_a, id_b), and
     # LogicalRDD's captured partitioning serves both — the (big) signature
     # side of each verification join needs no Exchange and no Sort; only
     # the (small) candidate-pair side shuffles.  The banding arm reshuffles
     # by (band, bucket) regardless, so it loses nothing.
-    sig = (
+    sig = checkpoint_frame(
         minhash_signature(df, text_col, id_col, num_hashes, hasher=hasher)
         .repartition(id_col)
-        .sortWithinPartitions(id_col)
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions(id_col),
+        checkpoint,
     )
     cands = lsh_candidate_pairs(sig, id_col, bands, sig_len=num_hashes, hasher=hasher)
     return jaccard_for_pairs(cands, sig, id_col).filter(F.col("jaccard") >= threshold)

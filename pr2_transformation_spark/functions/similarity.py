@@ -279,6 +279,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_seed_centroids: int | None = None,
     threshold: float = 0.25,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """SemDeDup-style cluster-pruned semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540): assign every vector to its nearest centroid,
@@ -341,15 +342,17 @@ def semantic_dedup(
     # cluster-keyed SELF-join consumes both alias sides with no Exchange
     # and no Sort (same reuse trick as connected_components' edge list) —
     # one up-front shuffle replaces two pair-join shuffles.
-    assigned = (
+    from ..checkpointing import checkpoint_frame
+
+    assigned = checkpoint_frame(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             F.col(id_col), F.col("__v"), F.col("__nrm"), F.col("__cid").alias("cluster")
         )
         .repartition("cluster")
-        .sortWithinPartitions("cluster")
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions("cluster"),
+        checkpoint,
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import checkpoint_frame
+
 __all__ = [
     "connected_components",
     "connected_components_two_phase",
@@ -45,6 +47,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Resolve undirected connected components from an edge list.
 
@@ -60,6 +63,10 @@ def connected_components(
     than silently returning partial labels; for graphs that may contain
     long chains use :func:`connected_components_two_phase`, which
     converges in O(log n) rounds on any shape.
+
+    ``checkpoint`` selects how the per-iteration frames are materialized
+    ("local" default; "reliable" survives executor loss on a real cluster
+    — see ``checkpointing.checkpoint_frame``).
     """
     # Undirected: materialize both directions once; drop self-loops.  The
     # eager checkpoint here is load-bearing: ``edges`` is often the output
@@ -75,19 +82,19 @@ def connected_components(
     # exchange and zero sort; only the per-iteration label frame shuffles.
     # Without this, the full edge list re-shuffled O(diameter) times.
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
+    sym = checkpoint_frame(
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .repartition("b")
-        .sortWithinPartitions("b")
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions("b"),
+        checkpoint,
     )
 
-    labels = (
+    labels = checkpoint_frame(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .select("id", F.col("id").alias("comp")),
+        checkpoint,
     )
 
     for _ in range(max_iterations):
@@ -106,7 +113,7 @@ def connected_components(
         # a probe job.  (A limit(1) probe would be cheaper per se, but it
         # short-circuits materialization and would leave the checkpoint
         # unpopulated for the next round.)
-        new_labels = (
+        new_labels = checkpoint_frame(
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -114,8 +121,9 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("__changed"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            checkpoint,
+            eager=False,
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
@@ -133,6 +141,7 @@ def connected_components_two_phase(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris,
     Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
@@ -168,11 +177,11 @@ def connected_components_two_phase(
     — same contract as :func:`connected_components` (self-loop-only
     vertices are likewise dropped).
     """
-    e = (
+    e = checkpoint_frame(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint,
     )
     prev_sig = None
     for _ in range(max_rounds):
@@ -192,13 +201,13 @@ def connected_components_two_phase(
         # their common minimum.
         down = large.filter(F.col("b") < F.col("a"))
         mins2 = down.groupBy("a").agg(F.min("b").alias("m"))
-        nxt = (
+        nxt = checkpoint_frame(
             down.join(mins2, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins2.select("a", F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            checkpoint,
         )
         sig_row = nxt.agg(
             F.count(F.lit(1)).alias("n"),
@@ -241,6 +250,7 @@ def dedup_clusters(
     left_col: str,
     right_col: str,
     algorithm: str = "label",
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Pairs → keep/drop decision per document.
 
@@ -256,9 +266,13 @@ def dedup_clusters(
     for graphs that may contain long chains.
     """
     if algorithm == "two_phase":
-        comp = connected_components_two_phase(pairs, src=left_col, dst=right_col)
+        comp = connected_components_two_phase(
+            pairs, src=left_col, dst=right_col, checkpoint=checkpoint
+        )
     elif algorithm == "label":
-        comp = connected_components(pairs, src=left_col, dst=right_col)
+        comp = connected_components(
+            pairs, src=left_col, dst=right_col, checkpoint=checkpoint
+        )
     else:
         raise ValueError(f"unknown algorithm: {algorithm!r} (label | two_phase)")
     universe = all_ids.select(F.col(id_col).alias("id")).distinct()

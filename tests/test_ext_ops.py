@@ -793,3 +793,69 @@ def test_ensure_parallelism_post_shuffle_uses_exact_partitions(spark, tmp_path):
     assert est is not None and est > 1
     same = ensure_parallelism(scan, min_partitions=est)
     assert "Repartition" not in same._jdf.queryExecution().analyzed().toString()
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint='reliable' writes recovery state to the configured
+    checkpoint dir and produces identical results to the local mode for
+    minhash pairs, semantic dedup, and both CC algorithms; without a
+    checkpoint dir it fails fast with a clear error."""
+    import os
+
+    from pr2_transformation_spark.checkpointing import checkpoint_frame
+    from pr2_transformation_spark.functions.dedup import near_dup_pairs_minhash
+    from pr2_transformation_spark.functions.similarity import semantic_dedup
+    from pr2_transformation_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    sc = spark.sparkContext
+    prior = sc.getCheckpointDir()
+    assert not prior, "test assumes no checkpoint dir configured by default"
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        checkpoint_frame(spark.range(3), "reliable")
+    with pytest.raises(ValueError, match="unknown checkpoint mode"):
+        checkpoint_frame(spark.range(3), "bogus")
+
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {'epsilon' if i % 3 else 'zeta'} "
+                 f"eta theta iota kappa {i % 4}") for i in range(24)],
+            "doc_id long, text string",
+        )
+        for fn in (
+            lambda ck: near_dup_pairs_minhash(
+                docs, num_hashes=16, bands=4, threshold=0.3, checkpoint=ck
+            ),
+            lambda ck: semantic_dedup(
+                spark.createDataFrame(
+                    [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(20)],
+                    "vec_id long, embedding array<float>",
+                ),
+                n_seed_centroids=4,
+                checkpoint=ck,
+            ),
+            lambda ck: connected_components(
+                spark.createDataFrame(
+                    [(1, 2), (2, 3), (7, 8)], "src long, dst long"
+                ),
+                checkpoint=ck,
+            ),
+            lambda ck: connected_components_two_phase(
+                spark.createDataFrame(
+                    [(i, i + 1) for i in range(30)], "src long, dst long"
+                ),
+                checkpoint=ck,
+            ),
+        ):
+            local = sorted(map(tuple, fn("local").collect()))
+            reliable = sorted(map(tuple, fn("reliable").collect()))
+            assert local == reliable
+        # reliable mode actually wrote recovery state to the directory
+        found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+        assert found, "reliable checkpoint wrote nothing to the checkpoint dir"
+    finally:
+        sc.setCheckpointDir(None)
