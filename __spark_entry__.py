@@ -578,20 +578,75 @@ def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (the 100 TB scale path; recall<1 by
-    design, so checked rows-only)."""
+    """Multi-table hyperplane-LSH approximate top-k, SELF-VERIFYING: the
+    query joins the approximate result against the in-query exact
+    brute-force top-k and emits the recall assertion, so the DuckDB oracle
+    (which cannot replay our hash tables) pins the contract
+    deterministically: n_exact rows, the floor constant, and
+    meets_recall_floor=TRUE.  Measured recall at sf0.001/0.01/0.1 is
+    0.92/0.90/0.96 (4 planes x 16 tables, OR-amplified) — floor 0.7.
+    A recall regression flips the boolean and fails the value hash."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return similarity.cosine_topk_lsh(corpus, queries, k=5, n_planes=6)
+    approx = similarity.cosine_topk_lsh(
+        corpus, queries, k=5, n_planes=4, n_tables=16
+    )
+    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+    joined = exact.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id", F.lit(1).alias("__hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.lit(0.7).alias("recall_floor"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))
+            >= 0.7
+        ).alias("meets_recall_floor"),
+    )
 
 
 def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-bucketing."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.25, n_planes=4)
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    self-bucketing, SELF-VERIFYING: every emitted pair is exact-verified
+    (precision 1 by construction), so recall on the deterministic
+    vec_id<500 slice is |approx| / |exact|; the exact pair count IS
+    DuckDB-replayable (list_cosine_similarity cross join), making this an
+    oracle that checks the exact side numerically AND asserts the recall
+    floor.  Measured recall 0.86/0.85/0.83 (3 planes x 8 tables) — floor
+    0.6."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    approx_n = (
+        similarity.embedding_near_dup_pairs(
+            emb, threshold=0.25, n_planes=3, n_tables=8
+        )
+        .agg(F.count(F.lit(1)).alias("n_approx"))
+    )
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    exact_n = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 4).alias("s")
+        )
+        .filter(F.col("s") >= 0.25)
+        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    )
+    return exact_n.crossJoin(approx_n).select(
+        "n_exact_pairs",
+        F.lit(0.6).alias("recall_floor"),
+        (F.col("n_approx") / F.col("n_exact_pairs") >= 0.6).alias(
+            "meets_recall_floor"
+        ),
+    )
 
 
 def q39_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,15 +978,31 @@ def q36_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse-quantizer cells + n_probe probing —
-    the second scale path next to hyperplane LSH; recall < 1 by design,
-    checked rows-only)."""
+    the second scale path next to hyperplane LSH), SELF-VERIFYING like
+    q24: recall vs the in-query exact top-k, asserted against a floor the
+    DuckDB oracle pins as TRUE.  Measured recall 0.80/0.70/0.70 at
+    sf0.001/0.01/0.1 (16 centroids, 6 probes) — floor 0.5."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return similarity.cosine_topk_ivf(
-        corpus, queries, k=5, n_centroids=16, n_probe=4
+    approx = similarity.cosine_topk_ivf(
+        corpus, queries, k=5, n_centroids=16, n_probe=6
+    )
+    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+    joined = exact.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id", F.lit(1).alias("__hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.lit(0.5).alias("recall_floor"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))
+            >= 0.5
+        ).alias("meets_recall_floor"),
     )
 
 
@@ -3371,6 +3442,35 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
                        AS bpe_tokens
             FROM documents
+        """,
+        # Self-verifying recall oracles (q24/q25/q35): DuckDB cannot replay
+        # the LSH tables / IVF quantizer, but it CAN pin everything
+        # deterministic — the exact-side cardinalities and the contract
+        # that measured recall clears the floor.  The Spark query computes
+        # recall against its own in-query exact result; if it ever dips
+        # below the floor the boolean flips and the value hash fails.
+        "q24_ann_lsh": """
+            SELECT CAST(COUNT(*) AS BIGINT) * 5 AS n_exact,
+                   CAST(0.7 AS DOUBLE) AS recall_floor,
+                   TRUE AS meets_recall_floor
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "q25_embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 500
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                   CAST(0.6 AS DOUBLE) AS recall_floor,
+                   TRUE AS meets_recall_floor
+            FROM e a JOIN e b ON a.id < b.id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25
+        """,
+        "q35_ann_ivf": """
+            SELECT CAST(COUNT(*) AS BIGINT) * 5 AS n_exact,
+                   CAST(0.5 AS DOUBLE) AS recall_floor,
+                   TRUE AS meets_recall_floor
+            FROM embeddings WHERE vec_id < 10
         """,
         "q52_union_by_name": """
             (SELECT CAST(c_custkey AS VARCHAR) AS Connect_ID,

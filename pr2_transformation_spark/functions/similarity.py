@@ -88,6 +88,16 @@ def lsh_bucket(vec, planes: list[list[float]]):
     return bucket.cast("long")
 
 
+def _table_buckets(vec, dim: int, n_planes: int, n_tables: int, seed: int):
+    """array<long> of one bucket id per hash table (independent plane sets)."""
+    return F.array(
+        *[
+            lsh_bucket(vec, random_hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ]
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,25 +107,49 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's
-    hyperplane bucket.  Recall improves with fewer planes (bigger buckets)
-    or multiprobe; this is the scale path, not the exactness path."""
+    """Approximate top-k: score only corpus vectors sharing a hyperplane
+    bucket with the query in at least one of ``n_tables`` independent
+    hash tables (standard OR-amplification: a neighbor at same-side
+    probability p per plane is missed with probability (1-p^planes)^tables
+    — more tables drive recall up, more planes drive candidate volume
+    down).  This is the scale path, not the exactness path: each table
+    costs one extra bucket entry per corpus row (n_tables × rows candidate
+    index), the classic LSH memory-for-recall trade."""
     dim = len(corpus.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
 
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn("__bucket", lsh_bucket(F.col("__cv"), planes))
+    ).select(
+        id_col,
+        "__cv",
+        F.posexplode(
+            _table_buckets(F.col("__cv"), dim, n_planes, n_tables, seed)
+        ).alias("__t", "__bucket"),
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
-        ).withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
+        ).select(
+            query_id_col,
+            "__qv",
+            F.posexplode(
+                _table_buckets(F.col("__qv"), dim, n_planes, n_tables, seed)
+            ).alias("__t", "__bucket"),
+        )
     )
-    scored = q.join(c, "__bucket").select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("score"),
+    # distinct BEFORE scoring: a candidate found by several tables is
+    # scored once, and the output carries no duplicate (query, vec) rows
+    scored = (
+        q.join(c, ["__t", "__bucket"])
+        .select(query_id_col, id_col, "__qv", "__cv")
+        .dropDuplicates([query_id_col, id_col])
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("score"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -231,43 +265,61 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-bucketing: only
-    same-bucket pairs are scored (id_a < id_b), then filtered at
-    ``threshold``.
+    pairs sharing a bucket in at least one of ``n_tables`` hash tables are
+    scored (id_a < id_b), then filtered at ``threshold``.  OR-amplification
+    (see :func:`cosine_topk_lsh`) trades index size (n_tables entries per
+    vector) for recall — the knob to turn when the corpus' near-dup pairs
+    sit below single-table bucket-collision probability.
 
-    ``max_bucket`` is the skew guard: a hyperplane bucket holding more
+    ``max_bucket`` is the skew guard: a (table, bucket) cell holding more
     than that many vectors (a dense embedding cluster — the quadratic
     hot spot) is excluded whole before the pair join, bounding any
-    bucket's fan-out at max_bucket².  Same index-pruning contract as
+    cell's fan-out at max_bucket².  Same index-pruning contract as
     ``dedup.ngram_jaccard_pairs(max_posting=...)``: default ``None``
     keeps every bucket; with a cap, pairs inside oversized clusters are
     deliberately skipped (route those clusters to ``semantic_dedup``,
     which handles dense regions by construction)."""
     dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    ).select(
+        id_col,
+        "__v",
+        F.posexplode(
+            _table_buckets(F.col("__v"), dim, n_planes, n_tables, seed)
+        ).alias("__t", "__bucket"),
+    )
     if max_bucket is not None:
         hot = (
-            b.groupBy("__bucket")
+            b.groupBy("__t", "__bucket")
             .agg(F.count(F.lit(1)).alias("__nb"))
             .filter(F.col("__nb") > max_bucket)
-            .select("__bucket")
+            .select("__t", "__bucket")
         )
-        b = b.join(F.broadcast(hot), "__bucket", "left_anti")
+        b = b.join(F.broadcast(hot), ["__t", "__bucket"], "left_anti")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(
             y,
-            (F.col("x.__bucket") == F.col("y.__bucket"))
+            (F.col("x.__t") == F.col("y.__t"))
+            & (F.col("x.__bucket") == F.col("y.__bucket"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("x.__v"), F.col("y.__v")), 4).alias("score"),
+            F.col("x.__v").alias("__va"),
+            F.col("y.__v").alias("__vb"),
+        )
+        # a pair colliding in several tables is scored once and appears once
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

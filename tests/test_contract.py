@@ -33,14 +33,12 @@ def test_rows_only_queries_are_the_documented_ones():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = sorted(set(qs) - set(oracles))
     # q22/q23/q40/q126 gained DuckDB oracles (deterministic md5-based
-    # folds / exact-equivalence SQL); the survivors are legitimately
-    # recall-based (LSH/IVF) or engine-specific approximations (HLL++,
-    # approx_percentile) that have recall-floor / tolerance unit tests
-    # instead (tests/test_ext_ops.py).
+    # folds / exact-equivalence SQL) in round 2; q24/q25/q35 became
+    # SELF-VERIFYING in round 3 (in-query recall vs the exact result,
+    # floor asserted by the oracle).  The two survivors are engine-
+    # specific sketches (HLL++, approx_percentile) whose outputs are
+    # tolerance-tested in tests/test_ext_ops.py instead.
     assert rows_only == [
-        "q24_ann_lsh",
-        "q25_embedding_near_dup",
-        "q35_ann_ivf",
         "q64_approx_distinct",
         "q97_approx_quantiles",
     ], f"unexpected rows-only set: {rows_only}"
