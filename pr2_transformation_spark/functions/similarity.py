@@ -325,6 +325,125 @@ def embedding_near_dup_pairs(
     )
 
 
+#: score expression shared by flat and IVF assignment — MUST stay identical
+#: so full-probe IVF is bit-equal to flat (and to the external oracle).
+def _assign_score(v, nrm, cv, cnrm):
+    return F.round(_dot(v, cv) / (nrm * cnrm), 4) + F.lit(0.0)
+
+
+def _flat_assign(e, cents, id_col: str):
+    """Nearest centroid by scoring ALL centroids (broadcast crossJoin +
+    per-row argmax window).  Returns (id, __v, __nrm, cluster)."""
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "__v",
+        "__nrm",
+        "__cid",
+        _assign_score(
+            F.col("__v"), F.col("__nrm"), F.col("__cv"), F.col("__cnrm")
+        ).alias("__cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), "__cid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col), F.col("__v"), F.col("__nrm"), F.col("__cid").alias("cluster")
+        )
+    )
+
+
+def _ivf_assign(
+    e,
+    cents,
+    id_col: str,
+    n_seed_centroids: int,
+    coarse_cells: int | None,
+    n_probe: int,
+    seed: int = 42,
+):
+    """Nearest centroid via a coarse quantizer: rows probe their best
+    ``n_probe`` of ``coarse_cells`` k-means cells and score only the seed
+    centroids inside — O(cells + probe·k/cells) dots per row instead of
+    O(k).  Cell membership lists ride as ONE broadcast map; the per-row
+    argmax is a partial-aggregated ``max_by`` (no window shuffle of the
+    probe fan-out).  Returns (id, __v, __nrm, cluster)."""
+    k = n_seed_centroids
+    m = coarse_cells or max(2, int(math.isqrt(k)))
+    coarse = train_ivf_centroids(
+        cents.select(F.col("__cv").alias("embedding")), "embedding",
+        n_centroids=m, seed=seed,
+    )
+    m = len(coarse)
+    n_probe = min(n_probe, m)
+
+    def nearest_cell(vec):
+        cs = _centroid_scores(vec, coarse)
+        return (F.array_position(cs, F.array_max(cs)) - 1).cast("int")
+
+    cell_lists = F.broadcast(
+        cents.withColumn("__cell", nearest_cell(F.col("__cv")))
+        .groupBy("__cell")
+        .agg(F.collect_list(F.struct("__cid", "__cv", "__cnrm")).alias("__members"))
+    )
+
+    def probe_cells(vec):
+        cs = _centroid_scores(vec, coarse)
+        idx = F.sequence(F.lit(0), F.lit(m - 1))
+        pairs = F.zip_with(cs, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        srt = F.array_sort(
+            pairs,
+            lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+            .when(a["s"] < b["s"], F.lit(1))
+            .otherwise(a["i"] - b["i"]),
+        )
+        return F.transform(F.slice(srt, 1, n_probe), lambda x: x["i"].cast("int"))
+
+    probed = e.select(
+        id_col, "__v", "__nrm", F.explode(probe_cells(F.col("__v"))).alias("__cell")
+    )
+    scored = (
+        probed.join(cell_lists, "__cell")
+        .select(
+            id_col,
+            "__v",
+            "__nrm",
+            F.explode("__members").alias("__mem"),
+        )
+        .select(
+            id_col,
+            "__v",
+            "__nrm",
+            F.col("__mem.__cid").alias("__cid"),
+            _assign_score(
+                F.col("__v"), F.col("__nrm"),
+                F.col("__mem.__cv"), F.col("__mem.__cnrm"),
+            ).alias("__cs"),
+        )
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("__v", "__nrm", "__cid"),
+                F.struct(F.col("__cs"), (-F.col("__cid")).alias("__neg")),
+            ).alias("__b")
+        )
+        .select(
+            id_col,
+            F.col("__b.__v").alias("__v"),
+            F.col("__b.__nrm").alias("__nrm"),
+            F.col("__b.__cid").alias("cluster"),
+        )
+    )
+    # A row whose probed cells hold no centroid (possible when k-means
+    # leaves cells empty) would vanish from the inner join — catch those
+    # and assign them the flat way.  The anti-join arm is empty on healthy
+    # quantizers, so this costs plan nodes, not runtime.
+    missed = e.join(best.select(id_col), id_col, "left_anti")
+    return best.unionByName(_flat_assign(missed, cents, id_col))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -332,6 +451,9 @@ def semantic_dedup(
     n_seed_centroids: int | None = None,
     threshold: float = 0.25,
     checkpoint: str | None = "local",
+    assignment: str = "flat",
+    coarse_cells: int | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """SemDeDup-style cluster-pruned semantic deduplication (Abbas et al.
     2023, arXiv:2303.09540): assign every vector to its nearest centroid,
@@ -354,6 +476,23 @@ def semantic_dedup(
     Scores are rounded to 4 digits before the argmax/threshold compare so
     assignment and drop decisions are stable across engines; ties prefer
     the smaller centroid id.
+
+    ``assignment`` selects how rows find their nearest centroid:
+
+    * ``"flat"`` (default, oracle-exact): every row scores all k seed
+      centroids — O(√N) dots per row, N^1.5 corpus-wide.  The form an
+      external SQL oracle can replay verbatim.
+    * ``"ivf"``: a coarse quantizer (k-means over the seed-centroid
+      subset, ``coarse_cells`` cells, default √k) routes each row to its
+      ``n_probe`` best cells and the row scores only the seed centroids
+      living there — O(√k·(1+n_probe)) dots per row, flat in k for fixed
+      probe count.  With ``n_probe >= coarse_cells`` every cell is probed
+      and the result is EXACTLY the flat assignment (same score
+      expression, same tie-break) — the equivalence test's anchor; with
+      partial probing a row whose true nearest centroid hides in an
+      unprobed cell may land in a neighboring cluster (the standard IVF
+      recall trade).  Rows whose probed cells are all empty fall back to
+      flat scoring, so every row is always assigned.
     """
     if n_seed_centroids is None:
         n_seed_centroids = max(8, int(math.sqrt(df.count())))
@@ -365,31 +504,22 @@ def semantic_dedup(
     e = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__nrm", _norm(F.col("__v")))
-    cents = F.broadcast(
-        e.filter(F.col(id_col) < n_seed_centroids).select(
-            F.col(id_col).alias("__cid"),
-            F.col("__v").alias("__cv"),
-            F.col("__nrm").alias("__cnrm"),
+    cents = e.filter(F.col(id_col) < n_seed_centroids).select(
+        F.col(id_col).alias("__cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cnrm"),
+    )
+    if assignment == "flat":
+        best = _flat_assign(e, cents, id_col)
+    elif assignment == "ivf":
+        best = _ivf_assign(
+            e, cents, id_col, n_seed_centroids, coarse_cells, n_probe
         )
-    )
-    scored = e.crossJoin(cents).select(
-        id_col,
-        "__v",
-        "__nrm",
-        "__cid",
-        (
-            F.round(
-                _dot(F.col("__v"), F.col("__cv"))
-                / (F.col("__nrm") * F.col("__cnrm")),
-                4,
-            )
-            + F.lit(0.0)
-        ).alias("__cs"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), "__cid")
+    else:
+        raise ValueError(f"unknown assignment {assignment!r} (flat | ivf)")
     # The assignment frame feeds three plan arms (both pair-join sides and
     # the output join) — materialize once instead of re-running the
-    # crossJoin+window per arm.  Partition + sort on `cluster` BEFORE the
+    # scoring per arm.  Partition + sort on `cluster` BEFORE the
     # checkpoint: LogicalRDD captures partitioning/ordering, so the
     # cluster-keyed SELF-join consumes both alias sides with no Exchange
     # and no Sort (same reuse trick as connected_components' edge list) —
@@ -397,13 +527,7 @@ def semantic_dedup(
     from ..checkpointing import checkpoint_frame
 
     assigned = checkpoint_frame(
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(id_col), F.col("__v"), F.col("__nrm"), F.col("__cid").alias("cluster")
-        )
-        .repartition("cluster")
-        .sortWithinPartitions("cluster"),
+        best.repartition("cluster").sortWithinPartitions("cluster"),
         checkpoint,
     )
     a, b = assigned.alias("a"), assigned.alias("b")

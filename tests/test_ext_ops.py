@@ -859,3 +859,46 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
         assert found, "reliable checkpoint wrote nothing to the checkpoint dir"
     finally:
         sc.setCheckpointDir(None)
+
+
+def test_semantic_dedup_ivf_full_probe_equals_flat(spark):
+    """assignment='ivf' with n_probe >= coarse_cells probes every cell, so
+    the result must be EXACTLY the flat assignment on any data (same score
+    expression, same tie-break)."""
+    from pr2_transformation_spark.functions.similarity import semantic_dedup
+
+    rows = [(i, [float((i * 13 + j * 7) % 11) - 5.0 for j in range(8)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = sorted(map(tuple, semantic_dedup(
+        df, n_seed_centroids=16, threshold=0.6, assignment="flat"
+    ).collect()))
+    full_probe = sorted(map(tuple, semantic_dedup(
+        df, n_seed_centroids=16, threshold=0.6,
+        assignment="ivf", coarse_cells=4, n_probe=4,
+    ).collect()))
+    assert full_probe == flat
+
+
+def test_semantic_dedup_ivf_partial_probe_clustered(spark):
+    """On well-separated clusters a single probe finds the true cell: the
+    partial-probe IVF assignment equals flat."""
+    from pr2_transformation_spark.functions.similarity import semantic_dedup
+
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [0.1 * ((i * 7 + j) % 5) for j in range(6)]
+        v[axis] += 50.0  # three far-apart clusters along axes 0/1/2
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = sorted(map(tuple, semantic_dedup(
+        df, n_seed_centroids=9, threshold=0.9, assignment="flat"
+    ).collect()))
+    ivf = sorted(map(tuple, semantic_dedup(
+        df, n_seed_centroids=9, threshold=0.9,
+        assignment="ivf", coarse_cells=3, n_probe=1,
+    ).collect()))
+    assert ivf == flat
+    with pytest.raises(ValueError, match="unknown assignment"):
+        semantic_dedup(df, n_seed_centroids=9, assignment="bogus")
