@@ -386,3 +386,57 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_user_stats_restart_recovery(spark, tmp_path):
+    """Kill-and-resume for the custom stateful operator: run
+    streaming_user_stats over phase-A events with a checkpoint, stop the
+    query, deliver phase-B events, and restart a FRESH query from the same
+    checkpoint.  The recovered state must continue the per-user running
+    totals exactly once — phase-A events counted once (not re-read after
+    restart), phase-B increments applied on top of recovered counts."""
+    from pr2_transformation_spark.streaming.sinks import upsert_snapshot_sink
+    from pr2_transformation_spark.streaming.windows import streaming_user_stats
+
+    ev = _events_fixture(spark)
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = streaming_user_stats(stream, "user_id", "ts", "value")
+        q = (
+            out.writeStream.foreachBatch(
+                upsert_snapshot_sink(dest, ["user_id"], "last_seen_epoch")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase A: events 1-3 (user 10: 3 events, sum 6.0)
+    ev.filter(F.col("event_id") <= 3).coalesce(1).write.parquet(src)
+    run_once()
+    snap = {r["user_id"]: r for r in spark.read.parquet(dest).collect()}
+    assert snap[10]["n_events"] == 3 and abs(snap[10]["sum_value"] - 6.0) < 1e-9
+    assert 11 not in snap
+
+    # phase B: events 4-6 for user 11, plus one more for user 10
+    more = spark.createDataFrame(
+        [(7, "2024-01-01 00:20:00", 10, "click", 10.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.filter(F.col("event_id") > 3).unionByName(more).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()  # fresh query object, same checkpoint -> state recovered
+
+    snap = {r["user_id"]: r for r in spark.read.parquet(dest).collect()}
+    # user 10: 3 recovered + 1 new = 4 events, 6.0 + 10.0 (NOT 12.0+10.0 or 1+10)
+    assert snap[10]["n_events"] == 4, f"state not recovered: {snap[10]}"
+    assert abs(snap[10]["sum_value"] - 16.0) < 1e-9
+    # user 11 appears with exactly its phase-B totals
+    assert snap[11]["n_events"] == 3 and abs(snap[11]["sum_value"] - 15.0) < 1e-9
