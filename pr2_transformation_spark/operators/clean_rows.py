@@ -47,10 +47,26 @@ def compose_clean_rows(
         # computational mode: both detectors share ONE aggregation scan
         b, fa = profiling.profile_columns(df)
         binary, false_arrays = set(b), set(fa)
-    # A column claimed by both recodes only once (binary wins, matching the
-    # reference's clause order where the binary CASE is emitted first and the
-    # duplicate guard would reject a second alias).
-    false_arrays -= binary
+    return compose_recoding(all_columns, binary, false_arrays)
+
+
+def compose_recoding(
+    all_columns: list[str], binary: set[str], false_arrays: set[str]
+) -> list[Clause]:
+    """Pure planner: (columns, binary set, false-array set) -> projection.
+
+    Clause order parity: /root/reference/core/transformations.py:698-714
+    (binary CASEs sorted, unwrap CASEs sorted, pass-through sorted).
+
+    Documented deviation: a column claimed by BOTH detectors recodes once,
+    binary winning.  The reference emits both expressions and its duplicate
+    guard then raises ``ValueError`` (transformations.py:725-736), killing
+    the run; since the overlap means contradictory profiling output for
+    which the binary CASE is the safe interpretation, this repo resolves it
+    instead of failing — pinned by
+    tests/test_reference_differential.py::test_process_rows_overlap_deviation.
+    """
+    false_arrays = set(false_arrays) - set(binary)
     rest = [c for c in all_columns if c not in binary and c not in false_arrays]
 
     clauses: list[Clause] = []

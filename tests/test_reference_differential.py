@@ -13,14 +13,23 @@ imports /root/reference/core/{utils,constants,transformations} with
 * runs the reference's ``process_columns`` on randomized schemas, parses
   the SELECT list out of its captured SQL, and compares clause-by-clause
   with ``compose_clean_columns`` — exact equality on substring-free
-  schemas, and an explicit golden capture of the ONE documented deviation
-  (the reference's substring pass sweeps ALL unprocessed columns whenever
-  any column contains an excisable substring,
+  schemas, plus an explicit golden capture of deviation #1 (the
+  reference's substring pass sweeps ALL unprocessed columns whenever any
+  column contains an excisable substring,
   /root/reference/core/transformations.py:322-338; this repo's pass claims
-  only columns that actually contain a substring,
-  operators/clean_columns.py:18-27).
+  only substring-bearing columns and their excised-name collisions,
+  operators/clean_columns.py:18-31);
+* does the same for the OTHER three endpoints: ``merge_table_versions``
+  (clause list + FULL OUTER chain shape vs ``compose_merge``, with the
+  reference's REAL column-exclusion logic running), ``process_rows``
+  (kind/name/order vs ``compose_recoding``, expression text being
+  dialect-specific by design, plus deviation #2: binary∧false-array
+  overlap — reference raises, this repo resolves binary-first), and
+  ``create_sensitive_tier`` (hard-coded projection verbatim, plus
+  deviation #3: the reference's CONNECT_ID case quirk).
 
-No Spark session needed — both planners are driver-side schema->clauses.
+Only the merge test needs a Spark session (schemas ride empty frames);
+everything else is driver-side schema->clauses.
 """
 
 from __future__ import annotations
@@ -46,6 +55,8 @@ def _install_google_stubs() -> None:
         return
 
     class _Job:
+        job_id = "stub-job"
+
         def result(self):
             return None
 
@@ -398,3 +409,236 @@ def test_planner_deviation_substring_sweep_property(ref, monkeypatch):
             srcs = clause.split(" AS ")[0]
             if any(s in srcs for s in config.SUBSTRINGS_TO_FIX):
                 assert clause in ours, (clause, cols)
+
+
+# ---------------------------------------------------------------------------
+# merge_table_versions differential
+# ---------------------------------------------------------------------------
+
+
+def test_valid_column_names_match_reference(ref, monkeypatch):
+    """The merge pre-filter (forbidden names + excluded substrings) must
+    keep exactly the same columns as the reference's get_valid_column_names
+    (which runs its real exclusion logic here — only the schema fetch is
+    patched)."""
+    assert list(ref.constants.EXCLUDED_NON_CID_SUBSTRINGS) == list(
+        config.EXCLUDED_NON_CID_SUBSTRINGS
+    )
+    rng = random.Random(6174)
+    for _ in range(60):
+        cols = _rand_schema(rng, allow_substrings=True)
+        if rng.random() < 0.5:
+            cols = cols + ["d_123456789_entity", "COMPLETED_ts_provided", "sha", "uid"]
+        monkeypatch.setattr(
+            ref.utils, "get_column_names",
+            lambda client=None, fq_table=None, _c=cols: list(_c),
+        )
+        got = set(ref.utils.get_valid_column_names(None, "p.d.t"))
+        assert got == set(names.valid_column_names(cols)), cols
+
+
+def test_merge_table_versions_differential(ref, monkeypatch, spark):
+    """Random 2-4 schema merges: the reference's composed SELECT list
+    (COALESCEd commons sorted, per-alias uniques sorted, Connect_ID case
+    preserved) must equal compose_merge's clause list, and the FULL OUTER
+    chain must anchor on the LAST source joining earlier sources in
+    reverse order on Connect_ID."""
+    from pr2_transformation_spark.operators.merge import compose_merge
+
+    # capture the REAL functions once, before any monkeypatching
+    real_get_valid = ref.utils.get_valid_column_names
+    real_get_cols = ref.utils.get_column_names
+
+    rng = random.Random(9261)
+    for _ in range(25):
+        n = rng.randint(2, 4)
+        schemas = []
+        shared = [_rand_name(rng, False) for _ in range(rng.randint(1, 4))]
+        for _ in range(n):
+            cols = _rand_schema(rng, allow_substrings=False)
+            if "Connect_ID" not in cols:  # the join key every version carries
+                cols.append("Connect_ID")
+            for s in shared:
+                if s.lower() not in {c.lower() for c in cols}:
+                    # vary the case per table: commons match case-insensitively
+                    cols.append(s.upper() if rng.random() < 0.3 else s)
+            rng.shuffle(cols)
+            schemas.append(cols)
+
+        captured = {}
+
+        def ref_valid(cols):
+            # run the REAL exclusion logic with only the schema fetch faked
+            ref.utils.get_column_names = lambda client=None, fq_table=None, _c=cols: list(_c)
+            try:
+                return real_get_valid(None, "p.d.t")
+            finally:
+                ref.utils.get_column_names = real_get_cols
+
+        monkeypatch.setattr(
+            ref.utils, "get_valid_column_names",
+            lambda client, fq_table, _s=schemas: ref_valid(_s[int(fq_table.rsplit("t", 1)[-1])]),
+        )
+        monkeypatch.setattr(
+            ref.utils, "save_sql_string",
+            lambda sql, path, storage_client=None, _c=captured: _c.__setitem__("sql", sql),
+        )
+        tables = [f"p.d.t{i}" for i in range(n)]
+        out = ref.transformations.merge_table_versions(tables, "p.d.dest")
+        assert "successfully" in out["status"]
+        sql = captured["sql"]
+
+        ref_clauses = _parse_merge_select(sql)
+
+        dfs = [
+            spark.createDataFrame([], " ".join(f"`{c}` string," for c in cols)[:-1])
+            for cols in schemas
+        ]
+        _, clauses = compose_merge(dfs)
+        ours = [_norm(c.sql) for c in clauses]
+        assert ref_clauses == ours, schemas
+
+        # join chain: FROM last table, earlier tables reverse order, keyed
+        # on Connect_ID both sides
+        joins = re.findall(r"FULL OUTER JOIN `([^`]+)` (v\d+)\s*\n\s*ON ([\w.]+) = ([\w.]+)", sql)
+        assert [j[1] for j in joins] == [f"v{i}" for i in range(n - 1, 0, -1)]
+        base_alias = f"v{n}"
+        for _tbl, alias, lhs, rhs in joins:
+            assert lhs == f"{base_alias}.Connect_ID" and rhs == f"{alias}.Connect_ID"
+
+
+def _parse_merge_select(sql: str) -> list[str]:
+    m = re.search(r"SELECT\s*\n(.*?)\n\s*FROM\s*\n", sql, re.S)
+    assert m, f"unparseable merge SQL:\n{sql}"
+    lines = [ln.strip() for ln in m.group(1).splitlines()
+             if ln.strip() and not ln.strip().startswith("--")]
+    body = " ".join(lines)
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [re.sub(r"\s+", " ", c).strip() for c in out if c.strip()]
+
+
+# ---------------------------------------------------------------------------
+# process_rows differential
+# ---------------------------------------------------------------------------
+
+
+def _ref_process_rows_parts(ref, monkeypatch, cols, binary, false_arrays):
+    captured = {}
+    monkeypatch.setattr(
+        ref.utils, "get_column_names",
+        lambda client=None, fq_table=None: list(cols),
+    )
+    monkeypatch.setattr(
+        ref.utils, "get_binary_columns",
+        lambda client=None, fq_table=None: list(binary),
+    )
+    monkeypatch.setattr(
+        ref.utils, "get_strict_false_array_columns",
+        lambda client=None, fq_table=None, batch_size=100, use_reference=True,
+        reference_file_path=None: list(false_arrays),
+    )
+    monkeypatch.setattr(
+        ref.utils, "save_sql_string",
+        lambda sql, path, storage_client=None: captured.__setitem__("sql", sql),
+    )
+    out = ref.transformations.process_rows("p.d.t", "p.d.dest")
+    assert "successfully" in out["status"]
+    return _parse_select_list(captured["sql"])
+
+
+def _classify_ref_part(part: str) -> tuple[str, str]:
+    alias = part.rsplit(" AS ", 1)[-1].strip().strip("`") if " AS " in part else part.strip().strip("`")
+    if '"353358909"' in part:
+        return ("binary", alias)
+    if "REGEXP_CONTAINS" in part:
+        return ("unwrap", alias)
+    return ("pass", alias)
+
+
+def _classify_our_clause(c) -> tuple[str, str]:
+    if "'353358909'" in c.sql:
+        return ("binary", c.out_name)
+    if "RLIKE" in c.sql:
+        return ("unwrap", c.out_name)
+    return ("pass", c.out_name)
+
+
+def test_process_rows_differential(ref, monkeypatch):
+    """Random (schema, binary set, false-array set) triples: the reference's
+    SELECT composition — binary CASEs sorted, unwrap CASEs sorted,
+    pass-through sorted — must equal compose_recoding clause-for-clause in
+    kind, output name, and order (expression text is dialect-specific:
+    REGEXP_CONTAINS/\\1 in BigQuery re2, RLIKE/$1 in Spark; the value
+    semantics of both renderings are pinned by the q03/q12/q27 oracles)."""
+    from pr2_transformation_spark.operators.clean_rows import compose_recoding
+
+    rng = random.Random(1089)
+    for _ in range(40):
+        cols = _rand_schema(rng, allow_substrings=False, n=rng.randint(4, 14))
+        pool = [c for c in cols if c != "Connect_ID"]
+        rng.shuffle(pool)
+        n_bin = rng.randint(0, len(pool) // 2)
+        n_fa = rng.randint(0, (len(pool) - n_bin) // 2)
+        binary = set(pool[:n_bin])
+        false_arrays = set(pool[n_bin : n_bin + n_fa])
+        ref_parts = [
+            _classify_ref_part(p)
+            for p in _ref_process_rows_parts(ref, monkeypatch, cols, binary, false_arrays)
+        ]
+        ours = [
+            _classify_our_clause(c)
+            for c in compose_recoding(cols, binary, false_arrays)
+        ]
+        assert ref_parts == ours, (cols, binary, false_arrays)
+
+
+def test_process_rows_overlap_deviation(ref, monkeypatch):
+    """Documented deviation #2: a column detected as BOTH binary and false
+    array.  Reference: emits both expressions and its duplicate guard
+    raises ValueError (transformations.py:725-736) — the run dies.  This
+    repo: binary wins, one clause, run completes."""
+    from pr2_transformation_spark.operators.clean_rows import compose_recoding
+
+    cols = ["Connect_ID", "d_111111111", "d_222222222"]
+    with pytest.raises(ValueError, match="[Dd]uplicate"):
+        _ref_process_rows_parts(
+            ref, monkeypatch, cols, {"d_111111111"}, {"d_111111111"}
+        )
+    ours = compose_recoding(cols, {"d_111111111"}, {"d_111111111"})
+    assert [_classify_our_clause(c) for c in ours] == [
+        ("binary", "d_111111111"), ("pass", "Connect_ID"), ("pass", "d_222222222"),
+    ]
+
+
+def test_sensitive_tier_columns_match_reference(ref, monkeypatch):
+    """The sensitive-tier projection list must match the reference's
+    hard-coded SELECT verbatim — except the key column's case
+    (reference writes CONNECT_ID there, unlike every other endpoint's
+    Connect_ID; this repo uses the canonical Connect_ID — documented
+    deviation #3, case-only, value-identical)."""
+    captured = {}
+    monkeypatch.setattr(
+        ref.utils, "save_sql_string",
+        lambda sql, path, storage_client=None: captured.__setitem__("sql", sql),
+    )
+    out = ref.transformations.create_sensitive_tier("p.d.t", "p.d.dest")
+    assert "successfully" in out["status"]
+    m = re.search(r"SELECT\s*\n(.*?)\n\s*FROM `", captured["sql"], re.S)
+    ref_cols = [c.strip() for c in m.group(1).replace("\n", " ").split(",")]
+    assert ref_cols[0] == "CONNECT_ID"  # the reference's case quirk, pinned
+    assert [c.lower() for c in ref_cols] == [
+        c.lower() for c in config.SENSITIVE_TIER_COLUMNS
+    ]
+    assert config.SENSITIVE_TIER_COLUMNS[0] == "Connect_ID"
+    assert ref_cols[1:] == config.SENSITIVE_TIER_COLUMNS[1:]
