@@ -591,10 +591,13 @@ def q24_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    approx = similarity.cosine_topk_lsh(
+    approx = similarity.cosine_topk_lsh_pandas(
         corpus, queries, k=5, n_planes=4, n_tables=16
     )
-    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+    # exact side via the Arrow/BLAS twin — provably the same top-k set as
+    # the expression form (tests pin exact equivalence; q126's oracle
+    # hash-matches it), ~5x cheaper on the 64-dim corpus scan
+    exact = similarity.cosine_topk_bruteforce_pandas(corpus, queries, k=5)
     joined = exact.select("query_id", "vec_id").join(
         approx.select("query_id", "vec_id", F.lit(1).alias("__hit")),
         ["query_id", "vec_id"],
@@ -990,7 +993,7 @@ def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.cosine_topk_ivf(
         corpus, queries, k=5, n_centroids=16, n_probe=6
     )
-    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+    exact = similarity.cosine_topk_bruteforce_pandas(corpus, queries, k=5)
     joined = exact.select("query_id", "vec_id").join(
         approx.select("query_id", "vec_id", F.lit(1).alias("__hit")),
         ["query_id", "vec_id"],

@@ -139,17 +139,20 @@ def cosine_topk_lsh(
             ).alias("__t", "__bucket"),
         )
     )
-    # distinct BEFORE scoring: a candidate found by several tables is
-    # scored once, and the output carries no duplicate (query, vec) rows
+    # Score inside the broadcast join (map-side — the corpus never
+    # shuffles), then dedup multi-table hits on NARROW (query, vec, score)
+    # triplets: the score is identical in every table that found the pair,
+    # so first() per pair == scored-once semantics, and the only shuffle
+    # carries ~24 bytes/candidate instead of two 64-dim vectors.
     scored = (
         q.join(c, ["__t", "__bucket"])
-        .select(query_id_col, id_col, "__qv", "__cv")
-        .dropDuplicates([query_id_col, id_col])
         .select(
             query_id_col,
             id_col,
             F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("score"),
         )
+        .groupBy(query_id_col, id_col)
+        .agg(F.first("score").alias("score"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -617,6 +620,96 @@ def cosine_topk_bruteforce_pandas(
                         np.take_along_axis(sims, idx, axis=1).ravel(), round_digits
                     )
                     + 0.0,
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_lsh_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    n_tables: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`cosine_topk_lsh` — identical
+    multi-table candidate semantics (a corpus vector is scored iff it
+    shares a bucket with the query in >= 1 table), computed as numpy
+    matmuls inside ``mapInPandas``:
+
+    * bucket bits for ALL tables come from ONE (batch × planes) matmul —
+      the expression form evaluates n_tables·n_planes interpreted
+      ``aggregate`` folds per row, which dominates its runtime;
+    * scoring is one (queries × batch) matmul masked by per-table bucket
+      agreement, then a partition-local top-k bounds the shuffle.
+
+    Same plane set as the expression form (``random_hyperplanes`` with the
+    same seed), so the candidate sets match modulo sign-boundary float
+    summation order.  This is the production path; the expression form
+    stays as the JVM-only/no-Arrow fallback and semantics spec."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = [
+        (r[0], r[1])
+        for r in queries.select(query_id_col, vec_col).collect()
+        if r[1] is not None
+    ]
+    qids = np.asarray([r[0] for r in qrows])
+    qm = np.asarray([r[1] for r in qrows], dtype="float64")
+    dim = qm.shape[1]
+    # planes laid out (n_tables*n_planes, dim), table t owns rows
+    # [t*n_planes, (t+1)*n_planes) — same per-table planes as the
+    # expression form generates
+    planes = np.asarray(
+        [p for t in range(n_tables) for p in random_hyperplanes(dim, n_planes, seed + t)],
+        dtype="float64",
+    )
+    pw = (2 ** np.arange(n_planes, dtype="int64"))
+
+    def buckets_of(mat):
+        bits = (mat @ planes.T) >= 0  # (rows, tables*planes)
+        return (
+            bits.reshape(len(mat), n_tables, n_planes).astype("int64") * pw
+        ).sum(axis=2)  # (rows, tables)
+
+    qb = buckets_of(qm)  # (n_queries, n_tables)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.asarray(list(pdf[vec_col]), dtype="float64")
+            cb = buckets_of(cm)  # (batch, n_tables)
+            cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+            # candidate mask: bucket agreement in ANY table
+            mask = (qb[:, None, :] == cb[None, :, :]).any(axis=2)  # (q, batch)
+            sims = np.where(mask, qn @ cn.T, -np.inf)
+            ids = pdf[id_col].to_numpy()
+            top = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            picked = np.take_along_axis(sims, idx, axis=1)
+            keep = np.isfinite(picked)
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids, top)[keep.ravel()],
+                    id_col: ids[idx].ravel()[keep.ravel()],
+                    "score": np.round(picked.ravel()[keep.ravel()], round_digits) + 0.0,
                 }
             )
 

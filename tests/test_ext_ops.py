@@ -902,3 +902,21 @@ def test_semantic_dedup_ivf_partial_probe_clustered(spark):
     assert ivf == flat
     with pytest.raises(ValueError, match="unknown assignment"):
         semantic_dedup(df, n_seed_centroids=9, assignment="bogus")
+
+
+def test_lsh_pandas_matches_expression_form(spark):
+    """The Arrow/BLAS LSH twin must produce the same top-k sets as the
+    expression form: same planes, same multi-table candidate rule."""
+    emb = _vectors(spark, n=80)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    for planes, tables in [(2, 1), (4, 8), (3, 4)]:
+        expr = {(r["query_id"], r["vec_id"]) for r in similarity.cosine_topk_lsh(
+            corpus, queries, k=5, n_planes=planes, n_tables=tables
+        ).collect()}
+        fast = {(r["query_id"], r["vec_id"]) for r in similarity.cosine_topk_lsh_pandas(
+            corpus, queries, k=5, n_planes=planes, n_tables=tables
+        ).collect()}
+        assert fast == expr, (planes, tables)
