@@ -1227,6 +1227,19 @@ def q129_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q130_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus REWRITE (the mutation counterpart of q120's
+    dup-fraction signal): every distinct 10-token segment survives only at
+    its first global (doc_id, position) occurrence; documents are rebuilt
+    from their surviving segments and fully-claimed documents drop out.
+    Graded in ``hasher="md5"`` mode so the DuckDB oracle replays the
+    winner election exactly; the corpus text never enters the winner
+    shuffle (8-byte hashes + 16-byte claims), and reassembly re-slices
+    the original token arrays in one projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_dedup_rewrite(docs, segment_tokens=10, hasher="md5")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3028,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_ann_bruteforce_vectorized": q126_ann_bruteforce_vectorized,
         "q128_connected_components_two_phase": q128_connected_components_two_phase,
         "q129_corpus_prep": q129_corpus_prep,
+        "q130_segment_dedup_rewrite": q130_segment_dedup_rewrite,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -3960,6 +3974,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, source FROM nd
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "q130_segment_dedup_rewrite": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), segs AS (
+                SELECT doc_id, p.i AS pos,
+                       array_to_string(
+                           list_slice(t, p.i * 10 + 1, p.i * 10 + 10), ' ') AS seg
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                              0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS i) p
+            ), hashed AS (
+                SELECT doc_id, pos, seg,
+                       CAST('0x' || substring(md5(seg), 1, 15) AS BIGINT) AS h
+                FROM segs
+            ), winners AS (
+                SELECT doc_id, pos, seg
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY h ORDER BY doc_id, pos) AS rn
+                      FROM hashed)
+                WHERE rn = 1
+            ), totals AS (
+                SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(t.n_segments AS INT) AS n_segments,
+                   CAST(COUNT(*) AS INT) AS n_kept,
+                   string_agg(w.seg, ' ' ORDER BY w.pos) AS text
+            FROM winners w JOIN totals t USING (doc_id)
+            GROUP BY w.doc_id, t.n_segments
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

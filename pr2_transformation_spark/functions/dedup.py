@@ -682,3 +682,85 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level corpus rewrite (C4-style line dedup, token-window segments)
+# ---------------------------------------------------------------------------
+
+def segment_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 10,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """C4-style corpus rewrite: keep each distinct segment only at its
+    FIRST global occurrence and reassemble the surviving documents.
+
+    C4 deduplicates at line granularity ("we discard all but one of any
+    three-sentence span occurring more than once") — this is the
+    rewrite-the-corpus counterpart of :func:`q120`'s dup-fraction signal.
+    Documents are split into consecutive ``segment_tokens``-word windows
+    (ragged tail included); a segment survives only in the document (and
+    position) where it first occurs, ordered by ``(id, position)``; each
+    document is rebuilt from its surviving segments in original order.
+    Documents whose every segment is claimed elsewhere drop out.
+
+    Scale posture (the reason this is not a window over the segment text):
+
+    1. the winner election groups 8-byte segment hashes carrying a 16-byte
+       ``(id, pos)`` struct — the corpus text never enters that exchange;
+    2. winners collapse to one narrow ``(id, sorted positions)`` row per
+       surviving document before rejoining the corpus, so the only join
+       against full documents is keyed on ``id`` with a tiny build side;
+    3. reassembly re-slices the original token array driver-free in one
+       projection — no per-segment text shuffle, no collect.
+
+    ``hasher="md5"`` swaps xxhash64 for the portable 60-bit
+    :func:`md5_long` so external engines (the DuckDB oracle) replay the
+    winner election bit-for-bit.  A 64-bit collision merges two distinct
+    segments (~n²/2⁶⁵): one true segment would be dropped as a phantom
+    duplicate — the usual hash-dedup trade, documented not hidden.
+
+    Returns ``(id, n_segments, n_kept, text)``.
+    """
+    k = int(segment_tokens)
+    if k <= 0:
+        raise ValueError("segment_tokens must be positive")
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    n_seg = F.ceil(F.size("__toks") / F.lit(k)).cast("int")
+    segs = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) div {k} - if(size(__toks) % {k} == 0, 1, 0)), "
+                f"i -> concat_ws(' ', slice(__toks, i * {k} + 1, {k})))"
+            )
+        ).alias("pos", "__seg"),
+    )
+    h = md5_long(F.col("__seg")) if hasher == "md5" else F.xxhash64(F.col("__seg"))
+    hashed = segs.select(F.col(id_col), "pos", h.alias("__h"))
+    winners = (
+        hashed.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+        .select(F.col(f"__w.{id_col}").alias(id_col), F.col("__w.pos").alias("pos"))
+    )
+    keep = (
+        winners.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__keep"))
+    )
+    return (
+        toks.join(keep, id_col)
+        .select(
+            F.col(id_col),
+            n_seg.alias("n_segments"),
+            F.size("__keep").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.expr(f"transform(__keep, p -> slice(__toks, p * {k} + 1, {k}))")
+                ),
+            ).alias(text_col),
+        )
+    )

@@ -920,3 +920,47 @@ def test_lsh_pandas_matches_expression_form(spark):
             corpus, queries, k=5, n_planes=planes, n_tables=tables
         ).collect()}
         assert fast == expr, (planes, tables)
+
+
+def test_segment_dedup_rewrite_first_occurrence_wins(spark):
+    """Duplicate segments survive only at the smallest (doc_id, pos);
+    documents are rebuilt in original order and fully-claimed docs drop."""
+    from pr2_transformation_spark.functions.dedup import segment_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),     # segs (k=2): "a b", "c d"
+            (2, "c d e f a b"), # "c d" and "a b" claimed by doc 1; keeps "e f"
+            (3, "a b c d"),     # every segment claimed -> doc drops
+            (4, "g"),           # ragged single-token tail
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup_rewrite(docs, segment_tokens=2).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["text"] == "a b c d"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["text"] == "e f"
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (3, 1)
+    assert out[4]["text"] == "g"
+    assert (out[4]["n_segments"], out[4]["n_kept"]) == (1, 1)
+
+
+def test_segment_dedup_rewrite_intra_doc_duplicates(spark):
+    """A segment repeated INSIDE one document keeps only its first
+    position — C4's 'all but one occurrence' applies within docs too.
+    md5 and xxhash64 modes elect identical winners."""
+    from pr2_transformation_spark.functions.dedup import segment_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [(7, "x y z w x y q r")], "doc_id long, text string"
+    )
+    for hasher in ("xxhash64", "md5"):
+        (row,) = segment_dedup_rewrite(
+            docs, segment_tokens=2, hasher=hasher
+        ).collect()
+        assert row["text"] == "x y z w q r"
+        assert (row["n_segments"], row["n_kept"]) == (4, 3)
