@@ -1240,6 +1240,16 @@ def q130_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup_rewrite(docs, segment_tokens=10, hasher="md5")
 
 
+def q131_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (pre-training/RAG chunker):
+    16-token chunks on a 12-token stride, so consecutive chunks share 4
+    tokens and no boundary phrase is lost.  Pure narrow projection +
+    explode — zero shuffles; the token array is bound before the slice
+    lambdas so documents tokenize once, not once per chunk."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.chunk_documents(docs, chunk_tokens=16, stride=12)
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3042,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_connected_components_two_phase": q128_connected_components_two_phase,
         "q129_corpus_prep": q129_corpus_prep,
         "q130_segment_dedup_rewrite": q130_segment_dedup_rewrite,
+        "q131_chunk_documents": q131_chunk_documents,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4004,6 +4015,22 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(w.seg, ' ' ORDER BY w.pos) AS text
             FROM winners w JOIN totals t USING (doc_id)
             GROUP BY w.doc_id, t.n_segments
+        """,
+        "q131_chunk_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(p.i / 12 AS INT) AS chunk_id,
+                   CAST(p.i AS INT) AS start_token,
+                   CAST(least(16, len(t) - p.i) AS INT) AS n_tokens,
+                   array_to_string(list_slice(t, p.i + 1, p.i + 16), ' ')
+                       AS chunk_text
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                          0, greatest(len(t) - 1, 0), 12)) AS i) p
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

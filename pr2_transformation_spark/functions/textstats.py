@@ -255,3 +255,53 @@ def pii_counts(text: Column, patterns: dict[str, str] | None = None) -> dict[str
         kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
         for kind, pat in (patterns or PII_PATTERNS).items()
     }
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    standard context-window chunker for pre-training/RAG corpora: chunk
+    ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``; with
+    ``stride < chunk_tokens`` consecutive chunks overlap by
+    ``chunk_tokens - stride`` tokens, so no boundary-spanning phrase is
+    lost to a hard cut.  Every token position is covered and the ragged
+    final chunk is kept (short chunks are the packer's problem, not the
+    chunker's).
+
+    One narrow projection + explode — no shuffle, no UDF: the token array
+    is bound as its own column first so the per-chunk ``slice`` lambdas
+    reslice a materialized array instead of re-tokenizing the document per
+    chunk position (interpreted-HOF pitfall, same fix as winnowing).
+
+    Returns ``(id, chunk_id, start_token, n_tokens, chunk_text)`` where
+    ``chunk_id`` numbers chunks 0..ceil(max(n-1,1)/stride) and
+    ``start_token = chunk_id * stride``.
+    """
+    size, step = int(chunk_tokens), int(stride)
+    if size <= 0 or step <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if step > size:
+        raise ValueError("stride > chunk_tokens would skip tokens")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"sequence(0, greatest(size(__toks) - 1, 0), {step})")
+        ).alias("chunk_id", "start_token"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("start_token"),
+        F.least(
+            F.lit(size), F.size("__toks") - F.col("start_token")
+        ).alias("n_tokens"),
+        F.concat_ws(
+            " ", F.expr(f"slice(__toks, start_token + 1, {size})")
+        ).alias("chunk_text"),
+    )

@@ -964,3 +964,39 @@ def test_segment_dedup_rewrite_intra_doc_duplicates(spark):
         ).collect()
         assert row["text"] == "x y z w q r"
         assert (row["n_segments"], row["n_kept"]) == (4, 3)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunks cover every token position, overlap by size-stride, keep the
+    ragged tail, and reproduce the original token stream when stitched at
+    stride boundaries."""
+    from pr2_transformation_spark.functions.textstats import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(23))
+    docs = spark.createDataFrame([(1, text), (2, "only")], "doc_id long, text string")
+    rows = chunk_documents(
+        docs, chunk_tokens=10, stride=6
+    ).orderBy("doc_id", "chunk_id").collect()
+
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["start_token"] for r in d1] == [0, 6, 12, 18]
+    assert [r["n_tokens"] for r in d1] == [10, 10, 10, 5]
+    # overlap: chunk i shares its last 4 tokens with chunk i+1's first 4
+    for a, b in zip(d1, d1[1:]):
+        assert a["chunk_text"].split()[6:] == b["chunk_text"].split()[: len(a["chunk_text"].split()) - 6]
+    # stitching at stride boundaries reproduces the doc
+    stitched = d1[0]["chunk_text"].split()
+    for r in d1[1:]:
+        stitched += r["chunk_text"].split()[10 - 6:]
+    assert stitched == text.split()
+
+    (d2,) = [r for r in rows if r["doc_id"] == 2]
+    assert (d2["chunk_id"], d2["n_tokens"], d2["chunk_text"]) == (0, 1, "only")
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    from pr2_transformation_spark.functions.textstats import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="skip tokens"):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
