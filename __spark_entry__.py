@@ -1250,6 +1250,41 @@ def q131_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_documents(docs, chunk_tokens=16, stride=12)
 
 
+def q132_png_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec round trip under the value-hash gate: each document's id
+    deterministically seeds an 8x8 RGB image (byte i = (doc_id*31 + i) %
+    251), which is ENCODED to a standard PNG (mixed per-row filters, so
+    all five predictors are exercised) and DECODED back by the pure-stdlib
+    inflate+reconstruct path — then position-weighted pixel checksums are
+    emitted by ``image_checksums``.  The DuckDB oracle replays the pixel
+    arithmetic directly (it never sees a PNG), so any encoder or decoder
+    defect — wrong filter inverse, scanline offset, channel swap — breaks
+    the hash.  Two narrow Arrow-batched stages, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        idx = np.arange(8 * 8 * 3, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                multimodal.png_encode(
+                    ((int(did) * 31 + idx) % 251)
+                    .astype(np.uint8)
+                    .reshape(8, 8, 3),
+                    filters="mixed",
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.image_checksums(media, "payload", "doc_id")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3053,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_corpus_prep": q129_corpus_prep,
         "q130_segment_dedup_rewrite": q130_segment_dedup_rewrite,
         "q131_chunk_documents": q131_chunk_documents,
+        "q132_png_roundtrip_checksums": q132_png_roundtrip_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4031,6 +4067,17 @@ def oracle_sql() -> dict[str, str]:
             FROM toks,
                  LATERAL (SELECT unnest(generate_series(
                           0, greatest(len(t) - 1, 0), 12)) AS i) p
+        """,
+        "q132_png_roundtrip_checksums": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   8 AS width, 8 AS height, 3 AS channels,
+                   CAST(SUM((doc_id * 31 + p.i) % 251) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(SUM((p.i + 1) * ((doc_id * 31 + p.i) % 251)) AS BIGINT)
+                       AS pixel_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 191)) AS i) p
+            GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

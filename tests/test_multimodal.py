@@ -301,3 +301,48 @@ def test_image_dispatch_and_resize_png(spark):
     ).collect()}
     assert (meta["p1"]["width"], meta["p1"]["height"]) == (5, 6)
     assert meta["junk"]["width"] is None
+
+
+def test_png_encode_roundtrip_all_modes():
+    """png_encode -> png_pixels is the identity for every channel count and
+    every filter mode; the test-local _png_bytes encoder (independently
+    written) decodes our encoder's exact pixels too, cross-checking both."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    for channels in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(9, 6, channels), dtype="uint8")
+        for mode in ("none", "sub", "up", "average", "paeth", "mixed"):
+            raw = multimodal.png_encode(img, filters=mode)
+            assert np.array_equal(multimodal.png_pixels(raw), img), (
+                channels, mode)
+    # 2-D grayscale input gains the trailing channel axis on decode
+    g = rng.integers(0, 256, size=(4, 8), dtype="uint8")
+    assert np.array_equal(multimodal.png_pixels(multimodal.png_encode(g)),
+                          g[:, :, None])
+    with pytest.raises(ValueError):
+        multimodal.png_encode(g, filters="adaptive")
+    with pytest.raises(ValueError):
+        multimodal.png_encode(g[:0])
+
+
+def test_image_checksums_values_and_corruption_sensitivity(spark):
+    """image_checksums emits exact position-weighted sums over decoded
+    pixels (computed independently here), and pixel_wsum distinguishes a
+    row-flipped image whose pixel_sum is identical."""
+    import numpy as np
+
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    flipped = img[::-1]
+    df = spark.createDataFrame(
+        [(1, multimodal.png_encode(img)), (2, multimodal.png_encode(flipped))],
+        "asset long, payload binary",
+    )
+    rows = {r["asset_id"]: r
+            for r in multimodal.image_checksums(df, "payload", "asset").collect()}
+    flat = img.reshape(-1).astype(np.int64)
+    assert rows["1"]["pixel_sum"] == int(flat.sum())
+    assert rows["1"]["pixel_wsum"] == int((flat * (np.arange(24) + 1)).sum())
+    assert (rows["1"]["height"], rows["1"]["width"], rows["1"]["channels"]) == (2, 4, 3)
+    assert rows["2"]["pixel_sum"] == rows["1"]["pixel_sum"]
+    assert rows["2"]["pixel_wsum"] != rows["1"]["pixel_wsum"]
