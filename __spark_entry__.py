@@ -1285,6 +1285,39 @@ def q132_png_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_checksums(media, "payload", "doc_id")
 
 
+def q133_gif_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF twin of q132: each doc id seeds an 8x8 palette image (index at
+    pixel p = (doc_id+p) % 64; palette entry j = (3j%256, 5j%256,
+    7j%256)), ENCODED with true variable-width LZW and DECODED back by
+    the pure-stdlib dictionary decoder; ``image_checksums`` emits
+    position-weighted sums the DuckDB oracle replays from the palette
+    arithmetic alone — any LZW width desync, palette misread, or channel
+    swap breaks the value hash.  Two narrow Arrow stages, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    palette = (np.arange(64, dtype=np.int64)[:, None] * [3, 5, 7] % 256).astype(
+        np.uint8
+    )
+
+    def gen(batches):
+        p = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                multimodal.gif_encode(
+                    palette[(int(did) + p) % 64].reshape(8, 8, 3)
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.image_checksums(media, "payload", "doc_id")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3089,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_segment_dedup_rewrite": q130_segment_dedup_rewrite,
         "q131_chunk_documents": q131_chunk_documents,
         "q132_png_roundtrip_checksums": q132_png_roundtrip_checksums,
+        "q133_gif_roundtrip_checksums": q133_gif_roundtrip_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4077,6 +4111,21 @@ def oracle_sql() -> dict[str, str]:
                        AS pixel_wsum
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 191)) AS i) p
+            GROUP BY doc_id
+        """,
+        "q133_gif_roundtrip_checksums": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   8 AS width, 8 AS height, 3 AS channels,
+                   CAST(SUM(  (((doc_id + p.i) % 64) * 3) % 256
+                            + (((doc_id + p.i) % 64) * 5) % 256
+                            + (((doc_id + p.i) % 64) * 7) % 256) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(SUM(  (3 * p.i + 1) * ((((doc_id + p.i) % 64) * 3) % 256)
+                            + (3 * p.i + 2) * ((((doc_id + p.i) % 64) * 5) % 256)
+                            + (3 * p.i + 3) * ((((doc_id + p.i) % 64) * 7) % 256))
+                        AS BIGINT) AS pixel_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 63)) AS i) p
             GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """

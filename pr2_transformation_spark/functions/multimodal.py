@@ -5,9 +5,12 @@ with a typed metadata struct.  Everything Spark-side is real — schemas,
 Arrow-batched ``mapInPandas`` plumbing, partition sizing.  Codec coverage is
 split by what this environment can honestly do (no PIL/torchaudio/libav):
 
-* REAL, pure-stdlib/numpy decoders: uncompressed BMP (:func:`bmp_decode`
+* REAL, pure-stdlib/numpy codecs: uncompressed BMP (:func:`bmp_decode`
   headers, :func:`bmp_pixels` pixel arrays), PNG (:func:`png_decode`
-  headers, :func:`png_pixels` — zlib inflate + all five scanline filters),
+  headers, :func:`png_pixels` — zlib inflate + all five scanline filters —
+  and :func:`png_encode`, the write half), GIF (:func:`gif_decode`
+  headers, :func:`gif_pixels` — true variable-width LZW — and
+  :func:`gif_encode`),
   :func:`resize_images` nearest-neighbor resample over either format via
   the :func:`image_pixels` dispatcher, and RIFF/WAVE PCM
   (:func:`wav_decode` headers, :func:`pcm_samples` sample arrays +
@@ -353,6 +356,231 @@ def png_pixels(payload: bytes):
     return out.reshape(h, w, channels)
 
 
+# ---------------------------------------------------------------------------
+# GIF — REAL pure-stdlib LZW codec (decode + encode)
+# ---------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def gif_decode(payload: bytes) -> dict:
+    """REAL GIF header decoder — pure stdlib: logical screen descriptor
+    (width, height), version, global-color-table presence/size.  Raises
+    ``ValueError`` for non-GIF bytes."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError("GIF with zero dimension")
+    return {
+        "media_type": "image",
+        "format": "gif",
+        "version": payload[3:6].decode("ascii"),
+        "width": int(w),
+        "height": int(h),
+        "has_gct": bool(packed & 0x80),
+        "gct_size": 2 << (packed & 0x07) if packed & 0x80 else 0,
+    }
+
+
+def _gif_lzw_decompress(data: bytes, min_code_size: int) -> list:
+    """GIF-flavor LZW: variable-width codes LSB-first, CLEAR/EOI codes,
+    dictionary capped at 12 bits.  Returns the palette-index stream."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    out: list = []
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table, code_size, next_code, prev = fresh(), min_code_size + 1, eoi + 1, None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                if next_code < 4096:  # 12-bit cap: table freezes when full
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+            elif code == next_code and next_code < 4096:  # the KwKwK case
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt GIF LZW stream: code out of range")
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+    raise ValueError("GIF LZW stream ended without EOI")
+
+
+def gif_pixels(payload: bytes):
+    """Decode the first frame of a GIF to ``(h, w, 3)`` uint8 RGB — REAL
+    LZW decompression with zero codec libraries.  Supports global or local
+    color tables, skips extension blocks; Adam-style interlaced frames
+    raise ``ValueError`` (decode errors are data, not job failures)."""
+    import struct
+
+    import numpy as np
+
+    meta = gif_decode(payload)
+    pos = 13
+    palette = None
+    if meta["has_gct"]:
+        n = meta["gct_size"] * 3
+        palette = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, packed = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if packed & 0x40:
+                raise ValueError("gif_pixels does not support interlaced frames")
+            if packed & 0x80:  # local color table wins
+                n = (2 << (packed & 0x07)) * 3
+                palette = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+                pos += n
+            if palette is None:
+                raise ValueError("GIF frame without any color table")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            indices = _gif_lzw_decompress(b"".join(chunks), min_code_size)
+            if len(indices) < w * h:
+                raise ValueError("GIF pixel data shorter than frame implies")
+            idx = np.array(indices[: w * h], dtype=np.int32)
+            if idx.max(initial=0) >= len(palette):
+                raise ValueError("GIF index outside color table")
+            return palette[idx].reshape(h, w, 3)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def gif_encode(pixels, version: bytes = b"GIF89a") -> bytes:
+    """REAL pure-stdlib GIF encoder — the write half of :func:`gif_pixels`.
+
+    Takes ``(h, w, 3)`` uint8 RGB with at most 256 distinct colors, builds
+    the palette from the image, and emits a single-frame non-interlaced
+    GIF with true dictionary LZW compression (CLEAR on table overflow,
+    variable-width codes LSB-first) — not the emit-clear-per-symbol
+    shortcut, so an encode->decode round trip exercises the decoder's
+    dictionary growth and the KwKwK corner for real.
+    """
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("gif_encode expects (h, w, 3) uint8 RGB")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("gif_encode: zero dimension")
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("gif_encode: more than 256 distinct colors")
+    depth = max(2, int(len(colors) - 1).bit_length())  # GIF minimum is 2
+    table_n = 1 << depth
+    palette = np.zeros((table_n, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+
+    min_code_size = depth
+    clear, eoi = 1 << depth, (1 << depth) + 1
+    codes, bits = [], []
+
+    def emit(code: int, size: int):
+        codes.append((code, size))
+
+    table = {(i,): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    prev: tuple = ()
+    for sym in inverse.tolist():
+        cand = prev + (sym,)
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the encoder's counter leads the decoder's by one add, so it
+            # widens at 2^n + 1 where the decoder widens at 2^n — the two
+            # then switch width at the same code position
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # table full: decoder's table froze too — reset both
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            code_size, next_code = min_code_size + 1, eoi + 1
+        prev = (sym,)
+    if prev:
+        emit(table[prev], code_size)
+    emit(eoi, code_size)
+
+    acc = nbits = 0
+    out = bytearray()
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+
+    header = version + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    descriptor = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    return (
+        header
+        + palette.tobytes()
+        + descriptor
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 IMAGE_CHECKSUM_SCHEMA = StructType(
     [
         StructField("asset_id", StringType()),
@@ -412,18 +640,22 @@ def image_decode(payload: bytes) -> dict:
         return bmp_decode(payload)
     if payload[:8] == _PNG_SIG:
         return png_decode(payload)
-    raise ValueError("unrecognized image payload (BMP and PNG are decodable)")
+    if payload[:6] in _GIF_SIGS:
+        return gif_decode(payload)
+    raise ValueError("unrecognized image payload (BMP/PNG/GIF are decodable)")
 
 
 def image_pixels(payload: bytes):
     """Format-dispatching pixel decoder (BMP 24-bit -> RGB, PNG 8-bit ->
-    native channels).  Same ``bytes -> (h, w, c) uint8`` seam a PIL wrapper
+    native channels, GIF -> palette RGB).  Same ``bytes -> (h, w, c) uint8`` seam a PIL wrapper
     would fill for jpeg/webp."""
     if payload[:2] == b"BM":
         return bmp_pixels(payload)
     if payload[:8] == _PNG_SIG:
         return png_pixels(payload)
-    raise ValueError("unrecognized image payload (BMP and PNG are decodable)")
+    if payload[:6] in _GIF_SIGS:
+        return gif_pixels(payload)
+    raise ValueError("unrecognized image payload (BMP/PNG/GIF are decodable)")
 
 
 def pcm_samples(payload: bytes):

@@ -346,3 +346,60 @@ def test_image_checksums_values_and_corruption_sensitivity(spark):
     assert (rows["1"]["height"], rows["1"]["width"], rows["1"]["channels"]) == (2, 4, 3)
     assert rows["2"]["pixel_sum"] == rows["1"]["pixel_sum"]
     assert rows["2"]["pixel_wsum"] != rows["1"]["pixel_wsum"]
+
+
+def test_gif_hand_built_fixture_decodes_exact_pixels():
+    """A 2x2 GIF87a assembled by hand (palette, descriptor, and the
+    LSB-first variable-width LZW codes packed byte-by-byte in this repo's
+    history — NOT via gif_encode) decodes to the exact palette colors;
+    pins the decoder against an encoder-independent byte stream."""
+    import numpy as np
+
+    gif = bytes.fromhex(
+        "474946383761020002008100000a141e28323c46505ac8d2dc"
+        "2c0000000002000200000203443405003b"
+    )
+    meta = multimodal.gif_decode(gif)
+    assert (meta["width"], meta["height"], meta["version"]) == (2, 2, "87a")
+    assert meta["has_gct"] and meta["gct_size"] == 4
+    expect = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [200, 210, 220]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(multimodal.gif_pixels(gif), expect)
+
+
+def test_gif_encode_roundtrip_including_table_overflow():
+    """gif_encode -> gif_pixels is the identity: small palettes, a
+    single-color run (KwKwK codes), and a 200x300 random 256-color image
+    whose LZW table overflows 12 bits and forces the mid-stream CLEAR."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    pal = np.unique(rng.integers(0, 256, size=(256, 3), dtype="uint8"), axis=0)
+    for shape, ncol in [((7, 9), 5), ((1, 1), 1), ((3, 50), 2), ((200, 300), len(pal))]:
+        img = pal[: max(ncol, 1)][rng.integers(0, ncol, size=shape)]
+        assert np.array_equal(multimodal.gif_pixels(multimodal.gif_encode(img)), img), shape
+    run = pal[np.zeros((40, 40), dtype=int)]
+    assert np.array_equal(multimodal.gif_pixels(multimodal.gif_encode(run)), run)
+    with pytest.raises(ValueError):
+        multimodal.gif_encode(np.zeros((2, 2, 4), dtype="uint8"))
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(b"GIF89a")  # truncated
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(b"not a gif at all....")
+
+
+def test_gif_dispatch_and_checksums(spark):
+    """image_decode/image_pixels dispatch GIF; image_checksums flows GIF
+    payloads through the same audit path as PNG/BMP."""
+    import numpy as np
+
+    img = np.array([[[9, 8, 7], [6, 5, 4]]], dtype=np.uint8)
+    gif = multimodal.gif_encode(img)
+    assert multimodal.image_decode(gif)["format"] == "gif"
+    assert np.array_equal(multimodal.image_pixels(gif), img)
+    df = spark.createDataFrame([(5, gif)], "asset long, payload binary")
+    (row,) = multimodal.image_checksums(df, "payload", "asset").collect()
+    assert row["pixel_sum"] == int(img.astype("int64").sum())
+    assert (row["height"], row["width"], row["channels"]) == (1, 2, 3)
