@@ -1318,6 +1318,41 @@ def q133_gif_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_checksums(media, "payload", "doc_id")
 
 
+def q134_jpeg_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG twin of q132/q133 — the hardest codec in the family under the
+    value-hash gate: each doc id seeds a 16x16 grayscale image of four
+    flat 8x8 blocks (block (by,bx) = (doc_id*7 + 2*by + bx) % 256),
+    ENCODED through the full baseline pipeline (FDCT, quant, zigzag,
+    Huffman, restart markers every 2 MCUs) and DECODED back by the
+    pure-numpy entropy+IDCT path.  quality=100 makes block-flat content
+    BIT-exact, so the DuckDB oracle replays the block arithmetic alone —
+    a Huffman desync, zigzag slip, predictor bug, or IDCT scale error
+    breaks the hash.  Two narrow Arrow stages, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:16, 0:16]
+        block = (yy // 8) * 2 + (xx // 8)
+        for pdf in batches:
+            payloads = [
+                multimodal.jpeg_encode(
+                    ((int(did) * 7 + block) % 256).astype(np.uint8),
+                    quality=100,
+                    restart_interval=2,
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.image_checksums(media, "payload", "doc_id")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3123,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_chunk_documents": q131_chunk_documents,
         "q132_png_roundtrip_checksums": q132_png_roundtrip_checksums,
         "q133_gif_roundtrip_checksums": q133_gif_roundtrip_checksums,
+        "q134_jpeg_roundtrip_checksums": q134_jpeg_roundtrip_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4126,6 +4162,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pixel_wsum
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) p
+            GROUP BY doc_id
+        """,
+        "q134_jpeg_roundtrip_checksums": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   16 AS width, 16 AS height, 1 AS channels,
+                   CAST(SUM((doc_id * 7 + 2 * ((p.i // 16) // 8)
+                             + ((p.i % 16) // 8)) % 256) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(SUM((p.i + 1) * ((doc_id * 7 + 2 * ((p.i // 16) // 8)
+                             + ((p.i % 16) // 8)) % 256)) AS BIGINT)
+                       AS pixel_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 255)) AS i) p
             GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """

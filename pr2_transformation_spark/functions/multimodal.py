@@ -16,7 +16,7 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   (:func:`wav_decode` headers, :func:`pcm_samples` sample arrays +
   :func:`audio_features` RMS/ZCR/peak).
 * STUBBED: formats needing codec libraries this environment lacks
-  (jpeg/webp/mp3/mp4).  The feature extractor's default decoder is a
+  (webp/mp3/mp4; progressive JPEG).  The feature extractor's default decoder is a
   clearly-marked deterministic fake, and passing ``decoder=None`` raises
   ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
   wrapper would plug into the same callable signature the real decoders
@@ -360,6 +360,579 @@ def png_pixels(payload: bytes):
 # GIF — REAL pure-stdlib LZW codec (decode + encode)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# JPEG — REAL pure-numpy baseline codec (ITU-T T.81 sequential DCT)
+# ---------------------------------------------------------------------------
+# The encoder ships the public Annex-K example tables (quantization +
+# Huffman); the decoder trusts nothing — every table it uses is parsed back
+# out of the DQT/DHT segments of the stream it is decoding.
+
+#: zigzag index of each coefficient in natural (row-major) order
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: ITU-T T.81 Annex K.1 example quantization tables (luma, chroma)
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K.3 example Huffman specs: (BITS counts per length 1..16, values)
+_JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II basis C: forward F = C f C^T, inverse
+    f = C^T F C.  With this normalization a flat block of value v has
+    F(0,0) = 8v and zero AC — the identity the exact-round-trip tests and
+    the oracle query lean on."""
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] = 0.5 / np.sqrt(2.0)
+    return c
+
+
+def _jpeg_huffman_codes(bits, values):
+    """Canonical Huffman code assignment (T.81 Annex C): returns
+    {value: (code, length)}."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader with 0xFF00 byte-stuffing removal;
+    stops at any real marker and reports it."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.acc, self.nbits = 0, 0
+        self.marker = None
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8  # pad with zeros past the end (T.81 F.2.2.5)
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker: caller resyncs
+                    self.marker = nxt
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def huffman(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("corrupt JPEG entropy stream: no Huffman match")
+
+    def restart(self):
+        """Consume the pending RSTn marker and realign to a byte."""
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+        self.acc, self.nbits, self.marker = 0, 0, None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def jpeg_decode(payload: bytes) -> dict:
+    """REAL JPEG header decoder — pure stdlib: walks the marker stream to
+    the frame header (SOF0/1 baseline; progressive SOF2 raises), returning
+    dimensions, component count, and per-component sampling factors."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 4)
+            if w == 0 or h == 0:
+                raise ValueError("JPEG with zero dimension")
+            samp = {}
+            for i in range(ncomp):
+                cid, hv, _tq = struct.unpack_from(">BBB", payload, pos + 10 + 3 * i)
+                samp[cid] = (hv >> 4, hv & 0xF)
+            return {
+                "media_type": "image",
+                "format": "jpeg",
+                "width": int(w),
+                "height": int(h),
+                "bit_depth": int(precision),
+                "n_components": int(ncomp),
+                "sampling": samp,
+            }
+        if marker == 0xC2:
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        if marker == 0xD9:
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing frame header")
+
+
+def jpeg_pixels(payload: bytes):
+    """Decode a baseline JPEG to ``(h, w, channels)`` uint8 — REAL
+    entropy + transform decode with zero codec libraries: canonical
+    Huffman tables parsed from DHT, dequantization from DQT, zigzag
+    unpacking, orthonormal-matrix IDCT (numpy), nearest-neighbor chroma
+    upsampling for subsampled scans, restart-interval resync, and BT.601
+    YCbCr->RGB.  Grayscale returns 1 channel; 3-component scans return
+    RGB.  Raises ``ValueError`` on progressive/arithmetic streams or a
+    corrupt entropy segment.
+
+    Scale note: the MCU loop is Python-per-block (the entropy coding is
+    inherently sequential); per-asset decode cost is the same order as the
+    pure-Python PNG filter walk — fine for fixtures and thumbnails, and a
+    PIL/turbojpeg wrapper drops into the identical ``bytes -> array``
+    seam for production image corpora.
+    """
+    import struct
+
+    import numpy as np
+
+    meta = jpeg_decode(payload)  # validates SOI + baseline frame
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = pos + 4
+        if marker == 0xDB:  # DQT: one or more tables
+            p = body
+            while p < pos + 2 + seglen:
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = payload[p + 1 : p + 1 + n]
+                vals = (
+                    np.frombuffer(raw, ">u2").astype(np.int32)
+                    if pq
+                    else np.frombuffer(raw, np.uint8).astype(np.int32)
+                )
+                table = np.zeros(64, np.int32)
+                table[_JPEG_ZIGZAG] = vals  # stored in zigzag order
+                qt[tq] = table.reshape(8, 8)
+                p += 1 + n
+        elif marker == 0xC4:  # DHT: one or more tables
+            p = body
+            while p < pos + 2 + seglen:
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nval = sum(bits)
+                values = list(payload[p + 17 : p + 17 + nval])
+                codes = _jpeg_huffman_codes(bits, values)
+                lookup = {(c, ln): v for v, (c, ln) in codes.items()}
+                (huff_dc if tc == 0 else huff_ac)[th] = lookup
+                p += 17 + nval
+        elif marker in (0xC0, 0xC1):
+            _prec, fh, fw, ncomp = struct.unpack_from(">BHHB", payload, body)
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", payload, body + 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (fw, fh, comps)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", payload, body)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = payload[body]
+            scan = {}
+            for i in range(ns):
+                cs, tables = payload[body + 1 + 2 * i], payload[body + 2 + 2 * i]
+                scan[cs] = (tables >> 4, tables & 0xF)
+            data_start = pos + 2 + seglen
+            return _jpeg_decode_scan(
+                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval, meta,
+            )
+        elif marker == 0xD9:
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing scan data")
+
+
+def _jpeg_decode_scan(
+    payload, data_start, frame, scan, qt, huff_dc, huff_ac, restart_interval, meta
+):
+    import numpy as np
+
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    C = _jpeg_dct_matrix()
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        if c["tq"] not in qt:
+            raise ValueError("JPEG references a missing quantization table")
+        dc_id, ac_id = scan[c["id"]]
+        if dc_id not in huff_dc or ac_id not in huff_ac:
+            raise ValueError("JPEG references a missing Huffman table")
+
+    reader = _JpegBitReader(payload, data_start)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_tab = huff_dc[scan[c["id"]][0]]
+                ac_tab = huff_ac[scan[c["id"]][1]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, np.int32)
+                        t = reader.huffman(dc_tab)
+                        diff = _jpeg_extend(reader.bits(t), t)
+                        pred[c["id"]] += diff
+                        coeffs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huffman(ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coeffs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                reader.bits(s), s
+                            )
+                            k += 1
+                        block = C.T @ (coeffs.reshape(8, 8) * q) @ C
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        # nearest-neighbor upsample to full frame resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw] + 128.0)
+
+    if len(out_planes) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError("JPEG scans with 2 or 4 components not supported")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first entropy writer with 0xFF -> 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def bits(self, code: int, n: int):
+        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.bits((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+
+
+def jpeg_encode(
+    pixels, quality: int = 90, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """REAL pure-numpy baseline JPEG encoder — the write half of
+    :func:`jpeg_pixels`.
+
+    Takes ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8; emits a
+    standard JFIF baseline stream: Annex-K quantization tables scaled by
+    ``quality`` (libjpeg's 50/quality convention), Annex-K Huffman tables
+    (written to DHT — the decoder re-derives them from the stream, not
+    from shared constants), FDCT via the orthonormal basis matrix, zigzag
+    run-length entropy coding with byte stuffing.  ``subsample=True``
+    encodes 4:2:0 chroma (mean-pooled), exercising the decoder's
+    multi-block MCU + upsampling path.
+
+    JPEG is lossy in general, but at ``quality=100`` every quant step
+    clips to 1, a flat 8x8 block has zero AC energy, and its DC is an
+    exact integer multiple of the step — so block-flat images round-trip
+    BIT-exactly (gray and RGB 4:4:4) — the property the oracle-gated
+    round-trip query pins.  ``restart_interval=N`` emits DRI + RSTn
+    markers every N MCUs (predictor reset, byte realign), exercising the
+    decoder's resync path.
+    """
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 1)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("jpeg_encode expects (h, w) gray or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("jpeg_encode: zero dimension")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
+    def scaled(table):
+        q = (np.array(table, np.int64) * scale + 50) // 100
+        return np.clip(q, 1, 255).astype(np.int32).reshape(8, 8)
+
+    qluma = scaled(_JPEG_QT_LUMA)
+    qchroma = scaled(_JPEG_QT_CHROMA)
+    C = _jpeg_dct_matrix()
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        qts, comps = [qluma], [(1, 1, 1, 0)]  # id, h, v, tq
+    else:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [qluma, qchroma, qchroma]
+        if subsample:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def pad_to(p, ph, pw):
+        py, px = p.shape
+        return np.pad(p, ((0, ph - py), (0, pw - px)), mode="edge")
+
+    plane_data = []
+    for (cid, ch, cv, tq), p in zip(comps, planes):
+        if ch < hmax or cv < vmax:  # mean-pool subsample
+            p = pad_to(p, -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2)
+            p = (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+        plane_data.append(pad_to(p, mcuy * cv * 8, mcux * ch * 8))
+
+    dc_specs = [_JPEG_HUFF_DC_LUMA, _JPEG_HUFF_DC_CHROMA]
+    ac_specs = [_JPEG_HUFF_AC_LUMA, _JPEG_HUFF_AC_CHROMA]
+    dc_codes = [_jpeg_huffman_codes(*s) for s in dc_specs]
+    ac_codes = [_jpeg_huffman_codes(*s) for s in ac_specs]
+
+    def category(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    writer = _JpegBitWriter()
+    pred = {c[0]: 0 for c in comps}
+    zz = np.array(_JPEG_ZIGZAG)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8])
+                pred = {c[0]: 0 for c in comps}
+            mcu_count += 1
+            for (cid, ch, cv, tq), p in zip(comps, plane_data):
+                tbl = 0 if tq == 0 else 1
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8]
+                        F = C @ block @ C.T
+                        q = np.rint(F / qts[tq]).astype(np.int64)
+                        coeffs = q.reshape(64)[zz]  # zigzag order
+                        diff = int(coeffs[0]) - pred[cid]
+                        pred[cid] = int(coeffs[0])
+                        t = category(diff)
+                        code, ln = dc_codes[tbl][t]
+                        writer.bits(code, ln)
+                        if t:
+                            writer.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+                        run = 0
+                        last = 63
+                        while last > 0 and coeffs[last] == 0:
+                            last -= 1
+                        for k in range(1, last + 1):
+                            v = int(coeffs[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[tbl][0xF0]  # ZRL
+                                writer.bits(code, ln)
+                                run -= 16
+                            s = category(v)
+                            code, ln = ac_codes[tbl][(run << 4) | s]
+                            writer.bits(code, ln)
+                            writer.bits(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if last < 63:
+                            code, ln = ac_codes[tbl][0x00]  # EOB
+                            writer.bits(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_inv = np.empty(64, np.int32)
+    for nat, z in enumerate(_JPEG_ZIGZAG):
+        zz_inv[nat] = z
+    for tq, q in enumerate([qluma] + ([qchroma] if not gray else [])):
+        zzq = q.reshape(64)[np.array(_JPEG_ZIGZAG)]
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zzq))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += seg(0xC0, sof)
+    for tc, specs in ((0, dc_specs), (1, ac_specs)):
+        for th, (bits, values) in enumerate(specs[: 1 if gray else 2]):
+            out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for cid, ch, cv, tq in comps:
+        tbl = 0 if tq == 0 else 1
+        sos += bytes([cid, (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
@@ -642,7 +1215,10 @@ def image_decode(payload: bytes) -> dict:
         return png_decode(payload)
     if payload[:6] in _GIF_SIGS:
         return gif_decode(payload)
-    raise ValueError("unrecognized image payload (BMP/PNG/GIF are decodable)")
+    if payload[:3] == b"\xff\xd8\xff":
+        return jpeg_decode(payload)
+    raise ValueError(
+        "unrecognized image payload (BMP/PNG/GIF/JPEG are decodable)")
 
 
 def image_pixels(payload: bytes):
@@ -655,7 +1231,10 @@ def image_pixels(payload: bytes):
         return png_pixels(payload)
     if payload[:6] in _GIF_SIGS:
         return gif_pixels(payload)
-    raise ValueError("unrecognized image payload (BMP/PNG/GIF are decodable)")
+    if payload[:3] == b"\xff\xd8\xff":
+        return jpeg_pixels(payload)
+    raise ValueError(
+        "unrecognized image payload (BMP/PNG/GIF/JPEG are decodable)")
 
 
 def pcm_samples(payload: bytes):

@@ -403,3 +403,63 @@ def test_gif_dispatch_and_checksums(spark):
     (row,) = multimodal.image_checksums(df, "payload", "asset").collect()
     assert row["pixel_sum"] == int(img.astype("int64").sum())
     assert (row["height"], row["width"], row["channels"]) == (1, 2, 3)
+
+
+def test_jpeg_flat_blocks_bit_exact_at_q100():
+    """Block-flat images round-trip BIT-exactly through the real baseline
+    JPEG codec at quality=100 (all-ones quant => integer DC, zero AC) —
+    grayscale and RGB 4:4:4, with and without restart markers."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    blocks = rng.integers(0, 256, size=(3, 5), dtype="uint8")
+    gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    for ri in (0, 1, 3):
+        dec = multimodal.jpeg_pixels(
+            multimodal.jpeg_encode(gray, quality=100, restart_interval=ri))
+        assert dec.shape == (24, 40, 1)
+        assert np.array_equal(dec[:, :, 0], gray), f"restart_interval={ri}"
+    rgb = np.repeat(np.repeat(
+        rng.integers(0, 256, size=(2, 3, 3), dtype="uint8"), 8, axis=0), 8, axis=1)
+    assert np.array_equal(
+        multimodal.jpeg_pixels(multimodal.jpeg_encode(rgb, quality=100)), rgb)
+
+
+def test_jpeg_lossy_modes_bounded_error():
+    """Non-flat content and lossy settings stay within tight error bounds:
+    the decoder's Huffman/dequant/IDCT agree with the encoder's inverse
+    to rounding, 4:2:0 mean-pool/upsample round-trips 16px-aligned color,
+    and ragged (non-multiple-of-8) dimensions crop correctly."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    noise = rng.integers(0, 256, size=(32, 40, 3), dtype="uint8")
+    dec = multimodal.jpeg_pixels(multimodal.jpeg_encode(noise, quality=100))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 3
+    grad = np.outer(np.ones(48), np.linspace(0, 255, 64)).astype("uint8")
+    dec2 = multimodal.jpeg_pixels(multimodal.jpeg_encode(grad, quality=95))
+    assert np.abs(dec2[:, :, 0].astype(int) - grad.astype(int)).max() <= 2
+    col = np.repeat(np.repeat(
+        rng.integers(0, 256, size=(3, 2, 3), dtype="uint8"), 16, axis=0), 16, axis=1)
+    ragged = col[:41, :27]
+    dec3 = multimodal.jpeg_pixels(
+        multimodal.jpeg_encode(ragged, quality=100, subsample=True, restart_interval=2))
+    assert dec3.shape == ragged.shape
+    assert np.abs(dec3.astype(int) - ragged.astype(int)).max() <= 1
+
+
+def test_jpeg_header_decode_and_rejection():
+    import numpy as np
+
+    img = np.zeros((10, 18, 3), dtype="uint8")
+    meta = multimodal.jpeg_decode(multimodal.jpeg_encode(img, subsample=True))
+    assert (meta["width"], meta["height"], meta["n_components"]) == (18, 10, 3)
+    assert meta["sampling"][1] == (2, 2)  # luma 2x2 when subsampled
+    assert multimodal.image_decode(
+        multimodal.jpeg_encode(img))["format"] == "jpeg"
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode(b"\xff\xd8\x00\x00junk")
+    with pytest.raises(ValueError):
+        multimodal.jpeg_decode(b"PNG?")
+    with pytest.raises(ValueError):
+        multimodal.jpeg_encode(img, quality=0)
