@@ -1223,8 +1223,9 @@ def image_decode(payload: bytes) -> dict:
 
 def image_pixels(payload: bytes):
     """Format-dispatching pixel decoder (BMP 24-bit -> RGB, PNG 8-bit ->
-    native channels, GIF -> palette RGB).  Same ``bytes -> (h, w, c) uint8`` seam a PIL wrapper
-    would fill for jpeg/webp."""
+    native channels, GIF -> palette RGB, baseline JPEG -> gray/RGB).  Same
+    ``bytes -> (h, w, c) uint8`` seam a PIL wrapper would fill for
+    webp/progressive-JPEG."""
     if payload[:2] == b"BM":
         return bmp_pixels(payload)
     if payload[:8] == _PNG_SIG:
@@ -1347,11 +1348,12 @@ RESIZE_SCHEMA = StructType(
 def resize_images(
     df: DataFrame, binary_col: str, id_col: str, out_w: int, out_h: int
 ) -> DataFrame:
-    """REAL image resize: nearest-neighbor resample of decoded BMP/PNG
-    pixels via numpy index gather, emitted as raw RGB bytes + final
-    dimensions.  The standard training-data preprocessing shape (decode ->
-    resize -> feature model); swap :func:`image_pixels` for a PIL decode to
-    cover jpeg/webp.  Undecodable payloads yield NULL rgb."""
+    """REAL image resize: nearest-neighbor resample of decoded
+    BMP/PNG/GIF/JPEG pixels via numpy index gather, emitted as raw RGB
+    bytes + final dimensions.  The standard training-data preprocessing
+    shape (decode -> resize -> feature model); swap :func:`image_pixels`
+    for a PIL decode to cover webp.  Undecodable payloads yield NULL
+    rgb."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1411,8 +1413,9 @@ def decode_media(
     if decoder is None:
         raise NotImplementedError(
             "media decoding requires a decoder callable (image_decode for "
-            "BMP/PNG, wav_decode for PCM audio, or a PIL/torchaudio wrapper "
-            "for jpeg/webp/mp3/mp4 in environments that ship codecs)"
+            "BMP/PNG/GIF/JPEG, wav_decode for PCM audio, or a PIL/"
+            "torchaudio wrapper for webp/mp3/mp4 in environments that "
+            "ship codecs)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
