@@ -1353,6 +1353,17 @@ def q134_jpeg_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.image_checksums(media, "payload", "doc_id")
 
 
+def q135_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance against a fixed 4-term query — scan + one
+    scalar partial-aggregate + broadcast cross join; term frequencies are
+    HOF filter-counts over the bound token array (no explode, no wide
+    shuffle).  The DuckDB oracle replays idf/tf normalization to 4dp."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bm25_scores(
+        docs, ["table", "spark", "query", "vector"]
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3159,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_png_roundtrip_checksums": q132_png_roundtrip_checksums,
         "q133_gif_roundtrip_checksums": q133_gif_roundtrip_checksums,
         "q134_jpeg_roundtrip_checksums": q134_jpeg_roundtrip_checksums,
+        "q135_bm25_scores": q135_bm25_scores,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4176,6 +4188,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 255)) AS i) p
             GROUP BY doc_id
+        """,
+        "q135_bm25_scores": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(t) AS dl,
+                       len(list_filter(t, x -> x = 'table'))  AS tf0,
+                       len(list_filter(t, x -> x = 'spark'))  AS tf1,
+                       len(list_filter(t, x -> x = 'query'))  AS tf2,
+                       len(list_filter(t, x -> x = 'vector')) AS tf3
+                FROM toks
+            ), stats AS (
+                SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+                       SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                       SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+                FROM base
+            )
+            SELECT doc_id, CAST(dl AS INT) AS dl,
+                   round(
+                     ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                       / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                       / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                       / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+                       / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+                   AS score
+            FROM base, stats
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

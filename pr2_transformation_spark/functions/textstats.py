@@ -305,3 +305,65 @@ def chunk_documents(
             " ", F.expr(f"slice(__toks, start_token + 1, {size})")
         ).alias("chunk_text"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    (Robertson/Sparck Jones; the standard retrieval score a training-data
+    pipeline uses for quality-targeted sampling or eval-set mining).
+
+    ``score = sum_t ln(1 + (N - df_t + .5)/(df_t + .5))
+                    * tf_t (k1+1) / (tf_t + k1 (1 - b + b dl/avgdl))``
+
+    Distributed shape: one narrow scan computes per-doc term frequencies
+    as HOF ``filter`` counts over the bound token array (no explode — the
+    term list is a projection, not a join); the corpus statistics
+    (``N``, ``avgdl``, per-term ``df_t``) partial-aggregate to ONE row
+    that broadcast-cross-joins back — no driver collect, no wide shuffle,
+    so the plan is scan + scalar-agg + broadcast however large the
+    corpus.  Returns ``(id, dl, score)`` with score rounded to 4dp.
+    """
+    for t in terms:
+        if not t.isalnum():
+            raise ValueError(f"BM25 terms must be alphanumeric tokens: {t!r}")
+    if not terms:
+        raise ValueError("BM25 needs at least one term")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    base = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        *[
+            F.expr(f"size(filter(__toks, x -> x = '{t}'))").alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        parts.append(idf * tf * (k1 + 1.0) / norm)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return scored.select(F.col(id_col), F.col("dl"), F.round(score, 4).alias("score"))

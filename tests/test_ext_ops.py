@@ -1000,3 +1000,38 @@ def test_chunk_documents_rejects_gapping_stride(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="skip tokens"):
         chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_bm25_scores_match_hand_computation(spark):
+    """BM25 on a 3-doc corpus equals the closed-form score computed
+    independently here; docs without any query term score 0."""
+    import math
+
+    from pr2_transformation_spark.functions.textstats import bm25_scores
+
+    corpus = {1: "cat dog cat", 2: "dog mouse", 3: "bird bird bird bird"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+
+    n, avgdl = 3, (3 + 2 + 4) / 3
+    dfs = {"cat": 1, "dog": 2}
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        toks = corpus[doc].split()
+        s = 0.0
+        for t in ("cat", "dog"):
+            tf = toks.count(t)
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        return round(s, 4)
+
+    for doc_id in corpus:
+        assert rows[doc_id]["score"] == pytest.approx(score(doc_id), abs=1e-4)
+        assert rows[doc_id]["dl"] == len(corpus[doc_id].split())
+    assert rows[3]["score"] == 0.0
+
+    with pytest.raises(ValueError, match="alphanumeric"):
+        bm25_scores(docs, ["bad'term"])
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_scores(docs, [])
