@@ -1265,7 +1265,7 @@ def q132_png_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pr2_transformation_spark.functions import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         idx = np.arange(8 * 8 * 3, dtype=np.int64)
@@ -1298,7 +1298,7 @@ def q133_gif_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pr2_transformation_spark.functions import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     palette = (np.arange(64, dtype=np.int64)[:, None] * [3, 5, 7] % 256).astype(
         np.uint8
     )
@@ -1333,7 +1333,7 @@ def q134_jpeg_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from pr2_transformation_spark.functions import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         yy, xx = np.mgrid[0:16, 0:16]

@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "q126_ann_bruteforce_vectorized",
     "q127_salted_skew_join",
     "q129_corpus_prep",
+    "q130_segment_dedup_rewrite",
+    "q131_chunk_documents",
+    "q134_jpeg_roundtrip_checksums",
+    "q135_bm25_scores",
 ]
 
 
