@@ -1364,6 +1364,31 @@ def q135_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q136_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + coverage: the top-10 corpus tokens
+    (deterministic count-then-lex tie-break, TakeOrdered not global sort)
+    broadcast back over the corpus for per-document OOV rates — the
+    tokenizer-fit metric.  The corpus shuffles once (token counts); the
+    coverage join is map-side against the broadcast vocab."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textstats.vocab_topk(docs, 10)
+    return textstats.oov_rates(docs, vocab)
+
+
+def q137_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the doc_id%5==0 slice plays the
+    historical corpus (its persisted hash index), the full table plays
+    the new batch; batch rows whose text already exists in history — or
+    earlier in the batch — are dropped.  Hash-to-hash anti join: history
+    contributes 8-byte hashes, batch text never enters a wide shuffle.
+    Graded in md5 mode so DuckDB replays the hash election."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.exact_dedup_against(
+        docs, history, ["text"], "doc_id", hasher="md5"
+    ).select("doc_id", "lang", "source")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3171,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_gif_roundtrip_checksums": q133_gif_roundtrip_checksums,
         "q134_jpeg_roundtrip_checksums": q134_jpeg_roundtrip_checksums,
         "q135_bm25_scores": q135_bm25_scores,
+        "q136_vocab_oov_coverage": q136_vocab_oov_coverage,
+        "q137_incremental_dedup": q137_incremental_dedup,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4221,6 +4248,42 @@ def oracle_sql() -> dict[str, str]:
                        / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
                    AS score
             FROM base, stats
+        """,
+        "q136_vocab_oov_coverage": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents
+            ), vocab AS (
+                SELECT token
+                FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+                ORDER BY n DESC, token
+                LIMIT 10
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS INT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS INT)
+                       AS n_oov,
+                   round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+            FROM tok t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id
+        """,
+        "q137_incremental_dedup": """
+            WITH hashed AS (
+                SELECT doc_id, lang, source,
+                       CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+                FROM documents
+            ), seen AS (
+                SELECT DISTINCT h FROM hashed WHERE doc_id % 5 = 0
+            ), keepers AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM hashed
+                GROUP BY h
+                HAVING h NOT IN (SELECT h FROM seen)
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM hashed d JOIN keepers USING (doc_id)
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

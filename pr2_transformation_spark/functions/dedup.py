@@ -764,3 +764,41 @@ def segment_dedup_rewrite(
             ).alias(text_col),
         )
     )
+
+
+def exact_dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    content_cols: list[str],
+    key_col: str,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop rows whose content already exists
+    in a historical corpus ``seen``, AND deduplicate within the new batch
+    (smallest ``key_col`` wins) — the daily-crawl-vs-warehouse shape,
+    where re-deduplicating 100 TB of history per batch is not an option.
+
+    Both sides reduce to hashes before anything moves: the history
+    contributes a distinct-hash frame (at warehouse scale this is the
+    persisted dedup INDEX — 8 bytes/doc — not the corpus), the batch
+    shuffles (hash, key) pairs, and the anti join runs hash-to-hash.  The
+    batch text itself only moves in the final keeper semi join, keyed on
+    ``key_col``.  ``hasher="md5"`` makes the whole election replayable by
+    external engines (:func:`md5_long`).
+    """
+    if hasher == "md5":
+        def h(frame):
+            return md5_long(F.concat_ws("|", *[frame[c] for c in content_cols]))
+    else:
+        def h(frame):
+            return F.xxhash64(*[frame[c] for c in content_cols])
+
+    seen_hashes = seen.select(h(seen).alias("__h")).distinct()
+    batch = df.select(F.col(key_col), h(df).alias("__h"))
+    keepers = (
+        batch.groupBy("__h")
+        .agg(F.min(key_col).alias(key_col))
+        .join(seen_hashes, "__h", "left_anti")
+        .select(key_col)
+    )
+    return df.join(keepers, key_col, "left_semi")

@@ -367,3 +367,70 @@ def bm25_scores(
     for p in parts[1:]:
         score = score + p
     return scored.select(F.col(id_col), F.col("dl"), F.round(score, 4).alias("score"))
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary induction: the ``k`` most frequent whitespace
+    tokens with a DETERMINISTIC tie-break (higher count first, then
+    lexicographically smaller token) — the iteration-free first step of
+    any tokenizer-training / coverage-analysis pass.
+
+    One explode + one partial-aggregated groupBy(token) shuffle; the
+    top-k itself is ``orderBy().limit(k)`` — TakeOrderedAndProject, a
+    per-partition bounded heap merged once, NOT a global sort, so a
+    billion-token vocabulary at warehouse scale never single-partitions.
+    The rank window then runs over just the k survivors.
+
+    Returns ``(token, n_occurrences, rank)`` with rank 1..k.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = [F.col("n_occurrences").desc(), F.col("token")]
+    topk = counts.orderBy(*order).limit(k)
+    return topk.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+
+
+def oov_rates(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against an induced (or given)
+    vocabulary — the coverage metric that decides whether a tokenizer /
+    vocab size fits a corpus.
+
+    The vocabulary broadcasts (it is top-k by construction); each
+    document's tokens join map-side, so the corpus never shuffles.
+    Returns ``(id, n_tokens, n_oov, oov_rate)`` (rate rounded to 4dp).
+    """
+    vocab_tokens = vocab.select(F.col("token"))
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    )
+    joined = tok.join(
+        F.broadcast(vocab_tokens.withColumn("__in_vocab", F.lit(1))),
+        "token",
+        "left",
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )

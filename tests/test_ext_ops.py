@@ -1035,3 +1035,52 @@ def test_bm25_scores_match_hand_computation(spark):
         bm25_scores(docs, ["bad'term"])
     with pytest.raises(ValueError, match="at least one"):
         bm25_scores(docs, [])
+
+
+def test_vocab_topk_and_oov_rates(spark):
+    """Deterministic top-k (count desc, then lex) and exact OOV rates; a
+    tie between tokens resolves lexicographically."""
+    from pr2_transformation_spark.functions.textstats import oov_rates, vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "b a d d"), (3, "e e e a")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_topk(docs, 2)
+    rows = {r["rank"]: r for r in vocab.collect()}
+    # counts: a=4, e=3, d=2, b=2, c=1 -> top2 = a, e
+    assert (rows[1]["token"], rows[1]["n_occurrences"]) == ("a", 4)
+    assert (rows[2]["token"], rows[2]["n_occurrences"]) == ("e", 3)
+    # tie-break: with k=4 both b and d (count 2) fit; d < b is false ->
+    # lexicographic order puts b before d
+    v4 = {r["rank"]: r["token"] for r in vocab_topk(docs, 4).collect()}
+    assert (v4[3], v4[4]) == ("b", "d")
+
+    oov = {r["doc_id"]: r for r in oov_rates(docs, vocab).collect()}
+    assert (oov[1]["n_tokens"], oov[1]["n_oov"]) == (4, 2)      # b, c
+    assert oov[1]["oov_rate"] == 0.5
+    assert (oov[2]["n_tokens"], oov[2]["n_oov"]) == (4, 3)      # b, d, d
+    assert (oov[3]["n_tokens"], oov[3]["n_oov"]) == (4, 0)
+
+
+def test_exact_dedup_against_history_and_batch(spark):
+    """Rows matching history content drop; in-batch duplicates keep the
+    smallest key; md5 and xxhash64 agree."""
+    from pr2_transformation_spark.functions.dedup import exact_dedup_against
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma"), (5, "delta")],
+        "doc_id long, text string",
+    )
+    history = spark.createDataFrame(
+        [(100, "beta"), (101, "zeta")], "doc_id long, text string"
+    )
+    for hasher in ("xxhash64", "md5"):
+        kept = sorted(
+            r["doc_id"]
+            for r in exact_dedup_against(
+                batch, history, ["text"], "doc_id", hasher=hasher
+            ).collect()
+        )
+        # beta drops (history), doc 3 drops (in-batch dup of 1)
+        assert kept == [1, 4, 5], hasher
