@@ -104,11 +104,34 @@ class Catalog:
         return self.read(fq_table).schema.names
 
     # -- sink -------------------------------------------------------------
-    def write(self, df: DataFrame, fq_table: str, partition_by: Optional[list[str]] = None) -> str:
+    def write(
+        self,
+        df: DataFrame,
+        fq_table: str,
+        partition_by: Optional[list[str]] = None,
+        bloom_filter_cols: Optional[list[str]] = None,
+        bloom_filter_ndv: int = 1_000_000,
+    ) -> str:
         """Overwrite-write (CTAS semantics).  Returns the destination path
-        or table identifier actually used."""
+        or table identifier actually used.
+
+        ``bloom_filter_cols`` writes a parquet bloom filter per listed
+        column (per row group), the point-lookup complement to min/max
+        footer pruning: zone maps skip row groups for RANGE-clustered
+        keys (z-order / sorted shards), blooms skip them for equality
+        probes on high-cardinality UNCLUSTERED keys — e.g. ``doc_id`` or
+        content-hash lookups against a 100 TB corpus, where a range
+        layout on that key is not worth a shuffle.  Readers (Spark's
+        parquet scan included) consult the filter transparently;
+        ``bloom_filter_ndv`` sizes it (expected distinct values per row
+        group)."""
         path = self.path_for(fq_table)
         writer = df.write.mode("overwrite")
+        for col in bloom_filter_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{col}", str(bloom_filter_ndv)
+            )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if path:

@@ -303,3 +303,48 @@ def test_export_jsonl_roundtrip_and_shard_sizing(spark, tmp_path):
     gz = glob.glob(os.path.join(out2, "part-*.gz"))
     assert len(gz) == 3
     assert spark.read.json(out2).count() == 500  # transparent gzip read-back
+
+
+def test_write_with_bloom_filter_columns(spark, tmp_path):
+    """bloom_filter_cols lands REAL per-column bloom filters in the
+    parquet row groups — verified by reading them back with parquet-mr
+    itself (the library Spark's scan consults for bloom-based row-group
+    skipping) — and the table reads back identically."""
+    import glob
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id", "md5(CAST(id AS STRING)) AS content_hash", "id % 7 AS grp"
+    )
+    path = cat.write(
+        df, "p.d.bloomed", bloom_filter_cols=["content_hash"], bloom_filter_ndv=5000
+    )
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    blooms = {}
+    for f in files:
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            groups = reader.getRowGroups()
+            for g in range(groups.size()):
+                block = groups.get(g)
+                bfr = reader.getBloomFilterDataReader(block)
+                cols = block.getColumns()
+                for i in range(cols.size()):
+                    cc = cols.get(i)
+                    name = cc.getPath().toDotString()
+                    has = bfr.readBloomFilter(cc) is not None
+                    blooms[name] = blooms.get(name, False) or has
+        finally:
+            reader.close()
+    assert blooms.get("content_hash"), "content_hash column is missing bloom filters"
+    assert not blooms.get("doc_id"), "unlisted columns must not pay for bloom filters"
+    assert not blooms.get("grp"), "unlisted columns must not pay for bloom filters"
+    assert cat.read("p.d.bloomed").count() == 5000
