@@ -205,6 +205,109 @@ class Catalog:
         writer.json(path)
         return num_shards
 
+    def merge_upsert(
+        self,
+        fq_table: str,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str,
+        num_buckets: int = 64,
+        delete_col: Optional[str] = None,
+    ) -> list[int]:
+        """MERGE-INTO semantics on plain parquet with partition-pruned
+        copy-on-write — the batch/CDC apply path whose cost is
+        O(affected buckets), not O(snapshot).
+
+        The snapshot lives hash-bucket-partitioned (``__bucket =
+        pmod(xxhash64(keys), num_buckets)``); a merge:
+
+        1. buckets the incoming batch the same way and collects the
+           DISTINCT affected bucket ids (bounded by ``num_buckets`` —
+           a driver list, never data);
+        2. reads back ONLY those buckets of the live snapshot
+           (partition pruning does the skipping);
+        3. elects the latest row per key (greatest ``order_col``, ties
+           prefer the incoming side — replaying an already-applied batch
+           elects the same winners, making the merge idempotent), and
+           drops rows whose winner has ``delete_col`` true (CDC deletes);
+        4. writes with DYNAMIC partition overwrite, so exactly the
+           affected bucket directories are replaced and every other
+           bucket's files are untouched.
+
+        This is the scale fix the streaming ``upsert_snapshot_batch``
+        docstring prescribes for its whole-snapshot rewrite; wire it into
+        ``foreachBatch`` via ``lambda b, _: catalog.merge_upsert(...)``.
+        A 100 TB snapshot at the default 64 buckets rewrites ~1/64th per
+        single-bucket batch; size ``num_buckets`` so one bucket ≈ the
+        compaction target.  Readers should drop the ``__bucket`` column
+        (or filter on it for key-pruned point lookups — it doubles as a
+        coarse hash index).  Returns the affected bucket ids.
+        """
+        path = self.path_for(fq_table)
+        if path is None:
+            raise ValueError(f"merge_upsert needs a path-backed table: {fq_table}")
+        if "__bucket" in updates.columns:
+            raise ValueError("updates must not carry a __bucket column")
+        bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
+        incoming = updates.withColumn("__bucket", bucket.cast("int"))
+        cols = incoming.columns
+        affected = sorted(
+            r["__bucket"]
+            for r in incoming.select("__bucket").distinct().collect()
+        )
+        spark = updates.sparkSession
+        if os.path.isdir(path):
+            spark.catalog.refreshByPath(path)
+            live = (
+                spark.read.parquet(path)
+                .filter(F.col("__bucket").isin(affected))
+                .select(cols)
+                .withColumn("__src", F.lit(0))
+            )
+            merged = live.unionByName(incoming.withColumn("__src", F.lit(1)))
+        else:
+            merged = incoming.withColumn("__src", F.lit(1))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(order_col), F.desc("__src")
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        if delete_col is not None:
+            latest = latest.filter(
+                ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            )
+        # Dynamic overwrite only replaces partitions PRESENT in the output:
+        # an affected bucket whose every key was deleted would keep its old
+        # files.  Persist the winners once (they are O(affected buckets),
+        # not O(snapshot)), learn which buckets still have rows, and clear
+        # the fully-deleted ones by hand after the write.
+        latest = latest.persist()
+        try:
+            surviving = {
+                r["__bucket"]
+                for r in latest.select("__bucket").distinct().collect()
+            }
+            (
+                latest.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__bucket")
+                .parquet(path)
+            )
+        finally:
+            latest.unpersist()
+        import shutil
+
+        for b in affected:
+            if b not in surviving:
+                shutil.rmtree(os.path.join(path, f"__bucket={b}"), ignore_errors=True)
+        spark.catalog.refreshByPath(path)
+        return affected
+
     def compact(self, fq_table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite a path-backed table into ~``target_file_bytes`` files.
 

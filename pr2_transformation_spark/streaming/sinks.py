@@ -76,11 +76,11 @@ def upsert_snapshot_batch(
     On plain parquet the merge is a snapshot rewrite staged next to the
     live directory and swapped in whole (same staging discipline as
     ``Catalog.compact``), so readers never observe a half-written
-    snapshot.  At warehouse scale the rewrite must not be O(snapshot) per
-    batch: partition the snapshot by a stable hash of the key and rewrite
-    only the partitions the batch's keys hash into (or target a table
-    format and let MERGE INTO rewrite matching files) — the merge logic
-    here is unchanged by either.
+    snapshot.  At warehouse scale use ``Catalog.merge_upsert`` from
+    ``foreachBatch`` instead: it keeps the snapshot hash-bucket
+    partitioned and dynamic-overwrites only the buckets the batch's keys
+    hash into — O(affected buckets) per batch, same winner election,
+    plus CDC deletes.
     """
     import shutil
 

@@ -348,3 +348,69 @@ def test_write_with_bloom_filter_columns(spark, tmp_path):
     assert not blooms.get("doc_id"), "unlisted columns must not pay for bloom filters"
     assert not blooms.get("grp"), "unlisted columns must not pay for bloom filters"
     assert cat.read("p.d.bloomed").count() == 5000
+
+
+def test_merge_upsert_prunes_untouched_buckets(spark, tmp_path):
+    """merge_upsert rewrites ONLY the bucket partitions the batch's keys
+    hash into (other bucket dirs keep their exact files), applies
+    latest-wins updates, CDC deletes, empties fully-deleted buckets, and
+    replays idempotently."""
+    import glob
+    import os
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    base = spark.range(0, 200).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v", "0L AS ts", "false AS deleted"
+    )
+    table = "p.d.snapshot"
+    cat.merge_upsert(table, base, ["k"], "ts", num_buckets=8)
+    root = cat.path_for(table)
+    files_before = {f: os.path.getmtime(f)
+                    for f in glob.glob(f"{root}/__bucket=*/*.parquet")}
+
+    updates = spark.createDataFrame(
+        [(5, "five!", 1, False), (5, "stale", 0, False), (7, "gone", 1, True)],
+        "k long, v string, ts long, deleted boolean",
+    )
+    affected = cat.merge_upsert(
+        table, updates, ["k"], "ts", num_buckets=8, delete_col="deleted"
+    )
+    assert 1 <= len(affected) <= 2
+
+    snap = spark.read.parquet(root)
+    got = {r["k"]: r["v"] for r in snap.collect()}
+    assert got[5] == "five!"          # latest ts wins, stale loses
+    assert 7 not in got               # CDC delete applied
+    assert len(got) == 199
+    # untouched buckets kept their exact files
+    touched_dirs = {f"{root}/__bucket={b}" for b in affected}
+    for f, mtime in files_before.items():
+        if os.path.dirname(f) not in touched_dirs:
+            assert os.path.getmtime(f) == mtime and os.path.exists(f), f
+    # replaying the same batch is a no-op on values
+    cat.merge_upsert(table, updates, ["k"], "ts", num_buckets=8, delete_col="deleted")
+    again = {r["k"]: r["v"] for r in spark.read.parquet(root).collect()}
+    assert again == got
+
+
+def test_merge_upsert_empties_fully_deleted_bucket(spark, tmp_path):
+    """A bucket whose every key is deleted loses its partition directory
+    (dynamic overwrite alone would leave the stale files)."""
+    import glob
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    one = spark.createDataFrame(
+        [(42, "x", 0, False)], "k long, v string, ts long, deleted boolean"
+    )
+    cat.merge_upsert("p.d.tiny", one, ["k"], "ts", num_buckets=4)
+    root = cat.path_for("p.d.tiny")
+    assert glob.glob(f"{root}/__bucket=*/*.parquet")
+    kill = spark.createDataFrame(
+        [(42, "x", 1, True)], "k long, v string, ts long, deleted boolean"
+    )
+    cat.merge_upsert("p.d.tiny", kill, ["k"], "ts", num_buckets=4, delete_col="deleted")
+    assert not glob.glob(f"{root}/__bucket=*/*.parquet")
