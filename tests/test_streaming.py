@@ -440,3 +440,44 @@ def test_streaming_user_stats_restart_recovery(spark, tmp_path):
     assert abs(snap[10]["sum_value"] - 16.0) < 1e-9
     # user 11 appears with exactly its phase-B totals
     assert snap[11]["n_events"] == 3 and abs(snap[11]["sum_value"] - 15.0) < 1e-9
+
+
+def test_foreach_batch_merge_upsert_bucket_pruned(spark, tmp_path):
+    """Streaming CDC apply through Catalog.merge_upsert: a multi-batch
+    availableNow stream maintains the same latest-per-key snapshot as the
+    whole-rewrite sink, but in the hash-bucketed O(affected-buckets)
+    layout."""
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path / "lake"))
+    ev = _events_fixture(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") <= 3).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") > 3).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: cat.merge_upsert(
+                "p.d.user_snapshot", batch, ["user_id"], "ts", num_buckets=8
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(cat.path_for("p.d.user_snapshot")).drop("__bucket")
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select("user_id", "s.*")
+    )
+    assert snap.count() == 2
+    assert _rows(snap.select(*ev.columns)) == _rows(expected.select(*ev.columns))
