@@ -21,6 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def refresh_all_sessions(path: str) -> None:
+    """Invalidate cached file listings for ``path`` on every session that
+    might hold them.  Inside ``foreachBatch`` the batch DataFrame runs on
+    a CLONED SparkSession; refreshing only that clone leaves the main
+    session's FileIndex cache stale, and its next read of a rewritten
+    snapshot fails with FILE_NOT_EXIST — so refresh the batch, active,
+    and default sessions alike."""
+    sessions = {SparkSession.getActiveSession(), getattr(SparkSession, "_instantiatedSession", None)}
+    for sess in sessions:
+        if sess is not None:
+            try:
+                sess.catalog.refreshByPath(path)
+            except Exception:  # noqa: BLE001 — a dead session must not fail the write
+                pass
+
+
 def parse_fq_table(fq_table: str) -> tuple[str, str, str]:
     """Split ``project.dataset.table``; raise unless exactly three parts.
 
@@ -306,6 +322,7 @@ class Catalog:
             if b not in surviving:
                 shutil.rmtree(os.path.join(path, f"__bucket={b}"), ignore_errors=True)
         spark.catalog.refreshByPath(path)
+        refresh_all_sessions(path)
         return affected
 
     def compact(self, fq_table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:

@@ -108,6 +108,12 @@ def upsert_snapshot_batch(
         shutil.rmtree(dest)
     os.rename(staged, dest)
     spark.catalog.refreshByPath(dest)
+    # foreachBatch hands us a CLONED session — refresh the others too, or
+    # the main session's cached file listing still points at the replaced
+    # snapshot files (observed as a flaky FILE_NOT_EXIST on the next read)
+    from pr2_transformation_spark.sources.catalog import refresh_all_sessions
+
+    refresh_all_sessions(dest)
 
 
 def upsert_snapshot_sink(dest: str, keys: list[str], order_col: str):
