@@ -1389,6 +1389,35 @@ def q137_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q138_webp_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-lossless (VP8L) twin of q132-q134: each doc id seeds an 8x8
+    RGBA image (byte i = (doc_id*13 + i) % 256), ENCODED as a literal-only
+    VP8L stream (canonical prefix codes built per image) and DECODED back
+    by the full spec decoder; ``image_checksums`` emits position-weighted
+    sums the DuckDB oracle replays from the byte arithmetic — a prefix
+    desync, channel-order slip, or canonical-code bug breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        idx = np.arange(8 * 8 * 4, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                multimodal.webp_encode(
+                    ((int(did) * 13 + idx) % 256).astype(np.uint8).reshape(8, 8, 4)
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.image_checksums(media, "payload", "doc_id")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3198,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_bm25_scores": q135_bm25_scores,
         "q136_vocab_oov_coverage": q136_vocab_oov_coverage,
         "q137_incremental_dedup": q137_incremental_dedup,
+        "q138_webp_roundtrip_checksums": q138_webp_roundtrip_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4284,6 +4314,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang, d.source
             FROM hashed d JOIN keepers USING (doc_id)
+        """,
+        "q138_webp_roundtrip_checksums": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   8 AS width, 8 AS height, 4 AS channels,
+                   CAST(SUM((doc_id * 13 + p.i) % 256) AS BIGINT) AS pixel_sum,
+                   CAST(SUM((p.i + 1) * ((doc_id * 13 + p.i) % 256)) AS BIGINT)
+                       AS pixel_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 255)) AS i) p
+            GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -16,7 +16,7 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   (:func:`wav_decode` headers, :func:`pcm_samples` sample arrays +
   :func:`audio_features` RMS/ZCR/peak).
 * STUBBED: formats needing codec libraries this environment lacks
-  (webp/mp3/mp4; progressive JPEG).  The feature extractor's default decoder is a
+  (lossy-WebP/mp3/mp4; progressive JPEG).  The feature extractor's default decoder is a
   clearly-marked deterministic fake, and passing ``decoder=None`` raises
   ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
   wrapper would plug into the same callable signature the real decoders
@@ -1888,8 +1888,10 @@ def image_decode(payload: bytes) -> dict:
         return gif_decode(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return jpeg_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return webp_decode(payload)
     raise ValueError(
-        "unrecognized image payload (BMP/PNG/GIF/JPEG are decodable)")
+        "unrecognized image payload (BMP/PNG/GIF/JPEG/WebP-lossless are decodable)")
 
 
 def image_pixels(payload: bytes):
@@ -1905,8 +1907,10 @@ def image_pixels(payload: bytes):
         return gif_pixels(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return jpeg_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return webp_pixels(payload)
     raise ValueError(
-        "unrecognized image payload (BMP/PNG/GIF/JPEG are decodable)")
+        "unrecognized image payload (BMP/PNG/GIF/JPEG/WebP-lossless are decodable)")
 
 
 def pcm_samples(payload: bytes):

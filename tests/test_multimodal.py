@@ -463,3 +463,193 @@ def test_jpeg_header_decode_and_rejection():
         multimodal.jpeg_decode(b"PNG?")
     with pytest.raises(ValueError):
         multimodal.jpeg_encode(img, quality=0)
+
+
+def _vp8l_container(payload_bits_writer):
+    import struct
+
+    payload = b"\x2f" + payload_bits_writer.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _vp8l_emit_coded_image(bw, argb, main=False):
+    """Test-local literal writer for VP8L entropy-coded (sub-)images.
+    Main-image position also carries the meta-prefix bit; sub-images
+    (transform tiles, palettes) carry only the cache bit."""
+    from pr2_transformation_spark.functions import multimodal as m
+
+    bw.bits(0, 1)      # no color cache
+    if main:
+        bw.bits(0, 1)  # no meta prefix codes
+    chans = [[(p >> 8) & 0xFF for p in argb], [(p >> 16) & 0xFF for p in argb],
+             [p & 0xFF for p in argb], [(p >> 24) & 0xFF for p in argb]]
+    tables = []
+    for vals, alphabet in zip(chans, (256 + 24, 256, 256, 256)):
+        freqs = {}
+        for v in vals:
+            freqs[v] = freqs.get(v, 0) + 1
+        lengths = m._canonical_lengths(freqs)
+        m._vp8l_write_prefix_code(bw, lengths, alphabet)
+        tables.append(
+            {next(iter(lengths)): (0, 0)}
+            if len(lengths) == 1 else m._canonical_codes(lengths)
+        )
+    m._vp8l_write_prefix_code(bw, {1: 1}, 40)  # unused distance tree
+    for i in range(len(argb)):
+        for ch, tab in zip(chans, tables):
+            c, ln = tab[ch[i]]
+            bw.code(c, ln)
+
+
+def _argb(a, r, g, b):
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def test_webp_encode_roundtrip():
+    """webp_encode -> webp_pixels is the identity for RGB and RGBA,
+    random and constant content (single-symbol zero-bit codes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(51)
+    for shape in [(5, 9, 3), (1, 1, 3), (16, 16, 4), (7, 3, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype="uint8")
+        dec = multimodal.webp_pixels(multimodal.webp_encode(img))
+        want = img if shape[2] == 4 else np.concatenate(
+            [img, np.full(shape[:2] + (1,), 255, "uint8")], axis=2)
+        assert np.array_equal(dec, want), shape
+    flat = np.full((6, 4, 3), 77, "uint8")
+    assert (multimodal.webp_pixels(multimodal.webp_encode(flat))[:, :, :3] == 77).all()
+    meta = multimodal.webp_decode(multimodal.webp_encode(flat))
+    assert (meta["width"], meta["height"], meta["format"]) == (4, 6, "webp-lossless")
+    with pytest.raises(ValueError):
+        multimodal.webp_decode(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_webp_decodes_lz77_backward_reference():
+    """Hand-built stream: one literal + a (length 3, distance 1) backward
+    reference fills a 4x1 row — pins the prefix-value transform and the
+    neighbor distance map, which the literal-only encoder never emits."""
+    from pr2_transformation_spark.functions import multimodal as m
+
+    bw = m._Vp8lBitWriter()
+    bw.bits(3, 14); bw.bits(0, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1)  # no transforms
+    bw.bits(0, 1)  # no cache
+    bw.bits(0, 1)  # no meta
+    m._vp8l_write_prefix_code(bw, {10: 1, 258: 1}, 256 + 24)  # literal g + len code 2
+    for lengths, n in (({200: 1}, 256), ({30: 1}, 256), ({255: 1}, 256), ({1: 1}, 40)):
+        m._vp8l_write_prefix_code(bw, lengths, n)
+    gc = m._canonical_codes({10: 1, 258: 1})
+    bw.code(*gc[10])   # literal pixel (r/b/a read zero-bit single codes)
+    bw.code(*gc[258])  # length code 2 -> 3 px; distance tree single -> code 1 -> (1,0)
+    px = m.webp_pixels(_vp8l_container(bw))
+    assert px.shape == (1, 4, 4)
+    assert px.tolist()[0] == [[200, 10, 30, 255]] * 4
+
+
+def test_webp_decodes_color_cache_hits():
+    """Hand-built stream with a 2^4 color cache: two literals, then cache
+    references re-emit them — pins the 0x1e35a7bd hash indexing."""
+    from pr2_transformation_spark.functions import multimodal as m
+
+    bits = 4
+    p1, p2 = _argb(255, 9, 200, 33), _argb(255, 77, 5, 210)
+    idx = [(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - bits) for p in (p1, p2)]
+    assert idx[0] != idx[1], "fixture colors must hash apart"
+    cache_syms = [256 + 24 + i for i in idx]
+    bw = m._Vp8lBitWriter()
+    bw.bits(3, 14); bw.bits(0, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1)          # no transforms
+    bw.bits(1, 1)          # color cache present
+    bw.bits(bits, 4)
+    bw.bits(0, 1)          # no meta
+    g_l = {200: 2, 5: 2, cache_syms[0]: 2, cache_syms[1]: 2}
+    m._vp8l_write_prefix_code(bw, g_l, 256 + 24 + (1 << bits))
+    for lengths, n in (({9: 1, 77: 1}, 256), ({33: 1, 210: 1}, 256),
+                       ({255: 1}, 256), ({1: 1}, 40)):
+        m._vp8l_write_prefix_code(bw, lengths, n)
+    gc = m._canonical_codes(g_l)
+    rc = m._canonical_codes({9: 1, 77: 1})
+    bc = m._canonical_codes({33: 1, 210: 1})
+    bw.code(*gc[200]); bw.code(*rc[9]); bw.code(*bc[33])     # literal p1
+    bw.code(*gc[5]); bw.code(*rc[77]); bw.code(*bc[210])     # literal p2
+    bw.code(*gc[cache_syms[0]])                              # cache hit p1
+    bw.code(*gc[cache_syms[1]])                              # cache hit p2
+    px = m.webp_pixels(_vp8l_container(bw))
+    assert px.tolist()[0] == [[9, 200, 33, 255], [77, 5, 210, 255],
+                              [9, 200, 33, 255], [77, 5, 210, 255]]
+
+
+def test_webp_decodes_subtract_green_transform():
+    """Hand-built stream with the subtract-green transform: stored
+    residuals r-g, b-g reconstruct to the true channels."""
+    from pr2_transformation_spark.functions import multimodal as m
+
+    bw = m._Vp8lBitWriter()
+    bw.bits(0, 14); bw.bits(0, 14); bw.bits(0, 1); bw.bits(0, 3)  # 1x1
+    bw.bits(1, 1); bw.bits(2, 2)   # transform: subtract-green
+    bw.bits(0, 1)                  # end of transforms
+    # true pixel (a=255, r=100, g=40, b=50) stored as (r-g, g, b-g)
+    _vp8l_emit_coded_image(bw, [_argb(255, (100 - 40) % 256, 40, (50 - 40) % 256)],
+                           main=True)
+    px = m.webp_pixels(_vp8l_container(bw))
+    assert px.tolist() == [[[100, 40, 50, 255]]]
+
+
+def test_webp_decodes_predictor_transform_left():
+    """Hand-built stream with the predictor transform (mode 1 = left):
+    stored deltas accumulate across the row."""
+    from pr2_transformation_spark.functions import multimodal as m
+
+    bw = m._Vp8lBitWriter()
+    w = 4
+    bw.bits(w - 1, 14); bw.bits(0, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(0, 2)   # transform: predictor
+    bw.bits(0, 3)                  # size_bits = 2 -> 4px tiles -> 1 tile
+    _vp8l_emit_coded_image(bw, [_argb(0, 0, 1, 0)])  # tile mode 1 in GREEN (sub-image)
+    bw.bits(0, 1)                  # end of transforms
+    # residuals: row0 col0 predicts BLACK (0xff000000); others predict L.
+    # true pixels: (255,10,20,30), (255,11,22,33), (255,12,24,36), (255,12,24,36)
+    res = [
+        _argb(0, 10, 20, 30),      # minus 0xff000000 -> alpha byte 0
+        _argb(0, 1, 2, 3),
+        _argb(0, 1, 2, 3),
+        _argb(0, 0, 0, 0),
+    ]
+    _vp8l_emit_coded_image(bw, res, main=True)
+    px = m.webp_pixels(_vp8l_container(bw))
+    assert px.tolist()[0] == [[10, 20, 30, 255], [11, 22, 33, 255],
+                              [12, 24, 36, 255], [12, 24, 36, 255]]
+
+
+def test_webp_decodes_color_indexing_with_bundling():
+    """Hand-built stream with a 2-color palette: 8 one-bit indices bundle
+    into each green byte (packed width 1) and expand through the
+    delta-decoded palette."""
+    from pr2_transformation_spark.functions import multimodal as m
+
+    bw = m._Vp8lBitWriter()
+    w = 8
+    bw.bits(w - 1, 14); bw.bits(0, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(3, 2)   # transform: color indexing
+    bw.bits(1, 8)                  # palette size - 1 = 1 -> 2 colors
+    # palette image (2 x 1), DELTA coded: first entry absolute, second
+    # entry stored as (second - first) per channel
+    c0, c1 = _argb(255, 250, 0, 10), _argb(255, 0, 128, 64)
+    delta = 0
+    for shift in (0, 8, 16, 24):
+        delta |= (((c1 >> shift) - (c0 >> shift)) & 0xFF) << shift
+    _vp8l_emit_coded_image(bw, [c0, delta])
+    bw.bits(0, 1)                  # end of transforms
+    # main image is 1 packed pixel wide: indices 1,0,1,1,0,0,1,0 LSB-first
+    packed = 0b01001101
+    _vp8l_emit_coded_image(bw, [_argb(0, 0, packed, 0)], main=True)
+    px = m.webp_pixels(_vp8l_container(bw))
+    want = [c1, c0, c1, c1, c0, c0, c1, c0]
+    got = px.reshape(8, 4)
+    for i, c in enumerate(want):
+        assert got[i].tolist() == [(c >> 16) & 255, (c >> 8) & 255, c & 255, 255], i
