@@ -1418,6 +1418,56 @@ def q138_webp_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.image_checksums(media, "payload", "doc_id")
 
 
+def q139_resize_pipeline_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> RESIZE -> feature pipeline under the oracle gate: the
+    q132 PNG assets are nearest-neighbor downsampled 8x8 -> 4x4 by
+    ``resize_images`` (output pixel (oy,ox) samples source (2oy,2ox)),
+    then the raw RGB bytes are checksummed.  The DuckDB oracle replays
+    the sampling arithmetic — an off-by-one in the index gather or a
+    channel reorder breaks the hash.  Three narrow Arrow stages."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        idx = np.arange(8 * 8 * 3, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                multimodal.png_encode(
+                    ((int(did) * 31 + idx) % 251).astype(np.uint8).reshape(8, 8, 3)
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    resized = multimodal.resize_images(media, "payload", "doc_id", 4, 4)
+
+    def sums(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [],
+                   "rgb_sum": [], "rgb_wsum": []}
+            for aid, w, h, rgb in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["rgb"]
+            ):
+                flat = np.frombuffer(bytes(rgb), np.uint8).astype(np.int64)
+                out["asset_id"].append(aid)
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["rgb_sum"].append(int(flat.sum()))
+                out["rgb_wsum"].append(
+                    int((flat * (np.arange(flat.size) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(
+        sums, "asset_id string, width int, height int, rgb_sum long, rgb_wsum long"
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3228,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_vocab_oov_coverage": q136_vocab_oov_coverage,
         "q137_incremental_dedup": q137_incremental_dedup,
         "q138_webp_roundtrip_checksums": q138_webp_roundtrip_checksums,
+        "q139_resize_pipeline_checksums": q139_resize_pipeline_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4324,6 +4375,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 255)) AS i) p
             GROUP BY doc_id
+        """,
+        "q139_resize_pipeline_checksums": """
+            WITH px AS (
+                SELECT doc_id, p.j,
+                       (doc_id * 31
+                        + ((2 * (p.j // 12) * 8 + 2 * ((p.j % 12) // 3)) * 3
+                           + p.j % 3)) % 251 AS v
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(0, 47)) AS j) p
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   4 AS width, 4 AS height,
+                   CAST(SUM(v) AS BIGINT) AS rgb_sum,
+                   CAST(SUM((j + 1) * v) AS BIGINT) AS rgb_wsum
+            FROM px GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
