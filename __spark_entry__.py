@@ -1468,6 +1468,43 @@ def q139_resize_pipeline_checksums(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q140_wav_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of the codec round trips: each doc id seeds 64 mono
+    int16 PCM frames (sample i = ((doc_id*7 + i*331) % 65536) - 32768),
+    ENCODED to a canonical RIFF/WAVE and DECODED back by the pure-numpy
+    chunk walker; exact integer checksums replayed by the oracle pin the
+    header fields, chunk offsets, and sample byte order end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        i = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "sample_rate_hz": [],
+                    "sample_sum": [], "sample_wsum": []}
+            for did in pdf["doc_id"]:
+                pcm = (((int(did) * 7 + i * 331) % 65536) - 32768).astype(np.int16)
+                wav = multimodal.wav_encode(pcm, 16000)
+                meta = multimodal.wav_decode(wav)
+                got = multimodal.pcm_samples(wav)[:, 0].astype(np.int64)
+                rows["doc_id"].append(int(did))
+                rows["n_frames"].append(int(meta["n_frames"]))
+                rows["sample_rate_hz"].append(int(meta["sample_rate_hz"]))
+                rows["sample_sum"].append(int(got.sum()))
+                rows["sample_wsum"].append(int(((i + 1) * got).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, n_frames int, sample_rate_hz int, "
+        "sample_sum long, sample_wsum long",
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3279,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_incremental_dedup": q137_incremental_dedup,
         "q138_webp_roundtrip_checksums": q138_webp_roundtrip_checksums,
         "q139_resize_pipeline_checksums": q139_resize_pipeline_checksums,
+        "q140_wav_roundtrip_checksums": q140_wav_roundtrip_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4390,6 +4428,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS rgb_sum,
                    CAST(SUM((j + 1) * v) AS BIGINT) AS rgb_wsum
             FROM px GROUP BY doc_id
+        """,
+        "q140_wav_roundtrip_checksums": """
+            SELECT doc_id,
+                   64 AS n_frames, 16000 AS sample_rate_hz,
+                   CAST(SUM((doc_id * 7 + p.i * 331) % 65536 - 32768) AS BIGINT)
+                       AS sample_sum,
+                   CAST(SUM((p.i + 1) *
+                            ((doc_id * 7 + p.i * 331) % 65536 - 32768)) AS BIGINT)
+                       AS sample_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 63)) AS i) p
+            GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

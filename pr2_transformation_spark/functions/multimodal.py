@@ -156,6 +156,34 @@ def wav_decode(payload: bytes) -> dict:
     }
 
 
+def wav_encode(samples, sample_rate: int = 16000) -> bytes:
+    """REAL RIFF/WAVE PCM encoder — the write half of :func:`pcm_samples`:
+    a canonical 44-byte header + little-endian int16 frames.  Takes
+    ``(n_frames,)`` mono or ``(n_frames, n_channels)`` int16."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2 or arr.shape[1] == 0:
+        raise ValueError("wav_encode expects (n_frames[, n_channels]) int16")
+    n_frames, n_channels = arr.shape
+    data = arr.astype("<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: 8-bit channel counts per PNG color type (grayscale, RGB, gray+alpha, RGBA)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}

@@ -653,3 +653,21 @@ def test_webp_decodes_color_indexing_with_bundling():
     got = px.reshape(8, 4)
     for i, c in enumerate(want):
         assert got[i].tolist() == [(c >> 16) & 255, (c >> 8) & 255, c & 255, 255], i
+
+
+def test_wav_encode_roundtrip_mono_and_stereo():
+    """wav_encode -> wav_decode/pcm_samples is the identity for mono and
+    multi-channel int16 PCM, with correct header-derived frame counts."""
+    import numpy as np
+
+    x = (np.arange(100) * 331 % 65536 - 32768).astype("int16")
+    wav = multimodal.wav_encode(x, 8000)
+    meta = multimodal.wav_decode(wav)
+    assert (meta["n_frames"], meta["sample_rate_hz"], meta["n_channels"],
+            meta["bit_depth"]) == (100, 8000, 1, 16)
+    assert np.array_equal(multimodal.pcm_samples(wav)[:, 0], x)
+    st = np.stack([x, -x]).T.astype("int16")
+    got = multimodal.pcm_samples(multimodal.wav_encode(st, 44100))
+    assert got.shape == (100, 2) and np.array_equal(got, st)
+    with pytest.raises(ValueError):
+        multimodal.wav_encode(np.zeros((0, 0), "int16"))
