@@ -1505,6 +1505,35 @@ def q140_wav_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction graded end-to-end: the q140 WAV assets
+    flow through ``audio_features`` (RMS energy, zero-crossing rate, peak
+    over decoded PCM); the oracle recomputes all three from the sample
+    arithmetic — lag-window sign changes for ZCR, sqrt-avg-square for
+    RMS, both fixed to 4dp strings on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        i = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                multimodal.wav_encode(
+                    (((int(did) * 7 + i * 331) % 65536) - 32768).astype(np.int16),
+                    16000,
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.audio_features(media, "payload", "doc_id")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3317,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_webp_roundtrip_checksums": q138_webp_roundtrip_checksums,
         "q139_resize_pipeline_checksums": q139_resize_pipeline_checksums,
         "q140_wav_roundtrip_checksums": q140_wav_roundtrip_checksums,
+        "q141_audio_features": q141_audio_features,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4440,6 +4470,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) p
             GROUP BY doc_id
+        """,
+        "q141_audio_features": """
+            WITH s AS (
+                SELECT doc_id, p.i,
+                       CAST((doc_id * 7 + p.i * 331) % 65536 - 32768 AS DOUBLE)
+                           AS v
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(0, 63)) AS i) p
+            ), lagged AS (
+                SELECT doc_id, v,
+                       lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+                FROM s
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   1 AS n_channels, 16000 AS sample_rate_hz, 4 AS duration_ms,
+                   printf('%.4f', sqrt(avg(v * v))) AS rms,
+                   printf('%.4f',
+                          SUM(CASE WHEN pv IS NOT NULL
+                                    AND (v < 0) != (pv < 0) THEN 1.0
+                              ELSE 0 END) / 63.0) AS zero_cross_rate,
+                   CAST(MAX(abs(v)) AS INT) AS peak
+            FROM lagged GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
