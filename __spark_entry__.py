@@ -1534,6 +1534,28 @@ def q141_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, "payload", "doc_id")
 
 
+def q142_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting by degree orientation (compact-forward):
+    every undirected edge points from its lower-(degree,id) endpoint, so
+    each triangle closes exactly once and hub vertices cannot fan out
+    degree-squared wedges — the formulation that survives celebrity
+    nodes at warehouse scale.  Graph: customer chain edges (c, c+1) for
+    c%3!=0 plus skip edges (c, c+2) for even c (triangles at c=4 mod 6).
+    The DuckDB oracle counts ordered closed triples directly."""
+    from pr2_transformation_spark.operators.graph import triangle_count
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    edges = (
+        cust.filter(k % 3 != 0)
+        .select(k.alias("src"), (k + 1).alias("dst"))
+        .unionAll(
+            cust.filter(k % 2 == 0).select(k.alias("src"), (k + 2).alias("dst"))
+        )
+    )
+    return triangle_count(edges)
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3347,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_resize_pipeline_checksums": q139_resize_pipeline_checksums,
         "q140_wav_roundtrip_checksums": q140_wav_roundtrip_checksums,
         "q141_audio_features": q141_audio_features,
+        "q142_triangle_count": q142_triangle_count,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4492,6 +4515,28 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END) / 63.0) AS zero_cross_rate,
                    CAST(MAX(abs(v)) AS INT) AS peak
             FROM lagged GROUP BY doc_id
+        """,
+        "q142_triangle_count": """
+            WITH raw AS (
+                SELECT c_custkey AS s, c_custkey + 1 AS t
+                FROM customer WHERE c_custkey % 3 != 0
+                UNION ALL
+                SELECT c_custkey, c_custkey + 2
+                FROM customer WHERE c_custkey % 2 = 0
+            ), e AS (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM raw WHERE s != t
+            ), verts AS (
+                SELECT COUNT(DISTINCT v) AS n_vertices
+                FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            )
+            SELECT CAST(verts.n_vertices AS BIGINT) AS n_vertices,
+                   CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT COUNT(*)
+                         FROM e e1 JOIN e e2 ON e1.b = e2.a
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+                       AS n_triangles
+            FROM verts
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

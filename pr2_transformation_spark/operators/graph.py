@@ -282,3 +282,70 @@ def dedup_clusters(
     return labeled.select(
         "id", "cluster", (F.col("id") == F.col("cluster")).alias("keep")
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count by degree orientation (the compact-forward /
+    node-iterator algorithm of Schank & Wagner / Chiba-Nishizeki) — the
+    standard scalable formulation: orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher, enumerate wedges by
+    joining oriented edges head-to-tail, and keep wedges whose closing
+    edge exists.  Under the total orientation each triangle is counted
+    EXACTLY once, and every vertex's out-degree is O(sqrt(m)) on any
+    graph, so the wedge join never explodes on hub vertices — the reason
+    this beats the naive 3-way edge join at 100 TB where one celebrity
+    node would otherwise fan out degree² wedges.
+
+    Input may contain duplicates, self-loops, or both directions of an
+    edge — all normalized away.  Three shuffles: degree agg, wedge join,
+    closing-edge semi join (broadcast when small).  Returns one row
+    ``(n_vertices, n_edges, n_triangles)``.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    oriented = withdeg.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+        )
+        .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+        .alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    wedges = (
+        oriented.select(F.col("s").alias("u"), F.col("t").alias("v1"))
+        .join(
+            oriented.select(F.col("s").alias("v1"), F.col("t").alias("v2")),
+            "v1",
+        )
+        .select("u", "v2")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("u"), F.col("t").alias("v2")),
+        ["u", "v2"],
+        "left_semi",
+    )
+    return (
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices"))))
+        .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )

@@ -1084,3 +1084,24 @@ def test_exact_dedup_against_history_and_batch(spark):
         )
         # beta drops (history), doc 3 drops (in-batch dup of 1)
         assert kept == [1, 4, 5], hasher
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding a pendant vertex changes nothing;
+    duplicate/reversed/self-loop edges normalize away."""
+    from pr2_transformation_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (3, 4), (0, 1)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    (row,) = triangle_count(edges).collect()
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+    tri_plus_path = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    (row,) = triangle_count(tri_plus_path).collect()
+    assert row["n_triangles"] == 1
+
+    no_tri = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(no_tri).collect()[0]["n_triangles"] == 0
