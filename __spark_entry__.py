@@ -1556,6 +1556,15 @@ def q142_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q143_ppmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPMI word association over adjacent-token bigrams (the count side
+    of PPMI-SVD embedding training): one corpus-sized explode+group, then
+    vocab-sized broadcast marginals and a 1-row total.  Oracle replays
+    the ln-ratio to 4dp."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.ppmi_bigrams(docs, min_count=5)
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3370,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_wav_roundtrip_checksums": q140_wav_roundtrip_checksums,
         "q141_audio_features": q141_audio_features,
         "q142_triangle_count": q142_triangle_count,
+        "q143_ppmi_bigrams": q143_ppmi_bigrams,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4537,6 +4547,27 @@ def oracle_sql() -> dict[str, str]:
                          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
                        AS n_triangles
             FROM verts
+        """,
+        "q143_ppmi_bigrams": r"""
+            WITH t AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+                FROM documents
+            ), bi AS (
+                SELECT tk[p.i] AS w1, tk[p.i + 1] AS w2
+                FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1))
+                                 AS i) p
+            ), pairs AS (
+                SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY 1, 2
+            ), l AS (
+                SELECT w1, SUM(n_pair) AS n_left FROM pairs GROUP BY 1
+            ), r AS (
+                SELECT w2, SUM(n_pair) AS n_right FROM pairs GROUP BY 1
+            ), tot AS (SELECT SUM(n_pair) AS n_total FROM pairs)
+            SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+                   round(greatest(0.0,
+                         ln(n_pair * n_total / (n_left * n_right))), 4) AS ppmi
+            FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
+            WHERE n_pair >= 5
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -434,3 +434,59 @@ def oov_rates(
             4,
         ).alias("oov_rate"),
     )
+
+
+def ppmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Positive pointwise mutual information over adjacent-token bigrams
+    (Church & Hanks) — the count-based word-association statistic
+    underlying PPMI-SVD embeddings and collocation mining.
+
+    ``pmi(w1,w2) = ln( c12 * N / (c1+ * c+2) )`` with ``c1+``/``c+2``
+    the left/right marginals of the bigram table and ``N`` its total —
+    every quantity derives from ONE exploded bigram frame: pair counts
+    group on the (w1,w2) key; the two marginal frames are vocab-sized
+    and broadcast back; N is a 1-row broadcast cross.  The corpus text
+    shuffles once (the bigram explode), nothing else is corpus-sized.
+    ``min_count`` drops unreliable low-frequency pairs (PMI's known
+    small-count bias).  Returns ``(w1, w2, n_pair, ppmi)`` (4dp).
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(__toks, 1, size(__toks) - 1)"),
+                F.expr("slice(__toks, 2, size(__toks) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    pairs = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_left"))
+    right = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_right"))
+    total = pairs.agg(F.sum("n_pair").alias("n_total"))
+    return (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.col("n_pair")
+                        * F.col("n_total")
+                        / (F.col("n_left") * F.col("n_right"))
+                    ),
+                ),
+                4,
+            ).alias("ppmi"),
+        )
+    )

@@ -1105,3 +1105,26 @@ def test_triangle_count_known_graphs(spark):
 
     no_tri = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     assert triangle_count(no_tri).collect()[0]["n_triangles"] == 0
+
+
+def test_ppmi_bigrams_hand_computed(spark):
+    """PPMI on a tiny corpus equals the closed form; independent pairs
+    get ~0 and negative-PMI pairs clamp to 0."""
+    import math
+
+    from pr2_transformation_spark.functions.textstats import ppmi_bigrams
+
+    # bigrams: (a,b) x4, (b,a) x3, (b,c) x1  -> N=8
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "b a b c")], "doc_id long, text string"
+    )
+    rows = {(r["w1"], r["w2"]): r for r in ppmi_bigrams(docs, min_count=1).collect()}
+    # marginals over the bigram table: left a=4,b=4; right a=3,b=4,c=1
+    def pmi(c12, c1, c2, n=8):
+        return round(max(0.0, math.log(c12 * n / (c1 * c2))), 4)
+
+    assert rows[("a", "b")]["n_pair"] == 4
+    assert rows[("a", "b")]["ppmi"] == pytest.approx(pmi(4, 4, 4), abs=1e-4)
+    assert rows[("b", "a")]["ppmi"] == pytest.approx(pmi(3, 4, 3), abs=1e-4)
+    assert rows[("b", "c")]["ppmi"] == pytest.approx(pmi(1, 4, 1), abs=1e-4)
+    assert ppmi_bigrams(docs, min_count=3).count() == 2  # (a,b) and (b,a)
