@@ -1565,6 +1565,14 @@ def q143_ppmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ppmi_bigrams(docs, min_count=5)
 
 
+def q144_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the corpus — continuation
+    counts, absolute discounting, vocab-sized broadcast marginals; the
+    oracle replays the full smoothing formula to 6dp."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.kneser_ney_bigrams(docs, discount=0.75, min_count=5)
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3380,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_audio_features": q141_audio_features,
         "q142_triangle_count": q142_triangle_count,
         "q143_ppmi_bigrams": q143_ppmi_bigrams,
+        "q144_kneser_ney_bigrams": q144_kneser_ney_bigrams,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4566,6 +4575,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
                    round(greatest(0.0,
                          ln(n_pair * n_total / (n_left * n_right))), 4) AS ppmi
+            FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
+            WHERE n_pair >= 5
+        """,
+        "q144_kneser_ney_bigrams": r"""
+            WITH t AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+                FROM documents
+            ), bi AS (
+                SELECT tk[p.i] AS w1, tk[p.i + 1] AS w2
+                FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1))
+                                 AS i) p
+            ), pairs AS (
+                SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY 1, 2
+            ), l AS (
+                SELECT w1, SUM(n_pair) AS c_left, COUNT(*) AS n1p_left
+                FROM pairs GROUP BY 1
+            ), r AS (
+                SELECT w2, COUNT(*) AS n1p_right FROM pairs GROUP BY 1
+            ), tot AS (SELECT COUNT(*) AS n_bigram_types FROM pairs)
+            SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+                   round(greatest(n_pair - 0.75, 0.0) / c_left
+                         + (0.75 * n1p_left / c_left)
+                           * (CAST(n1p_right AS DOUBLE) / n_bigram_types),
+                         6) AS p_kn
             FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
             WHERE n_pair >= 5
         """,

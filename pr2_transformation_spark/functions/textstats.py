@@ -490,3 +490,62 @@ def ppmi_bigrams(
             ).alias("ppmi"),
         )
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    min_count: int = 5,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman's interpolated form with fixed discount ``d``):
+
+    ``p_kn(w2|w1) = max(c12 - d, 0)/c1+  +  (d * n1p_left(w1)/c1+) * p_cont(w2)``
+    ``p_cont(w2) = n1p_right(w2) / n_distinct_bigrams``
+
+    where ``n1p_left(w1)`` counts distinct continuations of ``w1`` and
+    ``n1p_right(w2)`` distinct left-contexts of ``w2`` — the continuation
+    counts that make KN the strongest fixed-order n-gram smoother.
+
+    Same distributed shape as :func:`ppmi_bigrams`: one corpus-sized
+    bigram explode+group, then THREE vocab-sized frames (left marginal +
+    both continuation counts) broadcast back and a 1-row distinct-bigram
+    total.  Returns ``(w1, w2, n_pair, p_kn)`` (6dp) for pairs with
+    ``n_pair >= min_count``.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(__toks, 1, size(__toks) - 1)"),
+                F.expr("slice(__toks, 2, size(__toks) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    pairs = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = pairs.groupBy("w1").agg(
+        F.sum("n_pair").alias("c_left"),
+        F.count(F.lit(1)).alias("n1p_left"),
+    )
+    right = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
+    total = pairs.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    d = float(discount)
+    return (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.greatest(F.col("n_pair") - F.lit(d), F.lit(0.0)) / F.col("c_left")
+                + (F.lit(d) * F.col("n1p_left") / F.col("c_left"))
+                * (F.col("n1p_right") / F.col("n_bigram_types")),
+                6,
+            ).alias("p_kn"),
+        )
+    )

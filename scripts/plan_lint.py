@@ -47,6 +47,7 @@ CARTESIAN_ALLOWED = {
     "q135_bm25_scores": "corpus stats (N/avgdl/df) are ONE row riding a broadcast cross",
     "q142_triangle_count": "three scalar aggregates (1 row each) assembled via broadcast crosses",
     "q143_ppmi_bigrams": "bigram-total scalar (1 row) rides a broadcast cross",
+    "q144_kneser_ney_bigrams": "bigram-type-count scalar (1 row) rides a broadcast cross",
 }
 
 

@@ -1128,3 +1128,37 @@ def test_ppmi_bigrams_hand_computed(spark):
     assert rows[("b", "a")]["ppmi"] == pytest.approx(pmi(3, 4, 3), abs=1e-4)
     assert rows[("b", "c")]["ppmi"] == pytest.approx(pmi(1, 4, 1), abs=1e-4)
     assert ppmi_bigrams(docs, min_count=3).count() == 2  # (a,b) and (b,a)
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Interpolated KN on a tiny corpus matches the closed form, and the
+    conditional distribution p(.|w1) sums to ~1 when every continuation
+    of w1 appears in the output (unsmoothed mass + continuation mass)."""
+    import math
+
+    from pr2_transformation_spark.functions.textstats import kneser_ney_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "b a b c a b")], "doc_id long, text string"
+    )
+    rows = {(r["w1"], r["w2"]): r["p_kn"]
+            for r in kneser_ney_bigrams(docs, min_count=1).collect()}
+    # bigram table: (a,b)x4 (b,a)x3 (a,c)x1 (b,c)x1 (c,a)x1  -> 5 types
+    # left: a: c=5,n1p=2; b: c=4,n1p=2; c: c=1,n1p=1
+    # right contexts: b:1(a), a:2(b,c), c:2(a,b)
+    d, types = 0.75, 5
+
+    def kn(c12, c1, n1p_l, n1p_r):
+        return round(max(c12 - d, 0) / c1 + (d * n1p_l / c1) * (n1p_r / types), 6)
+
+    assert rows[("a", "b")] == pytest.approx(kn(4, 5, 2, 1), abs=1e-6)
+    assert rows[("b", "a")] == pytest.approx(kn(3, 4, 2, 2), abs=1e-6)
+    assert rows[("a", "c")] == pytest.approx(kn(1, 5, 2, 2), abs=1e-6)
+    assert rows[("c", "a")] == pytest.approx(kn(1, 1, 1, 2), abs=1e-6)
+    # conditional mass for w1='a' over its observed continuations {b, c}:
+    # discounted mass + lambda * (p_cont(b) + p_cont(c)); with all of a's
+    # continuations present, total = 1 - lambda*(1 - p_cont(b) - p_cont(c))
+    lam = d * 2 / 5
+    assert rows[("a", "b")] + rows[("a", "c")] == pytest.approx(
+        1 - lam * (1 - 1 / 5 - 2 / 5), abs=1e-6
+    )
