@@ -1573,6 +1573,26 @@ def q144_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.kneser_ney_bigrams(docs, discount=0.75, min_count=5)
 
 
+def q145_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the directed customer chain+skip graph
+    — the edge list is partitioned and checkpointed once, each iteration
+    moves only the 16-byte (vertex, rank) frame, and the fixed iteration
+    count keeps the driver out of the loop.  The DuckDB oracle unrolls
+    the same three closed-form iterations."""
+    from pr2_transformation_spark.operators.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    edges = (
+        cust.filter(k % 3 != 0)
+        .select(k.alias("src"), (k + 1).alias("dst"))
+        .unionAll(
+            cust.filter(k % 2 == 0).select(k.alias("src"), (k + 2).alias("dst"))
+        )
+    )
+    return pagerank(edges, iterations=3)
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3389,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_triangle_count": q142_triangle_count,
         "q143_ppmi_bigrams": q143_ppmi_bigrams,
         "q144_kneser_ney_bigrams": q144_kneser_ney_bigrams,
+        "q145_pagerank": q145_pagerank,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4601,6 +4622,39 @@ def oracle_sql() -> dict[str, str]:
                          6) AS p_kn
             FROM pairs JOIN l USING (w1) JOIN r USING (w2), tot
             WHERE n_pair >= 5
+        """,
+        "q145_pagerank": """
+            WITH e AS (
+                SELECT c_custkey AS s, c_custkey + 1 AS t
+                FROM customer WHERE c_custkey % 3 != 0
+                UNION ALL
+                SELECT c_custkey, c_custkey + 2
+                FROM customer WHERE c_custkey % 2 = 0
+            ), v AS (
+                SELECT DISTINCT id
+                FROM (SELECT s AS id FROM e UNION ALL SELECT t FROM e)
+            ), od AS (SELECT s, COUNT(*) AS od FROM e GROUP BY s),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+            r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v, nn),
+            c1 AS (SELECT e.t AS id, SUM(r0.rank / od.od) AS c
+                   FROM e JOIN od USING (s) JOIN r0 ON r0.id = e.s GROUP BY e.t),
+            r1 AS (SELECT v.id,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(c1.c, 0) AS rank
+                   FROM v LEFT JOIN c1 USING (id)),
+            c2 AS (SELECT e.t AS id, SUM(r1.rank / od.od) AS c
+                   FROM e JOIN od USING (s) JOIN r1 ON r1.id = e.s GROUP BY e.t),
+            r2 AS (SELECT v.id,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(c2.c, 0) AS rank
+                   FROM v LEFT JOIN c2 USING (id)),
+            c3 AS (SELECT e.t AS id, SUM(r2.rank / od.od) AS c
+                   FROM e JOIN od USING (s) JOIN r2 ON r2.id = e.s GROUP BY e.t),
+            r3 AS (SELECT v.id,
+                          (1.0 - 0.85) / (SELECT n FROM nn)
+                          + 0.85 * COALESCE(c3.c, 0) AS rank
+                   FROM v LEFT JOIN c3 USING (id))
+            SELECT id, round(rank, 8) AS rank FROM r3
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

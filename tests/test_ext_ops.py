@@ -1162,3 +1162,29 @@ def test_kneser_ney_hand_computed(spark):
     assert rows[("a", "b")] + rows[("a", "c")] == pytest.approx(
         1 - lam * (1 - 1 / 5 - 2 / 5), abs=1e-6
     )
+
+
+def test_pagerank_hand_computed(spark):
+    """One and two power iterations on a 3-cycle + feeder match the
+    closed form computed here; cycle symmetry is preserved."""
+    from pr2_transformation_spark.operators.graph import pagerank
+
+    # 0 -> 1 -> 2 -> 0 cycle plus feeder 3 -> 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+    )
+    n, d = 4, 0.85
+    p0 = {v: 1 / n for v in range(4)}
+
+    def step(p):
+        contrib = {0: p[2] + p[3], 1: p[0], 2: p[1], 3: 0.0}
+        return {v: (1 - d) / n + d * contrib[v] for v in range(4)}
+
+    p1, p2 = step(p0), step(step(p0))
+    got1 = {r["id"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    got2 = {r["id"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+    for v in range(4):
+        assert got1[v] == pytest.approx(p1[v], abs=1e-8)
+        assert got2[v] == pytest.approx(p2[v], abs=1e-8)
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
