@@ -87,6 +87,12 @@ def upsert_snapshot_batch(
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
+    # No-data micro-batches (watermark commits, state-timer ticks) carry
+    # nothing to merge; rewriting the snapshot for them would churn file
+    # names for zero content change — and any concurrent reader that
+    # listed the old files would hit FILE_NOT_EXIST mid-read.
+    if os.path.isdir(dest) and batch_df.isEmpty():
+        return
     cols = batch_df.columns
     incoming = batch_df.withColumn("_src", F.lit(1))
     if os.path.isdir(dest):

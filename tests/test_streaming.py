@@ -19,6 +19,33 @@ from pr2_transformation_spark.streaming.windows import (
 )
 
 
+def _finish(q, timeout=180):
+    """Wait for the query to finish its DATA, then stop it.  availableNow
+    queries that schedule processing-time state timers never
+    self-terminate (the timer loop keeps emitting no-data batches — and
+    keeps processAllAvailable spinning too), so: wait until the query
+    either terminates on its own or has committed two consecutive
+    zero-input batches (all data drained, only timer ticks left), then
+    stop.  Deterministic for both terminating and timer-looping shapes."""
+    import time
+
+    deadline = time.time() + timeout
+    idle, last_batch = 0, -1
+    while time.time() < deadline and q.isActive:
+        p = q.lastProgress
+        if p is not None and p["batchId"] != last_batch:
+            last_batch = p["batchId"]
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+            if idle >= 2:
+                break
+        time.sleep(0.5)
+    else:
+        assert not q.isActive, "stream never drained its input"
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(60)
+
+
 def _events_fixture(spark):
     rows = [
         (1, "2024-01-01 00:01:00", 10, "view", 1.0),
@@ -42,7 +69,7 @@ def _run_stream(spark, stream_df, name: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
     return spark.table(name)
 
 
@@ -82,7 +109,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
     got = spark.table("t_dedup")
     assert got.count() == 6
     assert got.select("event_id").distinct().count() == 6
@@ -107,7 +134,7 @@ def test_streaming_stateful_user_stats(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
     got = {r["user_id"]: r for r in spark.table("t_state").collect()}
     assert got[10]["n_events"] == 3 and abs(got[10]["sum_value"] - 6.0) < 1e-9
     assert got[11]["n_events"] == 3 and abs(got[11]["sum_value"] - 15.0) < 1e-9
@@ -156,7 +183,7 @@ def test_streaming_checkpoint_recovery_dedup_state(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _finish(q)
 
     # phase A: first three events
     ev.filter(F.col("event_id") <= 3).write.parquet(data_dir)
@@ -215,7 +242,7 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
     got = _rows(spark.table("t_ssjoin"))
 
     expected = _rows(
@@ -244,7 +271,7 @@ def test_streaming_enrich_is_stateless_broadcast(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
     got = _rows(spark.table("t_enrich"))
     assert got == _rows(ev.join(dim, "user_id").select("event_id", "tier"))
 
@@ -272,7 +299,7 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
 
     got = read_sink(spark, dest)
     assert got.count() == ev.count()
@@ -326,7 +353,7 @@ def test_upsert_snapshot_sink_keeps_latest_per_key(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
 
     snap = spark.read.parquet(dest)
     expected = (
@@ -380,7 +407,7 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            _finish(q)
             results[name] = _rows(spark.table(f"uxs_{name}"))
         assert results["tws"] == results["aipws"]
     finally:
@@ -415,7 +442,7 @@ def test_streaming_user_stats_restart_recovery(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _finish(q)
 
     # phase A: events 1-3 (user 10: 3 events, sum 6.0)
     ev.filter(F.col("event_id") <= 3).coalesce(1).write.parquet(src)
@@ -471,7 +498,7 @@ def test_foreach_batch_merge_upsert_bucket_pruned(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _finish(q)
 
     snap = spark.read.parquet(cat.path_for("p.d.user_snapshot")).drop("__bucket")
     expected = (
