@@ -1593,6 +1593,35 @@ def q145_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3)
 
 
+def q146_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal, SELF-VERIFYING: DuckDB
+    cannot replay deflate, but it CAN pin the doc count, the exact raw
+    byte total, and the contract that every ratio is positive and
+    bounded (tiny docs can exceed 1.0 from the zlib header, never 1.2) —
+    a broken UDF (wrong column, nulls, misaligned batches) flips a
+    boolean or the byte total.  Exact byte/ratio values are pinned
+    against stdlib zlib in tests/test_ext_ops.py."""
+    from pr2_transformation_spark.functions.scoring import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    out = compression_ratio(docs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("compression_ratio") > 0)
+                    & (F.col("compression_ratio") <= 1.2),
+                    0,
+                ).otherwise(1)
+            )
+            == 0
+        ).alias("all_ratios_bounded"),
+        (F.avg("compression_ratio") < 1.0).alias("corpus_compresses"),
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3410,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_ppmi_bigrams": q143_ppmi_bigrams,
         "q144_kneser_ney_bigrams": q144_kneser_ney_bigrams,
         "q145_pagerank": q145_pagerank,
+        "q146_compression_quality": q146_compression_quality,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4655,6 +4685,14 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85 * COALESCE(c3.c, 0) AS rank
                    FROM v LEFT JOIN c3 USING (id))
             SELECT id, round(rank, 8) AS rank FROM r3
+        """,
+        "q146_compression_quality": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS total_bytes,
+                   TRUE AS all_ratios_bounded,
+                   TRUE AS corpus_compresses
+            FROM documents
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -47,3 +47,50 @@ def zscore_apply_in_pandas(
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(score, out_schema)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the repetitiveness signal
+    SQL cannot express: boilerplate, template spam, and copy-paste loops
+    compress far below natural prose (ratios under ~0.3 at level 6 are a
+    standard curation red flag; CCNet/Gopher-style pipelines pair this
+    with the explicit repetition-ratio rules).
+
+    Arrow-batched pandas UDF over stdlib ``zlib`` — narrow, no shuffle;
+    the only cost is one deflate pass per document, which at warehouse
+    scale is embarrassingly scan-parallel.  Returns the input plus
+    ``n_bytes``, ``n_compressed``, ``compression_ratio`` (4dp, compressed
+    over raw UTF-8 bytes; empty text -> ratio 1.0).
+    """
+    import zlib
+
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["n_bytes int", "n_compressed int", "compression_ratio double"]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            nb, nc, ratio = [], [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                if not raw:
+                    nb.append(0); nc.append(0); ratio.append(1.0)
+                    continue
+                c = zlib.compress(raw, level)
+                nb.append(len(raw)); nc.append(len(c))
+                ratio.append(round(len(c) / len(raw), 4))
+            pdf = pdf.copy()
+            pdf["n_bytes"] = pd.Series(nb, index=pdf.index, dtype="int32")
+            pdf["n_compressed"] = pd.Series(nc, index=pdf.index, dtype="int32")
+            pdf["compression_ratio"] = pd.Series(ratio, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema)

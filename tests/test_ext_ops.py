@@ -1188,3 +1188,29 @@ def test_pagerank_hand_computed(spark):
         assert got2[v] == pytest.approx(p2[v], abs=1e-8)
     with pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    """Repetitive text compresses far below random text; byte counts are
+    exact vs stdlib zlib; empty text gets the defined ratio 1.0."""
+    import zlib
+
+    from pr2_transformation_spark.functions.scoring import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(8)) for _ in range(200)
+    )
+    docs = spark.createDataFrame(
+        [(1, "spam " * 400), (2, noisy), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert rows[1]["compression_ratio"] < 0.05          # pure repetition
+    assert rows[2]["compression_ratio"] > 0.5           # high-entropy text
+    assert rows[3]["compression_ratio"] == 1.0
+    for did, text in ((1, "spam " * 400), (2, noisy)):
+        raw = text.encode()
+        assert rows[did]["n_bytes"] == len(raw)
+        assert rows[did]["n_compressed"] == len(zlib.compress(raw, 6))
