@@ -1622,6 +1622,35 @@ def q146_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features graded end-to-end: each doc id
+    seeds a pure int16 sine at an exact FFT bin (bin 16*(1 + doc_id%30)
+    of a 1024-point transform at 8 kHz => frequency 125*(1+doc_id%30) Hz
+    exactly — integer, below Nyquist, no leakage), so dominant bin, centroid, and 85% rolloff all
+    collapse to the same closed-form integer the DuckDB oracle computes
+    — an FFT scaling, bin-indexing, or weighting bug breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    rate, n = 8000, 1024
+
+    def gen(batches):
+        t = np.arange(n) / rate
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                hz = 125.0 * (1 + int(did) % 30)
+                pcm = (np.sin(2 * np.pi * hz * t) * 20000).astype(np.int16)
+                payloads.append(multimodal.wav_encode(pcm, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.spectral_features(media, "payload", "doc_id")
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3440,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_kneser_ney_bigrams": q144_kneser_ney_bigrams,
         "q145_pagerank": q145_pagerank,
         "q146_compression_quality": q146_compression_quality,
+        "q147_spectral_features": q147_spectral_features,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4692,6 +4722,14 @@ def oracle_sql() -> dict[str, str]:
                        AS total_bytes,
                    TRUE AS all_ratios_bounded,
                    TRUE AS corpus_compresses
+            FROM documents
+        """,
+        "q147_spectral_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   1024 AS n_frames,
+                   CAST(125 * (1 + doc_id % 30) AS INT) AS dominant_hz,
+                   CAST(125 * (1 + doc_id % 30) AS INT) AS spectral_centroid_hz,
+                   CAST(125 * (1 + doc_id % 30) AS INT) AS spectral_rolloff_hz
             FROM documents
         """,
         "q128_connected_components_two_phase": """

@@ -2226,3 +2226,65 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_crc"])
 
     return df.select(id_col, binary_col).mapInPandas(run, schema)
+
+
+SPECTRAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("n_frames", IntegerType()),
+        StructField("dominant_hz", IntegerType()),
+        StructField("spectral_centroid_hz", IntegerType()),
+        StructField("spectral_rolloff_hz", IntegerType()),
+    ]
+)
+
+
+def spectral_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL frequency-domain audio features over decoded PCM — numpy rFFT
+    inside Arrow-batched ``mapInPandas``, no DSP library: dominant
+    frequency (argmax magnitude bin, DC excluded), spectral centroid
+    (magnitude-weighted mean frequency), and 85% energy rolloff — the
+    standard cheap descriptors for audio-corpus bucketing (speech vs
+    tone vs noise) before any learned model runs.  Frequencies are
+    rounded to integer Hz (bin resolution = rate/n already quantizes
+    them).  Undecodable payloads yield NULL features.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    meta = wav_decode(raw)
+                    mono = pcm_samples(raw).astype(np.float64).mean(axis=1)
+                    n = len(mono)
+                    if n < 2:
+                        raise ValueError("too short for spectral analysis")
+                    mag = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / meta["sample_rate_hz"])
+                    m = mag.copy()
+                    m[0] = 0.0  # exclude DC from the dominant bin
+                    dom = float(freqs[int(np.argmax(m))])
+                    total = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / total) if total else 0.0
+                    energy = np.cumsum(mag**2)
+                    roll_idx = int(np.searchsorted(energy, 0.85 * energy[-1]))
+                    rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+                    rows.append(
+                        {
+                            "asset_id": str(asset_id),
+                            "n_frames": meta["n_frames"],
+                            "dominant_hz": int(round(dom)),
+                            "spectral_centroid_hz": int(round(centroid)),
+                            "spectral_rolloff_hz": int(round(rolloff)),
+                        }
+                    )
+                except ValueError:
+                    rows.append({"asset_id": str(asset_id), "n_frames": None,
+                                 "dominant_hz": None, "spectral_centroid_hz": None,
+                                 "spectral_rolloff_hz": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in SPECTRAL_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, binary_col).mapInPandas(run, SPECTRAL_FEATURE_SCHEMA)

@@ -671,3 +671,33 @@ def test_wav_encode_roundtrip_mono_and_stereo():
     assert got.shape == (100, 2) and np.array_equal(got, st)
     with pytest.raises(ValueError):
         multimodal.wav_encode(np.zeros((0, 0), "int16"))
+
+
+def test_spectral_features_find_pure_tones(spark):
+    """A pure sine at an exact FFT bin is recovered as the dominant
+    frequency and (single-tone) centroid; a higher tone separates; junk
+    payloads yield NULLs."""
+    import numpy as np
+
+    rate, n = 8000, 1024
+
+    def tone(hz):
+        t = np.arange(n) / rate
+        return (np.sin(2 * np.pi * hz * t) * 20000).astype("int16")
+
+    hz_a = 437.5   # bin 56 exactly (8000/1024 = 7.8125 Hz/bin)
+    hz_b = 1250.0  # bin 160
+    df = spark.createDataFrame(
+        [
+            (1, multimodal.wav_encode(tone(hz_a), rate)),
+            (2, multimodal.wav_encode(tone(hz_b), rate)),
+            (3, b"not audio"),
+        ],
+        "asset long, payload binary",
+    )
+    rows = {r["asset_id"]: r
+            for r in multimodal.spectral_features(df, "payload", "asset").collect()}
+    assert rows["1"]["dominant_hz"] == 438 and rows["2"]["dominant_hz"] == 1250
+    assert abs(rows["1"]["spectral_centroid_hz"] - 438) <= 10
+    assert rows["1"]["spectral_rolloff_hz"] <= 450
+    assert rows["3"]["dominant_hz"] is None
