@@ -73,6 +73,11 @@ def prepare_training_corpus(
     max_tokens_per_source: Optional[int] = None,
     collect_stats: bool = False,
     hasher: str = "xxhash64",
+    min_compression_ratio: Optional[float] = None,
+    segment_dedup: bool = False,
+    segment_tokens: int = 10,
+    chunk_tokens: Optional[int] = None,
+    chunk_stride: Optional[int] = None,
 ) -> tuple[DataFrame, dict]:
     """Run the standard pre-training hygiene sequence over ``docs``.
 
@@ -103,6 +108,20 @@ def prepare_training_corpus(
     if redact_pii:
         out = out.withColumn(text_col, textstats.redact_pii(F.col(text_col)))
 
+    if min_compression_ratio is not None:
+        # zlib-repetitiveness floor: template spam compresses far below
+        # natural prose (functions/scoring.compression_ratio); runs after
+        # the cheap rule filters, before any shuffle touches the corpus
+        from .functions.scoring import compression_ratio
+
+        scored = compression_ratio(out, text_col=text_col, id_col=id_col)
+        out = note(
+            "compression_floor",
+            scored.filter(
+                F.col("compression_ratio") >= min_compression_ratio
+            ).drop("n_bytes", "n_compressed", "compression_ratio"),
+        )
+
     out = note(
         "exact_dedup",
         dedup.exact_dedup_by_hash(out, [text_col], id_col, hasher=hasher),
@@ -121,6 +140,24 @@ def prepare_training_corpus(
         ).filter(F.col("keep")).select(F.col("id").alias(id_col))
         out = note("near_dup", out.join(keep, id_col, "left_semi"))
 
+    if segment_dedup:
+        # C4-style cross-document segment rewrite: each distinct
+        # segment_tokens-word window survives only at its first global
+        # occurrence; fully-claimed docs drop (dedup.segment_dedup_rewrite)
+        rewritten = dedup.segment_dedup_rewrite(
+            out.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            segment_tokens=segment_tokens,
+            hasher=hasher,
+        ).select(F.col(id_col), F.col(text_col).alias("__seg_text"))
+        out = note(
+            "segment_dedup",
+            out.drop(text_col)
+            .join(rewritten, id_col)
+            .withColumnRenamed("__seg_text", text_col),
+        )
+
     if eval_docs is not None:
         bad = _contaminated_ids(out, eval_docs, text_col, id_col)
         out = note("decontaminated", out.join(bad, id_col, "left_anti"))
@@ -138,6 +175,26 @@ def prepare_training_corpus(
             out.withColumn("__cum", F.sum(textstats.token_count(F.col(text_col))).over(w))
             .filter(F.col("__cum") <= max_tokens_per_source)
             .drop("__cum"),
+        )
+
+    if chunk_tokens is not None:
+        # context-window chunking LAST — downstream stages reason about
+        # documents; the packer consumes chunks (textstats.chunk_documents)
+        stride = chunk_stride if chunk_stride is not None else chunk_tokens
+        keep_cols = [c for c in out.columns if c not in (text_col,)]
+        chunks = textstats.chunk_documents(
+            out.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            chunk_tokens=chunk_tokens,
+            stride=stride,
+        )
+        out = note(
+            "chunked",
+            chunks.join(out.select(*keep_cols), id_col).select(
+                *keep_cols, "chunk_id", "start_token", "n_tokens",
+                F.col("chunk_text").alias(text_col),
+            ),
         )
 
     return out, stats

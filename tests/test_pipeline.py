@@ -78,3 +78,70 @@ def test_pipeline_lazy_without_stats(spark, corpus):
     out, stats = prepare_training_corpus(corpus, near_dup=False)
     assert stats == {}
     assert out.count() > 0
+
+
+def test_pipeline_compression_floor_drops_template_spam(spark, corpus):
+    """A planted ultra-repetitive doc falls below the zlib ratio floor
+    while natural-prose docs survive."""
+    spam = corpus.sparkSession.createDataFrame(
+        [(200, "buy the item now " * 200, "web")], "doc_id long, text string, source string"
+    )
+    out, stats = prepare_training_corpus(
+        corpus.unionByName(spam),
+        near_dup=False,
+        redact_pii=False,
+        min_compression_ratio=0.06,
+        collect_stats=True,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 200 not in kept
+    assert 0 in kept
+    assert stats["compression_floor"] < stats["quality"]
+
+
+def test_pipeline_segment_dedup_rewrites_shared_boilerplate(spark, corpus):
+    """With the segment rewrite on, the shared 10-word boilerplate prefix
+    survives in exactly one document; every doc keeps its unique tail."""
+    out, _ = prepare_training_corpus(
+        corpus,
+        near_dup=False,
+        redact_pii=False,
+        segment_dedup=True,
+        collect_stats=False,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    with_prefix = [d for d, t in rows.items() if t.startswith("the quick brown")]
+    assert len(with_prefix) == 1  # first occurrence only
+    # every other doc keeps (at least) its distinct ragged-tail segment
+    assert all(
+        t.endswith(f"number {d}") for d, t in rows.items() if 1 <= d < 40
+    )
+    # schema preserved (source column still present)
+    assert "source" in out.columns
+
+
+def test_pipeline_chunking_emits_window_rows(spark, corpus):
+    """chunk_tokens turns documents into overlapping window rows carrying
+    provenance columns; stitching at stride boundaries rebuilds a doc."""
+    out, _ = prepare_training_corpus(
+        corpus,
+        near_dup=False,
+        redact_pii=False,
+        chunk_tokens=20,
+        chunk_stride=15,
+    )
+    assert {"chunk_id", "start_token", "n_tokens", "text", "doc_id", "source"} <= set(
+        out.columns
+    )
+    d0 = (
+        out.filter(F.col("doc_id") == 5)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert len(d0) > 1
+    assert [r["start_token"] for r in d0] == [15 * i for i in range(len(d0))]
+    stitched = d0[0]["text"].split()
+    for r in d0[1:]:
+        stitched += r["text"].split()[20 - 15:]
+    full = " ".join(stitched)
+    assert full.endswith("unique tail number 5")
