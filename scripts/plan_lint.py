@@ -48,6 +48,8 @@ CARTESIAN_ALLOWED = {
     "q142_triangle_count": "three scalar aggregates (1 row each) assembled via broadcast crosses",
     "q143_ppmi_bigrams": "bigram-total scalar (1 row) rides a broadcast cross",
     "q144_kneser_ney_bigrams": "bigram-type-count scalar (1 row) rides a broadcast cross",
+    "q148_key_skew_report": "row-total scalar (1 row) rides a broadcast cross",
+    "q151_mutual_information": "contingency-total scalar (1 row) rides a broadcast cross",
 }
 
 

@@ -1214,3 +1214,29 @@ def test_compression_ratio_separates_repetitive_text(spark):
         raw = text.encode()
         assert rows[did]["n_bytes"] == len(raw)
         assert rows[did]["n_compressed"] == len(zlib.compress(raw, 6))
+
+
+def test_key_skew_report_and_histogram(spark):
+    """Skew shares are exact against a planted hot key; histogram clamps
+    out-of-range values to the edge buckets."""
+    from pr2_transformation_spark.profiling import (
+        equi_width_histogram,
+        key_skew_report,
+    )
+
+    rows = [(1,)] * 70 + [(2,)] * 20 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k long")
+    top = {r["rank"]: r for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert (top[1]["key"], top[1]["n_rows"], top[1]["share"]) == ("1", 70, 0.7)
+    assert (top[2]["key"], top[2]["share"]) == ("2", 0.2)
+
+    vals = spark.createDataFrame(
+        [(-5.0,), (0.0,), (5.0,), (15.0,), (25.0,), (100.0,), (None,)],
+        "v double",
+    )
+    h = {r["bucket"]: r for r in
+         equi_width_histogram(vals, "v", bins=3, lo=0.0, hi=30.0).collect()}
+    assert h[1]["n"] == 3      # -5 clamps in, 0 and 5 in range
+    assert h[2]["n"] == 1      # 15
+    assert h[3]["n"] == 2      # 25 plus clamped 100
+    assert (h[1]["lo_edge"], h[3]["hi_edge"]) == (0.0, 30.0)
