@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     "q131_chunk_documents",
     "q134_jpeg_roundtrip_checksums",
     "q135_bm25_scores",
+    "q136_vocab_oov_coverage",
+    "q137_incremental_dedup",
+    "q142_triangle_count",
+    "q143_ppmi_bigrams",
+    "q145_pagerank",
 ]
 
 
