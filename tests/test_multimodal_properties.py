@@ -129,3 +129,78 @@ def test_truncated_headers_raise_value_error_not_struct_error():
         multimodal.bmp_pixels(full[:30])  # mid-info-header cut
     with pytest.raises(ValueError):
         multimodal.bmp_pixels(full[:-5])  # pixel array short of stride*h
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    mode=st.sampled_from(["none", "sub", "up", "average", "paeth", "mixed"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, channels, mode, seed):
+    """png_encode -> png_pixels is the identity over random shapes,
+    channel counts, and every filter mode."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, channels), dtype="uint8")
+    assert np.array_equal(
+        multimodal.png_pixels(multimodal.png_encode(img, filters=mode)), img
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ncolors=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, ncolors, seed):
+    """gif_encode -> gif_pixels is the identity for any palette size,
+    including depths that force width growth mid-stream."""
+    rng = np.random.default_rng(seed)
+    pal = np.unique(
+        rng.integers(0, 256, size=(ncolors, 3), dtype="uint8"), axis=0
+    )
+    img = pal[rng.integers(0, len(pal), size=(h, w))]
+    assert np.array_equal(multimodal.gif_pixels(multimodal.gif_encode(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    rgba=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_roundtrip_property(w, h, rgba, seed):
+    """webp_encode -> webp_pixels is the identity over random RGB(A)
+    content — exercises canonical prefix-code assignment across wildly
+    different channel histograms."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 4 if rgba else 3), dtype="uint8")
+    dec = multimodal.webp_pixels(multimodal.webp_encode(img))
+    want = img if rgba else np.concatenate(
+        [img, np.full((h, w, 1), 255, "uint8")], axis=2
+    )
+    assert np.array_equal(dec, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    bw=st.integers(1, 5),
+    bh=st.integers(1, 5),
+    ri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_flat_blocks_property(bw, bh, ri, seed):
+    """Block-flat grayscale at quality=100 is BIT-exact through the full
+    baseline JPEG pipeline for any block grid and restart interval."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(bh, bw), dtype="uint8")
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    dec = multimodal.jpeg_pixels(
+        multimodal.jpeg_encode(img, quality=100, restart_interval=ri)
+    )
+    assert np.array_equal(dec[:, :, 0], img)
