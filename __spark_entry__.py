@@ -1761,6 +1761,46 @@ def q153_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q154_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS (price ~ quantity per return flag) via
+    the algebraic regr_* aggregates — one partial-aggregated pass, the
+    moment sums compose map-side like any sum, so the fit is a single
+    narrow shuffle at any corpus size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q155_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration — the
+    inequality summary that quantifies how skewed a key's mass is (the
+    corpus-level counterpart of q148's top-k report).  Computed from the
+    rank formulation ``G = (2*sum(i*x_i)/(n*sum(x)) - (n+1)/n)`` over
+    revenue-ranked suppliers: one agg shuffle + one vocab-sized window."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue"), F.col("l_suppkey"))
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("revenue"))
+            / (F.count(F.lit(1)) * F.sum("revenue"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3586,6 +3626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_mutual_information": q151_mutual_information,
         "q152_scd2_intervals": q152_scd2_intervals,
         "q153_bpe_tokenizer": q153_bpe_tokenizer,
+        "q154_grouped_regression": q154_grouped_regression,
+        "q155_gini_concentration": q155_gini_concentration,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4916,6 +4958,31 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS roundtrip_ok,
                    TRUE AS subword_count_bounded
             FROM documents
+        """,
+        "q154_grouped_regression": """
+            SELECT l_returnflag,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q155_gini_concentration": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(SUM(l_extendedprice * (1 - l_discount)), 2)
+                           AS revenue
+                FROM lineitem GROUP BY l_suppkey
+            ), ranked AS (
+                SELECT revenue,
+                       row_number() OVER (ORDER BY revenue, l_suppkey) AS i
+                FROM rev
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   round(2.0 * SUM(i * revenue) / (COUNT(*) * SUM(revenue))
+                         - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+            FROM ranked
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
