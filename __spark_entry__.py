@@ -1801,6 +1801,55 @@ def q155_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_video_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video round trip — the triad-completing twin of q134/q140:
+    each doc id seeds a 2-frame 16x16 grayscale MJPEG-AVI (frame f block
+    (by,bx) = (doc_id*5 + 101*f + 2*by + bx) % 256), MUXED into a
+    standard RIFF AVI and DEMUXED + JPEG-decoded back; position-weighted
+    checksums over the concatenated frames are replayed by the oracle
+    from the block arithmetic.  A container-offset slip, frame-order
+    swap, or JPEG defect breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:16, 0:16]
+        block = (yy // 8) * 2 + (xx // 8)
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "width": [], "height": [],
+                    "pixel_sum": [], "pixel_wsum": []}
+            for did in pdf["doc_id"]:
+                frames = [
+                    ((int(did) * 5 + 101 * f + block) % 256).astype(np.uint8)
+                    for f in range(2)
+                ]
+                avi = multimodal.avi_encode(frames, fps=25)
+                meta = multimodal.avi_decode(avi)
+                decoded = multimodal.avi_frames(avi)
+                flat = np.concatenate(
+                    [d[:, :, 0].reshape(-1) for d in decoded]
+                ).astype(np.int64)
+                rows["doc_id"].append(int(did))
+                rows["n_frames"].append(int(meta["n_frames"]))
+                rows["width"].append(int(meta["width"]))
+                rows["height"].append(int(meta["height"]))
+                rows["pixel_sum"].append(int(flat.sum()))
+                rows["pixel_wsum"].append(
+                    int((flat * (np.arange(flat.size) + 1)).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, n_frames int, width int, height int, "
+        "pixel_sum long, pixel_wsum long",
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3628,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_bpe_tokenizer": q153_bpe_tokenizer,
         "q154_grouped_regression": q154_grouped_regression,
         "q155_gini_concentration": q155_gini_concentration,
+        "q156_video_roundtrip_checksums": q156_video_roundtrip_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -4983,6 +5033,20 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * SUM(i * revenue) / (COUNT(*) * SUM(revenue))
                          - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
             FROM ranked
+        """,
+        "q156_video_roundtrip_checksums": """
+            SELECT doc_id, 2 AS n_frames, 16 AS width, 16 AS height,
+                   CAST(SUM((doc_id * 5 + 101 * (p.i // 256)
+                             + 2 * (((p.i % 256) // 16) // 8)
+                             + (((p.i % 256) % 16) // 8)) % 256) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(SUM((p.i + 1) * ((doc_id * 5 + 101 * (p.i // 256)
+                             + 2 * (((p.i % 256) // 16) // 8)
+                             + (((p.i % 256) % 16) // 8)) % 256)) AS BIGINT)
+                       AS pixel_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 511)) AS i) p
+            GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

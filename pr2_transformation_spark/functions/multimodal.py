@@ -15,8 +15,11 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   the :func:`image_pixels` dispatcher, and RIFF/WAVE PCM
   (:func:`wav_decode` headers, :func:`pcm_samples` sample arrays +
   :func:`audio_features` RMS/ZCR/peak).
+  MJPEG-AVI video (:func:`avi_decode` headers, :func:`avi_frames` —
+  RIFF demux + per-frame JPEG decode — and :func:`avi_encode`, the
+  muxer),
 * STUBBED: formats needing codec libraries this environment lacks
-  (lossy-WebP/mp3/mp4; progressive JPEG).  The feature extractor's default decoder is a
+  (lossy-WebP/mp3/mp4-h264; progressive JPEG).  The feature extractor's default decoder is a
   clearly-marked deterministic fake, and passing ``decoder=None`` raises
   ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
   wrapper would plug into the same callable signature the real decoders
@@ -2288,3 +2291,125 @@ def spectral_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in SPECTRAL_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, binary_col).mapInPandas(run, SPECTRAL_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video — REAL MJPEG-in-AVI demux/mux (pure stdlib + the JPEG codec above)
+# ---------------------------------------------------------------------------
+
+def avi_decode(payload: bytes) -> dict:
+    """REAL video container decoder — pure stdlib RIFF walk of an AVI:
+    main header (dimensions, frame count, frame interval) without
+    touching any frame payload.  Raises ``ValueError`` for non-AVI
+    bytes."""
+    import struct
+
+    if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+            p = pos + 12
+            if payload[p : p + 4] != b"avih":
+                raise ValueError("AVI hdrl missing avih")
+            (usec_per_frame, _maxrate, _pad, _flags, n_frames) = struct.unpack_from(
+                "<IIIII", payload, p + 8
+            )
+            w, h = struct.unpack_from("<II", payload, p + 8 + 32)
+            return {
+                "media_type": "video",
+                "format": "avi",
+                "width": int(w),
+                "height": int(h),
+                "n_frames": int(n_frames),
+                "usec_per_frame": int(usec_per_frame),
+                "fps": round(1_000_000 / usec_per_frame, 3) if usec_per_frame else 0.0,
+            }
+        pos += 8 + size + (size & 1)
+    raise ValueError("AVI missing hdrl header list")
+
+
+def avi_frames(payload: bytes):
+    """Demux and DECODE every video frame of an MJPEG AVI — REAL video
+    access with zero codec libraries: the RIFF walk yields the movi
+    chunk stream ('00dc'/'00db' entries), and each frame body goes
+    through :func:`image_pixels` (baseline JPEG here; any image format
+    the dispatcher knows works).  Returns a list of (h, w, c) uint8
+    arrays.  A production cluster swaps a libav wrapper into the same
+    ``bytes -> [array]`` seam for interframe codecs (h264/vp9) — the
+    container walk and Spark plumbing stay identical."""
+    import struct
+
+    avi_decode(payload)  # validates container
+    frames = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            p = pos + 12
+            end = pos + 8 + size
+            while p + 8 <= end:
+                cid = payload[p : p + 4]
+                csize = struct.unpack_from("<I", payload, p + 4)[0]
+                if cid[2:4] in (b"dc", b"db"):
+                    frames.append(image_pixels(payload[p + 8 : p + 8 + csize]))
+                p += 8 + csize + (csize & 1)
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return frames
+
+
+def avi_encode(frames: list, fps: float = 25.0) -> bytes:
+    """REAL MJPEG-AVI muxer — the write half of :func:`avi_frames`: each
+    (h, w) or (h, w, 3) uint8 frame is JPEG-encoded (quality 100) and
+    wrapped in a standard RIFF AVI (avih + strl headers, movi chunk
+    stream).  Block-flat frames round-trip bit-exactly, the property the
+    oracle-gated video query pins."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("avi_encode needs at least one frame")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+    payloads = []
+    for f in frames:
+        arr = np.asarray(f, dtype=np.uint8)
+        if arr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        payloads.append(jpeg_encode(arr, quality=100))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        inner = kind + body
+        pad = b"\x00" if len(inner) & 1 else b""
+        return b"LIST" + struct.pack("<I", len(inner)) + inner + pad
+
+    usec = int(round(1_000_000 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, len(payloads), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, int(round(fps)), 0, len(payloads),
+        0, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -701,3 +701,28 @@ def test_spectral_features_find_pure_tones(spark):
     assert abs(rows["1"]["spectral_centroid_hz"] - 438) <= 10
     assert rows["1"]["spectral_rolloff_hz"] <= 450
     assert rows["3"]["dominant_hz"] is None
+
+
+def test_avi_mjpeg_roundtrip_and_header():
+    """avi_encode -> avi_decode/avi_frames: container fields match, every
+    block-flat frame decodes bit-exactly through the real JPEG path, and
+    non-AVI payloads are rejected."""
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    frames = [
+        np.repeat(np.repeat(rng.integers(0, 256, (3, 2), dtype="uint8"), 8, 0), 8, 1)
+        for _ in range(5)
+    ]
+    avi = multimodal.avi_encode(frames, fps=24)
+    meta = multimodal.avi_decode(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (16, 24, 5)
+    assert meta["fps"] == pytest.approx(24.0, abs=0.1)
+    got = multimodal.avi_frames(avi)
+    assert len(got) == 5
+    for a, b in zip(frames, got):
+        assert np.array_equal(b[:, :, 0], a)
+    with pytest.raises(ValueError):
+        multimodal.avi_decode(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        multimodal.avi_encode([])
