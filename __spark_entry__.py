@@ -1850,6 +1850,19 @@ def q156_video_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q157_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for 10 anchor embeddings, the
+    3 most-similar vectors with a DIFFERENT label (broadcast anchors vs
+    corpus scan, label filter before ranking).  The oracle replays the
+    cosine ranking with the same deterministic tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.hard_negative_mining(corpus, anchors, k=3)
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3678,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_grouped_regression": q154_grouped_regression,
         "q155_gini_concentration": q155_gini_concentration,
         "q156_video_roundtrip_checksums": q156_video_roundtrip_checksums,
+        "q157_hard_negative_mining": q157_hard_negative_mining,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -5047,6 +5061,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 511)) AS i) p
             GROUP BY doc_id
+        """,
+        "q157_hard_negative_mining": """
+            WITH a AS (
+                SELECT vec_id AS anchor_id,
+                       CAST(embedding AS DOUBLE[]) AS av,
+                       label AS anchor_label
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                       label AS neg_label
+                FROM embeddings WHERE vec_id >= 10
+            ), scored AS (
+                SELECT anchor_id, vec_id, anchor_label, neg_label,
+                       round(list_cosine_similarity(av, cv), 4) + 0.0 AS score
+                FROM a JOIN c ON anchor_label != neg_label
+            )
+            SELECT anchor_id, vec_id, anchor_label, neg_label, score,
+                   CAST(rnk AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY anchor_id
+                      ORDER BY score DESC, vec_id) AS rnk
+                  FROM scored)
+            WHERE rnk <= 3
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -718,3 +718,59 @@ def cosine_topk_lsh_pandas(
     return (
         cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """For every anchor, the ``k`` most-cosine-similar corpus vectors
+    carrying a DIFFERENT label — the hard negatives that make contrastive
+    embedding training work (easy negatives teach nothing; the highest-
+    similarity wrong-label neighbors define the margin).
+
+    Exact form: anchors broadcast against the corpus scan with the label
+    inequality applied before ranking — same plan shape as
+    :func:`cosine_topk_bruteforce`, so the corpus is never the broadcast
+    side.  At full-corpus anchor counts, swap the exact scan for
+    :func:`cosine_topk_lsh_pandas` candidates and post-filter labels —
+    identical output contract, sublinear candidate generation.
+
+    Returns ``(anchor_id, vec_id, anchor_label, neg_label, score, rank)``.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(anchor_id_col),
+            F.col(vec_col).cast("array<double>").alias("__av"),
+            F.col(label_col).alias("anchor_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        a.crossJoin(c)
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            anchor_id_col,
+            id_col,
+            "anchor_label",
+            "neg_label",
+            (
+                F.round(cosine(F.col("__av"), F.col("__cv")), round_digits)
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -49,6 +49,7 @@ CARTESIAN_ALLOWED = {
     "q143_ppmi_bigrams": "bigram-total scalar (1 row) rides a broadcast cross",
     "q144_kneser_ney_bigrams": "bigram-type-count scalar (1 row) rides a broadcast cross",
     "q148_key_skew_report": "row-total scalar (1 row) rides a broadcast cross",
+    "q157_hard_negative_mining": "exact contrastive baseline: broadcast anchors x corpus scan by contract",
     "q151_mutual_information": "contingency-total scalar (1 row) rides a broadcast cross",
 }
 

@@ -1293,3 +1293,26 @@ def test_bpe_training_from_dataframe_is_bounded_and_deterministic(spark):
     assert m_df == m_dict
     m_trunc = train_bpe(wf, 5, max_vocab=2)  # only aa, bb survive
     assert m_trunc == train_bpe({"aa": 4, "bb": 3}, 5)
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """Every mined negative carries a different label than its anchor,
+    ranking is by similarity, and the nearest same-label vector (an easy
+    positive) never appears."""
+    from pr2_transformation_spark.functions.similarity import hard_negative_mining
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (10, [0.99, 0.1], 0),   # same label, most similar -> must be excluded
+        (11, [0.9, 0.2], 1),
+        (12, [0.5, 0.5], 1),
+        (13, [0.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS anchor_id", "embedding", "label"
+    )
+    corpus = emb.filter("vec_id >= 10")
+    got = hard_negative_mining(corpus, anchors, k=2).collect()
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == [11, 12]
+    assert all(r["anchor_label"] != r["neg_label"] for r in got)
