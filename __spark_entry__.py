@@ -1863,6 +1863,70 @@ def q157_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_mining(corpus, anchors, k=3)
 
 
+def q158_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents ranked by the deterministic
+    quality heuristic into 4 difficulty tiers (ntile), with per-tier
+    stats — the ordering pass before `write_sorted_shards` lays the
+    corpus out easy-to-hard for curriculum training.  floor(score*10000)
+    keys the rank (the 4dp-tie-safe form the quality docstring
+    prescribes)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.floor(textstats.quality_score_raw(F.col("text")) * 10000)
+        .cast("long")
+        .alias("q10k"),
+    )
+    w = Window.orderBy(F.col("q10k").desc(), F.col("doc_id"))
+    tiered = scored.withColumn("tier", F.ntile(4).over(w))
+    return tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("q10k").alias("min_q10k"),
+        F.max("q10k").alias("max_q10k"),
+    )
+
+
+def q159_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |A∩B| / |A| (Broder): catches
+    quotes and doc-in-doc duplication that symmetric Jaccard misses when
+    sizes differ.  Same posting-list inverted index as q21 (one narrow
+    shuffle, pair fan-out bounded by true overlap), but each ordered
+    pair normalizes by ITS OWN shingle count."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(textstats.word_shingles(F.col("text"), 3)).alias("sh"),
+    ).select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    posts = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pair_expr = """
+        flatten(transform(docs, (x, i) ->
+            transform(slice(docs, i + 2, size(docs) - i - 1), y ->
+                struct(x.doc_id AS id_a, y.doc_id AS id_b,
+                       x.sz AS sz_a, y.sz AS sz_b))))
+    """
+    inter = (
+        posts.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_common") / F.col("sz_a"), 4).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("sz_b"), 4).alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= 0.8) | (F.col("containment_b") >= 0.8)
+        )
+    )
+
+
 def q64_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts next to exact ones
     (sketch implementations differ across engines, so rows-only; the
@@ -3692,6 +3756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_gini_concentration": q155_gini_concentration,
         "q156_video_roundtrip_checksums": q156_video_roundtrip_checksums,
         "q157_hard_negative_mining": q157_hard_negative_mining,
+        "q158_curriculum_buckets": q158_curriculum_buckets,
+        "q159_containment_pairs": q159_containment_pairs,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -5084,6 +5150,68 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, vec_id) AS rnk
                   FROM scored)
             WHERE rnk <= 3
+        """,
+        "q158_curriculum_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       least(len(t) / 100.0, 1.0) AS length_term,
+                       least(round(
+                           len(list_filter(regexp_split_to_array(
+                               trim(lower(text)), '\s+'),
+                               x -> x IN ('the','and','of','to','in')))
+                           / greatest(len(t), 1)::DOUBLE, 4) * 5.0,
+                           1.0) AS stop_term,
+                       least(round(
+                           length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           / greatest(length(text), 1)::DOUBLE, 4) * 10.0,
+                           1.0) AS punct_term
+                FROM toks
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(floor((0.5 * length_term + 0.3 * stop_term
+                                   + 0.2 * (1.0 - punct_term)) * 10000)
+                            AS BIGINT) AS q10k
+                FROM feats
+            ), tiered AS (
+                SELECT q10k,
+                       ntile(4) OVER (ORDER BY q10k DESC, doc_id) AS tier
+                FROM scored
+            )
+            SELECT CAST(tier AS INT) AS tier,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(q10k) AS min_q10k, MAX(q10k) AS max_q10k
+            FROM tiered GROUP BY tier
+        """,
+        "q159_containment_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                FROM toks WHERE len(t) >= 3
+            ), expl AS (
+                SELECT doc_id, len(s) AS sz, unnest(s) AS gram FROM sh
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS n_common
+                FROM expl a JOIN expl b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_common / CAST(sz_a AS DOUBLE), 4) AS containment_a,
+                   round(n_common / CAST(sz_b AS DOUBLE), 4) AS containment_b
+            FROM pairs
+            WHERE round(n_common / CAST(sz_a AS DOUBLE), 4) >= 0.8
+               OR round(n_common / CAST(sz_b AS DOUBLE), 4) >= 0.8
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
