@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "q142_triangle_count",
     "q143_ppmi_bigrams",
     "q145_pagerank",
+    "q153_bpe_tokenizer",
+    "q159_containment_pairs",
 ]
 
 
