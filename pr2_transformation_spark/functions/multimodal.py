@@ -71,6 +71,26 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _decode_errors(fn):
+    """Normalize decoder failures to the documented ``ValueError``
+    contract: a truncated or adversarial payload must surface as data
+    rejection, never as a struct/index/key crash that fails the Spark
+    task (fuzz-pinned in test_multimodal_properties)."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (_struct.error, IndexError, KeyError, OverflowError,
+                _zlib.error) as exc:
+            raise ValueError(f"malformed payload: {exc}") from None
+
+    return wrapped
+
+
 def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
     """Wrap a raw binary column with the typed metadata struct (width/height
     unknown until decode -> NULL)."""
@@ -86,6 +106,7 @@ def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str, fmt: 
     )
 
 
+@_decode_errors
 def bmp_decode(payload: bytes) -> dict:
     """REAL (non-stub) image decoder for BMP headers — pure Python.
 
@@ -109,6 +130,7 @@ def bmp_decode(payload: bytes) -> dict:
     }
 
 
+@_decode_errors
 def wav_decode(payload: bytes) -> dict:
     """REAL (non-stub) audio decoder for RIFF/WAVE PCM — pure Python.
 
@@ -192,6 +214,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+@_decode_errors
 def png_decode(payload: bytes) -> dict:
     """REAL (non-stub) image decoder for PNG headers — pure stdlib.
 
@@ -297,6 +320,7 @@ def png_encode(pixels, filters: str = "mixed") -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+@_decode_errors
 def png_pixels(payload: bytes):
     """Decode an 8-bit PNG to an ``(h, w, channels)`` numpy uint8 array —
     REAL pixel access with zero codec libraries: stdlib ``zlib`` inflate of
@@ -558,6 +582,7 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+@_decode_errors
 def jpeg_decode(payload: bytes) -> dict:
     """REAL JPEG header decoder — pure stdlib: walks the marker stream to
     the frame header (SOF0/1 baseline; progressive SOF2 raises), returning
@@ -600,6 +625,7 @@ def jpeg_decode(payload: bytes) -> dict:
     raise ValueError("JPEG missing frame header")
 
 
+@_decode_errors
 def jpeg_pixels(payload: bytes):
     """Decode a baseline JPEG to ``(h, w, channels)`` uint8 — REAL
     entropy + transform decode with zero codec libraries: canonical
@@ -967,6 +993,7 @@ def jpeg_encode(
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
+@_decode_errors
 def gif_decode(payload: bytes) -> dict:
     """REAL GIF header decoder — pure stdlib: logical screen descriptor
     (width, height), version, global-color-table presence/size.  Raises
@@ -1035,6 +1062,7 @@ def _gif_lzw_decompress(data: bytes, min_code_size: int) -> list:
     raise ValueError("GIF LZW stream ended without EOI")
 
 
+@_decode_errors
 def gif_pixels(payload: bytes):
     """Decode the first frame of a GIF to ``(h, w, 3)`` uint8 RGB — REAL
     LZW decompression with zero codec libraries.  Supports global or local
@@ -1554,6 +1582,7 @@ def _vp8l_apply_inverse_transforms(argb, w, h, transforms):
     return argb
 
 
+@_decode_errors
 def webp_decode(payload: bytes) -> dict:
     """REAL WebP header decoder — pure stdlib: RIFF walk to the VP8L
     chunk, signature + 14-bit dimensions + alpha hint.  Lossy VP8 and
@@ -1590,6 +1619,7 @@ def webp_decode(payload: bytes) -> dict:
     raise ValueError("WebP without VP8L chunk")
 
 
+@_decode_errors
 def webp_pixels(payload: bytes):
     """Decode a lossless WebP (VP8L) to ``(h, w, 4)`` uint8 RGBA — REAL
     spec decode with zero codec libraries: canonical prefix codes, LZ77
@@ -1944,6 +1974,7 @@ def image_pixels(payload: bytes):
         "unrecognized image payload (BMP/PNG/GIF/JPEG/WebP-lossless are decodable)")
 
 
+@_decode_errors
 def pcm_samples(payload: bytes):
     """Decode a 16-bit PCM WAV payload to a ``(n_frames, n_channels)``
     numpy int16 array (REAL sample access, numpy only)."""
@@ -2013,6 +2044,7 @@ def audio_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+@_decode_errors
 def bmp_pixels(payload: bytes):
     """Decode an uncompressed 24-bit BMP to an ``(h, w, 3)`` RGB numpy
     array (REAL pixel access: data-offset lookup, 4-byte row padding,
@@ -2297,6 +2329,7 @@ def spectral_features(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
 # Video — REAL MJPEG-in-AVI demux/mux (pure stdlib + the JPEG codec above)
 # ---------------------------------------------------------------------------
 
+@_decode_errors
 def avi_decode(payload: bytes) -> dict:
     """REAL video container decoder — pure stdlib RIFF walk of an AVI:
     main header (dimensions, frame count, frame interval) without
@@ -2331,6 +2364,7 @@ def avi_decode(payload: bytes) -> dict:
     raise ValueError("AVI missing hdrl header list")
 
 
+@_decode_errors
 def avi_frames(payload: bytes):
     """Demux and DECODE every video frame of an MJPEG AVI — REAL video
     access with zero codec libraries: the RIFF walk yields the movi

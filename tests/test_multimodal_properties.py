@@ -204,3 +204,50 @@ def test_jpeg_flat_blocks_property(bw, bh, ri, seed):
         multimodal.jpeg_encode(img, quality=100, restart_interval=ri)
     )
     assert np.array_equal(dec[:, :, 0], img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=400), seed=st.integers(0, 3))
+def test_decoders_reject_garbage_with_valueerror(payload, seed):
+    """Every decoder either decodes or raises ValueError — never an
+    IndexError/struct.error/KeyError crash — on arbitrary bytes,
+    including bytes that START with a valid magic (seed-selected prefix)
+    but are garbage after it.  Decode errors are data, not job failures:
+    a fuzzed payload must land in the documented exception contract."""
+    prefix = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF\xff\xff\xff\xffWEBP"][seed]
+    data = prefix + payload
+    for fn in (
+        multimodal.image_decode,
+        multimodal.image_pixels,
+        multimodal.wav_decode,
+        multimodal.avi_decode,
+        multimodal.webp_decode,
+        multimodal.jpeg_decode,
+    ):
+        try:
+            fn(data)
+        except ValueError:
+            pass  # the documented contract
+
+
+@settings(max_examples=30, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=300))
+def test_frame_and_pixel_walkers_reject_garbage(payload):
+    """The chunk walkers with internal loops (GIF LZW, AVI movi, VP8L
+    prefix trees, JPEG scan) also honor the ValueError-only contract on
+    truncated/garbage streams behind valid headers."""
+    img = np.zeros((2, 2, 3), dtype="uint8")
+    half_gif = multimodal.gif_encode(img)[: 13 + 12] + payload
+    half_avi = multimodal.avi_encode([np.zeros((8, 8), "uint8")])[:64] + payload
+    half_webp = multimodal.webp_encode(img)[:24] + payload
+    half_jpeg = multimodal.jpeg_encode(img)[:40] + payload
+    for fn, data in (
+        (multimodal.gif_pixels, half_gif),
+        (multimodal.avi_frames, half_avi),
+        (multimodal.webp_pixels, half_webp),
+        (multimodal.jpeg_pixels, half_jpeg),
+    ):
+        try:
+            fn(data)
+        except ValueError:
+            pass
