@@ -3595,6 +3595,177 @@ def q126_ann_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFram
 # Contract functions
 # ===========================================================================
 
+def q160_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style HTML -> text extraction (functions/web.py), graded as
+    an exact ROUND TRIP: each document is deterministically rendered into
+    an HTML page (title + <style>/<script> boilerplate + <h1> + <p>
+    paragraphs, entities escaped), then the scan-side extractor strips
+    boilerplate/tags/entities back out.  The whole chain — synthesis AND
+    extraction — is JVM regex/replace inside whole-stage codegen, and the
+    DuckDB oracle replays it verbatim, so a drifted regex or a broken
+    entity table flips ``matches_expected`` and fails the value hash."""
+    from pr2_transformation_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    page = docs.select(
+        "doc_id",
+        web.render_html(title, F.col("source"), F.col("text")).alias("html"),
+        F.trim(
+            F.regexp_replace(
+                F.concat(
+                    title,
+                    F.lit(" "),
+                    F.col("source"),
+                    F.lit(" "),
+                    F.replace(F.col("text"), F.lit("\n"), F.lit(" ")),
+                ),
+                "\\s+",
+                " ",
+            )
+        ).alias("expected"),
+    )
+    extracted = page.select(
+        "doc_id",
+        web.html_title(F.col("html")).alias("title"),
+        web.html_to_text(F.col("html")).alias("extracted"),
+        "expected",
+    )
+    return extracted.select(
+        "doc_id",
+        "title",
+        F.length("extracted").alias("n_chars_extracted"),
+        (F.col("extracted") == F.col("expected")).alias("matches_expected"),
+    )
+
+
+def q161_warc_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC encode -> parse ROUND TRIP (sources/warc.py): documents are
+    packed 32 crawl files wide (one ``applyInPandas`` blob build per
+    group), the blobs re-parsed record-by-record with the byte-exact
+    ``Content-Length`` walker, and each crawl file graded by record
+    count, payload byte total, and an order-canonical digest (md5 of the
+    per-record md5s sorted by record id).  The DuckDB oracle computes
+    the same three values straight from the parquet — any corruption in
+    either direction (wrong lengths, shifted offsets, lost records,
+    mojibake) changes a digest and fails the hash."""
+    from pr2_transformation_spark.sources import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(32)).cast("string").alias("crawl_file"),
+        F.concat(
+            F.lit("https://crawl.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        "doc_id",
+        "text",
+    )
+    blobs = warc.encode_warc_frame(tagged, "crawl_file", "uri", "doc_id", "text")
+    recs = warc.parse_warc_records(blobs)
+    per = recs.select(
+        "warc_id",
+        F.struct(F.col("record_id"), F.md5("content").alias("h")).alias("rh"),
+        F.length("content").alias("nb"),
+    )
+    return per.groupBy("warc_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("nb").alias("payload_bytes"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("rh")), lambda s: s["h"]
+                ),
+            )
+        ).alias("content_digest"),
+    )
+
+
+def q162_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL feature parsing for crawl curation (functions/web.py): hosts
+    (userinfo/port stripped), eTLD+1 approximation, path, query, path
+    depth — all shared-regex chains replayed verbatim by the DuckDB
+    oracle.  URLs are synthesized deterministically with rotating
+    scheme/userinfo/port shapes so every stripping branch is exercised
+    on every run."""
+    from pr2_transformation_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("crawler:s3cr3t@")).otherwise(
+            F.lit("")
+        ),
+        F.col("source"),
+        F.lit("-"),
+        F.col("lang"),
+        F.lit(".Example.NET"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?ref=r"), (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    host = web.url_host(F.col("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        web.registered_domain(host).alias("domain"),
+        web.url_path(F.col("url")).alias("path"),
+        web.url_query(F.col("url")).alias("query"),
+        web.url_depth(F.col("url")).alias("depth"),
+    )
+
+
+def q163_host_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl policy: drop blocklisted hosts, then keep at most
+    K=3 documents per host ranked by length (ties broken by doc_id) —
+    the standard per-domain frequency cap that stops a single boilerplate
+    farm from dominating a training mix.  One window over the host
+    partition; the blocklist is a literal IN-filter the parquet scan
+    prunes with."""
+    from pr2_transformation_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    host = web.url_host(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            F.col("lang"),
+            F.lit(".example.net/d/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    blocked = ["src0-de.example.net", "src1-en.example.net"]
+    ranked = (
+        docs.select("doc_id", host.alias("host"), "n_chars")
+        .filter(~F.col("host").isin(blocked))
+        .withColumn(
+            "host_rank",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("host_rank") <= 3)
+    )
+    return ranked.select("doc_id", "host", "n_chars", "host_rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -3758,6 +3929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_hard_negative_mining": q157_hard_negative_mining,
         "q158_curriculum_buckets": q158_curriculum_buckets,
         "q159_containment_pairs": q159_containment_pairs,
+        "q160_html_text_extraction": q160_html_text_extraction,
+        "q161_warc_roundtrip_checksums": q161_warc_roundtrip_checksums,
+        "q162_url_features": q162_url_features,
+        "q163_host_policy_filter": q163_host_policy_filter,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -5212,6 +5387,121 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE round(n_common / CAST(sz_a AS DOUBLE), 4) >= 0.8
                OR round(n_common / CAST(sz_b AS DOUBLE), 4) >= 0.8
+        """,
+        "q160_html_text_extraction": r"""
+            WITH esc AS (
+                SELECT doc_id,
+                       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                       source AS heading,
+                       replace(replace(replace(replace(replace(
+                           text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                           '"', '&quot;'), chr(39), '&#39;') AS body_esc,
+                       text
+                FROM documents
+            ), page AS (
+                SELECT doc_id, title, heading, text,
+                       '<html><head><title>' ||
+                       replace(replace(replace(replace(replace(
+                           title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                           '"', '&quot;'), chr(39), '&#39;') ||
+                       '</title><style>p { margin: 0; }</style>' ||
+                       '<script type="text/javascript">var tracked = 1 < 2;</script>' ||
+                       '</head><body><h1>' ||
+                       replace(replace(replace(replace(replace(
+                           heading, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                           '"', '&quot;'), chr(39), '&#39;') ||
+                       '</h1><p>' || replace(body_esc, chr(10), '</p><p>') ||
+                       '</p><!-- generated fixture --></body></html>' AS html
+                FROM esc
+            ), stripped AS (
+                SELECT doc_id, title, heading, text, html,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(html,
+                           '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                           '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<noscript\b[^>]*>.*?</noscript>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g') AS detagged
+                FROM page
+            ), final AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(
+                           regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1),
+                           '&#39;', chr(39)), '&quot;', '"'), '&gt;', '>'),
+                           '&lt;', '<'), '&amp;', '&') AS title_out,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(
+                               detagged,
+                               '&#39;', chr(39)), '&quot;', '"'), '&gt;', '>'),
+                               '&lt;', '<'), '&amp;', '&'),
+                           '\s+', ' ', 'g')) AS extracted,
+                       trim(regexp_replace(
+                           title || ' ' || heading || ' ' ||
+                           replace(text, chr(10), ' '),
+                           '\s+', ' ', 'g')) AS expected
+                FROM stripped
+            )
+            SELECT doc_id, title_out AS title,
+                   length(extracted) AS n_chars_extracted,
+                   extracted = expected AS matches_expected
+            FROM final
+        """,
+        "q161_warc_roundtrip_checksums": """
+            WITH recs AS (
+                SELECT CAST(doc_id % 32 AS VARCHAR) AS warc_id,
+                       'urn:doc:' || CAST(doc_id AS VARCHAR) AS record_id,
+                       md5(text) AS h,
+                       octet_length(encode(text)) AS nb
+                FROM documents
+            )
+            SELECT warc_id, count(*) AS n_records, sum(nb) AS payload_bytes,
+                   md5(string_agg(h, '' ORDER BY record_id)) AS content_digest
+            FROM recs GROUP BY warc_id
+        """,
+        "q162_url_features": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END) ||
+                       (CASE WHEN doc_id % 5 = 0 THEN 'crawler:s3cr3t@' ELSE '' END) ||
+                       source || '-' || lang || '.Example.NET' ||
+                       (CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END) ||
+                       '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) ||
+                       (CASE WHEN doc_id % 2 = 0
+                             THEN '?ref=r' || CAST(doc_id % 7 AS VARCHAR)
+                             ELSE '' END) ||
+                       '#frag' AS url
+                FROM documents
+            ), h AS (
+                SELECT doc_id, url,
+                       regexp_replace(regexp_replace(
+                           lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)),
+                           '^[^@]*@', ''), ':[0-9]*$', '') AS host,
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\?([^#]*)', 1) AS query
+                FROM u
+            )
+            SELECT doc_id, url, host,
+                   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                   path, query,
+                   len(list_filter(string_split(path, '/'), s -> s != '')) AS depth
+            FROM h
+        """,
+        "q163_host_policy_filter": """
+            WITH hosted AS (
+                SELECT doc_id,
+                       source || '-' || lang || '.example.net' AS host,
+                       n_chars
+                FROM documents
+            ), ranked AS (
+                SELECT doc_id, host, n_chars,
+                       row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY n_chars DESC, doc_id) AS host_rank
+                FROM hosted
+                WHERE host NOT IN ('src0-de.example.net', 'src1-en.example.net')
+            )
+            SELECT doc_id, host, n_chars, host_rank
+            FROM ranked WHERE host_rank <= 3
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

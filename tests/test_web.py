@@ -1,0 +1,148 @@
+"""Web-corpus ingestion: HTML extraction (functions/web.py) and the WARC
+source/sink (sources/warc.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pr2_transformation_spark.functions import web
+from pr2_transformation_spark.sources import warc
+
+
+# ---------------------------------------------------------------- HTML ----
+
+
+def test_html_escape_round_trip_specials(spark):
+    nasty = "a & b < c > d \"quoted\" 'apos' &amp; pre-escaped"
+    df = spark.createDataFrame([Row(t=nasty)])
+    out = df.select(
+        web.html_unescape(web.html_escape(F.col("t"))).alias("rt")
+    ).first()
+    assert out["rt"] == nasty
+
+
+def test_html_to_text_strips_boilerplate(spark):
+    html = (
+        "<html><head><title>T&amp;T</title>"
+        "<style>body { color: red; }</style>"
+        "<script>if (1 < 2) { track(); }</script></head>"
+        "<body><noscript>enable js</noscript>"
+        "<h1>Head</h1><p>one</p><p>two &lt;tags&gt;</p>"
+        "<!-- secret comment --></body></html>"
+    )
+    row = (
+        spark.createDataFrame([Row(h=html)])
+        .select(
+            web.html_to_text(F.col("h")).alias("text"),
+            web.html_title(F.col("h")).alias("title"),
+        )
+        .first()
+    )
+    assert row["text"] == "T&T Head one two <tags>"
+    assert row["title"] == "T&T"
+    assert "track" not in row["text"]
+    assert "secret" not in row["text"]
+
+
+def test_html_to_text_malformed_degrades_to_whitespace(spark):
+    # Unclosed tags and stray brackets must never error — the scan-side
+    # extractor's contract is degrade-to-whitespace.
+    html = "<p>start <b>bold <div>deep</p> tail"
+    row = (
+        spark.createDataFrame([Row(h=html)])
+        .select(web.html_to_text(F.col("h")).alias("t"))
+        .first()
+    )
+    assert row["t"] == "start bold deep tail"
+
+
+def test_url_parsing_branches(spark):
+    rows = (
+        spark.createDataFrame(
+            [
+                Row(u="https://user:pw@Sub.Host.Example.COM:8443/a/b/c?x=1&y=2#f"),
+                Row(u="http://example.net/"),
+                Row(u="https://example.org"),
+            ]
+        )
+        .select(
+            web.url_host(F.col("u")).alias("host"),
+            web.registered_domain(web.url_host(F.col("u"))).alias("dom"),
+            web.url_path(F.col("u")).alias("path"),
+            web.url_query(F.col("u")).alias("q"),
+            web.url_depth(F.col("u")).alias("d"),
+        )
+        .collect()
+    )
+    assert [r["host"] for r in rows] == [
+        "sub.host.example.com",
+        "example.net",
+        "example.org",
+    ]
+    assert [r["dom"] for r in rows] == ["example.com", "example.net", "example.org"]
+    assert [r["path"] for r in rows] == ["/a/b/c", "/", ""]
+    assert [r["q"] for r in rows] == ["x=1&y=2", "", ""]
+    assert [r["d"] for r in rows] == [3, 0, 0]
+
+
+# ---------------------------------------------------------------- WARC ----
+
+
+def test_warc_build_parse_round_trip_bytes():
+    recs = [
+        ("response", "https://a.example/1", "urn:doc:1", "héllo wörld".encode()),
+        ("response", "", "urn:doc:2", b""),
+        ("metadata", "https://a.example/3", "urn:doc:3", b"\x00\x01binary\r\n\r\nbody"),
+    ]
+    blob = warc.build_warc(recs)
+    parsed = warc.parse_warc(blob)
+    assert [(r["rec_type"], r["target_uri"], r["record_id"], r["content"]) for r in parsed] == [
+        (t, u, i.strip("<>"), p) for t, u, i, p in recs
+    ]
+
+
+def test_warc_parse_rejects_corruption():
+    blob = warc.build_warc([("response", "u", "urn:doc:1", b"abc")])
+    with pytest.raises(ValueError):
+        warc.parse_warc(blob[: len(blob) - 3])  # truncated trailer
+    with pytest.raises(ValueError):
+        warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # wrong magic
+    # Content-Length lies short -> payload not followed by CRLF CRLF
+    bad = blob.replace(b"Content-Length: 3", b"Content-Length: 2")
+    with pytest.raises(ValueError):
+        warc.parse_warc(bad)
+
+
+def test_warc_frame_round_trip_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(g="0", uri=f"https://x.example/{i}", doc_id=i, text=f"doc {i} é")
+            for i in range(7)
+        ]
+        + [Row(g="1", uri="https://y.example/9", doc_id=9, text="solo")]
+    )
+    blobs = warc.encode_warc_frame(docs, "g", "uri", "doc_id", "text")
+    got = {r["warc_id"]: (r["n_records"], bytes(r["warc"])) for r in blobs.collect()}
+    assert got["0"][0] == 7 and got["1"][0] == 1
+    # shuffling input row order must produce byte-identical blobs
+    blobs2 = warc.encode_warc_frame(
+        docs.orderBy(F.col("doc_id").desc()), "g", "uri", "doc_id", "text"
+    )
+    got2 = {r["warc_id"]: bytes(r["warc"]) for r in blobs2.collect()}
+    assert {k: v[1] for k, v in got.items()} == got2
+
+    back = warc.parse_warc_records(blobs).orderBy("record_id").collect()
+    assert len(back) == 8
+    assert back[0]["content"] == "doc 0 é".encode()
+    assert back[0]["target_uri"] == "https://x.example/0"
+
+
+def test_read_warc_dir(spark, tmp_path):
+    blob = warc.build_warc(
+        [("response", f"https://z.example/{i}", f"urn:doc:{i}", f"t{i}".encode()) for i in range(3)]
+    )
+    (tmp_path / "part-0.warc").write_bytes(blob)
+    (tmp_path / "ignore.txt").write_bytes(b"not a warc")
+    out = warc.read_warc_dir(spark, str(tmp_path)).orderBy("record_id").collect()
+    assert [r["content"] for r in out] == [b"t0", b"t1", b"t2"]
+    assert all(r["warc_id"].endswith("part-0.warc") for r in out)
