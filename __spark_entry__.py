@@ -3766,6 +3766,167 @@ def q163_host_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "host", "n_chars", "host_rank")
 
 
+def q164_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each later
+    stage must happen STRICTLY AFTER the user's earliest prior-stage
+    event.  Three conditional-min aggregations, each keyed on user_id —
+    the stage joins all reuse the same hash partitioning, so the funnel
+    costs one logical shuffle key regardless of stage count.  Emits the
+    classic funnel report: users per stage + average inter-stage delay."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"), F.first("t_click").alias("t_click"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("1_view").alias("stage"), "n", F.lit(None).cast("double").alias("avg_delay_sec"))
+        .unionByName(
+            clicks.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg(F.col("t_click") - F.col("t_view")), 2).alias(
+                    "avg_delay_sec"
+                ),
+            ).select(F.lit("2_click").alias("stage"), "n", "avg_delay_sec")
+        )
+        .unionByName(
+            purchases.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg(F.col("t_purchase") - F.col("t_click")), 2).alias(
+                    "avg_delay_sec"
+                ),
+            ).select(F.lit("3_purchase").alias("stage"), "n", "avg_delay_sec")
+        )
+    )
+
+
+def q165_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test over a deterministic 50/50
+    user-id split (the A/B readout every data pipeline ends in).  Wholly
+    algebraic — per-arm (n, mean, sample variance) from one aggregation
+    pass, then the t statistic and Welch-Satterthwaite degrees of
+    freedom as scalar arithmetic — so the 100 TB cost is one map-side-
+    combined shuffle of 2 rows."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+        .select((F.col("user_id") % 2).alias("arm"), "spend")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("spend").alias("mean"),
+        F.var_samp("spend").alias("var"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("m_a"), F.col("var").alias("v_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("m_b"), F.col("var").alias("v_b")
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (F.col("v_a") / F.col("n_a")) * (F.col("v_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (F.col("v_b") / F.col("n_b")) * (F.col("v_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )
+
+
+def q166_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT processing (Spark 4's open variant type):
+    each event's JSON ``props`` is embedded into a bigger synthesized
+    document, parsed ONCE into a variant, then shredded with typed
+    ``variant_get`` paths (object fields + array indexing) and
+    aggregated.  The DuckDB oracle recomputes every extracted value
+    straight from the raw columns — independent of any JSON machinery —
+    so a path or cast drift fails the hash."""
+    ev = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "arr": ['),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit(']}, "props": '),
+        F.col("props"),
+        F.lit("}"),
+    )
+    shredded = ev.select(
+        F.parse_json(doc).alias("v"),
+    ).select(
+        F.variant_get("v", "$.meta.type", "string").alias("typ"),
+        F.variant_get("v", "$.meta.arr[1]", "bigint").alias("second_arr"),
+        F.variant_get("v", "$.props.k", "bigint").alias("k"),
+    )
+    return shredded.groupBy("typ").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("second_arr").alias("sum_arr1"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+def q167_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange (Spark 4 native ``to_xml``/``from_xml``): every
+    order is serialized to an XML fragment and parsed back with a typed
+    schema; the emitted columns come from the PARSED side only, while the
+    DuckDB oracle selects the raw parquet columns — any serializer/parser
+    asymmetry (type coercion, date formatting, escaping) diverges the
+    values and fails the hash.  Both directions run JVM-side per row, no
+    Python in the loop."""
+    orders = _t(spark, sf_dir, "orders")
+    xml = F.to_xml(
+        F.struct(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+    parsed = orders.select(
+        F.from_xml(
+            xml,
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, "
+            "o_orderdate STRING, o_orderpriority STRING",
+        ).alias("p")
+    )
+    return parsed.select(
+        F.col("p.o_orderkey").alias("orderkey"),
+        F.col("p.o_orderstatus").alias("status"),
+        F.round(F.col("p.o_totalprice"), 2).alias("totalprice"),
+        F.col("p.o_orderdate").alias("orderdate"),
+        F.col("p.o_orderpriority").alias("priority"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -3933,6 +4094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_warc_roundtrip_checksums": q161_warc_roundtrip_checksums,
         "q162_url_features": q162_url_features,
         "q163_host_policy_filter": q163_host_policy_filter,
+        "q164_funnel_conversion": q164_funnel_conversion,
+        "q165_ab_test_welch": q165_ab_test_welch,
+        "q166_variant_shred": q166_variant_shred,
+        "q167_xml_roundtrip": q167_xml_roundtrip,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -5502,6 +5667,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, host, n_chars, host_rank
             FROM ranked WHERE host_rank <= 3
+        """,
+        "q164_funnel_conversion": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ), v AS (
+                SELECT user_id, min(t) AS t_view
+                FROM e WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, min(e.t) AS t_click,
+                       any_value(v.t_view) AS t_view
+                FROM e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > v.t_view
+                GROUP BY 1
+            ), p AS (
+                SELECT e.user_id, min(e.t) AS t_purchase,
+                       any_value(c.t_click) AS t_click
+                FROM e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t > c.t_click
+                GROUP BY 1
+            )
+            SELECT '1_view' AS stage, count(*) AS n,
+                   CAST(NULL AS DOUBLE) AS avg_delay_sec FROM v
+            UNION ALL
+            SELECT '2_click', count(*),
+                   round(avg(t_click - t_view), 2) FROM c
+            UNION ALL
+            SELECT '3_purchase', count(*),
+                   round(avg(t_purchase - t_click), 2) FROM p
+        """,
+        "q165_ab_test_welch": """
+            WITH pu AS (
+                SELECT user_id, sum(value) AS spend
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), arms AS (
+                SELECT user_id % 2 AS arm, count(*) AS n,
+                       avg(spend) AS mean, var_samp(spend) AS var
+                FROM pu GROUP BY 1
+            ), a AS (
+                SELECT n AS n_a, mean AS m_a, var AS v_a FROM arms WHERE arm = 0
+            ), b AS (
+                SELECT n AS n_b, mean AS m_b, var AS v_b FROM arms WHERE arm = 1
+            )
+            SELECT n_a, n_b,
+                   round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+                   round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+                   round(pow(v_a / n_a + v_b / n_b, 2) /
+                         ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                          + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 2) AS welch_df,
+                   abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96
+                       AS significant_95
+            FROM a, b
+        """,
+        "q166_variant_shred": """
+            SELECT event_type AS typ, count(*) AS n,
+                   sum(event_id % 100) AS sum_arr1,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY 1
+        """,
+        "q167_xml_roundtrip": """
+            SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+                   round(o_totalprice, 2) AS totalprice,
+                   CAST(o_orderdate AS VARCHAR) AS orderdate,
+                   o_orderpriority AS priority
+            FROM orders
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

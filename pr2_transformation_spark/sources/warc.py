@@ -167,6 +167,73 @@ def parse_warc_records(df: DataFrame, warc_col: str = "warc", id_col: str = "war
     return df.select(id_col, warc_col).mapInPandas(explode, RECORD_SCHEMA)
 
 
+try:  # Spark 4 Python DataSource API (pyspark.sql.datasource)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class WarcDataSource(DataSource):
+        """``spark.read.format("warc").load(dir)`` — the WARC parser as
+        a first-class Spark 4 Python data source.
+
+        One :class:`InputPartition` per ``.warc`` file (the same
+        file-level parallelism real crawls shard by); each partition
+        streams its records through :func:`parse_warc`.  Register once
+        per session::
+
+            spark.dataSource.register(WarcDataSource)
+            spark.read.format("warc").load("/crawl/segment-00/")
+
+        File listing happens on the driver (cheap: names only); record
+        parsing happens on executors.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self) -> str:
+            return RECORD_SCHEMA
+
+        def reader(self, schema):
+            return _WarcReader(self.options)
+
+    class _WarcReader(DataSourceReader):
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("warc source requires a path: .load(dir)")
+
+        def partitions(self):
+            import glob
+            import os as _os
+
+            files = sorted(
+                glob.glob(_os.path.join(self._path, "**", "*.warc"), recursive=True)
+            )
+            if not files:
+                raise ValueError(f"no .warc files under {self._path}")
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            path = partition.value
+            with open(path, "rb") as fh:
+                blob = fh.read()
+            for rec in parse_warc(blob):
+                yield (
+                    path,
+                    rec["rec_type"],
+                    rec["target_uri"],
+                    rec["record_id"],
+                    rec["content"],
+                )
+
+except ImportError:  # pragma: no cover — pre-4.0 Spark
+    WarcDataSource = None  # type: ignore[assignment]
+
+
 def read_warc_dir(spark, path: str) -> DataFrame:
     """Read a directory of ``.warc`` files as records: ``binaryFile``
     scan (each file one row, content lazily loaded) -> record explode.

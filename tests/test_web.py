@@ -137,6 +137,28 @@ def test_warc_frame_round_trip_and_determinism(spark):
     assert back[0]["target_uri"] == "https://x.example/0"
 
 
+def test_warc_python_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource: format('warc') reads a directory with
+    one partition per file."""
+    if warc.WarcDataSource is None:
+        pytest.skip("pyspark.sql.datasource unavailable")
+    for f in range(2):
+        blob = warc.build_warc(
+            [
+                ("response", f"https://d{f}.example/{i}", f"urn:doc:{f}-{i}", f"f{f}r{i}".encode())
+                for i in range(4)
+            ]
+        )
+        (tmp_path / f"seg-{f}.warc").write_bytes(blob)
+    spark.dataSource.register(warc.WarcDataSource)
+    df = spark.read.format("warc").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.orderBy("record_id").collect()
+    assert len(rows) == 8
+    assert rows[0]["content"] == b"f0r0"
+    assert rows[0]["target_uri"] == "https://d0.example/0"
+
+
 def test_read_warc_dir(spark, tmp_path):
     blob = warc.build_warc(
         [("response", f"https://z.example/{i}", f"urn:doc:{i}", f"t{i}".encode()) for i in range(3)]
