@@ -1,0 +1,108 @@
+"""Record-linkage operators (EXT): Jaro-Winkler string similarity and the
+blocked distinct-pair pattern that makes quadratic similarity affordable.
+
+Jaro-Winkler has no Spark built-in, so it runs as an Arrow-batched pandas
+UDF (never a row-at-a-time Python UDF).  The implementation is the textbook
+Winkler formulation — matched against DuckDB's ``jaro_winkler_similarity``
+on its canonical examples (MARTHA/MARHTA = 0.9611, DWAYNE/DUANE = 0.84) so
+linkage queries stay oracle-gradable.
+
+Scale pattern: similarity is computed over DISTINCT VALUE pairs inside
+blocking keys, then joined back to rows.  At 100 TB the distinct-value
+frame is orders of magnitude smaller than the row count (names, addresses,
+and titles repeat heavily), and blocking bounds the quadratic term to the
+largest block, not the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Plain-Python Jaro-Winkler (Winkler 1990), boost applied
+    unconditionally with the standard 4-char prefix cap."""
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0  # incl. '' vs '' — DuckDB's convention
+    if s1 == s2:
+        return 1.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - window), min(l2, i + window + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    mismatched = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                mismatched += 1
+            j += 1
+    # Transpositions floor to an integer and the prefix boost applies
+    # only above the classic 0.7 threshold — both choices matched against
+    # DuckDB's jaro_winkler_similarity over random pairs (see tests).
+    transpositions = mismatched // 2
+    jaro = (
+        matches / l1 + matches / l2 + (matches - transpositions) / matches
+    ) / 3
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+# DataType instance, not DDL string: the DDL parser needs a live session,
+# which would make this module un-importable driver-side before startup.
+@pandas_udf(DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler over two string columns."""
+    return pd.Series(
+        [
+            jaro_winkler_py(x, y) if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+def blocked_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_col: Column,
+    min_similarity: float = 0.7,
+) -> DataFrame:
+    """Candidate linkage pairs: DISTINCT names per blocking key, ordered
+    self-join within the block, Jaro-Winkler scored, thresholded.
+
+    Returns ``(block, name_a, name_b, jw)`` with ``name_a < name_b`` and
+    ``jw`` rounded to 4 decimals.  The self-join runs on the distinct
+    frame — the quadratic term is (distinct names per block)², never
+    (rows per block)².
+    """
+    names = df.select(
+        block_col.alias("block"), F.col(name_col).alias("name")
+    ).distinct()
+    a = names.select("block", F.col("name").alias("name_a"))
+    b = names.select("block", F.col("name").alias("name_b"))
+    pairs = a.join(b, "block").filter(F.col("name_a") < F.col("name_b"))
+    scored = pairs.withColumn(
+        "jw", F.round(jaro_winkler("name_a", "name_b"), 4)
+    )
+    return scored.filter(F.col("jw") >= min_similarity)

@@ -47,6 +47,9 @@ CARTESIAN_ALLOWED = {
     "q135_bm25_scores": "corpus stats (N/avgdl/df) are ONE row riding a broadcast cross",
     "q142_triangle_count": "three scalar aggregates (1 row each) assembled via broadcast crosses",
     "q165_ab_test_welch": "two 1-row arm summaries assembled via a broadcast cross",
+    "q168_basket_lift": "corpus-size scalar (1 row) rides a broadcast cross",
+    "q169_autocorrelation": "mean/count scalar (1 row) rides a broadcast cross",
+    "q170_benford_profile": "total-count scalar (1 row) rides a broadcast cross",
     "q143_ppmi_bigrams": "bigram-total scalar (1 row) rides a broadcast cross",
     "q144_kneser_ney_bigrams": "bigram-type-count scalar (1 row) rides a broadcast cross",
     "q148_key_skew_report": "row-total scalar (1 row) rides a broadcast cross",
