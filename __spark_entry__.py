@@ -4055,6 +4055,124 @@ def q171_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent preceding click/view campaign via one
+    ``last(ignorenulls)`` running window per user — a single shuffle on
+    user_id, no self-join, with (t, event_id) ordering so timestamp ties
+    resolve identically on any engine."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("t"),
+        F.concat(
+            F.lit("camp_"),
+            (
+                F.get_json_object("props", "$.k").cast("bigint") % 4
+            ).cast("string"),
+        ).alias("camp"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("camp")
+    )
+    attributed = ev.withColumn("attributed", F.last(touch, ignorenulls=True).over(w))
+    return (
+        attributed.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("attributed").isNotNull()
+        )
+        .groupBy(F.col("attributed").alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+def q173_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at exact p5/p95 (outlier clamping before
+    model features).  Exact interpolated percentiles per priority class
+    (one partial-aggregated shuffle of 5 groups), broadcast back, clamp
+    with least/greatest at scan speed — the 100 TB fact rows never
+    shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p5"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = orders.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p5")), F.col("p95")).alias(
+            "w"
+        ),
+        "p5",
+        "p95",
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("raw_avg"),
+        F.round(F.avg("w"), 2).alias("winsorized_avg"),
+        F.round(F.first("p5"), 2).alias("p5"),
+        F.round(F.first("p95"), 2).alias("p95"),
+    )
+
+
+def q174_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor: every customer is assigned its closest
+    nation 'capital' by great-circle (haversine) distance.  Coordinates
+    are synthesized from keys with pure integer arithmetic (engine-
+    identical), the 25-row capital dim broadcasts against the fact scan,
+    and the per-customer argmin ranks on the ROUNDED distance so float
+    noise can't flip an ordering between engines."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    def lat(key, mult):
+        return ((key * mult) % 17000) / 100.0 - 85.0
+
+    def lon(key, mult):
+        return ((key * mult) % 36000) / 100.0 - 180.0
+
+    c = cust.select(
+        "c_custkey",
+        lat(F.col("c_custkey"), 37).alias("c_lat"),
+        lon(F.col("c_custkey"), 73).alias("c_lon"),
+    )
+    n = nation.select(
+        "n_nationkey",
+        "n_name",
+        lat(F.col("n_nationkey") + 1, 997).alias("n_lat"),
+        lon(F.col("n_nationkey") + 1, 1471).alias("n_lon"),
+    )
+    dphi = F.radians(F.col("n_lat") - F.col("c_lat")) / 2
+    dlmb = F.radians(F.col("n_lon") - F.col("c_lon")) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians("c_lat"))
+        * F.cos(F.radians("n_lat"))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    dist_km = F.round(2 * 6371.0 * F.asin(F.sqrt(a)), 3)
+    scored = c.crossJoin(F.broadcast(n)).select(
+        "c_custkey", "n_name", dist_km.alias("dist_km")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "n_name")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", F.col("n_name").alias("nearest_nation"), "dist_km")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4230,6 +4348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_autocorrelation": q169_autocorrelation,
         "q170_benford_profile": q170_benford_profile,
         "q171_jaro_winkler_linkage": q171_jaro_winkler_linkage,
+        "q172_attribution": q172_attribution,
+        "q173_winsorize": q173_winsorize,
+        "q174_haversine_nearest": q174_haversine_nearest,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -5944,6 +6065,72 @@ def oracle_sql() -> dict[str, str]:
             FROM names a JOIN names b
               ON a.block = b.block AND a.name < b.name
             WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.7
+        """,
+        "q172_attribution": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                       'camp_' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4
+                                       AS VARCHAR) AS camp
+                FROM events
+            ), lt AS (
+                SELECT event_type, value,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN camp END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS attributed
+                FROM e
+            )
+            SELECT attributed AS campaign, count(*) AS n_purchases,
+                   round(sum(value), 2) AS revenue
+            FROM lt
+            WHERE event_type = 'purchase' AND attributed IS NOT NULL
+            GROUP BY 1
+        """,
+        "q173_winsorize": """
+            WITH bounds AS (
+                SELECT o_orderpriority,
+                       percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS p5,
+                       percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+                FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderpriority, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS raw_avg,
+                   round(avg(least(greatest(o_totalprice, p5), p95)), 2)
+                       AS winsorized_avg,
+                   round(any_value(p5), 2) AS p5,
+                   round(any_value(p95), 2) AS p95
+            FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+            GROUP BY 1
+        """,
+        "q174_haversine_nearest": """
+            WITH c AS (
+                SELECT c_custkey,
+                       (c_custkey * 37) % 17000 / 100.0 - 85.0 AS c_lat,
+                       (c_custkey * 73) % 36000 / 100.0 - 180.0 AS c_lon
+                FROM customer
+            ), n AS (
+                SELECT n_name,
+                       ((n_nationkey + 1) * 997) % 17000 / 100.0 - 85.0 AS n_lat,
+                       ((n_nationkey + 1) * 1471) % 36000 / 100.0 - 180.0 AS n_lon
+                FROM nation
+            ), scored AS (
+                SELECT c_custkey, n_name,
+                       round(2 * 6371.0 * asin(sqrt(
+                           pow(sin(radians(n_lat - c_lat) / 2), 2)
+                           + cos(radians(c_lat)) * cos(radians(n_lat))
+                             * pow(sin(radians(n_lon - c_lon) / 2), 2))), 3)
+                           AS dist_km
+                FROM c CROSS JOIN n
+            ), ranked AS (
+                SELECT c_custkey, n_name, dist_km,
+                       row_number() OVER (PARTITION BY c_custkey
+                                          ORDER BY dist_km, n_name) AS rk
+                FROM scored
+            )
+            SELECT c_custkey, n_name AS nearest_nation, dist_km
+            FROM ranked WHERE rk = 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

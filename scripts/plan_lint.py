@@ -50,6 +50,7 @@ CARTESIAN_ALLOWED = {
     "q168_basket_lift": "corpus-size scalar (1 row) rides a broadcast cross",
     "q169_autocorrelation": "mean/count scalar (1 row) rides a broadcast cross",
     "q170_benford_profile": "total-count scalar (1 row) rides a broadcast cross",
+    "q174_haversine_nearest": "25-row broadcast capital dim crossed against the fact scan by design",
     "q143_ppmi_bigrams": "bigram-total scalar (1 row) rides a broadcast cross",
     "q144_kneser_ney_bigrams": "bigram-type-count scalar (1 row) rides a broadcast cross",
     "q148_key_skew_report": "row-total scalar (1 row) rides a broadcast cross",
