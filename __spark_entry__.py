@@ -4173,6 +4173,90 @@ def q174_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q175_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS: minimum hop distance (<= 3) from a seed set over
+    the synthetic customer graph (q63's edge pattern).  Fixed unrolled
+    frontier expansion — each hop is one join of the CURRENT frontier
+    (small) against the edge list plus an anti-join against the visited
+    set, so per-hop shuffle volume is O(frontier), and the oracle can
+    replay the exact same three steps in SQL."""
+    cust = _t(spark, sf_dir, "customer")
+    e = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("a"), (F.col("c_custkey") + 3).alias("b")
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    frontier = cust.filter(F.col("c_custkey") % 997 == 1).select(
+        F.col("c_custkey").alias("id")
+    ).distinct()
+    visited = frontier.select("id", F.lit(0).alias("dist"))
+    for hop in (1, 2, 3):
+        nxt = (
+            sym.join(frontier, sym.a == frontier.id)
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        visited = visited.union(nxt.select("id", F.lit(hop).alias("dist")))
+        frontier = nxt
+    return visited
+
+
+def q176_scd2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase is joined to the
+    SCD2 state interval (built from the user's NON-purchase events, the
+    q152 pattern) valid at purchase time — the classic fact-to-history
+    join.  The interval predicate rides a user_id equi-join (sort-merge
+    on the key, range filter after), so the 100 TB cost is one co-
+    partitioned join, never an all-pairs range scan."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value",
+        F.col("ts").cast("long").alias("t"),
+    )
+    dim_events = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    dim = dim_events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", F.col("t").alias("pt")
+    )
+    joined = facts.join(dim, "user_id").filter(
+        (F.col("pt") >= F.col("valid_from"))
+        & ((F.col("pt") < F.col("valid_to")) | F.col("valid_to").isNull())
+    )
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+def q177_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day.  COUNT(DISTINCT)
+    over a sliding range is not windowable directly, so each (user, day)
+    activity row contributes itself to the 7 window-ends it falls in
+    (one explode of a 7-element sequence — linear fan-out), then one
+    distinct-count per window end.  No per-day self-joins, no
+    re-scanning trailing data."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    expl = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wend"),
+    )
+    days = ud.select(F.col("day").alias("wend")).distinct()
+    return (
+        expl.join(F.broadcast(days), "wend")
+        .groupBy("wend")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .select(F.col("wend").cast("string").alias("window_end"), "active_7d")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4351,6 +4435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_attribution": q172_attribution,
         "q173_winsorize": q173_winsorize,
         "q174_haversine_nearest": q174_haversine_nearest,
+        "q175_bfs_distances": q175_bfs_distances,
+        "q176_scd2_interval_join": q176_scd2_interval_join,
+        "q177_rolling_distinct_users": q177_rolling_distinct_users,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -6131,6 +6218,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, n_name AS nearest_nation, dist_km
             FROM ranked WHERE rk = 1
+        """,
+        "q175_bfs_distances": """
+            WITH e AS (
+                SELECT c_custkey AS a, c_custkey + 3 AS b
+                FROM customer WHERE c_custkey % 7 != 0
+            ), sym AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), d0 AS (
+                SELECT DISTINCT c_custkey AS id FROM customer
+                WHERE c_custkey % 997 = 1
+            ), d1 AS (
+                SELECT DISTINCT s.b AS id FROM sym s JOIN d0 ON s.a = d0.id
+                WHERE s.b NOT IN (SELECT id FROM d0)
+            ), d2 AS (
+                SELECT DISTINCT s.b AS id FROM sym s JOIN d1 ON s.a = d1.id
+                WHERE s.b NOT IN (SELECT id FROM d0)
+                  AND s.b NOT IN (SELECT id FROM d1)
+            ), d3 AS (
+                SELECT DISTINCT s.b AS id FROM sym s JOIN d2 ON s.a = d2.id
+                WHERE s.b NOT IN (SELECT id FROM d0)
+                  AND s.b NOT IN (SELECT id FROM d1)
+                  AND s.b NOT IN (SELECT id FROM d2)
+            )
+            SELECT id, 0 AS dist FROM d0
+            UNION ALL SELECT id, 1 FROM d1
+            UNION ALL SELECT id, 2 FROM d2
+            UNION ALL SELECT id, 3 FROM d3
+        """,
+        "q176_scd2_interval_join": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ), dim AS (
+                SELECT user_id, event_type AS state, t AS valid_from,
+                       lead(t) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) AS valid_to
+                FROM e WHERE event_type != 'purchase'
+            ), facts AS (
+                SELECT user_id, value, t AS pt FROM e
+                WHERE event_type = 'purchase'
+            )
+            SELECT state, count(*) AS n_purchases,
+                   round(sum(value), 2) AS revenue
+            FROM facts f JOIN dim d
+              ON f.user_id = d.user_id
+             AND f.pt >= d.valid_from
+             AND (f.pt < d.valid_to OR d.valid_to IS NULL)
+            GROUP BY 1
+        """,
+        "q177_rolling_distinct_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), expl AS (
+                SELECT user_id, day + CAST(x AS INTEGER) AS wend
+                FROM ud CROSS JOIN generate_series(0, 6) AS t(x)
+            ), days AS (
+                SELECT DISTINCT day AS wend FROM ud
+            )
+            SELECT CAST(e.wend AS VARCHAR) AS window_end,
+                   count(DISTINCT user_id) AS active_7d
+            FROM expl e JOIN days USING (wend)
+            GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -100,6 +100,14 @@ BENCH_QUERIES = [
     "q145_pagerank",
     "q153_bpe_tokenizer",
     "q159_containment_pairs",
+    "q160_html_text_extraction",
+    "q161_warc_roundtrip_checksums",
+    "q164_funnel_conversion",
+    "q167_xml_roundtrip",
+    "q168_basket_lift",
+    "q171_jaro_winkler_linkage",
+    "q172_attribution",
+    "q174_haversine_nearest",
 ]
 
 

@@ -405,3 +405,44 @@ def test_cc_iteration_edge_side_needs_no_exchange_or_sort(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """100 TB lever: with runtime bloom filters enabled, a selective dim
+    filter injects a BloomFilter semi-join predicate into the FACT side's
+    scan subtree, pre-shuffle — the Catalyst feature SCALE.md's join
+    notes rely on.  Local datasets never cross the default 10 GB
+    application-side threshold, so the test pins the behavior with the
+    thresholds lowered; production sessions keep the defaults."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+        # and the filtered join still computes the right row count
+        exact = (
+            li.join(
+                orders.select("o_orderkey", "o_totalprice"),
+                li.l_orderkey == orders.o_orderkey,
+            ).count()
+        )
+        assert j.count() == exact
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
