@@ -171,6 +171,7 @@ try:  # Spark 4 Python DataSource API (pyspark.sql.datasource)
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 
@@ -199,6 +200,9 @@ try:  # Spark 4 Python DataSource API (pyspark.sql.datasource)
 
         def reader(self, schema):
             return _WarcReader(self.options)
+
+        def streamReader(self, schema):
+            return _WarcStreamReader(self.options)
 
     class _WarcReader(DataSourceReader):
         def __init__(self, options):
@@ -229,6 +233,60 @@ try:  # Spark 4 Python DataSource API (pyspark.sql.datasource)
                     rec["record_id"],
                     rec["content"],
                 )
+
+    class _WarcStreamReader(DataSourceStreamReader):
+        """Micro-batch streaming over a crawl directory: each trigger
+        picks up ``.warc`` files not yet processed (the continuous-
+        ingestion shape of a live crawl drop zone).
+
+        The offset is the sorted list of file names seen so far — exact
+        (no mtime races, out-of-order arrivals included) and recoverable
+        from the checkpoint log.  It grows with file count, which is fine
+        for drop-zone cadences (thousands of files); a production
+        variant would compact to a high-watermark + recent window.
+        Batch contents are deterministic given (start, end), so replays
+        after failure yield identical batches — exactly-once with any
+        idempotent sink.
+        """
+
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("warc source requires a path: .load(dir)")
+
+        def _listing(self) -> list:
+            import glob
+            import os as _os
+
+            return sorted(
+                glob.glob(_os.path.join(self._path, "**", "*.warc"), recursive=True)
+            )
+
+        def initialOffset(self):
+            return {"files": []}
+
+        def latestOffset(self):
+            return {"files": self._listing()}
+
+        def partitions(self, start, end):
+            new = sorted(set(end["files"]) - set(start["files"]))
+            return [InputPartition(f) for f in new]
+
+        def read(self, partition):
+            path = partition.value
+            with open(path, "rb") as fh:
+                blob = fh.read()
+            for rec in parse_warc(blob):
+                yield (
+                    path,
+                    rec["rec_type"],
+                    rec["target_uri"],
+                    rec["record_id"],
+                    rec["content"],
+                )
+
+        def commit(self, end):
+            pass  # nothing to clean up: files are the durable log
 
 except ImportError:  # pragma: no cover — pre-4.0 Spark
     WarcDataSource = None  # type: ignore[assignment]

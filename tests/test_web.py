@@ -159,6 +159,49 @@ def test_warc_python_datasource(spark, tmp_path):
     assert rows[0]["target_uri"] == "https://d0.example/0"
 
 
+def test_warc_streaming_source_picks_up_new_files(spark, tmp_path):
+    """Streaming half of the Python DataSource: files present at start
+    arrive in the first batch, a file dropped mid-stream arrives in a
+    later one, every record exactly once."""
+    if warc.WarcDataSource is None:
+        pytest.skip("pyspark.sql.datasource unavailable")
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    def drop(name, tag, n):
+        blob = warc.build_warc(
+            [
+                ("response", f"https://{tag}.example/{i}", f"urn:{tag}:{i}", f"{tag}-{i}".encode())
+                for i in range(n)
+            ]
+        )
+        (src / name).write_bytes(blob)
+
+    drop("a.warc", "a", 3)
+    spark.dataSource.register(warc.WarcDataSource)
+    stream = spark.readStream.format("warc").load(str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["record_id"] for r in spark.sql("select * from warc_stream").collect()}
+        assert got1 == {"urn:a:0", "urn:a:1", "urn:a:2"}
+        drop("b.warc", "b", 2)
+        q.processAllAvailable()
+        rows = spark.sql("select record_id, content from warc_stream").collect()
+        ids = sorted(r["record_id"] for r in rows)
+        assert ids == ["urn:a:0", "urn:a:1", "urn:a:2", "urn:b:0", "urn:b:1"]
+        assert {bytes(r["content"]) for r in rows} >= {b"b-0", b"b-1"}
+    finally:
+        q.stop()
+
+
 def test_read_warc_dir(spark, tmp_path):
     blob = warc.build_warc(
         [("response", f"https://z.example/{i}", f"urn:doc:{i}", f"t{i}".encode()) for i in range(3)]
