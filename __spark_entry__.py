@@ -4257,6 +4257,73 @@ def q177_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q178_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: EXACTLY ceil(10%) of each
+    market segment, rows elected by hash rank (stable across runs,
+    engines, and partitionings — no RNG).  One window per stratum; at
+    100 TB the per-stratum rank is the same shuffle any top-k needs
+    (md5 here for oracle replay; xxhash64 is the production hasher).
+    Emits per-stratum audit counts plus the sampled-row balance check."""
+    from pr2_transformation_spark.functions.dedup import md5_long
+
+    cust = _t(spark, sf_dir, "customer")
+    h = md5_long(F.col("c_custkey").cast("string"))
+    w = Window.partitionBy("c_mktsegment").orderBy(h, "c_custkey")
+    sized = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("stratum_n"),
+    )
+    take = F.ceil(F.col("stratum_n") * 0.1)
+    picked = sized.filter(F.col("rk") <= take)
+    return picked.groupBy("c_mktsegment").agg(
+        F.first("stratum_n").alias("stratum_n"),
+        F.count(F.lit(1)).alias("sampled_n"),
+        F.round(F.avg("c_acctbal"), 2).alias("sample_avg_bal"),
+        F.min("c_custkey").alias("min_sampled_key"),
+    )
+
+
+def q179_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: |x - median| > 3.5 * MAD
+    (median absolute deviation) — the screen that survives the heavy
+    tails that break z-scores.  Two exact-median passes (group medians,
+    then deviation medians), both partial-aggregated on the same group
+    key, bounds broadcast back over the scan."""
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med")
+    )
+    dev = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "med",
+            F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.first("med").alias("med"), F.median("adev").alias("mad"))
+    )
+    flagged = orders.join(F.broadcast(dev), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        "mad",
+        (
+            F.abs(F.col("o_totalprice") - F.col("med")) > 3.5 * F.col("mad")
+        ).alias("is_outlier"),
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.round(F.first("med"), 2).alias("median_price"),
+        F.round(F.first("mad"), 2).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4438,6 +4505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_bfs_distances": q175_bfs_distances,
         "q176_scd2_interval_join": q176_scd2_interval_join,
         "q177_rolling_distinct_users": q177_rolling_distinct_users,
+        "q178_stratified_sample": q178_stratified_sample,
+        "q179_mad_outliers": q179_mad_outliers,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -6280,6 +6349,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(e.wend AS VARCHAR) AS window_end,
                    count(DISTINCT user_id) AS active_7d
             FROM expl e JOIN days USING (wend)
+            GROUP BY 1
+        """,
+        "q178_stratified_sample": """
+            WITH sized AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT), c_custkey
+                       ) AS rk,
+                       count(*) OVER (PARTITION BY c_mktsegment) AS stratum_n
+                FROM customer
+            ), picked AS (
+                SELECT * FROM sized WHERE rk <= ceil(stratum_n * 0.1)
+            )
+            SELECT c_mktsegment, any_value(stratum_n) AS stratum_n,
+                   count(*) AS sampled_n,
+                   round(avg(c_acctbal), 2) AS sample_avg_bal,
+                   min(c_custkey) AS min_sampled_key
+            FROM picked GROUP BY 1
+        """,
+        "q179_mad_outliers": """
+            WITH med AS (
+                SELECT o_orderpriority, median(o_totalprice) AS med
+                FROM orders GROUP BY 1
+            ), dev AS (
+                SELECT o.o_orderpriority, any_value(m.med) AS med,
+                       median(abs(o_totalprice - m.med)) AS mad
+                FROM orders o JOIN med m USING (o_orderpriority)
+                GROUP BY 1
+            )
+            SELECT o.o_orderpriority,
+                   round(any_value(d.med), 2) AS median_price,
+                   round(any_value(d.mad), 2) AS mad,
+                   count(*) AS n,
+                   sum(CASE WHEN abs(o_totalprice - d.med) > 3.5 * d.mad
+                            THEN 1 ELSE 0 END) AS n_outliers
+            FROM orders o JOIN dev d USING (o_orderpriority)
             GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
