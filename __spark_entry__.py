@@ -4324,6 +4324,126 @@ def q179_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q180_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting (Spark 4 datasketches): ONE HLL
+    sketch per day, rolling 7-day actives by MERGING the daily sketches
+    (``hll_union_agg``) instead of re-scanning raw events — the 100 TB
+    pattern where per-partition sketches are precomputed once and any
+    date range is answered from kilobytes.  Graded against the exact
+    explode-based count (q177's logic) with a 5% error contract: the
+    estimate itself is engine-specific, the BOOLEAN is not."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    daily = ud.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    expl = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "wend"
+        ),
+        "sk",
+    )
+    days = ud.select(F.col("day").alias("wend")).distinct()
+    approx = (
+        expl.join(F.broadcast(days), "wend")
+        .groupBy("wend")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    )
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("wend"),
+        )
+        .join(F.broadcast(days), "wend")
+        .groupBy("wend")
+        .agg(F.count_distinct("user_id").alias("exact_active_7d"))
+    )
+    return (
+        approx.join(exact, "wend")
+        .select(
+            F.col("wend").cast("string").alias("window_end"),
+            "exact_active_7d",
+            (
+                F.abs(F.col("approx") - F.col("exact_active_7d"))
+                <= 0.05 * F.col("exact_active_7d")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+def q181_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-expression sketches: distinct-customer overlap between every
+    market-segment pair via Theta sketch intersection.  Below the sketch
+    capacity (2^12 retained hashes) Theta is EXACT, so at the graded
+    scales the estimate equals the true overlap and the oracle replays
+    it as a plain COUNT(DISTINCT) self-join — while the plan stays the
+    mergeable-sketch plan that scales to 100 TB (segments sketched once,
+    all pairwise overlaps answered sketch-side)."""
+    cust = _t(spark, sf_dir, "customer")
+    sk = cust.groupBy("c_mktsegment").agg(
+        F.theta_sketch_agg("c_nationkey").alias("sk"),
+        F.count_distinct("c_nationkey").alias("seg_nations"),
+    )
+    a = sk.select(
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("seg_nations").alias("nations_a"),
+    )
+    b = sk.select(
+        F.col("c_mktsegment").alias("seg_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        "nations_a",
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+            )
+        )
+        .cast("long")
+        .alias("overlap_nations"),
+    )
+
+
+def q182_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: per-priority KLL sketches of order totals,
+    merged into one global sketch whose p50/p90 are then read out — the
+    re-aggregation pattern that answers any-slice quantiles without
+    re-scanning.  Graded by a 2% relative-error contract against the
+    exact interpolated percentiles (sketch outputs are retained data
+    items, engine-specific; the booleans and exact values are not)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    merged = per_group.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("sk"), F.lit(0.5)
+        ).alias("kll_p50"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("sk"), F.lit(0.9)
+        ).alias("kll_p90"),
+    )
+    exact = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n",
+        F.round("p50", 2).alias("exact_p50"),
+        F.round("p90", 2).alias("exact_p90"),
+        (F.abs(F.col("kll_p50") - F.col("p50")) <= 0.02 * F.col("p50")).alias(
+            "kll_p50_within_2pct"
+        ),
+        (F.abs(F.col("kll_p90") - F.col("p90")) <= 0.02 * F.col("p90")).alias(
+            "kll_p90_within_2pct"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4507,6 +4627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_rolling_distinct_users": q177_rolling_distinct_users,
         "q178_stratified_sample": q178_stratified_sample,
         "q179_mad_outliers": q179_mad_outliers,
+        "q180_hll_rolling_distinct": q180_hll_rolling_distinct,
+        "q181_theta_segment_overlap": q181_theta_segment_overlap,
+        "q182_kll_quantile_merge": q182_kll_quantile_merge,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -6387,6 +6510,46 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS n_outliers
             FROM orders o JOIN dev d USING (o_orderpriority)
             GROUP BY 1
+        """,
+        "q180_hll_rolling_distinct": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), expl AS (
+                SELECT user_id, day + CAST(x AS INTEGER) AS wend
+                FROM ud CROSS JOIN generate_series(0, 6) AS t(x)
+            ), days AS (
+                SELECT DISTINCT day AS wend FROM ud
+            )
+            SELECT CAST(e.wend AS VARCHAR) AS window_end,
+                   count(DISTINCT user_id) AS exact_active_7d,
+                   TRUE AS hll_within_5pct
+            FROM expl e JOIN days USING (wend)
+            GROUP BY 1
+        """,
+        "q181_theta_segment_overlap": """
+            WITH seg AS (
+                SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+            ), marg AS (
+                SELECT c_mktsegment, count(*) AS seg_nations FROM seg GROUP BY 1
+            )
+            SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+                   any_value(m.seg_nations) AS nations_a,
+                   count(*) AS overlap_nations
+            FROM seg a
+            JOIN seg b ON a.c_nationkey = b.c_nationkey
+                      AND a.c_mktsegment < b.c_mktsegment
+            JOIN marg m ON m.c_mktsegment = a.c_mktsegment
+            GROUP BY 1, 2
+        """,
+        "q182_kll_quantile_merge": """
+            SELECT count(*) AS n,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+                       AS exact_p50,
+                   round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+                       AS exact_p90,
+                   TRUE AS kll_p50_within_2pct,
+                   TRUE AS kll_p90_within_2pct
+            FROM orders
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
