@@ -202,6 +202,89 @@ def test_warc_streaming_source_picks_up_new_files(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_crawl_pipeline_end_to_end(spark, tmp_path):
+    """The whole crawl-ingestion story in one stream: WARC drop zone ->
+    streaming parse -> HTML->text extraction -> quality gate ->
+    Catalog.merge_upsert snapshot, replaying a file is idempotent."""
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.functions import web
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    if warc.WarcDataSource is None:
+        pytest.skip("pyspark.sql.datasource unavailable")
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    cat = Catalog(spark, root=str(tmp_path / "lake"))
+
+    def page(i, body):
+        return (
+            f"<html><head><title>p{i}</title><script>x()</script></head>"
+            f"<body><p>{body}</p></body></html>"
+        ).encode()
+
+    bodies = {0: "good content here", 1: "ok", 2: "another good body text"}
+    blob = warc.build_warc(
+        [
+            ("response", f"https://site.example/{i}", f"urn:p:{i}", page(i, b))
+            for i, b in bodies.items()
+        ]
+    )
+    (src / "seg-0.warc").write_bytes(blob)
+
+    spark.dataSource.register(warc.WarcDataSource)
+    stream = spark.readStream.format("warc").load(str(src))
+    cleaned = (
+        stream.select(
+            "record_id",
+            "target_uri",
+            web.html_to_text(F.decode("content", "utf-8")).alias("text"),
+        )
+        .withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+        .filter(F.col("n_tokens") >= 3)  # quality gate: drop the 'ok' page
+    )
+    q = (
+        cleaned.writeStream.foreachBatch(
+            lambda batch, _bid: cat.merge_upsert(
+                "crawl.clean.pages", batch, ["record_id"], "record_id",
+                num_buckets=4,
+            )
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snap = spark.read.parquet(cat.path_for("crawl.clean.pages"))
+        rows = {r["record_id"]: r["text"] for r in snap.collect()}
+        # extracted text includes the title token (visible text)
+        assert rows == {
+            "urn:p:0": "p0 good content here",
+            "urn:p:2": "p2 another good body text",
+        }
+        # replaying the same file (fresh checkpoint) must not duplicate
+        q.stop()
+        q2 = (
+            cleaned.writeStream.foreachBatch(
+                lambda batch, _bid: cat.merge_upsert(
+                    "crawl.clean.pages", batch, ["record_id"], "record_id",
+                    num_buckets=4,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        snap2 = spark.read.parquet(cat.path_for("crawl.clean.pages"))
+        assert snap2.count() == 2
+    finally:
+        for active in spark.streams.active:
+            active.stop()
+
+
 def test_read_warc_dir(spark, tmp_path):
     blob = warc.build_warc(
         [("response", f"https://z.example/{i}", f"urn:doc:{i}", f"t{i}".encode()) for i in range(3)]
