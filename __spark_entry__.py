@@ -4444,6 +4444,102 @@ def q182_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q183_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase host, strip the
+    default :443 port, drop the fragment, remove tracking parameters
+    (utm_*, ref) and SORT the survivors — then count raw URLs per
+    canonical form.  All array/regex built-ins at scan speed; the
+    synthetic URLs embed doc_id only in tracking params and a modular
+    path/size pair so canonicalization genuinely collapses them
+    (500 raw -> 150 canonical at sf0.01)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW.Shop"),
+            F.lit(".Example.COM:443/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_campaign=c"),
+            F.col("doc_id").cast("string"),
+            F.lit("&size="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&utm_source=feed&ref=tracker#top"),
+        ).alias("url"),
+    )
+    no_frag = F.regexp_replace(F.col("url"), "#.*$", "")
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    base = F.regexp_replace(no_frag, r"\?.*$", "")
+    base = F.regexp_replace(
+        base, "^(https?)://([^/]*)", ""
+    )  # peel scheme://authority, keep path
+    scheme_host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col("url"), "^(https?://[^/?#]*)", 1),
+            ":443$",
+            "",
+        )
+    )
+    kept = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~(
+                    p.startswith("utm_") | p.startswith("ref=") | (p == F.lit(""))
+                ),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme_host,
+        base,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def q184_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine matrix: per-label mean embedding via one
+    posexplode + (label, pos) aggregation — fully partial-aggregated,
+    never a per-label collect — then pairwise cosine over the tiny
+    centroid frame.  The inter-class similarity audit run before
+    contrastive training; the oracle replays the position algebra with
+    list indexing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pe = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pe.groupBy("label", "pos").agg(F.avg("v").alias("v"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("v").alias("va")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("v").alias("vb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sum(F.col("va") * F.col("va")).alias("na"),
+            F.sum(F.col("vb") * F.col("vb")).alias("nb"),
+        )
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 4
+        ).alias("cosine"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4630,6 +4726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_hll_rolling_distinct": q180_hll_rolling_distinct,
         "q181_theta_segment_overlap": q181_theta_segment_overlap,
         "q182_kll_quantile_merge": q182_kll_quantile_merge,
+        "q183_url_canonicalize": q183_url_canonicalize,
+        "q184_centroid_similarity_matrix": q184_centroid_similarity_matrix,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -6550,6 +6648,63 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS kll_p50_within_2pct,
                    TRUE AS kll_p90_within_2pct
             FROM orders
+        """,
+        "q183_url_canonicalize": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       'https://WWW.Shop' ||
+                       '.Example.COM:443/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+                       '?utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
+                       '&size=' || CAST(doc_id % 3 AS VARCHAR) ||
+                       '&utm_source=feed&ref=tracker#top' AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id,
+                       lower(regexp_replace(
+                           regexp_extract(url, '^(https?://[^/?#]*)', 1),
+                           ':443$', '')) AS scheme_host,
+                       regexp_replace(regexp_replace(
+                           regexp_replace(url, '#.*$', ''),
+                           '\?.*$', ''),
+                           '^(https?)://([^/]*)', '') AS path,
+                       regexp_extract(regexp_replace(url, '#.*$', ''),
+                                      '\?(.*)$', 1) AS query
+                FROM raw
+            ), canon AS (
+                SELECT doc_id,
+                       scheme_host || path ||
+                       CASE WHEN kept != '' THEN '?' || kept ELSE '' END
+                           AS canonical_url
+                FROM (
+                    SELECT doc_id, scheme_host, path,
+                           array_to_string(list_sort(list_filter(
+                               string_split(query, '&'),
+                               p -> NOT (starts_with(p, 'utm_')
+                                         OR starts_with(p, 'ref=')
+                                         OR p = ''))), '&') AS kept
+                    FROM parts
+                )
+            )
+            SELECT canonical_url, count(*) AS n_raw, min(doc_id) AS min_doc_id
+            FROM canon GROUP BY 1
+        """,
+        "q184_centroid_similarity_matrix": """
+            WITH pe AS (
+                SELECT label, x AS pos, embedding[CAST(x AS INTEGER) + 1] AS v
+                FROM embeddings CROSS JOIN generate_series(0, 63) AS t(x)
+            ), cent AS (
+                SELECT label, pos, avg(v) AS v FROM pe GROUP BY 1, 2
+            ), dots AS (
+                SELECT a.label AS label_a, b.label AS label_b,
+                       sum(a.v * b.v) AS dot,
+                       sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+                FROM cent a JOIN cent b
+                  ON a.pos = b.pos AND a.label < b.label
+                GROUP BY 1, 2
+            )
+            SELECT label_a, label_b,
+                   round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+            FROM dots
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -446,3 +446,37 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """SURVEY §2.6 note: Catalyst picks the join strategy, but hints
+    override it when the optimizer's estimate is wrong at 100 TB —
+    shuffle_hash avoids the sort of a sort-merge join for huge
+    unsorted sides; merge forces SMJ back; broadcast pins the small
+    side.  Pin that each hint lands in the physical plan."""
+    from pyspark.sql import functions as F
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+        def phys(j):
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        assert "SortMergeJoin" in phys(smj)
+        shj = li.join(
+            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+        )
+        assert "ShuffledHashJoin" in phys(shj)
+        bhj = li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        )
+        assert "BroadcastHashJoin" in phys(bhj)
+        # all three strategies agree on the result
+        n = smj.count()
+        assert shj.count() == n and bhj.count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
