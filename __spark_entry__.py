@@ -4540,6 +4540,66 @@ def q184_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q185_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtree aggregation WITHOUT recursion: in the synthetic
+    org tree (parent(k) = k/2, the binary-heap encoding), every node's
+    ancestor chain is just ``k >> i`` — so each row explodes into its
+    O(log n) ancestors in one pass and a single groupBy sums every
+    subtree.  The shape recursive CTEs need O(depth) iterations for,
+    done in exactly one shuffle; ancestor chains of arbitrary parent
+    tables are precomputable the same way (pointer doubling) in
+    O(log depth) rounds."""
+    cust = _t(spark, sf_dir, "customer")
+    anc = cust.select(
+        "c_acctbal",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 17), i -> shiftright(c_custkey, i))"
+            )
+        ).alias("ancestor"),
+    ).filter(F.col("ancestor") >= 1)
+    return (
+        anc.groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).alias("subtree_nodes"),
+            F.round(F.sum("c_acctbal"), 2).alias("subtree_bal"),
+        )
+        .filter(F.col("ancestor") < 64)
+    )
+
+
+def q186_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/decile analysis: customers ntile'd into 10 account-balance
+    deciles (ties broken by key for engine-stable assignment), joined to
+    their order revenue, emitting each decile's share of total.  One
+    global ntile window over the small dim + a key-partitioned join to
+    the fact; the revenue total rides a broadcast cross."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    deciles = cust.select(
+        "c_custkey", F.ntile(10).over(w).alias("decile")
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    per_decile = (
+        deciles.join(rev, deciles.c_custkey == rev.o_custkey, "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.coalesce(F.sum("rev"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+    total = per_decile.agg(F.sum("revenue").alias("total_rev"))
+    return per_decile.crossJoin(F.broadcast(total)).select(
+        "decile",
+        "n_customers",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total_rev"), 4).alias("rev_share"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4728,6 +4788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_kll_quantile_merge": q182_kll_quantile_merge,
         "q183_url_canonicalize": q183_url_canonicalize,
         "q184_centroid_similarity_matrix": q184_centroid_similarity_matrix,
+        "q185_hierarchy_rollup": q185_hierarchy_rollup,
+        "q186_decile_revenue_share": q186_decile_revenue_share,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -6705,6 +6767,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT label_a, label_b,
                    round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
             FROM dots
+        """,
+        "q185_hierarchy_rollup": """
+            WITH anc AS (
+                SELECT c_acctbal,
+                       c_custkey >> CAST(x AS INTEGER) AS ancestor
+                FROM customer CROSS JOIN generate_series(0, 17) AS t(x)
+            )
+            SELECT ancestor, count(*) AS subtree_nodes,
+                   round(sum(c_acctbal), 2) AS subtree_bal
+            FROM anc WHERE ancestor >= 1
+            GROUP BY 1 HAVING ancestor < 64
+        """,
+        "q186_decile_revenue_share": """
+            WITH deciles AS (
+                SELECT c_custkey,
+                       ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+                           AS decile
+                FROM customer
+            ), rev AS (
+                SELECT o_custkey, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1
+            ), per_decile AS (
+                SELECT decile, count(*) AS n_customers,
+                       round(coalesce(sum(rev), 0.0), 2) AS revenue
+                FROM deciles d LEFT JOIN rev r ON d.c_custkey = r.o_custkey
+                GROUP BY 1
+            ), total AS (
+                SELECT sum(revenue) AS total_rev FROM per_decile
+            )
+            SELECT decile, n_customers, revenue,
+                   round(revenue / total_rev, 4) AS rev_share
+            FROM per_decile CROSS JOIN total
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
