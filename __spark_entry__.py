@@ -4600,6 +4600,58 @@ def q186_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q187_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's events onto an
+    hourly grid and forward-fill the last observed value — the
+    pandas ``resample().ffill()`` pattern done Spark-native.  The grid
+    generates from each user's own [first, last] hour (sequence
+    explode, linear), observations left-join on (user, hour), and the
+    fill is one ``last(ignorenulls)`` running window per user.  Emits a
+    per-user audit: grid size, observed hours, filled hours."""
+    ev = _events(spark, sf_dir)
+    hours = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    obs = hours.groupBy("user_id", "h").agg(
+        F.round(F.avg("value"), 4).alias("v")
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = grid.join(obs, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        "user_id",
+        "h",
+        F.col("v").isNotNull().alias("observed"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+    # exact integer ten-thousandths: double summation order differs
+    # between engines, and ~1000-term sums drift at the cent boundary
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("grid_hours"),
+        F.sum(F.col("observed").cast("long")).alias("observed_hours"),
+        # exact integer ten-thousandths all the way out: a final /10000
+        # round lands on half-boundaries where engines' double rounding
+        # disagrees
+        F.sum(F.round(F.col("v_filled") * 10000).cast("long")).alias(
+            "sum_filled_e4"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4790,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_centroid_similarity_matrix": q184_centroid_similarity_matrix,
         "q185_hierarchy_rollup": q185_hierarchy_rollup,
         "q186_decile_revenue_share": q186_decile_revenue_share,
+        "q187_resample_ffill": q187_resample_ffill,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -6799,6 +6852,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, n_customers, revenue,
                    round(revenue / total_rev, 4) AS rev_share
             FROM per_decile CROSS JOIN total
+        """,
+        "q187_resample_ffill": """
+            WITH obs AS (
+                SELECT user_id, date_trunc('hour', ts) AS h,
+                       round(avg(value), 4) AS v
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
+            ), grid AS (
+                SELECT user_id, unnest(generate_series(h0, h1,
+                                       INTERVAL 1 HOUR)) AS h
+                FROM span
+            ), joined AS (
+                SELECT g.user_id, g.h, o.v
+                FROM grid g LEFT JOIN obs o
+                  ON g.user_id = o.user_id AND g.h = o.h
+            ), filled AS (
+                SELECT user_id, h, v IS NOT NULL AS observed,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS v_filled
+                FROM joined
+            )
+            SELECT user_id, count(*) AS grid_hours,
+                   sum(CASE WHEN observed THEN 1 ELSE 0 END) AS observed_hours,
+                   sum(CAST(round(v_filled * 10000) AS BIGINT))
+                       AS sum_filled_e4
+            FROM filled GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
