@@ -4652,6 +4652,101 @@ def q187_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q188_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (first->last event,
+    whole hours): right-censored when the user is still active in the
+    observation window's final 6 hours.  The risk table (n at risk,
+    events) is pure aggregation + one ordered window over DISTINCT
+    lifetimes; the survival curve is the running product computed as
+    ``exp(sum(ln(1 - d/n)))`` — the same float path on both engines,
+    rounded to 4."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(F.max(F.col("ts").cast("long")).alias("t_end"))
+    lives = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("t0"),
+            F.max(F.col("ts").cast("long")).alias("t1"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor((F.col("t1") - F.col("t0")) / 3600).alias("life_h"),
+            (F.col("t1") >= F.col("t_end") - 6 * 3600).alias("censored"),
+        )
+    )
+    risk = lives.groupBy("life_h").agg(
+        F.count(F.lit(1)).alias("n_here"),
+        F.sum((~F.col("censored")).cast("long")).alias("d"),
+    )
+    w_after = Window.orderBy("life_h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_upto = Window.orderBy("life_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tab = risk.select(
+        "life_h",
+        F.sum("n_here").over(w_after).alias("n_at_risk"),
+        "d",
+    )
+    return tab.select(
+        "life_h",
+        "n_at_risk",
+        "d",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1 - F.col("d") / F.col("n_at_risk"))
+                ).over(w_upto)
+            ),
+            4,
+        ).alias("survival"),
+    ).filter(F.col("d") > 0)
+
+
+def q189_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the categorical profile columns (order status,
+    priority, segment-by-nation) — the data-profiling signal for
+    near-constant or leaky columns.  One groupBy per column unioned into
+    a long (column, value) frame first, so a single aggregation pass
+    computes every entropy; -sum(p log2 p) in plain expressions."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    long_frame = (
+        orders.select(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("val"),
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_orderpriority").alias("col"),
+                F.col("o_orderpriority").alias("val"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.lit("c_mktsegment").alias("col"),
+                F.col("c_mktsegment").alias("val"),
+            )
+        )
+    )
+    counts = long_frame.groupBy("col", "val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("col").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_values")
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(totals, "col")
+        .groupBy("col")
+        .agg(
+            F.first("n_values").alias("n_values"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4843,6 +4938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_hierarchy_rollup": q185_hierarchy_rollup,
         "q186_decile_revenue_share": q186_decile_revenue_share,
         "q187_resample_ffill": q187_resample_ffill,
+        "q188_kaplan_meier": q188_kaplan_meier,
+        "q189_column_entropy": q189_column_entropy,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -6881,6 +6978,56 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(v_filled * 10000) AS BIGINT))
                        AS sum_filled_e4
             FROM filled GROUP BY 1
+        """,
+        "q188_kaplan_meier": """
+            WITH bounds AS (
+                SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS t_end
+                FROM events
+            ), lives AS (
+                SELECT CAST(floor((max(CAST(floor(epoch(ts)) AS BIGINT))
+                                   - min(CAST(floor(epoch(ts)) AS BIGINT)))
+                                  / 3600) AS BIGINT) AS life_h,
+                       max(CAST(floor(epoch(ts)) AS BIGINT))
+                           >= (SELECT t_end FROM bounds) - 6 * 3600 AS censored
+                FROM events GROUP BY user_id
+            ), risk AS (
+                SELECT life_h, count(*) AS n_here,
+                       sum(CASE WHEN censored THEN 0 ELSE 1 END) AS d
+                FROM lives GROUP BY 1
+            ), tab AS (
+                SELECT life_h,
+                       sum(n_here) OVER (ORDER BY life_h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS n_at_risk,
+                       d
+                FROM risk
+            )
+            SELECT life_h, n_at_risk, d,
+                   round(exp(sum(ln(1 - d / CAST(n_at_risk AS DOUBLE)))
+                       OVER (ORDER BY life_h
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                       4) AS survival
+            FROM tab WHERE d > 0
+        """,
+        "q189_column_entropy": """
+            WITH long_frame AS (
+                SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', o_orderpriority FROM orders
+                UNION ALL
+                SELECT 'c_mktsegment', c_mktsegment FROM customer
+            ), counts AS (
+                SELECT col, val, count(*) AS n FROM long_frame GROUP BY 1, 2
+            ), totals AS (
+                SELECT col, sum(n) AS total, count(*) AS n_values
+                FROM counts GROUP BY 1
+            )
+            SELECT c.col, any_value(n_values) AS n_values,
+                   round(-sum((n / CAST(total AS DOUBLE))
+                              * log2(n / CAST(total AS DOUBLE))), 4)
+                       AS entropy_bits
+            FROM counts c JOIN totals t ON c.col = t.col
+            GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

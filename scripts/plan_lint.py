@@ -54,6 +54,7 @@ CARTESIAN_ALLOWED = {
     "q181_theta_segment_overlap": "5-row segment-sketch frame pairs with itself via broadcast inequality join",
     "q182_kll_quantile_merge": "1-row merged-sketch and 1-row exact-percentile frames assembled via a broadcast cross",
     "q186_decile_revenue_share": "revenue-total scalar (1 row) rides a broadcast cross",
+    "q188_kaplan_meier": "observation-window-end scalar (1 row) rides a broadcast cross",
     "q143_ppmi_bigrams": "bigram-total scalar (1 row) rides a broadcast cross",
     "q144_kneser_ney_bigrams": "bigram-type-count scalar (1 row) rides a broadcast cross",
     "q148_key_skew_report": "row-total scalar (1 row) rides a broadcast cross",
