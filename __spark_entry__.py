@@ -4747,6 +4747,54 @@ def q189_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q190_mp4_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 round trip — q156's ISO-BMFF twin: the same seeded
+    2-frame MJPEG content MUXED into a standards-shaped MP4 (moov box
+    tree with genuine stts/stsc/stsz/stco sample tables) and read back
+    through sample-table navigation + JPEG decode.  The oracle replays
+    the block arithmetic; a box-offset slip or sample-size error breaks
+    the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:16, 0:16]
+        block = (yy // 8) * 2 + (xx // 8)
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "width": [], "height": [],
+                    "pixel_sum": [], "pixel_wsum": []}
+            for did in pdf["doc_id"]:
+                frames = [
+                    ((int(did) * 5 + 101 * f + block) % 256).astype(np.uint8)
+                    for f in range(2)
+                ]
+                mp4 = multimodal.mp4_encode(frames, fps=25)
+                meta = multimodal.mp4_decode(mp4)
+                decoded = multimodal.mp4_frames(mp4)
+                flat = np.concatenate(
+                    [d[:, :, 0].reshape(-1) for d in decoded]
+                ).astype(np.int64)
+                rows["doc_id"].append(int(did))
+                rows["n_frames"].append(int(meta["n_frames"]))
+                rows["width"].append(int(meta["width"]))
+                rows["height"].append(int(meta["height"]))
+                rows["pixel_sum"].append(int(flat.sum()))
+                rows["pixel_wsum"].append(
+                    int((flat * (np.arange(flat.size) + 1)).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, n_frames int, width int, height int, "
+        "pixel_sum long, pixel_wsum long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4940,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_resample_ffill": q187_resample_ffill,
         "q188_kaplan_meier": q188_kaplan_meier,
         "q189_column_entropy": q189_column_entropy,
+        "q190_mp4_roundtrip_checksums": q190_mp4_roundtrip_checksums,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7028,6 +7077,20 @@ def oracle_sql() -> dict[str, str]:
                        AS entropy_bits
             FROM counts c JOIN totals t ON c.col = t.col
             GROUP BY 1
+        """,
+        "q190_mp4_roundtrip_checksums": """
+            SELECT doc_id, 2 AS n_frames, 16 AS width, 16 AS height,
+                   CAST(SUM((doc_id * 5 + 101 * (p.i // 256)
+                             + 2 * (((p.i % 256) // 16) // 8)
+                             + (((p.i % 256) % 16) // 8)) % 256) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(SUM((p.i + 1) * ((doc_id * 5 + 101 * (p.i // 256)
+                             + 2 * (((p.i % 256) // 16) // 8)
+                             + (((p.i % 256) % 16) // 8)) % 256)) AS BIGINT)
+                       AS pixel_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 511)) AS i) p
+            GROUP BY doc_id
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -108,6 +108,13 @@ BENCH_QUERIES = [
     "q171_jaro_winkler_linkage",
     "q172_attribution",
     "q174_haversine_nearest",
+    "q176_scd2_interval_join",
+    "q180_hll_rolling_distinct",
+    "q183_url_canonicalize",
+    "q184_centroid_similarity_matrix",
+    "q185_hierarchy_rollup",
+    "q187_resample_ffill",
+    "q188_kaplan_meier",
 ]
 
 

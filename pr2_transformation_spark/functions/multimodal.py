@@ -17,9 +17,11 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   :func:`audio_features` RMS/ZCR/peak).
   MJPEG-AVI video (:func:`avi_decode` headers, :func:`avi_frames` —
   RIFF demux + per-frame JPEG decode — and :func:`avi_encode`, the
-  muxer),
+  muxer), and MJPEG-MP4 (:func:`mp4_decode` box-tree headers,
+  :func:`mp4_frames` — real stts/stsc/stsz/stco sample-table
+  navigation — and :func:`mp4_encode`, the ISO-BMFF muxer),
 * STUBBED: formats needing codec libraries this environment lacks
-  (lossy-WebP/mp3/mp4-h264; progressive JPEG).  The feature extractor's default decoder is a
+  (lossy-WebP/mp3/h264-in-mp4; progressive JPEG).  The feature extractor's default decoder is a
   clearly-marked deterministic fake, and passing ``decoder=None`` raises
   ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
   wrapper would plug into the same callable signature the real decoders
@@ -2447,3 +2449,197 @@ def avi_encode(frames: list, fps: float = 25.0) -> bytes:
     movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------- MP4
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_walk(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each top box in [start, end)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", payload, pos)[0]
+        btype = payload[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad MP4 box size at {pos}")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(payload: bytes, start: int, end: int, btype: bytes):
+    for t, a, b in _mp4_walk(payload, start, end):
+        if t == btype:
+            return a, b
+    raise ValueError(f"MP4 missing {btype.decode()} box")
+
+
+def mp4_encode(frames: list, fps: float = 25.0) -> bytes:
+    """REAL MP4 (ISO base media file format) muxer for MJPEG: each frame
+    JPEG-encoded into ``mdat``, with a standards-shaped ``moov`` — mvhd,
+    trak/tkhd, mdia (mdhd timescale, hdlr 'vide', minf/stbl with a
+    'jpeg' VisualSampleEntry and real stts/stsc/stsz/stco sample
+    tables).  One chunk holds all samples; stco carries the absolute
+    file offset, so the demuxer exercises genuine sample-table
+    navigation.  The read half is :func:`mp4_frames`."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("mp4_encode needs at least one frame")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+    payloads = []
+    for f in frames:
+        arr = np.asarray(f, dtype=np.uint8)
+        if arr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        payloads.append(jpeg_encode(arr, quality=100))
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = _mp4_box(b"mdat", b"".join(payloads))
+    data_offset = len(ftyp) + 8  # first sample byte (mdat body start)
+
+    timescale = 1000
+    delta = int(round(timescale / fps))
+    duration = delta * len(payloads)
+
+    def full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return _mp4_box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH2x8x", 0x00010000, 0x0100)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", int(w) << 16, int(h) << 16),
+    )
+    mdhd = full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I4s12x", 0, b"vide") + b"video\x00")
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    sample_entry = _mp4_box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)            # data_reference_index
+        + b"\x00" * 16                    # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)            # frame_count
+        + b"\x00" * 32                    # compressorname
+        + struct.pack(">Hh", 24, -1),     # depth, pre_defined
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, len(payloads), delta))
+    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, len(payloads), 1))
+    stsz = full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(payloads))
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    stco = full(b"stco", 0, 0, struct.pack(">II", 1, data_offset))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_decode(payload: bytes) -> dict:
+    """REAL MP4 container decoder: box-tree walk to the sample tables —
+    dimensions from the stsd VisualSampleEntry, frame count from stsz,
+    fps from mdhd timescale + the stts delta.  No frame payload is
+    touched.  Raises ``ValueError`` for non-MP4 bytes."""
+    import struct
+
+    n = len(payload)
+    try:
+        boxes = {t: (a, b) for t, a, b in _mp4_walk(payload, 0, n)}
+    except ValueError as exc:
+        raise ValueError(f"not an MP4 payload: {exc}") from exc
+    if b"ftyp" not in boxes or b"moov" not in boxes:
+        raise ValueError("not an MP4 payload (missing ftyp/moov)")
+    moov = boxes[b"moov"]
+    trak = _mp4_find(payload, *moov, b"trak")
+    mdia = _mp4_find(payload, *trak, b"mdia")
+    mdhd = _mp4_find(payload, *mdia, b"mdhd")
+    timescale = struct.unpack_from(">I", payload, mdhd[0] + 12)[0]
+    minf = _mp4_find(payload, *mdia, b"minf")
+    stbl = _mp4_find(payload, *minf, b"stbl")
+    stsd = _mp4_find(payload, *stbl, b"stsd")
+    entry_start = stsd[0] + 8  # version/flags + entry_count
+    w, h = struct.unpack_from(">HH", payload, entry_start + 8 + 24)
+    stsz = _mp4_find(payload, *stbl, b"stsz")
+    n_frames = struct.unpack_from(">I", payload, stsz[0] + 8)[0]
+    stts = _mp4_find(payload, *stbl, b"stts")
+    delta = struct.unpack_from(">I", payload, stts[0] + 12)[0]
+    fps = round(timescale / delta, 3) if delta else 0.0
+    return {
+        "media_type": "video",
+        "format": "mp4",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n_frames),
+        "timescale": int(timescale),
+        "fps": fps,
+    }
+
+
+@_decode_errors
+def mp4_frames(payload: bytes):
+    """Demux and DECODE every sample of an MJPEG MP4 via its REAL sample
+    tables: stco locates the chunk, stsz sizes walk the samples, each
+    body goes through :func:`image_pixels`.  Returns (h, w, c) uint8
+    arrays; the same ``bytes -> [array]`` seam as :func:`avi_frames`
+    swaps in a libav wrapper for interframe codecs on a real cluster."""
+    import struct
+
+    meta = mp4_decode(payload)
+    boxes = {t: (a, b) for t, a, b in _mp4_walk(payload, 0, len(payload))}
+    moov = boxes[b"moov"]
+    trak = _mp4_find(payload, *moov, b"trak")
+    mdia = _mp4_find(payload, *trak, b"mdia")
+    minf = _mp4_find(payload, *mdia, b"minf")
+    stbl = _mp4_find(payload, *minf, b"stbl")
+    stsz = _mp4_find(payload, *stbl, b"stsz")
+    fixed, count = struct.unpack_from(">II", payload, stsz[0] + 4)
+    sizes = (
+        [fixed] * count
+        if fixed
+        else list(struct.unpack_from(f">{count}I", payload, stsz[0] + 12))
+    )
+    stco = _mp4_find(payload, *stbl, b"stco")
+    offset = struct.unpack_from(">I", payload, stco[0] + 8)[0]
+    frames = []
+    pos = offset
+    for sz in sizes:
+        if pos + sz > len(payload):
+            raise ValueError("MP4 sample runs past end of file")
+        frames.append(image_pixels(payload[pos : pos + sz]))
+        pos += sz
+    if not frames:
+        raise ValueError("MP4 contains no samples")
+    assert meta["n_frames"] == len(frames)
+    return frames

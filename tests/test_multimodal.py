@@ -726,3 +726,46 @@ def test_avi_mjpeg_roundtrip_and_header():
         multimodal.avi_decode(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
         multimodal.avi_encode([])
+
+
+def test_mp4_mjpeg_roundtrip_and_header():
+    """mp4_encode -> mp4_decode/mp4_frames: sample-table navigation
+    recovers every block-flat frame bit-exactly, header fields match,
+    and non-MP4 payloads are rejected."""
+    import numpy as np
+
+    rng = np.random.default_rng(67)
+    frames = [
+        np.repeat(np.repeat(rng.integers(0, 256, (3, 2), dtype="uint8"), 8, 0), 8, 1)
+        for _ in range(5)
+    ]
+    mp4 = multimodal.mp4_encode(frames, fps=25)
+    meta = multimodal.mp4_decode(mp4)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (16, 24, 5)
+    assert meta["fps"] == pytest.approx(25.0, abs=0.1)
+    got = multimodal.mp4_frames(mp4)
+    assert len(got) == 5
+    for a, b in zip(frames, got):
+        assert np.array_equal(b[:, :, 0], a)
+    with pytest.raises(ValueError):
+        multimodal.mp4_decode(b"RIFF\x04\x00\x00\x00AVI ")
+    with pytest.raises(ValueError):
+        multimodal.mp4_decode(multimodal.mp4_encode(frames)[: 40])
+    with pytest.raises(ValueError):
+        multimodal.mp4_encode([])
+
+
+def test_mp4_corrupt_sample_table_rejected():
+    """A lying stsz (sample runs past EOF) must raise, not truncate."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.full((8, 8), 128, dtype=np.uint8)]
+    mp4 = bytearray(multimodal.mp4_encode(frames))
+    idx = bytes(mp4).find(b"stsz")
+    # inflate the one sample size to 10x
+    (size,) = struct.unpack_from(">I", mp4, idx + 16)
+    struct.pack_into(">I", mp4, idx + 16, size * 10)
+    with pytest.raises(ValueError):
+        multimodal.mp4_frames(bytes(mp4))
