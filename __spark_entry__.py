@@ -4795,6 +4795,77 @@ def q190_mp4_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law codec under an INDEPENDENT oracle: Spark runs
+    the numpy encode->decode round trip over synthesized 16-bit samples,
+    while DuckDB re-derives the decoded values from the closed-form
+    integer companding law (threshold segments, mantissa, expand) —
+    two separate implementations of ITU-T G.711 that must agree
+    bit-for-bit on every sample."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    ev = dedup.ensure_parallelism(_t(spark, sf_dir, "events").select("event_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["event_id"].to_numpy()
+            s = ((ids * 37) % 65536 - 32768).astype(np.int16)
+            d = multimodal.mulaw_decode(multimodal.mulaw_encode(s))
+            yield pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "sample": s.astype(np.int64),
+                    "decoded": d.astype(np.int64),
+                }
+            )
+
+    return ev.mapInPandas(gen, "event_id long, sample long, decoded long")
+
+
+def q192_mp3_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-corpus metadata extraction: per-doc mp3 blobs (valid
+    MPEG-1 Layer III frame headers, zero bodies — the container fixture;
+    audio decode is the documented seam) walked sync-to-sync with the
+    standard bitrate/sample-rate tables.  The oracle recomputes frame
+    count, duration, and mean bitrate from the construction parameters
+    and the same tables — a table typo or a frame-length slip breaks
+    the hash."""
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "sample_rate": [],
+                    "duration_sec": [], "mean_bitrate": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                specs = [
+                    (1 + (did + f) % 14, did % 3, (did + f) % 2)
+                    for f in range(n)
+                ]
+                blob = multimodal.mp3_build_frames(specs)
+                st = multimodal.mp3_stats(blob)
+                rows["doc_id"].append(did)
+                rows["n_frames"].append(st["n_frames"])
+                rows["sample_rate"].append(st["sample_rate"])
+                rows["duration_sec"].append(st["duration_sec"])
+                rows["mean_bitrate"].append(st["mean_bitrate"])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, n_frames int, sample_rate int, "
+        "duration_sec double, mean_bitrate long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -4989,6 +5060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_kaplan_meier": q188_kaplan_meier,
         "q189_column_entropy": q189_column_entropy,
         "q190_mp4_roundtrip_checksums": q190_mp4_roundtrip_checksums,
+        "q191_mulaw_roundtrip": q191_mulaw_roundtrip,
+        "q192_mp3_metadata_scan": q192_mp3_metadata_scan,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7091,6 +7164,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 511)) AS i) p
             GROUP BY doc_id
+        """,
+        "q191_mulaw_roundtrip": """
+            WITH src AS (
+                SELECT event_id,
+                       (event_id * 37) % 65536 - 32768 AS s
+                FROM events
+            ), enc AS (
+                SELECT event_id, s,
+                       least(abs(s), 32635) + 132 AS mag
+                FROM src
+            ), seg AS (
+                SELECT event_id, s, mag,
+                       (CASE WHEN mag >= 256 THEN 1 ELSE 0 END)
+                       + (CASE WHEN mag >= 512 THEN 1 ELSE 0 END)
+                       + (CASE WHEN mag >= 1024 THEN 1 ELSE 0 END)
+                       + (CASE WHEN mag >= 2048 THEN 1 ELSE 0 END)
+                       + (CASE WHEN mag >= 4096 THEN 1 ELSE 0 END)
+                       + (CASE WHEN mag >= 8192 THEN 1 ELSE 0 END)
+                       + (CASE WHEN mag >= 16384 THEN 1 ELSE 0 END) AS sg
+                FROM enc
+            )
+            SELECT event_id, s AS sample,
+                   (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                   * ((((mag >> (sg + 3)) & 15) * 8 + 132) * (1 << sg) - 132)
+                       AS decoded
+            FROM seg
+        """,
+        "q192_mp3_metadata_scan": """
+            WITH br(i, kbps) AS (
+                VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),
+                       (8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
+                       (14,320)
+            ), sr(i, hz) AS (
+                VALUES (0,44100),(1,48000),(2,32000)
+            ), frames AS (
+                SELECT doc_id, f,
+                       1 + (doc_id + f) % 14 AS bri,
+                       doc_id % 3 AS sri
+                FROM documents
+                CROSS JOIN generate_series(0, 4) AS t(f)
+                WHERE f < 2 + doc_id % 3
+            ), joined AS (
+                SELECT doc_id, br.kbps * 1000 AS bitrate, sr.hz AS rate
+                FROM frames JOIN br ON frames.bri = br.i
+                            JOIN sr ON frames.sri = sr.i
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_frames,
+                   CAST(any_value(rate) AS INTEGER) AS sample_rate,
+                   round(count(*) * 1152.0 / any_value(rate), 3)
+                       AS duration_sec,
+                   CAST(round(avg(bitrate)) AS BIGINT) AS mean_bitrate
+            FROM joined GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

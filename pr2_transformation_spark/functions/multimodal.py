@@ -2643,3 +2643,132 @@ def mp4_frames(payload: bytes):
         raise ValueError("MP4 contains no samples")
     assert meta["n_frames"] == len(frames)
     return frames
+
+
+# ------------------------------------------------------------------- G.711
+
+def mulaw_encode(samples) -> bytes:
+    """REAL G.711 mu-law compression (ITU-T G.711, the telephony codec
+    inside countless WAV/au files): 16-bit PCM -> 8-bit log-companded
+    bytes.  Pure integer arithmetic — bias 0x84, segment by leading-bit
+    position, 4 mantissa bits, complemented output."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim != 1:
+        raise ValueError("mulaw_encode expects a 1-D sample array")
+    sign = (x < 0).astype(np.int64)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # segment by threshold comparison, not float log2 — integer-exact and
+    # replayable as plain CASE arithmetic in the SQL oracle
+    seg = sum((mag >= (256 << k)).astype(np.int64) for k in range(7))
+    mantissa = (mag >> (seg + 3)) & 0x0F
+    byte = ~((sign << 7) | (seg << 4) | mantissa) & 0xFF
+    return bytes(byte.astype(np.uint8).tobytes())
+
+
+def mulaw_decode(payload: bytes):
+    """The exact G.711 inverse: 8-bit mu-law bytes -> 16-bit PCM.
+    ``mulaw_encode(mulaw_decode(b)) == b`` for every byte value (the
+    codec's canonical identity), and ``|decode(encode(s)) - s|`` is
+    bounded by the segment's quantization step."""
+    import numpy as np
+
+    b = ~np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) & 0xFF
+    sign = (b >> 7) & 1
+    seg = (b >> 4) & 7
+    mantissa = b & 0x0F
+    mag = ((mantissa << 3) + 0x84) << seg
+    mag = mag - 0x84
+    out = np.where(sign == 1, -mag, mag)
+    return out.astype(np.int16)
+
+
+# ------------------------------------------------------------------ MP3
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (header index).
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def mp3_frame_headers(payload: bytes) -> list[dict]:
+    """STRUCTURAL mp3 parse — the metadata extractor for audio corpus
+    curation: walks MPEG-1 Layer III frame sync words, decodes each
+    header's bitrate/sample-rate/padding via the standard tables, and
+    derives every frame's byte length (``144 * bitrate / rate +
+    padding``) to jump sync-to-sync.  No audio is decoded (that is the
+    documented codec seam); duration and bitrate statistics need only
+    this walk.  Raises ``ValueError`` on desync or a reserved index."""
+    frames = []
+    pos = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"mp3 desync at byte {pos}")
+        h1, h2 = payload[pos + 1], payload[pos + 2]
+        if (h1 & 0x18) != 0x18 or (h1 & 0x06) != 0x02:
+            raise ValueError("only MPEG-1 Layer III frames supported")
+        bitrate_idx = (h2 >> 4) & 0x0F
+        rate_idx = (h2 >> 2) & 0x03
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            raise ValueError("reserved bitrate/samplerate index")
+        padding = (h2 >> 1) & 1
+        bitrate = _MP3_BITRATES[bitrate_idx] * 1000
+        rate = _MP3_RATES[rate_idx]
+        length = 144 * bitrate // rate + padding
+        if pos + length > n:
+            raise ValueError("mp3 frame runs past end of payload")
+        frames.append(
+            {
+                "offset": pos,
+                "bitrate": bitrate,
+                "sample_rate": rate,
+                "frame_bytes": length,
+                "samples": 1152,
+            }
+        )
+        pos += length
+    if not frames:
+        raise ValueError("no mp3 frames")
+    return frames
+
+
+def mp3_stats(payload: bytes) -> dict:
+    """Corpus-curation audio metadata from the frame walk: exact frame
+    count, duration, and mean bitrate."""
+    frames = mp3_frame_headers(payload)
+    total_samples = sum(f["samples"] for f in frames)
+    rate = frames[0]["sample_rate"]
+    return {
+        "media_type": "audio",
+        "format": "mp3",
+        "n_frames": len(frames),
+        "sample_rate": rate,
+        "duration_sec": round(total_samples / rate, 3),
+        "mean_bitrate": int(
+            round(sum(f["bitrate"] for f in frames) / len(frames))
+        ),
+    }
+
+
+def mp3_build_frames(specs: list) -> bytes:
+    """Deterministic mp3 FRAME FIXTURE builder for tests/queries: each
+    (bitrate_idx, rate_idx, padding) spec becomes a valid MPEG-1 Layer
+    III header plus a zero-filled body of the correct table length.
+    This is a container fixture (no audio encode — that's the seam);
+    the headers are real and parse with any mp3 tool."""
+    out = bytearray()
+    for bitrate_idx, rate_idx, padding in specs:
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            raise ValueError("reserved index in spec")
+        h = bytes(
+            [
+                0xFF,
+                0xFB,  # MPEG-1, Layer III, no CRC
+                (bitrate_idx << 4) | (rate_idx << 2) | (padding << 1),
+                0x00,
+            ]
+        )
+        length = 144 * (_MP3_BITRATES[bitrate_idx] * 1000) // _MP3_RATES[rate_idx] + padding
+        out += h + b"\x00" * (length - 4)
+    return bytes(out)

@@ -769,3 +769,38 @@ def test_mp4_corrupt_sample_table_rejected():
     struct.pack_into(">I", mp4, idx + 16, size * 10)
     with pytest.raises(ValueError):
         multimodal.mp4_frames(bytes(mp4))
+
+
+def test_mulaw_codec_invariants():
+    """G.711 canonical properties: byte identity enc(dec(b)) == b for
+    every byte except the +0/-0 collapse at 0x7F, and quantization error
+    bounded by half the top segment step over ALL 65536 sample values."""
+    import numpy as np
+
+    allb = bytes(range(256))
+    rt = multimodal.mulaw_encode(multimodal.mulaw_decode(allb))
+    diffs = [i for i in range(256) if rt[i] != i]
+    assert diffs == [0x7F]  # -0 re-encodes as +0
+
+    s = np.arange(-32768, 32768, dtype=np.int64).astype(np.int16)
+    d = multimodal.mulaw_decode(multimodal.mulaw_encode(s)).astype(np.int64)
+    clamped = np.clip(s.astype(np.int64), -32635, 32635)
+    assert np.abs(d - clamped).max() <= 512
+    with pytest.raises(ValueError):
+        multimodal.mulaw_encode(np.zeros((2, 2)))
+
+
+def test_mp3_frame_walk_and_rejects():
+    blob = multimodal.mp3_build_frames([(9, 0, 0), (9, 0, 1), (11, 1, 0)])
+    frames = multimodal.mp3_frame_headers(blob)
+    assert [f["bitrate"] for f in frames] == [128000, 128000, 192000]
+    assert frames[0]["frame_bytes"] == 144 * 128000 // 44100
+    assert frames[1]["frame_bytes"] == frames[0]["frame_bytes"] + 1  # padding
+    st = multimodal.mp3_stats(blob)
+    assert st["n_frames"] == 3 and st["sample_rate"] == 44100
+    with pytest.raises(ValueError):
+        multimodal.mp3_frame_headers(b"\x00" + blob)  # desync
+    with pytest.raises(ValueError):
+        multimodal.mp3_frame_headers(blob[:-4])  # truncated final frame
+    with pytest.raises(ValueError):
+        multimodal.mp3_build_frames([(15, 0, 0)])  # reserved index
