@@ -4866,6 +4866,51 @@ def q192_mp3_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q193_ima_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:1 lossy audio compression (IMA ADPCM, WAV codec 0x11):
+    per-doc sine mixtures encode through the stateful predictor and
+    decode back.  Lossy + stateful means no closed-form SQL replay, so
+    the grading is the q146 pattern: the oracle pins the EXACT input
+    checksum (replayed from the synthesis arithmetic via integer
+    rounding) plus compression-ratio and RMS-error contracts a broken
+    codec can't satisfy; exact codec values are pinned in
+    test_multimodal."""
+    import numpy as np
+    import pandas as pd
+
+    from pr2_transformation_spark.functions import multimodal
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        t = np.arange(1000)
+        for pdf in batches:
+            rows = {"doc_id": [], "input_checksum": [], "ratio_ok": [],
+                    "rms_ok": [], "n_bytes": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = np.floor(
+                    8000 * np.sin(t / (10 + did % 7))
+                    + 2000 * np.sin(t / (3 + did % 3))
+                ).astype(np.int16)
+                enc = multimodal.ima_adpcm_encode(s)
+                dec = multimodal.ima_adpcm_decode(enc, len(s))
+                err = dec.astype(np.int64) - s.astype(np.int64)
+                rms = float(np.sqrt((err * err).mean()))
+                rows["doc_id"].append(did)
+                rows["input_checksum"].append(int(s.astype(np.int64).sum()))
+                rows["ratio_ok"].append(len(enc) * 4 == 2 * len(s))
+                rows["rms_ok"].append(rms < 1000.0)
+                rows["n_bytes"].append(len(enc))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, input_checksum long, ratio_ok boolean, "
+        "rms_ok boolean, n_bytes int",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5062,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_mp4_roundtrip_checksums": q190_mp4_roundtrip_checksums,
         "q191_mulaw_roundtrip": q191_mulaw_roundtrip,
         "q192_mp3_metadata_scan": q192_mp3_metadata_scan,
+        "q193_ima_adpcm_roundtrip": q193_ima_adpcm_roundtrip,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7217,6 +7263,19 @@ def oracle_sql() -> dict[str, str]:
                        AS duration_sec,
                    CAST(round(avg(bitrate)) AS BIGINT) AS mean_bitrate
             FROM joined GROUP BY 1
+        """,
+        "q193_ima_adpcm_roundtrip": """
+            WITH samp AS (
+                SELECT doc_id,
+                       CAST(floor(8000 * sin(x / (10 + doc_id % 7))
+                                  + 2000 * sin(x / (3 + doc_id % 3)))
+                            AS BIGINT) AS s
+                FROM documents CROSS JOIN generate_series(0, 999) AS t(x)
+            )
+            SELECT doc_id, sum(s) AS input_checksum,
+                   TRUE AS ratio_ok, TRUE AS rms_ok,
+                   CAST(500 AS INTEGER) AS n_bytes
+            FROM samp GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -2772,3 +2772,81 @@ def mp3_build_frames(specs: list) -> bytes:
         length = 144 * (_MP3_BITRATES[bitrate_idx] * 1000) // _MP3_RATES[rate_idx] + padding
         out += h + b"\x00" * (length - 4)
     return bytes(out)
+
+
+# ------------------------------------------------------------- IMA ADPCM
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_encode(samples) -> bytes:
+    """REAL IMA ADPCM compression (DVI/IMA 4-bit, the WAV codec id
+    0x11): 4:1 lossy audio compression with the classic stateful
+    predictor + step-size table.  Two samples pack per byte (low nibble
+    first).  The decoder is :func:`ima_adpcm_decode`; round-trip error
+    is bounded by the adaptive step size (pinned in tests)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim != 1:
+        raise ValueError("ima_adpcm_encode expects a 1-D sample array")
+    pred, index = 0, 0
+    nibbles = []
+    for s in x:
+        step = _IMA_STEPS[index]
+        diff = int(s) - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # reconstruct exactly like the decoder to stay in sync
+        delta = (step >> 3) + (step >> 2 if nib & 1 else 0) \
+            + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
+        pred += -delta if nib & 8 else delta
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+        nibbles.append(nib)
+    if len(nibbles) & 1:
+        nibbles.append(0)
+    packed = bytearray()
+    for i in range(0, len(nibbles), 2):
+        packed.append(nibbles[i] | (nibbles[i + 1] << 4))
+    return bytes(packed)
+
+
+def ima_adpcm_decode(payload: bytes, n_samples: int):
+    """The IMA ADPCM inverse: 4-bit nibbles -> 16-bit PCM with the same
+    predictor/step automaton (encoder and decoder reconstruct
+    identically, so they never drift)."""
+    import numpy as np
+
+    out = np.empty(n_samples, dtype=np.int16)
+    pred, index = 0, 0
+    for i in range(n_samples):
+        byte = payload[i >> 1]
+        nib = (byte >> 4) if i & 1 else (byte & 0x0F)
+        step = _IMA_STEPS[index]
+        delta = (step >> 3) + (step >> 2 if nib & 1 else 0) \
+            + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
+        pred += -delta if nib & 8 else delta
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+        out[i] = pred
+    return out

