@@ -4911,6 +4911,101 @@ def q193_ima_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: events sessionize on a 30-minute gap (the
+    q14 islands pattern), each session's ordered event types concatenate
+    into a path string, and common paths aggregate out.  Ordering inside
+    a session is made engine-stable by sorting (t, event_id) structs —
+    one user-keyed window plus one path groupBy."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sessioned = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > 1800, 1
+        ).otherwise(F.when(F.lag("t").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("t", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
+def q195_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (the ClickHouse ``windowFunnel`` shape): stages
+    view -> click -> purchase must ALL land within 1 hour of the user's
+    anchoring first view.  Same single-shuffle-key chain as q164 with
+    the window predicate added per stage; emits users reaching each
+    depth."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("t") > F.col("t_view"))
+            & (F.col("t") <= F.col("t_view") + 3600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("t") > F.col("t_click"))
+            & (F.col("t") <= F.col("t_view") + 3600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("depth"), "n_users")
+        .unionByName(
+            clicks.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("depth"), "n_users"
+            )
+        )
+        .unionByName(
+            purchases.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("depth"), "n_users"
+            )
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5108,6 +5203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_mulaw_roundtrip": q191_mulaw_roundtrip,
         "q192_mp3_metadata_scan": q192_mp3_metadata_scan,
         "q193_ima_adpcm_roundtrip": q193_ima_adpcm_roundtrip,
+        "q194_session_paths": q194_session_paths,
+        "q195_windowed_funnel": q195_windowed_funnel,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7276,6 +7373,58 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ratio_ok, TRUE AS rms_ok,
                    CAST(500 AS INTEGER) AS n_bytes
             FROM samp GROUP BY 1
+        """,
+        "q194_session_paths": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ), flagged AS (
+                SELECT user_id, event_id, event_type, t,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+            ), sessioned AS (
+                SELECT user_id, event_type, t, event_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM flagged
+            ), paths AS (
+                SELECT user_id, session_id,
+                       string_agg(event_type, '>' ORDER BY t, event_id) AS path
+                FROM sessioned GROUP BY 1, 2
+            )
+            SELECT path, count(*) AS n_sessions
+            FROM paths GROUP BY 1 HAVING count(*) >= 5
+        """,
+        "q195_windowed_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ), v AS (
+                SELECT user_id, min(t) AS t_view
+                FROM e WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, min(e.t) AS t_click,
+                       any_value(v.t_view) AS t_view
+                FROM e JOIN v USING (user_id)
+                WHERE e.event_type = 'click'
+                  AND e.t > v.t_view AND e.t <= v.t_view + 3600
+                GROUP BY 1
+            ), p AS (
+                SELECT e.user_id
+                FROM e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND e.t > c.t_click AND e.t <= c.t_view + 3600
+                GROUP BY 1
+            )
+            SELECT 1 AS depth, count(*) AS n_users FROM v
+            UNION ALL SELECT 2, count(*) FROM c
+            UNION ALL SELECT 3, count(*) FROM p
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
