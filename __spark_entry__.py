@@ -5006,6 +5006,36 @@ def q195_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every document by the
+    hashed-bigram log-likelihood ratio of an English-target model vs the
+    raw pool's own model, then keep the global top 20% (rank on the
+    ROUNDED weight + doc_id tiebreak so selection is engine-portable).
+    The two bucket models are <=256-row aggregates joined into one
+    broadcast delta dim — at 100 TB the raw pool shuffles only its
+    (doc_id, bucket) partial aggregate.  md5 bucket mode so DuckDB
+    replays hashing, smoothing, and the ln-ratio arithmetic exactly."""
+    from pr2_transformation_spark.functions import selection as sel
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = sel.dsir_log_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n_buckets=256,
+        hasher="md5",
+    ).select(
+        "doc_id", "n_feats", F.round("log_weight", 4).alias("log_weight")
+    )
+    picked = sel.dsir_select_topk(weights, frac=0.2)
+    return picked.select(
+        "doc_id",
+        "n_feats",
+        "log_weight",
+        F.col("rk").cast("long").alias("rk"),
+        "selected",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5205,6 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_ima_adpcm_roundtrip": q193_ima_adpcm_roundtrip,
         "q194_session_paths": q194_session_paths,
         "q195_windowed_funnel": q195_windowed_funnel,
+        "q196_dsir_importance": q196_dsir_importance,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7425,6 +7456,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 AS depth, count(*) AS n_users FROM v
             UNION ALL SELECT 2, count(*) FROM c
             UNION ALL SELECT 3, count(*) FROM p
+        """,
+        "q196_dsir_importance": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang,
+                       list_distinct(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS s
+                FROM toks
+            ), feats AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 256 AS bucket
+                FROM (SELECT doc_id, lang, unnest(s) AS g FROM sh)
+            ), raw_m AS (
+                SELECT bucket, count(*) AS cnt FROM feats GROUP BY 1
+            ), tgt_m AS (
+                SELECT bucket, count(*) AS cnt FROM feats
+                WHERE lang = 'en' GROUP BY 1
+            ), grid AS (
+                SELECT CAST(unnest(range(256)) AS BIGINT) AS bucket
+            ), rm AS (
+                SELECT g.bucket, coalesce(r.cnt, 0) AS cnt
+                FROM grid g LEFT JOIN raw_m r USING (bucket)
+            ), tm AS (
+                SELECT g.bucket, coalesce(t.cnt, 0) AS cnt
+                FROM grid g LEFT JOIN tgt_m t USING (bucket)
+            ), tot AS (
+                SELECT (SELECT sum(cnt) FROM rm) AS rt,
+                       (SELECT sum(cnt) FROM tm) AS tt
+            ), dim AS (
+                SELECT rm.bucket,
+                       ln((tm.cnt + 1.0) / (tot.tt + 256.0))
+                     - ln((rm.cnt + 1.0) / (tot.rt + 256.0)) AS delta
+                FROM rm JOIN tm USING (bucket) CROSS JOIN tot
+            ), w AS (
+                SELECT f.doc_id, count(*) AS n_feats,
+                       round(sum(d.delta), 4) AS log_weight
+                FROM feats f JOIN dim d USING (bucket)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_feats, log_weight,
+                   row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rk,
+                   row_number() OVER (ORDER BY log_weight DESC, doc_id)
+                     <= ceil((count(*) OVER ()) * 0.2) AS selected
+            FROM w
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

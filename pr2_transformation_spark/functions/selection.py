@@ -1,0 +1,179 @@
+"""Training-data selection operators: DSIR importance weighting.
+
+DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) — scores every raw-pool document by the log-likelihood
+ratio of its hashed n-gram features under a *target* bag-of-ngrams model
+vs the *raw* pool's own model, then keeps the highest-ratio documents.
+It is the standard recipe for skewing a 100 TB crawl toward a small
+high-quality target corpus (Wikipedia, books, curated eval-adjacent
+text) without training a classifier.
+
+Spark-first shape (everything stays JVM-side, no Python UDFs):
+
+1. one scan per pool → distinct word n-gram shingles per doc
+   (``textstats.shingles_from_tokens`` — O(n·tokens) zip_with fold)
+   → hash into ``n_buckets`` feature buckets;
+2. the two bucket→count models are tiny aggregates (≤ ``n_buckets``
+   rows each) joined into ONE broadcast dimension of per-bucket
+   log-probability deltas;
+3. per-doc log weight = a map-side broadcast-hash join + one groupBy
+   on the doc id.
+
+At 100 TB the only wide exchange is the (doc_id, bucket) partial
+aggregate; the models never exceed ``n_buckets`` rows regardless of
+corpus size, so the importance join is always broadcast.  This mirrors
+how the reference pipeline pushes its per-column transforms into one
+generated projection (``/root/reference/core/transformations.py``) —
+declare the whole feature plan, let the optimizer fuse it.
+
+Hashing: ``xxhash64`` by default (JVM intrinsic); ``hasher="md5"``
+switches to the portable 60-bit md5 fold (``dedup.md5_long``) so DuckDB
+can replay bucket assignment bit-for-bit in the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+from .textstats import shingles_from_tokens, tokens
+
+__all__ = [
+    "hashed_feature_buckets",
+    "bucket_model",
+    "dsir_log_weights",
+    "dsir_select_topk",
+]
+
+
+def _bucket(col: Column, n_buckets: int, hasher: str) -> Column:
+    if hasher == "md5":
+        h = md5_long(col)
+    elif hasher == "xxhash64":
+        h = F.xxhash64(col)
+    else:  # pragma: no cover - guarded by callers' docstrings
+        raise ValueError(f"unknown hasher {hasher!r}")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def hashed_feature_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1024,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """``(id_col, bucket)`` — one row per DISTINCT word n-gram per doc.
+
+    Distinct (binary) features make the model a set-of-ngrams
+    distribution — the hashed-feature variant DSIR uses — and keep the
+    exploded frame bounded by document vocabulary, not length.
+    """
+    toks = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("__t"))
+    grams = toks.select(
+        id_col, F.explode(shingles_from_tokens(F.col("__t"), n)).alias("__g")
+    )
+    return grams.select(
+        id_col, _bucket(F.col("__g"), n_buckets, hasher).alias("bucket")
+    )
+
+
+def bucket_model(
+    feats: DataFrame, *, n_buckets: int = 1024
+) -> DataFrame:
+    """Bucket→count model: ``(bucket, cnt)`` plus every empty bucket.
+
+    Densifying over ``sequence(0, n_buckets-1)`` keeps the two models
+    join-complete so smoothing applies to unseen buckets too."""
+    spark = feats.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        all_buckets.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-raw-doc DSIR importance: ``(id_col, n_feats, log_weight)``.
+
+    ``log_weight = Σ_features [ln p_target(b) − ln p_raw(b)]`` with
+    Laplace ``smoothing`` over ``n_buckets`` buckets.  The model delta
+    is ONE broadcast dim (≤ n_buckets rows); the raw pool is scanned
+    once and shuffled once on (id, bucket)."""
+    kw = dict(text_col=text_col, id_col=id_col, n=n,
+              n_buckets=n_buckets, hasher=hasher)
+    raw_feats = hashed_feature_buckets(raw, **kw)
+    tgt_feats = hashed_feature_buckets(target, **kw)
+
+    raw_model = bucket_model(raw_feats, n_buckets=n_buckets)
+    tgt_model = bucket_model(tgt_feats, n_buckets=n_buckets)
+
+    a = float(smoothing)
+
+    def _logp(cnt: Column, total: Column) -> Column:
+        return F.log((cnt + F.lit(a)) / (total + F.lit(a * n_buckets)))
+
+    # totals ride along as literal-free columns so the whole dim stays
+    # one small frame: (bucket, delta)
+    rt = raw_model.agg(F.sum("cnt").alias("__rt"))
+    tt = tgt_model.agg(F.sum("cnt").alias("__tt"))
+    dim = (
+        raw_model.alias("r")
+        .join(tgt_model.alias("t"), "bucket")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            (
+                _logp(F.col("t.cnt"), F.col("__tt"))
+                - _logp(F.col("r.cnt"), F.col("__rt"))
+            ).alias("delta"),
+        )
+    )
+    return (
+        raw_feats.join(F.broadcast(dim), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("delta").alias("log_weight"),
+        )
+    )
+
+
+def dsir_select_topk(
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frac: float = 0.2,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic top-``frac`` selection by log weight (ties broken by
+    id) — the RNG-free stand-in for DSIR's Gumbel resampling step, per
+    optional partition.  Adds ``rk`` and ``selected``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col("log_weight").desc(), F.col(id_col)
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(*partition_cols))
+    return weights.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        (F.row_number().over(w) <= F.ceil(n * frac)).alias("selected"),
+    )

