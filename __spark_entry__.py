@@ -5036,6 +5036,34 @@ def q196_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q197_count_min_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a mergeable DataFrame (depth 4 x width 64,
+    deliberately collision-heavy): build the sketch in one bounded
+    shuffle (<=256 counters regardless of key cardinality), point-query
+    the 10 exactly-heaviest users, and emit estimate vs truth with the
+    CMS one-sided-error invariant (``cms_est >= exact_n`` always).
+    md5-salted buckets so DuckDB replays build + probes bit-for-bit."""
+    from pr2_transformation_spark.functions import sketches as sk
+
+    ev = _events(spark, sf_dir).select("user_id")
+    kw = dict(depth=4, width=64, hasher="md5")
+    sketch = sk.count_min_sketch_table(ev, "user_id", **kw)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    est = sk.count_min_estimate(sketch, top, "user_id", **kw)
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("is_overestimate"),
+        (F.col("cms_est") - F.col("exact_n")).alias("err"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5236,6 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_session_paths": q194_session_paths,
         "q195_windowed_funnel": q195_windowed_funnel,
         "q196_dsir_importance": q196_dsir_importance,
+        "q197_count_min_heavy_keys": q197_count_min_heavy_keys,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7503,6 +7532,37 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY log_weight DESC, doc_id)
                      <= ceil((count(*) OVER ()) * 0.2) AS selected
             FROM w
+        """,
+        "q197_count_min_heavy_keys": """
+            WITH e AS (SELECT user_id FROM events),
+            d4 AS (SELECT unnest(range(4)) AS row_i),
+            pairs AS (
+                SELECT row_i,
+                       CAST(('0x' || substring(md5(
+                           CAST(row_i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)
+                       ), 1, 15)) AS BIGINT) % 64 AS bucket
+                FROM e CROSS JOIN d4
+            ), cms AS (
+                SELECT row_i, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2
+            ), top AS (
+                SELECT user_id, count(*) AS exact_n FROM e GROUP BY 1
+                ORDER BY exact_n DESC, user_id LIMIT 10
+            ), probe AS (
+                SELECT t.user_id, t.exact_n, d4.row_i,
+                       CAST(('0x' || substring(md5(
+                           CAST(d4.row_i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)
+                       ), 1, 15)) AS BIGINT) % 64 AS bucket
+                FROM top t CROSS JOIN d4
+            ), est AS (
+                SELECT p.user_id, any_value(p.exact_n) AS exact_n,
+                       min(coalesce(c.cnt, 0)) AS cms_est
+                FROM probe p LEFT JOIN cms c USING (row_i, bucket)
+                GROUP BY 1
+            )
+            SELECT user_id, exact_n, cms_est,
+                   cms_est >= exact_n AS is_overestimate,
+                   cms_est - exact_n AS err
+            FROM est
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

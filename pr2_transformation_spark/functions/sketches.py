@@ -23,8 +23,10 @@ import math
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import md5_long
 
 
 def _misra_gries_partition(
@@ -89,4 +91,86 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > threshold)
         .withColumn("share", F.round(F.col("n") / F.lit(total), 4))
+    )
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as a DataFrame (mergeable, cross-engine replayable)
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(key: Column, row_i: int, width: int, hasher: str) -> Column:
+    salted = F.concat(F.lit(str(row_i)), F.lit(":"), key.cast("string"))
+    h = md5_long(salted) if hasher == "md5" else F.xxhash64(salted)
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def count_min_sketch_table(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    hasher: str = "xxhash64",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` as ``(group_cols..., row_i, bucket,
+    cnt)`` — ``depth x width`` counters per group.
+
+    Representing the sketch as a tiny DataFrame (instead of an opaque
+    binary) makes it MERGEABLE with plain SQL — union two sketches and
+    ``SUM(cnt) GROUP BY row_i, bucket`` merges them exactly (counters are
+    linear) — and lets DuckDB replay build + point queries bit-for-bit in
+    the md5 hasher mode.  The scan emits ``depth`` salted-hash rows per
+    input row and partial-aggregates map-side, so the shuffle is bounded
+    by ``groups x depth x width`` counters no matter how many distinct
+    keys the raw column has — the whole point at 100 TB, where a full
+    groupBy on a quasi-unique key shuffles billions of rows but the
+    sketch shuffles a few thousand.
+    """
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i).alias("row_i"),
+            _cms_bucket(F.col(key_col), i, width, hasher).alias("bucket"),
+        )
+        for i in range(depth)
+    ])
+    exploded = df.select(*group_cols, F.explode(pairs).alias("p")).select(
+        *group_cols, F.col("p.row_i").alias("row_i"), F.col("p.bucket").alias("bucket")
+    )
+    return exploded.groupBy(*group_cols, "row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: adds ``cms_est``.
+
+    Estimate = min over the ``depth`` counters the key hashes into
+    (missing counter == 0).  The sketch side is at most ``depth x width``
+    rows, so the probe is a broadcast join against the keys frame — no
+    shuffle of the key side.  CMS guarantees ``cms_est >= true_count``
+    always (counters only ever over-count under collisions).
+    """
+    probes = keys.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(F.col(key_col), i, width, hasher).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("p"),
+    ).select("*", F.col("p.row_i").alias("row_i"), F.col("p.bucket").alias("bucket")).drop("p")
+    out_cols = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+        .groupBy(*out_cols)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )

@@ -1316,3 +1316,64 @@ def test_hard_negative_mining_excludes_same_label(spark):
     got = hard_negative_mining(corpus, anchors, k=2).collect()
     assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == [11, 12]
     assert all(r["anchor_label"] != r["neg_label"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (DataFrame representation)
+# ---------------------------------------------------------------------------
+
+
+def _cms_keys(spark):
+    # zipf-ish: key k appears 60 - 3k times for k in 0..19
+    rows = [(k,) for k in range(20) for _ in range(60 - 3 * k)]
+    return spark.createDataFrame(rows, "user_id long")
+
+
+def test_cms_one_sided_error_and_exact_when_wide(spark):
+    from pr2_transformation_spark.functions import sketches as sk
+
+    df = _cms_keys(spark)
+    exact = {r["user_id"]: r["n"] for r in
+             df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = df.select("user_id").distinct()
+
+    # tight width => collisions; estimate must never undercount
+    tight = sk.count_min_sketch_table(df, "user_id", depth=3, width=8)
+    est_t = {r["user_id"]: r["cms_est"] for r in
+             sk.count_min_estimate(tight, keys, "user_id", depth=3, width=8).collect()}
+    assert all(est_t[k] >= exact[k] for k in exact)
+
+    # wide sketch => no collisions at 20 keys (4096 buckets): exact
+    wide = sk.count_min_sketch_table(df, "user_id", depth=4, width=4096)
+    est_w = {r["user_id"]: r["cms_est"] for r in
+             sk.count_min_estimate(wide, keys, "user_id", depth=4, width=4096).collect()}
+    assert est_w == exact
+
+
+def test_cms_merge_is_linear(spark):
+    """Sketch(A union B) == per-counter SUM of Sketch(A) and Sketch(B) —
+    the property that lets daily sketches merge into rolling windows."""
+    from pr2_transformation_spark.functions import sketches as sk
+
+    df = _cms_keys(spark)
+    a = df.filter(F.col("user_id") < 10)
+    b = df.filter(F.col("user_id") >= 10)
+    kw = dict(depth=3, width=16, hasher="md5")
+    merged = (
+        sk.count_min_sketch_table(a, "user_id", **kw)
+        .unionByName(sk.count_min_sketch_table(b, "user_id", **kw))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.count_min_sketch_table(df, "user_id", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_missing_key_estimates_from_zero_counters(spark):
+    from pr2_transformation_spark.functions import sketches as sk
+
+    df = _cms_keys(spark)
+    sketch = sk.count_min_sketch_table(df, "user_id", depth=4, width=4096)
+    ghost = df.sparkSession.createDataFrame([(999999,)], "user_id long")
+    [row] = sk.count_min_estimate(sketch, ghost, "user_id", depth=4, width=4096).collect()
+    assert row["cms_est"] == 0
