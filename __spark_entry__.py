@@ -5064,6 +5064,27 @@ def q197_count_min_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, RNG-free:
+    top-40 orders per priority by ln(u)/w with u a 52-bit-exact hash
+    uniform and w = o_totalprice — big orders are proportionally likelier
+    but any order can win.  Fully deterministic, so the DuckDB oracle
+    replays the exact selection (same u bits, same ln, same ranking)."""
+    from pr2_transformation_spark.operators.sampling import weighted_sample_topk
+
+    orders = _t(spark, sf_dir, "orders")
+    picked = weighted_sample_topk(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        "o_totalprice",
+        40,
+        partition_cols=("o_orderpriority",),
+    )
+    return picked.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5265,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_windowed_funnel": q195_windowed_funnel,
         "q196_dsir_importance": q196_dsir_importance,
         "q197_count_min_heavy_keys": q197_count_min_heavy_keys,
+        "q198_weighted_sample": q198_weighted_sample,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7563,6 +7585,26 @@ def oracle_sql() -> dict[str, str]:
                    cms_est >= exact_n AS is_overestimate,
                    cms_est - exact_n AS err
             FROM est
+        """,
+        "q198_weighted_sample": """
+            WITH s AS (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ln((
+                           (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                            % 4503599627370496) + 1
+                       ) / 4503599627370496.0) / o_totalprice AS score
+                FROM orders
+                WHERE o_totalprice > 0
+            ), r AS (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY score DESC, o_orderkey
+                       ) AS rk
+                FROM s
+            )
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+            FROM r WHERE rk <= 40
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -91,3 +91,55 @@ def assign_splits(
         cond = bucket < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(split_col, expr)
+
+
+#: 2^52 — the widest power of two whose integers and ratios are all exact
+#: doubles, so `u = (h % 2^52 + 1) / 2^52` is bit-identical on any engine.
+_U_DENOM = 4_503_599_627_370_496
+
+
+def hash_uniform(key_col: str) -> Column:
+    """Deterministic uniform u in (0, 1] from the key's md5 (52-bit
+    mantissa-exact: the modulo, +1, and power-of-two division are all
+    exact in IEEE double, so Spark and any oracle engine agree on every
+    bit of u)."""
+    from ..functions.dedup import md5_long
+
+    h = md5_long(F.col(key_col).cast("string"))
+    return (F.pmod(h, F.lit(_U_DENOM)) + F.lit(1)) / F.lit(float(_U_DENOM))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: the k
+    rows per partition with the largest ``u^(1/w)`` — ranked here by the
+    monotone-equivalent ``ln(u)/w`` (descending) to avoid pow underflow.
+
+    The uniform draw comes from ``hash_uniform`` instead of an RNG, so
+    the sample is a pure function of the data: stable under retries,
+    repartitioning, and engine — the property every other sampler in
+    this module guarantees (see module docstring), extended to
+    WEIGHTED selection (e.g. sample training docs proportional to a
+    quality score).  Rows with NULL or non-positive weight are excluded,
+    matching A-ES's w > 0 domain.
+
+    Scale: one window shuffle on ``partition_cols`` — the same exchange
+    any per-group top-k needs; the score itself is scan-side.  Adds
+    ``rk`` (1..k per partition, ties broken by key)."""
+    from pyspark.sql import Window
+
+    score = F.log(hash_uniform(key_col)) / F.col(weight_col)
+    w = Window.partitionBy(*partition_cols).orderBy(
+        score.desc(), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -1377,3 +1377,52 @@ def test_cms_missing_key_estimates_from_zero_counters(spark):
     ghost = df.sparkSession.createDataFrame([(999999,)], "user_id long")
     [row] = sk.count_min_estimate(sketch, ghost, "user_id", depth=4, width=4096).collect()
     assert row["cms_est"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis, hash-deterministic)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_topk_exact_k_and_partition_stable(spark):
+    from pr2_transformation_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "g%d" % (i % 2), float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    picked = weighted_sample_topk(df, "id", "w", 25, partition_cols=("g",))
+    got = picked.collect()
+    assert len(got) == 50
+    per_g = {}
+    for r in got:
+        per_g.setdefault(r["g"], set()).add(r["id"])
+    assert all(len(v) == 25 for v in per_g.values())
+
+    # repartitioning must not change membership (pure function of data)
+    again = weighted_sample_topk(
+        df.repartition(13, "w"), "id", "w", 25, partition_cols=("g",)
+    )
+    assert {r["id"] for r in again.collect()} == {r["id"] for r in got}
+
+
+def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
+    from pr2_transformation_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id long, w double",
+    )
+    got = {r["id"] for r in weighted_sample_topk(df, "id", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_topk_biases_toward_heavy_weights(spark):
+    """With weights 100 vs 1 and a 10%-of-pool sample, the heavy class
+    must dominate the selection (deterministic draw, so this is a fixed
+    fact about the hash, not a flaky statistical test)."""
+    from pr2_transformation_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 100.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in weighted_sample_topk(df, "id", "w", 100).collect()]
+    heavy = sum(1 for i in got if i < 500)
+    assert heavy >= 90  # P[light id wins a slot] ~ w ratio; hash draw gives 97
