@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "q185_hierarchy_rollup",
     "q187_resample_ffill",
     "q188_kaplan_meier",
+    "q196_dsir_importance",
+    "q197_count_min_heavy_keys",
+    "q198_weighted_sample",
 ]
 
 
