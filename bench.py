@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q196_dsir_importance",
     "q197_count_min_heavy_keys",
     "q198_weighted_sample",
+    "q199_ann_pq",
 ]
 
 

@@ -1426,3 +1426,61 @@ def test_weighted_sample_topk_biases_toward_heavy_weights(spark):
     got = [r["id"] for r in weighted_sample_topk(df, "id", "w", 100).collect()]
     heavy = sum(1 for i in got if i < 500)
     assert heavy >= 90  # P[light id wins a slot] ~ w ratio; hash draw gives 97
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)  # 60 x 8-dim clustered vectors
+    books = similarity.train_pq_codebooks(emb, m=4, k=8, sample_rows=60)
+    assert len(books) == 4 and all(len(b) <= 8 for b in books)
+    codes = similarity.pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == 60
+    assert all(len(r["code"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["code"])
+    # pure function of data: repartitioning changes nothing
+    again = similarity.pq_encode(emb.repartition(7), books)
+    assert sorted((r["vec_id"], tuple(r["code"])) for r in again.collect()) == \
+           sorted((r["vec_id"], tuple(r["code"])) for r in rows)
+
+
+def test_pq_rerank_recovers_exact_topk_on_clustered_data(spark):
+    """On well-separated clusters with a generous shortlist, the exact
+    re-rank stage must return exactly the brute-force top-k."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    books = similarity.train_pq_codebooks(corpus, m=4, k=16, sample_rows=60)
+    approx = similarity.cosine_topk_pq(
+        corpus, queries, k=5, codebooks=books, rerank=30
+    )
+    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert a == e
+
+
+def test_pq_shortlist_only_mode_respects_k(spark):
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    books = similarity.train_pq_codebooks(corpus, m=2, k=4, sample_rows=60)
+    out = similarity.cosine_topk_pq(corpus, queries, k=3, codebooks=books)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
