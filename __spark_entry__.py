@@ -5119,6 +5119,106 @@ def q199_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q200_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: q171's blocked Jaro-Winkler pairs
+    (threshold 0.85) become an edge list, connected components (string
+    vertex ids — the operator is id-type generic) merge transitive
+    matches, and every matched name collapses to its min-name canonical
+    entity.  The composition the reference's merge stage implies but
+    never ships: pairwise linkage alone leaves A~B, B~C unresolved.
+    Oracle replays JW pairs + a recursive-CTE min-label propagation."""
+    from pr2_transformation_spark.functions import linkage
+    from pr2_transformation_spark.operators.graph import connected_components
+
+    part = _t(spark, sf_dir, "part")
+    pairs = linkage.blocked_name_pairs(
+        part, "p_name", F.split(F.col("p_name"), " ").getItem(1), 0.85
+    )
+    edges = pairs.select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws("|", F.array_sort(F.collect_list("id"))).alias(
+                "members"
+            ),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(F.col("comp").alias("canonical"), "n_members", "members")
+    )
+
+
+def q201_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — the data-quality gate a
+    continuously-ingesting pipeline runs before trusting a new batch:
+    per event type, bin `value` into 10 equal-width bins fitted on the
+    REFERENCE half of the time range, compare the current half's bin
+    distribution, PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref) with
+    0.5-per-bin Laplace smoothing.  One scan, two broadcast dims (time
+    midpoint, per-type ref min/max); bins partial-aggregate map-side,
+    so at 100 TB only type x bin rows shuffle."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("t"))
+    )
+    bounds = ev.agg(F.min("t").alias("tmin"), F.max("t").alias("tmax"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        (F.col("t") * 2 < F.col("tmin") + F.col("tmax")).alias("is_ref"),
+    )
+    stats = (
+        tagged.filter("is_ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    binned = tagged.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "is_ref",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 10)
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("cur_n").alias("cur_t")
+    )
+    p_ref = (F.col("ref_n") + 0.5) / (F.col("ref_t") + 5)
+    p_cur = (F.col("cur_n") + 0.5) / (F.col("cur_t") + 5)
+    psi = (
+        counts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"),
+            "ref_n",
+            "cur_n",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("term"), 4).alias("psi"),
+            F.sum("ref_n").alias("n_ref"),
+            F.sum("cur_n").alias("n_cur"),
+        )
+    )
+    return psi.select(
+        "event_type", "psi", "n_ref", "n_cur", (F.col("psi") > 0.2).alias("drifted")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5322,6 +5422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_count_min_heavy_keys": q197_count_min_heavy_keys,
         "q198_weighted_sample": q198_weighted_sample,
         "q199_ann_pq": q199_ann_pq,
+        "q200_entity_resolution": q200_entity_resolution,
+        "q201_psi_drift": q201_psi_drift,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7646,6 +7748,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0.6 AS DOUBLE) AS recall_floor,
                    TRUE AS meets_recall_floor
             FROM embeddings WHERE vec_id < 10
+        """,
+        "q200_entity_resolution": """
+            WITH RECURSIVE names AS (
+                SELECT DISTINCT split_part(p_name, ' ', 2) AS block,
+                       p_name AS name
+                FROM part
+            ), e AS (
+                SELECT a.name AS a, b.name AS b
+                FROM names a JOIN names b
+                  ON a.block = b.block AND a.name < b.name
+                WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.85
+            ), sym AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), v AS (
+                SELECT DISTINCT a AS id FROM sym
+            ), reach(id, r) AS (
+                SELECT id, id FROM v
+                UNION
+                SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+            ), comp AS (
+                SELECT id, min(r) AS comp FROM reach GROUP BY id
+            )
+            SELECT comp AS canonical, count(*) AS n_members,
+                   string_agg(id, '|' ORDER BY id) AS members
+            FROM comp GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "q201_psi_drift": """
+            WITH e AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events WHERE value IS NOT NULL
+            ), bounds AS (
+                SELECT min(t) AS tmin, max(t) AS tmax FROM e
+            ), tagged AS (
+                SELECT event_type, value,
+                       (t * 2 < tmin + tmax) AS is_ref
+                FROM e CROSS JOIN bounds
+            ), stats AS (
+                SELECT event_type, min(value) AS mn, max(value) AS mx
+                FROM tagged WHERE is_ref GROUP BY 1
+            ), binned AS (
+                SELECT t.event_type, t.is_ref,
+                       least(9, greatest(0, CAST(floor(
+                           (t.value - s.mn) / ((s.mx - s.mn) / 10)
+                       ) AS INT))) AS bin
+                FROM tagged t JOIN stats s USING (event_type)
+            ), counts AS (
+                SELECT event_type, bin,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_n
+                FROM binned GROUP BY 1, 2
+            ), tot AS (
+                SELECT event_type, sum(ref_n) AS ref_t, sum(cur_n) AS cur_t
+                FROM counts GROUP BY 1
+            ), terms AS (
+                SELECT c.event_type, c.ref_n, c.cur_n,
+                       ((c.cur_n + 0.5) / (t.cur_t + 5)
+                        - (c.ref_n + 0.5) / (t.ref_t + 5))
+                       * ln(((c.cur_n + 0.5) / (t.cur_t + 5))
+                            / ((c.ref_n + 0.5) / (t.ref_t + 5))) AS term
+                FROM counts c JOIN tot t USING (event_type)
+            ), agg AS (
+                SELECT event_type, round(sum(term), 4) AS psi,
+                       sum(ref_n) AS n_ref, sum(cur_n) AS n_cur
+                FROM terms GROUP BY 1
+            )
+            SELECT event_type, psi, n_ref, n_cur, psi > 0.2 AS drifted
+            FROM agg
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "q197_count_min_heavy_keys",
     "q198_weighted_sample",
     "q199_ann_pq",
+    "q200_entity_resolution",
+    "q201_psi_drift",
 ]
 
 

@@ -61,6 +61,7 @@ CARTESIAN_ALLOWED = {
     "q157_hard_negative_mining": "exact contrastive baseline: broadcast anchors x corpus scan by contract",
     "q151_mutual_information": "contingency-total scalar (1 row) rides a broadcast cross",
     "q196_dsir_importance": "model totals (1 row each) ride broadcast crosses into the <=256-row delta dim",
+    "q201_psi_drift": "time-range midpoint scalar (1 row) rides a broadcast cross",
 }
 
 
