@@ -5219,6 +5219,20 @@ def q201_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q202_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (Sener & Savarese 2018): 6 maximally
+    diverse embeddings picked by farthest-point traversal from the
+    min-id seed — the deterministic diverse-subset selector for
+    training-data curation.  Each greedy round is one shuffle-free scan
+    (selected set rides the closure); the oracle replays all 5 picks as
+    unrolled CTE stages with the same rounded cosine distances."""
+    emb = _t(spark, sf_dir, "embeddings")
+    picks = similarity.kcenter_greedy(emb, k=6, round_digits=4)
+    return spark.createDataFrame(
+        [(s, i, d) for s, i, d in picks], "step int, vec_id long, d double"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5424,6 +5438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_ann_pq": q199_ann_pq,
         "q200_entity_resolution": q200_entity_resolution,
         "q201_psi_drift": q201_psi_drift,
+        "q202_kcenter_coreset": q202_kcenter_coreset,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7816,6 +7831,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, psi, n_ref, n_cur, psi > 0.2 AS drifted
             FROM agg
+        """,
+        "q202_kcenter_coreset": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), sel1 AS (
+                SELECT vec_id, v FROM e
+                WHERE vec_id = (SELECT min(vec_id) FROM e)
+            )
+            , p2 AS (
+                SELECT e.vec_id, min(round(1 - list_cosine_similarity(e.v, s.v), 4)) AS d
+                FROM e, sel1 s
+                WHERE e.vec_id NOT IN (SELECT vec_id FROM sel1)
+                GROUP BY 1 ORDER BY d DESC, e.vec_id LIMIT 1
+            ), sel2 AS (
+                SELECT vec_id, v FROM sel1
+                UNION ALL SELECT e.vec_id, e.v FROM e JOIN p2 USING (vec_id)
+            )
+            , p3 AS (
+                SELECT e.vec_id, min(round(1 - list_cosine_similarity(e.v, s.v), 4)) AS d
+                FROM e, sel2 s
+                WHERE e.vec_id NOT IN (SELECT vec_id FROM sel2)
+                GROUP BY 1 ORDER BY d DESC, e.vec_id LIMIT 1
+            ), sel3 AS (
+                SELECT vec_id, v FROM sel2
+                UNION ALL SELECT e.vec_id, e.v FROM e JOIN p3 USING (vec_id)
+            )
+            , p4 AS (
+                SELECT e.vec_id, min(round(1 - list_cosine_similarity(e.v, s.v), 4)) AS d
+                FROM e, sel3 s
+                WHERE e.vec_id NOT IN (SELECT vec_id FROM sel3)
+                GROUP BY 1 ORDER BY d DESC, e.vec_id LIMIT 1
+            ), sel4 AS (
+                SELECT vec_id, v FROM sel3
+                UNION ALL SELECT e.vec_id, e.v FROM e JOIN p4 USING (vec_id)
+            )
+            , p5 AS (
+                SELECT e.vec_id, min(round(1 - list_cosine_similarity(e.v, s.v), 4)) AS d
+                FROM e, sel4 s
+                WHERE e.vec_id NOT IN (SELECT vec_id FROM sel4)
+                GROUP BY 1 ORDER BY d DESC, e.vec_id LIMIT 1
+            ), sel5 AS (
+                SELECT vec_id, v FROM sel4
+                UNION ALL SELECT e.vec_id, e.v FROM e JOIN p5 USING (vec_id)
+            )
+            , p6 AS (
+                SELECT e.vec_id, min(round(1 - list_cosine_similarity(e.v, s.v), 4)) AS d
+                FROM e, sel5 s
+                WHERE e.vec_id NOT IN (SELECT vec_id FROM sel5)
+                GROUP BY 1 ORDER BY d DESC, e.vec_id LIMIT 1
+            ), sel6 AS (
+                SELECT vec_id, v FROM sel5
+                UNION ALL SELECT e.vec_id, e.v FROM e JOIN p6 USING (vec_id)
+            )
+            SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS d FROM sel1
+            UNION ALL SELECT 2 AS step, vec_id, d FROM p2
+            UNION ALL SELECT 3 AS step, vec_id, d FROM p3
+            UNION ALL SELECT 4 AS step, vec_id, d FROM p4
+            UNION ALL SELECT 5 AS step, vec_id, d FROM p5
+            UNION ALL SELECT 6 AS step, vec_id, d FROM p6
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

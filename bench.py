@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q199_ann_pq",
     "q200_entity_resolution",
     "q201_psi_drift",
+    "q202_kcenter_coreset",
 ]
 
 

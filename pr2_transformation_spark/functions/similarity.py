@@ -983,3 +983,58 @@ def cosine_topk_pq(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection (diverse-subset sampling)
+# ---------------------------------------------------------------------------
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> "list[tuple[int, object, float | None]]":
+    """Greedy k-center coreset: start from the min-id vector, then k-1
+    times pick the point FARTHEST (cosine distance, rounded to
+    ``round_digits`` before comparison, ties to the smaller id) from the
+    already-selected set — the classic 2-approximation diverse-subset
+    selector used to pick maximally-covering training subsets from an
+    embedding corpus (Sener & Savarese 2018).
+
+    Deterministic by construction (seed = min id, no RNG), so an oracle
+    can replay every pick.  Returns ``[(step, id, dist_when_selected)]``
+    (step 1 has no distance).  Each round is one scan + a 1-row argmax
+    collect — the same driver-round pattern as the iterative graph ops;
+    cache/checkpoint the projected frame upstream for many rounds at
+    scale.  The selected set rides the closure as literals: no shuffle,
+    ever — the scan is embarrassingly parallel at any corpus size."""
+    frame = df.select(id_col, vec_col)
+    [seed] = frame.orderBy(F.col(id_col)).limit(1).collect()
+    picks = [(1, seed[0], None)]
+    vecs = [list(seed[1])]
+    for step in range(2, k + 1):
+        sel_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in v]) for v in vecs]
+        )
+        vcol = F.col(vec_col).cast("array<double>")
+        dmin = F.array_min(
+            F.transform(
+                sel_lit,
+                lambda s: F.round(
+                    F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
+                    round_digits,
+                ),
+            )
+        )
+        [row] = (
+            frame.filter(~F.col(id_col).isin([p[1] for p in picks]))
+            .select(id_col, vec_col, dmin.alias("d"))
+            .orderBy(F.desc("d"), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        picks.append((step, row[0], float(row["d"])))
+        vecs.append(list(row[1]))
+    return picks

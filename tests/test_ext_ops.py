@@ -1484,3 +1484,19 @@ def test_pq_shortlist_only_mode_respects_k(spark):
     for r in out.collect():
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_kcenter_greedy_spreads_across_clusters(spark):
+    """Farthest-point traversal must visit all 3 well-separated clusters
+    within the first 3 picks, and be invariant to partitioning."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)  # clusters along axes 0/1/2 (i % 3)
+    picks = similarity.kcenter_greedy(emb, k=3)
+    assert [s for s, _, _ in picks] == [1, 2, 3]
+    assert picks[0][2] is None and all(d > 0 for _, _, d in picks[1:])
+    clusters = {i % 3 for _, i, _ in picks}
+    assert clusters == {0, 1, 2}
+
+    again = similarity.kcenter_greedy(emb.repartition(11), k=3)
+    assert [(s, i) for s, i, _ in again] == [(s, i) for s, i, _ in picks]
