@@ -5233,6 +5233,31 @@ def q202_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q203_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite unicode hygiene, round-trip verified IN-QUERY: every doc
+    is deterministically dirtied (BOM + curly quotes wrapped, spaces ->
+    NBSP, zero-width + em-dash appended), then ``clean_unicode`` must
+    fold it back to the quoted clean form.  Pure regexp_replace chain —
+    one codegen'd projection, scan-speed at 100 TB; the oracle re-runs
+    the identical literal-character patterns under RE2."""
+    from pr2_transformation_spark.functions.textstats import clean_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("﻿“"),
+        F.regexp_replace(F.col("text"), " ", " "),
+        F.lit("”​—"),
+    )
+    cleaned = clean_unicode(dirty)
+    expected = F.concat(F.lit('"'), clean_unicode(F.col("text")), F.lit('"-'))
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        (cleaned == expected).alias("recovered"),
+        (F.length(dirty) - F.length(cleaned)).alias("squeezed"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5439,6 +5464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_entity_resolution": q200_entity_resolution,
         "q201_psi_drift": q201_psi_drift,
         "q202_kcenter_coreset": q202_kcenter_coreset,
+        "q203_unicode_normalize": q203_unicode_normalize,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -5480,6 +5506,40 @@ _DE = "'der','die','das','und','ist'"
 _FR = "'le','les','une','est','dans'"
 _ES = "'el','los','una','que','por'"
 
+
+
+
+def _clean_unicode_sql(expr: str) -> str:
+    """DuckDB replay of textstats.clean_unicode: the SAME literal-character
+    patterns, nested regexp_replace with the 'g' flag (Spark's is global
+    by default), trim last."""
+    from pr2_transformation_spark.functions.textstats import CLEAN_UNICODE_STEPS
+
+    for pat, rep in CLEAN_UNICODE_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
+_Q203_DIRTY = (
+    "concat(chr(65279), chr(8220), replace(text, ' ', chr(160)),"
+    " chr(8221), chr(8203), chr(8212))"
+)
+
+_Q203_SQL = f"""
+    WITH d AS (
+        SELECT doc_id,
+               {_clean_unicode_sql(_Q203_DIRTY)} AS cleaned,
+               {_Q203_DIRTY} AS dirty,
+               concat('"', {_clean_unicode_sql('text')}, '"-') AS expected
+        FROM documents
+    )
+    SELECT doc_id, md5(cleaned) AS clean_md5,
+           cleaned = expected AS recovered,
+           length(dirty) - length(cleaned) AS squeezed
+    FROM d
+"""
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -7891,6 +7951,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 5 AS step, vec_id, d FROM p5
             UNION ALL SELECT 6 AS step, vec_id, d FROM p6
         """,
+        "q203_unicode_normalize": _Q203_SQL,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
                 SELECT c_custkey AS a, c_custkey + 3 AS b

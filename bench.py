@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q200_entity_resolution",
     "q201_psi_drift",
     "q202_kcenter_coreset",
+    "q203_unicode_normalize",
 ]
 
 

@@ -549,3 +549,45 @@ def kneser_ney_bigrams(
             ).alias("p_kn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization / cleaning (ftfy-lite, engine-portable subset)
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) pairs applied in order by ``clean_unicode``.
+#: Patterns embed literal characters (built with chr() below, not regex
+#: escapes) so the same strings run under Java regex (Spark) and RE2
+#: (DuckDB) unchanged.
+CLEAN_UNICODE_STEPS: list[tuple[str, str]] = [
+    # zero-width characters and BOM
+    ("[" + chr(0x200B) + chr(0x200C) + chr(0x200D) + chr(0xFEFF) + "]", ""),
+    # C0/C1 control characters (keep tab/newline/CR for the whitespace
+    # pass).  \\xhh escapes, not raw bytes: both Java regex and RE2 accept
+    # them, and raw control bytes would be unparseable inside oracle SQL.
+    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", ""),
+    # typographic quotes -> ASCII
+    ("[" + chr(0x2018) + chr(0x2019) + chr(0x201A) + "]", "'"),
+    ("[" + chr(0x201C) + chr(0x201D) + chr(0x201E) + "]", chr(0x22)),
+    # dashes and ellipsis
+    ("[" + chr(0x2013) + chr(0x2014) + "]", "-"),
+    (chr(0x2026), "..."),
+    # exotic spaces (NBSP, en/em/thin/ideographic) -> plain space
+    ("[" + chr(0xA0) + chr(0x2000) + "-" + chr(0x200A)
+     + chr(0x202F) + chr(0x205F) + chr(0x3000) + "]", " "),
+    # collapse whitespace runs
+    ("\\s+", " "),
+]
+
+
+def clean_unicode(text: Column) -> Column:
+    """Engine-portable unicode cleanup: zero-width strip, control-char
+    strip, typographic-punctuation fold, exotic-space fold, whitespace
+    collapse + trim.  The ftfy-style hygiene pass a crawled corpus needs
+    before tokenization — pure scan-side ``regexp_replace`` chain (one
+    codegen d projection, no UDF), byte-replayable by any regex engine
+    because every pattern spells its characters literally."""
+    out = text
+    for pat, rep in CLEAN_UNICODE_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

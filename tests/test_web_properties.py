@@ -84,3 +84,29 @@ def test_jaro_winkler_metric_properties(a, b):
     assert jw(a, b) == jw(b, a)  # symmetry
     if a and a == b:
         assert jw(a, b) == 1.0
+
+
+def test_clean_unicode_folds_every_class(spark):
+    from pr2_transformation_spark.functions.textstats import clean_unicode
+    import pyspark.sql.functions as F
+
+    dirty = (
+        "\ufeff\u201cSm\u2018art\u2019\u0007 te\u200bxt\u2014now"
+        "\u00a0\u00a0done\u2026\u201d  end"
+    )
+    df = spark.createDataFrame([(dirty,)], "t string")
+    [row] = df.select(clean_unicode(F.col("t")).alias("c")).collect()
+    assert row["c"] == '"Sm\'art\' text-now done..." end'
+
+
+def test_clean_unicode_idempotent_and_ascii_stable(spark):
+    from pr2_transformation_spark.functions.textstats import clean_unicode
+    import pyspark.sql.functions as F
+
+    clean = "plain ascii text, already clean."
+    df = spark.createDataFrame([(clean,)], "t string")
+    [row] = df.select(
+        clean_unicode(F.col("t")).alias("c1"),
+        clean_unicode(clean_unicode(F.col("t"))).alias("c2"),
+    ).collect()
+    assert row["c1"] == clean and row["c2"] == clean
