@@ -5258,6 +5258,65 @@ def q203_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q204_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst detection: hourly counts per event type, rolling
+    trailing-24h baseline, z > 3 flags a burst.  The variance comes from
+    EXPLICIT integer window sums (sum, sum-of-squares, n) instead of
+    stddev_samp — integer sums are order-exact in IEEE doubles, so the
+    z-scores are bit-identical across engines and partial-agg orders
+    (Welford-style stddev is not).  One shuffle on the type key."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.when(
+        (F.col("n") == 24) & (var > 0), (F.col("cnt") - mean) / F.sqrt(var)
+    )
+    return (
+        stats.select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("z") > 3, 1).otherwise(0)).alias("n_bursts"),
+            F.round(F.max("z"), 4).alias("max_z"),
+        )
+    )
+
+
+def q205_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation harness for the stopword language-ID: the
+    labeled `lang` column vs `language_guess` as a confusion matrix with
+    per-cell hit marking — the eval loop any heuristic filter needs
+    before it gates a corpus.  One scan, one (label, guess) groupBy."""
+    from pr2_transformation_spark.functions.textstats import language_guess
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.when(F.col("lang") == F.col("lang_guess"), 1).otherwise(0)
+            ).alias("is_correct"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5465,6 +5524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_psi_drift": q201_psi_drift,
         "q202_kcenter_coreset": q202_kcenter_coreset,
         "q203_unicode_normalize": q203_unicode_normalize,
+        "q204_burst_detection": q204_burst_detection,
+        "q205_langid_confusion": q205_langid_confusion,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -7952,6 +8013,60 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 6 AS step, vec_id, d FROM p6
         """,
         "q203_unicode_normalize": _Q203_SQL,
+        "q204_burst_detection": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ), stats AS (
+                SELECT event_type, cnt,
+                       sum(cnt) OVER w AS s,
+                       sum(cnt * cnt) OVER w AS ss,
+                       count(*) OVER w AS n
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            ), z AS (
+                SELECT event_type,
+                       CASE WHEN n = 24
+                             AND (ss - s * s / CAST(n AS DOUBLE))
+                                 / (n - 1) > 0
+                            THEN (cnt - s / CAST(n AS DOUBLE))
+                                 / sqrt((ss - s * s / CAST(n AS DOUBLE))
+                                        / (n - 1))
+                       END AS z
+                FROM stats
+            )
+            SELECT event_type, count(*) AS n_hours,
+                   sum(CASE WHEN z > 3 THEN 1 ELSE 0 END) AS n_bursts,
+                   round(max(z), 4) AS max_z
+            FROM z GROUP BY 1
+        """,
+        "q205_langid_confusion": f"""
+            WITH c AS (
+                SELECT lang,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_EN}))) AS en,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_DE}))) AS de,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_FR}))) AS fr,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ({_ES}))) AS es
+                FROM documents
+            ), g AS (
+                SELECT lang,
+                       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                            WHEN en = greatest(en, de, fr, es) THEN 'en'
+                            WHEN de = greatest(en, de, fr, es) THEN 'de'
+                            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                            ELSE 'es' END AS lang_guess
+                FROM c
+            )
+            SELECT lang, lang_guess, count(*) AS n,
+                   max(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END) AS is_correct
+            FROM g GROUP BY 1, 2
+        """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (
                 SELECT c_custkey AS a, c_custkey + 3 AS b

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q201_psi_drift",
     "q202_kcenter_coreset",
     "q203_unicode_normalize",
+    "q204_burst_detection",
+    "q205_langid_confusion",
 ]
 
 
