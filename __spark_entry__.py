@@ -5317,6 +5317,35 @@ def q205_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q206_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog: md5 register table (p=8, 256
+    registers, string-bit rho — no float log2), harmonic-mean estimate
+    with linear-counting correction, compared in-query against the exact
+    distinct count.  Unlike q64's opaque JVM HLL++ this build is plain
+    data — mergeable by GROUP BY max and replayed REGISTER-FOR-REGISTER
+    by the DuckDB oracle, turning approx-distinct into a hash-graded
+    query.  Estimate rounds to 2; the 3-sigma bound (sigma=1.04/16) is
+    asserted as a boolean."""
+    from pr2_transformation_spark.functions import sketches as sk
+
+    ev = _events(spark, sf_dir).select("user_id")
+    regs = sk.hll_register_table(ev, "user_id", p=8)
+    est = sk.hll_estimate(regs, p=8)
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(256).alias("m"),
+            "n_exact",
+            F.round("estimate", 2).alias("estimate"),
+            (
+                F.abs(F.col("estimate") - F.col("n_exact"))
+                <= F.lit(3 * 1.04 / 16) * F.col("n_exact")
+            ).alias("within_3_sigma"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5526,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_unicode_normalize": q203_unicode_normalize,
         "q204_burst_detection": q204_burst_detection,
         "q205_langid_confusion": q205_langid_confusion,
+        "q206_portable_hll": q206_portable_hll,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8066,6 +8096,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, lang_guess, count(*) AS n,
                    max(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END) AS is_correct
             FROM g GROUP BY 1, 2
+        """,
+        "q206_portable_hll": """
+            WITH h AS (
+                SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM events
+            ), br AS (
+                SELECT h & 255 AS bucket, h >> 8 AS rem FROM h
+            ), r AS (
+                SELECT bucket,
+                       max(CASE WHEN rem = 0 THEN 53
+                                ELSE instr(lpad(bin(rem), 52, '0'), '1')
+                           END) AS rho_max
+                FROM br GROUP BY 1
+            ), dense AS (
+                SELECT coalesce(r.rho_max, 0) AS rho
+                FROM (SELECT CAST(unnest(range(256)) AS BIGINT) AS bucket) g
+                LEFT JOIN r USING (bucket)
+            ), agg AS (
+                SELECT sum(power(2.0, -rho)) AS z,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+                FROM dense
+            ), e AS (
+                SELECT CASE WHEN 0.7213 / (1 + 1.079 / 256) * 256 * 256 / z <= 2.5 * 256
+                             AND zeros > 0
+                            THEN 256.0 * ln(256.0 / zeros)
+                            ELSE 0.7213 / (1 + 1.079 / 256) * 256 * 256 / z
+                       END AS estimate
+                FROM agg
+            )
+            SELECT 256 AS m,
+                   (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+                   round(estimate, 2) AS estimate,
+                   abs(estimate - (SELECT count(DISTINCT user_id) FROM events))
+                     <= 3 * 1.04 / 16 * (SELECT count(DISTINCT user_id) FROM events)
+                       AS within_3_sigma
+            FROM e
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q203_unicode_normalize",
     "q204_burst_detection",
     "q205_langid_confusion",
+    "q206_portable_hll",
 ]
 
 

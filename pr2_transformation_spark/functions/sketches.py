@@ -174,3 +174,73 @@ def count_min_estimate(
         .groupBy(*out_cols)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (register table, cross-engine replayable)
+# ---------------------------------------------------------------------------
+
+def hll_register_table(
+    df: DataFrame,
+    key_col: str,
+    *,
+    p: int = 8,
+    hasher: str = "md5",
+) -> DataFrame:
+    """HyperLogLog registers as ``(bucket, rho_max)`` — ``2^p`` rows max.
+
+    Unlike the JVM datasketches aggregate (opaque binary, engine-specific),
+    this register table is plain data: MERGE two sketches with
+    ``GROUP BY bucket -> max(rho_max)``, and any engine with md5 can
+    replay the build bit-for-bit.  Bucket = low ``p`` bits of the 60-bit
+    md5 fold; rho = leading-zero count + 1 of the remaining 52 bits,
+    computed by STRING bit-position (`instr(lpad(bin(rem)))`) so there is
+    no float log2 anywhere.  The shuffle is bounded by 2^p registers
+    regardless of input cardinality (same argument as the count-min
+    build: partial-agg map-side, merge tiny)."""
+    if hasher == "md5":
+        h = md5_long(F.col(key_col).cast("string"))
+    elif hasher == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(1 << 60))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    m = 1 << p
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    rem = F.shiftright(h, p)  # 60-p informative bits
+    width = 60 - p
+    rho = (
+        F.when(rem == 0, F.lit(width + 1))
+        .otherwise(F.instr(F.lpad(F.bin(rem), width, "0"), "1"))
+        .cast("int")
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
+    """One-row ``(estimate)`` from a register table: the standard HLL
+    harmonic mean with the small-range linear-counting correction.
+    Missing buckets count as rho 0 (2^-0 = 1) via a dense ``range(2^p)``
+    left join — deterministic arithmetic, replayed verbatim by oracles."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    spark = registers.sparkSession
+    dense = (
+        spark.range(m)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(registers, "bucket", "left")
+        .select(F.coalesce("rho_max", F.lit(0)).alias("rho"))
+    )
+    agg = dense.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    return agg.select(est.alias("estimate"))

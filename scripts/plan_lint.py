@@ -62,6 +62,7 @@ CARTESIAN_ALLOWED = {
     "q151_mutual_information": "contingency-total scalar (1 row) rides a broadcast cross",
     "q196_dsir_importance": "model totals (1 row each) ride broadcast crosses into the <=256-row delta dim",
     "q201_psi_drift": "time-range midpoint scalar (1 row) rides a broadcast cross",
+    "q206_portable_hll": "exact-distinct scalar (1 row) rides a broadcast cross next to the 1-row estimate",
 }
 
 

@@ -1500,3 +1500,32 @@ def test_kcenter_greedy_spreads_across_clusters(spark):
 
     again = similarity.kcenter_greedy(emb.repartition(11), k=3)
     assert [(s, i) for s, i, _ in again] == [(s, i) for s, i, _ in picks]
+
+
+def test_portable_hll_merge_and_accuracy(spark):
+    from pr2_transformation_spark.functions import sketches as sk
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    a = df.filter(F.col("k") < 3000)
+    b = df.filter(F.col("k") >= 2000)  # overlapping halves
+    merged = (
+        sk.hll_register_table(a, "k", p=8)
+        .unionByName(sk.hll_register_table(b, "k", p=8))
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    whole = sk.hll_register_table(df, "k", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    [est] = sk.hll_estimate(whole, p=8).collect()
+    assert abs(est["estimate"] - 5000) <= 3 * (1.04 / 16) * 5000
+
+
+def test_portable_hll_small_range_linear_counting(spark):
+    from pr2_transformation_spark.functions import sketches as sk
+
+    df = spark.range(20).select(F.col("id").alias("k"))
+    regs = sk.hll_register_table(df, "k", p=8)
+    [est] = sk.hll_estimate(regs, p=8).collect()
+    # linear counting regime: near-exact at 20 of 256 registers
+    assert abs(est["estimate"] - 20) < 2
