@@ -5346,6 +5346,36 @@ def q206_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q207_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate (Great-Expectations shape) over orders: key
+    not-null + unique, price positive, status in domain, date in the
+    TPC-H window, minimum row count — six assertions priced as ONE scan
+    (single aggregate, stacked verdict rows).  The per-batch quality
+    gate an ingest pipeline runs before merging."""
+    from pr2_transformation_spark.profiling import data_contract
+
+    orders = _t(spark, sf_dir, "orders")
+    return data_contract(
+        orders,
+        [
+            {"name": "orderkey_not_null", "kind": "not_null", "column": "o_orderkey"},
+            {"name": "orderkey_unique", "kind": "unique", "column": "o_orderkey"},
+            {"name": "price_positive", "kind": "predicate", "expr": "o_totalprice > 0"},
+            {
+                "name": "status_in_domain",
+                "kind": "predicate",
+                "expr": "o_orderstatus IN ('O', 'F', 'P')",
+            },
+            {
+                "name": "date_in_window",
+                "kind": "predicate",
+                "expr": "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'",
+            },
+            {"name": "min_rows", "kind": "min_rows", "threshold": 100},
+        ],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5556,6 +5586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_burst_detection": q204_burst_detection,
         "q205_langid_confusion": q205_langid_confusion,
         "q206_portable_hll": q206_portable_hll,
+        "q207_data_contract": q207_data_contract,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8132,6 +8163,26 @@ def oracle_sql() -> dict[str, str]:
                      <= 3 * 1.04 / 16 * (SELECT count(DISTINCT user_id) FROM events)
                        AS within_3_sigma
             FROM e
+        """,
+        "q207_data_contract": """
+            WITH a AS (
+                SELECT sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS c0,
+                       count(o_orderkey) - count(DISTINCT o_orderkey) AS c1,
+                       sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS c2,
+                       sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                                THEN 0 ELSE 1 END) AS c3,
+                       sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+                                     AND DATE '1998-12-31'
+                                THEN 0 ELSE 1 END) AS c4,
+                       count(*) AS c5
+                FROM orders
+            )
+            SELECT 'orderkey_not_null' AS check, c0 AS observed, c0 = 0 AS passed FROM a
+            UNION ALL SELECT 'orderkey_unique', c1, c1 = 0 FROM a
+            UNION ALL SELECT 'price_positive', c2, c2 = 0 FROM a
+            UNION ALL SELECT 'status_in_domain', c3, c3 = 0 FROM a
+            UNION ALL SELECT 'date_in_window', c4, c4 = 0 FROM a
+            UNION ALL SELECT 'min_rows', c5, c5 >= 100 FROM a
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

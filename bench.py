@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q204_burst_detection",
     "q205_langid_confusion",
     "q206_portable_hll",
+    "q207_data_contract",
 ]
 
 

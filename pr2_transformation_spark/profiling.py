@@ -301,3 +301,67 @@ def equi_width_histogram(
             F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("hi_edge"),
         )
     )
+
+
+def data_contract(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Great-Expectations-style data-contract gate in ONE scan.
+
+    ``checks`` is a list of specs, each ``{"name": ..., "kind": ...}``:
+
+    * ``not_null``  (``column``)          — observed = NULL count
+    * ``unique``    (``column``)          — observed = rows − distinct
+    * ``predicate`` (``expr`` SQL string) — observed = violating rows
+      (rows where the expression is false OR NULL)
+    * ``min_rows``  (``threshold``)       — observed = row count,
+      passed = observed ≥ threshold
+
+    Returns ``(check, observed, passed)``, one row per check, built by
+    stacking columns of a single aggregate — the whole contract costs
+    one pass over the table (plus the expand for the exact distinct),
+    which is what makes running it on every ingest batch viable at
+    100 TB.  The reference runs its profiling checks the same
+    one-scan way (`/root/reference/core/utils.py` COUNTIF guards)."""
+    aggs = []
+    posts = []  # (name, observed_col_name, passed_expr_builder)
+    for i, c in enumerate(checks):
+        col = f"__c{i}"
+        kind = c["kind"]
+        if kind == "not_null":
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c["column"]).isNull(), 1).otherwise(0)
+                ).alias(col)
+            )
+            posts.append((c["name"], col, lambda o: o == 0))
+        elif kind == "unique":
+            aggs.append(
+                (
+                    F.count(F.col(c["column"]))
+                    - F.countDistinct(F.col(c["column"]))
+                ).alias(col)
+            )
+            posts.append((c["name"], col, lambda o: o == 0))
+        elif kind == "predicate":
+            aggs.append(
+                F.sum(
+                    F.when(F.expr(c["expr"]), 0).otherwise(1)
+                ).alias(col)
+            )
+            posts.append((c["name"], col, lambda o: o == 0))
+        elif kind == "min_rows":
+            aggs.append(F.count(F.lit(1)).alias(col))
+            posts.append(
+                (c["name"], col, lambda o, t=c["threshold"]: o >= t)
+            )
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+    agg = df.agg(*aggs)
+    rows = None
+    for name, col, passed in posts:
+        row = agg.select(
+            F.lit(name).alias("check"),
+            F.col(col).cast("long").alias("observed"),
+            passed(F.col(col)).alias("passed"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -89,3 +89,47 @@ def test_clean_rows_duplicate_guard(survey_values):
     clauses = compose_clean_rows(survey_values)
     outs = [c.out_name for c in clauses]
     assert len(outs) == len(set(outs))
+
+
+def test_data_contract_detects_violations(spark):
+    from pr2_transformation_spark.profiling import data_contract
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, 3.0), (None, 4.0)],
+        "id long, v double",
+    )
+    out = {
+        r["check"]: (r["observed"], r["passed"])
+        for r in data_contract(
+            df,
+            [
+                {"name": "id_not_null", "kind": "not_null", "column": "id"},
+                {"name": "id_unique", "kind": "unique", "column": "id"},
+                {"name": "v_positive", "kind": "predicate", "expr": "v > 0"},
+                {"name": "enough", "kind": "min_rows", "threshold": 10},
+            ],
+        ).collect()
+    }
+    assert out["id_not_null"] == (1, False)
+    assert out["id_unique"] == (1, False)  # id=2 twice; NULL not counted
+    assert out["v_positive"] == (1, False)
+    assert out["enough"] == (4, False)
+
+
+def test_data_contract_all_green_and_unknown_kind(spark):
+    from pr2_transformation_spark.profiling import data_contract
+    import pytest
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = data_contract(
+        df,
+        [
+            {"name": "nn", "kind": "not_null", "column": "id"},
+            {"name": "u", "kind": "unique", "column": "id"},
+            {"name": "n", "kind": "min_rows", "threshold": 2},
+        ],
+    ).collect()
+    assert all(r["passed"] for r in out)
+    with pytest.raises(ValueError, match="unknown check kind"):
+        data_contract(df, [{"name": "x", "kind": "nope"}])
