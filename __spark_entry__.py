@@ -5376,6 +5376,78 @@ def q207_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q208_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the Deequ-style profiling check):
+    A -> B holds iff every A-group maps to one B, i.e. COUNT(DISTINCT
+    (A,B)) == COUNT(DISTINCT A).  Four candidate FDs over customer and
+    nation priced as grouped distinct aggregates; the violation count
+    (pairs minus lhs groups) localizes how broken a dependency is.  The
+    schema-inference signal a wide-table cleaner wants before choosing
+    merge keys."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+
+    def fd(df, lhs, rhs):
+        return df.agg(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.countDistinct(F.col(lhs)).alias("n_lhs"),
+            F.countDistinct(F.col(lhs), F.col(rhs)).alias("n_pairs"),
+            (
+                F.countDistinct(F.col(lhs), F.col(rhs))
+                - F.countDistinct(F.col(lhs))
+            ).alias("violations"),
+            (
+                F.countDistinct(F.col(lhs), F.col(rhs))
+                == F.countDistinct(F.col(lhs))
+            ).alias("holds"),
+        )
+
+    return (
+        fd(cust, "c_custkey", "c_nationkey")
+        .unionByName(fd(cust, "c_nationkey", "c_mktsegment"))
+        .unionByName(fd(nat, "n_nationkey", "n_regionkey"))
+        .unionByName(fd(nat, "n_regionkey", "n_name"))
+    )
+
+
+def q209_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint (anti-entropy check between
+    replicas/engines): per-row canonical string (null-marked, unit-
+    separated) -> 60-bit md5 -> BIT_XOR + SUM + COUNT.  Any engine can
+    recompute it without sorting or shuffling anything but three scalars
+    — the cheap way to answer 'are these two 100 TB copies identical?'
+    before walking a Merkle tree.  XOR and modular SUM catch different
+    corruption classes (XOR misses duplicated+dropped pairs, SUM
+    doesn't)."""
+    from pr2_transformation_spark.functions.dedup import md5_long
+
+    orders = _t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+        ],
+    )
+    h = md5_long(row)
+    # sum in decimal(38,0): 15k x 60-bit hashes overflow a plain long sum
+    return orders.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("h").alias("xor_digest"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 60))
+        .cast("long")
+        .alias("sum_digest"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5587,6 +5659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_langid_confusion": q205_langid_confusion,
         "q206_portable_hll": q206_portable_hll,
         "q207_data_contract": q207_data_contract,
+        "q208_functional_dependencies": q208_functional_dependencies,
+        "q209_table_checksum": q209_table_checksum,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8183,6 +8257,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'status_in_domain', c3, c3 = 0 FROM a
             UNION ALL SELECT 'date_in_window', c4, c4 = 0 FROM a
             UNION ALL SELECT 'min_rows', c5, c5 >= 100 FROM a
+        """,
+        "q208_functional_dependencies": """
+            WITH f1 AS (
+                SELECT 'c_custkey' AS lhs, 'c_nationkey' AS rhs,
+                       (SELECT count(DISTINCT c_custkey) FROM customer) AS n_lhs,
+                       (SELECT count(*) FROM (SELECT DISTINCT c_custkey, c_nationkey FROM customer)) AS n_pairs
+            ), f2 AS (
+                SELECT 'c_nationkey', 'c_mktsegment',
+                       (SELECT count(DISTINCT c_nationkey) FROM customer),
+                       (SELECT count(*) FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer))
+            ), f3 AS (
+                SELECT 'n_nationkey', 'n_regionkey',
+                       (SELECT count(DISTINCT n_nationkey) FROM nation),
+                       (SELECT count(*) FROM (SELECT DISTINCT n_nationkey, n_regionkey FROM nation))
+            ), f4 AS (
+                SELECT 'n_regionkey', 'n_name',
+                       (SELECT count(DISTINCT n_regionkey) FROM nation),
+                       (SELECT count(*) FROM (SELECT DISTINCT n_regionkey, n_name FROM nation))
+            ), u AS (
+                SELECT * FROM f1 UNION ALL SELECT * FROM f2
+                UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+            )
+            SELECT lhs, rhs, n_lhs, n_pairs,
+                   n_pairs - n_lhs AS violations,
+                   n_pairs = n_lhs AS holds
+            FROM u
+        """,
+        "q209_table_checksum": """
+            WITH h AS (
+                SELECT CAST(('0x' || substring(md5(concat_ws('|',
+                           coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+                           coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
+                           coalesce(o_orderstatus, '<NULL>'),
+                           coalesce(CAST(o_totalprice AS VARCHAR), '<NULL>'),
+                           coalesce(CAST(o_orderdate AS VARCHAR), '<NULL>'),
+                           coalesce(o_orderpriority, '<NULL>')
+                       )), 1, 15)) AS BIGINT) AS h
+                FROM orders
+            )
+            SELECT count(*) AS n_rows,
+                   bit_xor(h) AS xor_digest,
+                   CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_digest
+            FROM h
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "q205_langid_confusion",
     "q206_portable_hll",
     "q207_data_contract",
+    "q208_functional_dependencies",
+    "q209_table_checksum",
 ]
 
 
