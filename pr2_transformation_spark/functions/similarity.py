@@ -1010,31 +1010,49 @@ def kcenter_greedy(
     cache/checkpoint the projected frame upstream for many rounds at
     scale.  The selected set rides the closure as literals: no shuffle,
     ever — the scan is embarrassingly parallel at any corpus size."""
+    def dist_to(vec: list) -> F.Column:
+        vcol = F.col(vec_col).cast("array<double>")
+        s = F.array(*[F.lit(float(x)) for x in vec])
+        return F.round(
+            F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
+            round_digits,
+        )
+
     frame = df.select(id_col, vec_col)
     [seed] = frame.orderBy(F.col(id_col)).limit(1).collect()
     picks = [(1, seed[0], None)]
-    vecs = [list(seed[1])]
-    for step in range(2, k + 1):
-        sel_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in v]) for v in vecs]
-        )
-        vcol = F.col(vec_col).cast("array<double>")
-        dmin = F.array_min(
-            F.transform(
-                sel_lit,
-                lambda s: F.round(
-                    F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
-                    round_digits,
-                ),
+    # Running-min state: each round scores ONLY the newest pick and folds
+    # it into dmin (min of rounded distances is associative, so this is
+    # value-identical to re-scoring the whole selected set every round —
+    # pinned by the q202 oracle).  O(k·n) distances total instead of
+    # O(k²·n); persist() keeps rounds from re-reading the source.
+    state = (
+        frame.filter(F.col(id_col) != seed[0])
+        .select(id_col, vec_col, dist_to(list(seed[1])).alias("dmin"))
+        .persist()
+    )
+    try:
+        for step in range(2, k + 1):
+            [row] = (
+                state.orderBy(F.desc("dmin"), F.col(id_col))
+                .limit(1)
+                .collect()
             )
-        )
-        [row] = (
-            frame.filter(~F.col(id_col).isin([p[1] for p in picks]))
-            .select(id_col, vec_col, dmin.alias("d"))
-            .orderBy(F.desc("d"), F.col(id_col))
-            .limit(1)
-            .collect()
-        )
-        picks.append((step, row[0], float(row["d"])))
-        vecs.append(list(row[1]))
+            picks.append((step, row[0], float(row["dmin"])))
+            if step < k:
+                nxt = (
+                    state.filter(F.col(id_col) != row[0])
+                    .select(
+                        id_col,
+                        vec_col,
+                        F.least(
+                            F.col("dmin"), dist_to(list(row[1]))
+                        ).alias("dmin"),
+                    )
+                    .persist()
+                )
+                state.unpersist()
+                state = nxt
+    finally:
+        state.unpersist()
     return picks
