@@ -5448,6 +5448,61 @@ def q209_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q210_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-priority revenue
+    aggregate built from the pre-1996 base is UPDATED by merging the
+    1996+ delta batch's partial aggregate — count/sum/min/max combine
+    associatively, so refresh cost tracks the DELTA size, never the
+    100 TB base (the same algebra Spark uses for map-side partial
+    aggregation, lifted to pipeline granularity).  AVG is re-derived
+    from merged sum/count, NOT averaged across batches (the classic
+    incremental-view bug).  Self-verifying: every merged row is compared
+    against the full recompute in-query."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("rev").alias("rev"),
+            F.min("first_d").alias("first_d"),
+            F.max("last_d").alias("last_d"),
+        )
+    )
+    full = partial(orders).select(
+        "o_orderpriority",
+        F.col("n").alias("n_full"),
+        F.col("rev").alias("rev_full"),
+    )
+    return (
+        merged.join(full, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("rev", 2).alias("rev"),
+            F.round(F.col("rev") / F.col("n"), 2).alias("avg_rev"),
+            "first_d",
+            "last_d",
+            (
+                (F.col("n") == F.col("n_full"))
+                & (F.round("rev", 2) == F.round("rev_full", 2))
+            ).alias("matches_full_recompute"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5661,6 +5716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_data_contract": q207_data_contract,
         "q208_functional_dependencies": q208_functional_dependencies,
         "q209_table_checksum": q209_table_checksum,
+        "q210_incremental_agg": q210_incremental_agg,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8300,6 +8356,31 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(h) AS xor_digest,
                    CAST(sum(h) % 1152921504606846976 AS BIGINT) AS sum_digest
             FROM h
+        """,
+        "q210_incremental_agg": """
+            WITH base AS (
+                SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS rev,
+                       min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+                FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+            ), delta AS (
+                SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS rev,
+                       min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+                FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+            ), merged AS (
+                SELECT o_orderpriority, sum(n) AS n, sum(rev) AS rev,
+                       min(first_d) AS first_d, max(last_d) AS last_d
+                FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+                GROUP BY 1
+            ), f AS (
+                SELECT o_orderpriority, count(*) AS n_full,
+                       sum(o_totalprice) AS rev_full
+                FROM orders GROUP BY 1
+            )
+            SELECT m.o_orderpriority, m.n, round(m.rev, 2) AS rev,
+                   round(m.rev / m.n, 2) AS avg_rev, m.first_d, m.last_d,
+                   (m.n = f.n_full AND round(m.rev, 2) = round(f.rev_full, 2))
+                       AS matches_full_recompute
+            FROM merged m JOIN f USING (o_orderpriority)
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

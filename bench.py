@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q207_data_contract",
     "q208_functional_dependencies",
     "q209_table_checksum",
+    "q210_incremental_agg",
 ]
 
 
