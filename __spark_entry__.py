@@ -5503,6 +5503,38 @@ def q210_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q211_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (the mT5/XLM-R recipe):
+    language sampling probability q_l proportional to p_l^alpha with
+    alpha=0.7 — low-resource languages get upsampled, the head gets
+    tamed.  Emits per language the raw share, the tempered share, the
+    up/down-sampling factor, and the expected document draw for a
+    10k-doc budget.  Two 1-row broadcast scalars (corpus total, tempered
+    normalizer) — metadata-sized at any corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__total"))
+    with_p = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.col("__total")).alias("p"),
+        F.pow(F.col("n_docs") / F.col("__total"), F.lit(0.7)).alias("w"),
+    )
+    norm = with_p.agg(F.sum("w").alias("__z"))
+    return with_p.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        F.round("p", 4).alias("p_raw"),
+        F.round(F.col("w") / F.col("__z"), 4).alias("p_tempered"),
+        F.round((F.col("w") / F.col("__z")) / F.col("p"), 4).alias(
+            "upsample_factor"
+        ),
+        F.round(F.lit(10000) * F.col("w") / F.col("__z"), 1).alias(
+            "expected_docs"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5717,6 +5749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_functional_dependencies": q208_functional_dependencies,
         "q209_table_checksum": q209_table_checksum,
         "q210_incremental_agg": q210_incremental_agg,
+        "q211_temperature_sampling": q211_temperature_sampling,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8381,6 +8414,26 @@ def oracle_sql() -> dict[str, str]:
                    (m.n = f.n_full AND round(m.rev, 2) = round(f.rev_full, 2))
                        AS matches_full_recompute
             FROM merged m JOIN f USING (o_orderpriority)
+        """,
+        "q211_temperature_sampling": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+            ), tot AS (
+                SELECT sum(n_docs) AS total FROM counts
+            ), w AS (
+                SELECT lang, n_docs,
+                       n_docs / CAST(total AS DOUBLE) AS p,
+                       power(n_docs / CAST(total AS DOUBLE), 0.7) AS w
+                FROM counts CROSS JOIN tot
+            ), z AS (
+                SELECT sum(w) AS z FROM w
+            )
+            SELECT lang, n_docs,
+                   round(p, 4) AS p_raw,
+                   round(w / z, 4) AS p_tempered,
+                   round((w / z) / p, 4) AS upsample_factor,
+                   round(10000 * w / z, 1) AS expected_docs
+            FROM w CROSS JOIN z
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q208_functional_dependencies",
     "q209_table_checksum",
     "q210_incremental_agg",
+    "q211_temperature_sampling",
 ]
 
 

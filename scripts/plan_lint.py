@@ -63,6 +63,7 @@ CARTESIAN_ALLOWED = {
     "q196_dsir_importance": "model totals (1 row each) ride broadcast crosses into the <=256-row delta dim",
     "q201_psi_drift": "time-range midpoint scalar (1 row) rides a broadcast cross",
     "q206_portable_hll": "exact-distinct scalar (1 row) rides a broadcast cross next to the 1-row estimate",
+    "q211_temperature_sampling": "corpus-total and tempered-normalizer scalars (1 row each) ride broadcast crosses",
 }
 
 

@@ -1529,3 +1529,19 @@ def test_portable_hll_small_range_linear_counting(spark):
     [est] = sk.hll_estimate(regs, p=8).collect()
     # linear counting regime: near-exact at 20 of 256 registers
     assert abs(est["estimate"] - 20) < 2
+
+
+def test_cms_group_cols_partitions_sketches(spark):
+    """group_cols builds one independent sketch per group — the daily-
+    sketch layout that rolling windows merge."""
+    from pr2_transformation_spark.functions import sketches as sk
+
+    rows = [(d, k) for d in ("d1", "d2") for k in range(30) for _ in range(k % 3 + 1)]
+    df = spark.createDataFrame(rows, "day string, user_id long")
+    per_day = sk.count_min_sketch_table(
+        df, "user_id", depth=3, width=64, group_cols=("day",)
+    )
+    assert set(per_day.columns) == {"day", "row_i", "bucket", "cnt"}
+    merged = per_day.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    whole = sk.count_min_sketch_table(df, "user_id", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
