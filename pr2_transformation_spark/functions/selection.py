@@ -44,6 +44,7 @@ __all__ = [
     "bucket_model",
     "dsir_log_weights",
     "dsir_select_topk",
+    "dsir_selected_ids",
 ]
 
 
@@ -176,4 +177,28 @@ def dsir_select_topk(
         "*",
         F.row_number().over(w).alias("rk"),
         (F.row_number().over(w) <= F.ceil(n * frac)).alias("selected"),
+    )
+
+
+def dsir_selected_ids(
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frac: float = 0.2,
+) -> DataFrame:
+    """Scalable selection twin of ``dsir_select_topk``: the same top-
+    ``frac`` id set, computed with ``orderBy().limit(k)`` — Spark's
+    TakeOrdered keeps a k-row heap per partition and merges on the
+    driver, so nothing ever single-partition-sorts.  Use THIS on a real
+    corpus; ``dsir_select_topk``'s global rank window exists for the
+    rank-annotated audit output (and costs a total sort, fine at audit
+    sizes, wrong at 100 TB).  Equivalence is pinned by test."""
+    import math
+
+    n = weights.count()
+    k = math.ceil(n * frac)
+    return (
+        weights.orderBy(F.col("log_weight").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col)
     )

@@ -102,3 +102,18 @@ def test_dsir_xxhash_production_mode_runs(spark):
     w = sel.dsir_log_weights(docs, target, n_buckets=64)
     assert w.columns == ["doc_id", "n_feats", "log_weight"]
     assert w.count() == 6
+
+
+def test_dsir_selected_ids_matches_rank_window(spark):
+    """The scalable TakeOrdered path must select exactly the ids the
+    rank-window path marks selected."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    w = sel.dsir_log_weights(docs, target, n_buckets=32, hasher="md5")
+    via_rank = {
+        r["doc_id"]
+        for r in sel.dsir_select_topk(w, frac=0.5).collect()
+        if r["selected"]
+    }
+    via_limit = {r["doc_id"] for r in sel.dsir_selected_ids(w, frac=0.5).collect()}
+    assert via_limit == via_rank

@@ -110,3 +110,26 @@ def test_clean_unicode_idempotent_and_ascii_stable(spark):
         clean_unicode(clean_unicode(F.col("t"))).alias("c2"),
     ).collect()
     assert row["c1"] == clean and row["c2"] == clean
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(min_size=0, max_size=120))
+def test_clean_unicode_idempotent_property(spark, s):
+    """clean_unicode(clean_unicode(x)) == clean_unicode(x) for arbitrary
+    unicode input, and the output never contains a folded character."""
+    from pr2_transformation_spark.functions.textstats import clean_unicode
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(s,)], "t string")
+    [row] = df.select(
+        clean_unicode(F.col("t")).alias("c1"),
+        clean_unicode(clean_unicode(F.col("t"))).alias("c2"),
+    ).collect()
+    assert row["c1"] == row["c2"]
+    banned = set("\u200b\u200c\u200d\ufeff\u2018\u2019\u201c\u201d"
+                 "\u2013\u2014\u2026\u00a0\u0000\u0007")
+    assert not (set(row["c1"]) & banned)
+    assert "  " not in row["c1"]
