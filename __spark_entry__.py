@@ -5535,6 +5535,84 @@ def q211_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q212_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language: words (whitespace tokens),
+    sentences (terminal-punctuation runs, floor 1), syllables (vowel-
+    group runs — the standard heuristic), folded through the published
+    206.835 − 1.015·(W/S) − 84.6·(Syl/W) formula.  Scan-side
+    regexp_extract_all counts, one groupBy — the readability-band
+    filter a curriculum builder runs at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    sylls = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (sylls / words)
+    )
+    return (
+        docs.select("lang", flesch.alias("f"), words.alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("f"), 2).alias("avg_flesch"),
+            F.round(F.avg("w"), 2).alias("avg_words"),
+        )
+    )
+
+
+def q213_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostics: shingle-set Jaccard BETWEEN SOURCES — which
+    feeds are near-copies of each other (mirror detection before dedup
+    spends compute on their pairs).  Distinct (source, 3-gram) sets,
+    posting-list join on the shingle (same bounded fan-out argument as
+    q21, but the pair space is sources², not docs²), exact Jaccard per
+    source pair, top-10 by overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(
+            textstats.word_shingles(F.col("text"), 3)
+        ).alias("g"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.desc("jaccard"), "src_a", "src_b").limit(10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5750,6 +5828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_table_checksum": q209_table_checksum,
         "q210_incremental_agg": q210_incremental_agg,
         "q211_temperature_sampling": q211_temperature_sampling,
+        "q212_readability": q212_readability,
+        "q213_cross_source_overlap": q213_cross_source_overlap,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8434,6 +8514,45 @@ def oracle_sql() -> dict[str, str]:
                    round((w / z) / p, 4) AS upsample_factor,
                    round(10000 * w / z, 1) AS expected_docs
             FROM w CROSS JOIN z
+        """,
+        "q212_readability": """
+            WITH d AS (
+                SELECT lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS w,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                             - 84.6 * (syl / CAST(w AS DOUBLE))), 2) AS avg_flesch,
+                   round(avg(w), 2) AS avg_words
+            FROM d GROUP BY 1
+        """,
+        "q213_cross_source_overlap": """
+            WITH toks AS (
+                SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT source, g FROM (
+                    SELECT source,
+                           unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+                    FROM toks
+                )
+            ), sizes AS (
+                SELECT source, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, n_common,
+                   round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.source = src_a
+            JOIN sizes sb ON sb.source = src_b
+            ORDER BY jaccard DESC, src_a, src_b LIMIT 10
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "q209_table_checksum",
     "q210_incremental_agg",
     "q211_temperature_sampling",
+    "q212_readability",
+    "q213_cross_source_overlap",
 ]
 
 
