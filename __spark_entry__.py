@@ -5613,6 +5613,73 @@ def q213_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.orderBy(F.desc("jaccard"), "src_a", "src_b").limit(10)
 
 
+def q214_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user: score =
+    Σ value · exp(−λ·Δdays) with λ = ln(2)/30 (30-day half-life),
+    anchored to the corpus max timestamp (deterministic, no now()).
+    The decay factors fold into the SAME partial aggregation any sum
+    gets — the incremental-refresh-friendly engagement metric (old
+    scores re-decay by a scalar multiplier, new events just add).
+    Top-15 users, score rounded; one shuffle on user_id."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "value", F.unix_timestamp("ts").alias("t")
+    )
+    anchor = ev.agg(F.max("t").alias("t_max"))
+    lam = 0.0231049060186648  # ln(2)/30 — decimal literal, same in SQL
+    scored = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.exp(
+                -F.lit(lam) * (F.col("t_max") - F.col("t")) / F.lit(86400.0)
+            )
+        ).alias("dv"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.round(F.sum("dv"), 4).alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(15)
+    )
+
+
+def q215_string_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-profiling pass: per STRING column of customer, length min/
+    max/avg, null count, distinct count — ALL columns in one scan by
+    stacking (column, length) pairs before the aggregate, the same
+    one-pass-over-N-columns shape as the reference's profiling driver
+    (`/root/reference/core/utils.py` COUNTIF batching), lifted to a
+    long-frame groupBy so adding columns never adds scans."""
+    cust = _t(spark, sf_dir, "customer")
+    cols = ["c_name", "c_mktsegment", "c_custkey", "c_nationkey"]
+    stacked = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.column").alias("column"), F.col("p.v").alias("v"))
+    return (
+        stacked.groupBy("column")
+        .agg(
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min(F.length("v")).alias("min_len"),
+            F.max(F.length("v")).alias("max_len"),
+            F.round(F.avg(F.length("v")), 2).alias("avg_len"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5830,6 +5897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_temperature_sampling": q211_temperature_sampling,
         "q212_readability": q212_readability,
         "q213_cross_source_overlap": q213_cross_source_overlap,
+        "q214_decayed_engagement": q214_decayed_engagement,
+        "q215_string_length_profile": q215_string_length_profile,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8553,6 +8622,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.source = src_a
             JOIN sizes sb ON sb.source = src_b
             ORDER BY jaccard DESC, src_a, src_b LIMIT 10
+        """,
+        "q214_decayed_engagement": """
+            WITH e AS (
+                SELECT user_id, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ), a AS (
+                SELECT max(t) AS t_max FROM e
+            ), s AS (
+                SELECT user_id,
+                       value * exp(-0.0231049060186648 * (t_max - t) / 86400.0) AS dv
+                FROM e CROSS JOIN a
+            )
+            SELECT user_id, round(sum(dv), 4) AS decayed_score,
+                   count(*) AS n_events
+            FROM s GROUP BY 1
+            ORDER BY decayed_score DESC, user_id LIMIT 15
+        """,
+        "q215_string_length_profile": """
+            WITH stacked AS (
+                SELECT 'c_name' AS "column", CAST(c_name AS VARCHAR) AS v FROM customer
+                UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+                UNION ALL SELECT 'c_custkey', CAST(c_custkey AS VARCHAR) FROM customer
+                UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+            )
+            SELECT "column",
+                   sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   count(DISTINCT v) AS n_distinct,
+                   min(length(v)) AS min_len,
+                   max(length(v)) AS max_len,
+                   round(avg(length(v)), 2) AS avg_len
+            FROM stacked GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

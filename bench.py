@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "q211_temperature_sampling",
     "q212_readability",
     "q213_cross_source_overlap",
+    "q214_decayed_engagement",
+    "q215_string_length_profile",
 ]
 
 

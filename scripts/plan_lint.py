@@ -64,6 +64,7 @@ CARTESIAN_ALLOWED = {
     "q201_psi_drift": "time-range midpoint scalar (1 row) rides a broadcast cross",
     "q206_portable_hll": "exact-distinct scalar (1 row) rides a broadcast cross next to the 1-row estimate",
     "q211_temperature_sampling": "corpus-total and tempered-normalizer scalars (1 row each) ride broadcast crosses",
+    "q214_decayed_engagement": "max-timestamp anchor scalar (1 row) rides a broadcast cross",
 }
 
 
