@@ -5680,6 +5680,103 @@ def q215_string_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q216_wow_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week metric regression report: per event type, this
+    ISO-week vs previous-week event count and value sum, relative
+    deltas, and a >20%-swing flag — the pipeline-health dashboard row.
+    LAG over a (type, week) aggregate: the scan reduces map-side to
+    types x weeks rows before any window moves."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.weekofyear("ts").alias("wk"),
+        F.year("ts").alias("yr"),
+    )
+    weekly = ev.groupBy("event_type", "yr", "wk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("val"),
+    )
+    w = Window.partitionBy("event_type").orderBy("yr", "wk")
+    return (
+        weekly.select(
+            "event_type",
+            "yr",
+            "wk",
+            "n",
+            "val",
+            F.lag("n").over(w).alias("n_prev"),
+        )
+        .filter(F.col("n_prev").isNotNull())
+        .select(
+            "event_type",
+            "yr",
+            "wk",
+            "n",
+            "n_prev",
+            F.round((F.col("n") - F.col("n_prev")) / F.col("n_prev"), 4).alias(
+                "wow_delta"
+            ),
+            (
+                F.abs((F.col("n") - F.col("n_prev")) / F.col("n_prev")) > 0.2
+            ).alias("regressed"),
+        )
+    )
+
+
+def q217_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-density profile per source, round-trip style: the corpus is
+    PII-free, so emails and US-phone strings are deterministically
+    injected for doc_id % 5 == 0 / % 7 == 0, then the SAME regexes that
+    back ``textstats.redact_pii`` must count them back out exactly —
+    proving the detector patterns cross-engine before they gate a real
+    crawl.  Scan-side regexp_extract_all; one groupBy on source."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")
+        ).otherwise(F.lit("")),
+    )
+    emails = F.size(
+        F.expr(
+            r"regexp_extract_all(__dirty,"
+            r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)"
+        )
+    )
+    phones = F.size(
+        F.expr(
+            r"regexp_extract_all(__dirty,"
+            r" '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', 0)"
+        )
+    )
+    return (
+        docs.select("source", "doc_id", dirty.alias("__dirty"))
+        .select("source", "doc_id", emails.alias("e"), phones.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            (
+                F.sum("e")
+                == F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0))
+            ).alias("emails_recovered"),
+            (
+                F.sum("p")
+                == F.sum(F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0))
+            ).alias("phones_recovered"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5899,6 +5996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_cross_source_overlap": q213_cross_source_overlap,
         "q214_decayed_engagement": q214_decayed_engagement,
         "q215_string_length_profile": q215_string_length_profile,
+        "q216_wow_regression": q216_wow_regression,
+        "q217_pii_density": q217_pii_density,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8654,6 +8753,47 @@ def oracle_sql() -> dict[str, str]:
                    max(length(v)) AS max_len,
                    round(avg(length(v)), 2) AS avg_len
             FROM stacked GROUP BY 1
+        """,
+        "q216_wow_regression": """
+            WITH weekly AS (
+                SELECT event_type, year(ts) AS yr, weekofyear(ts) AS wk,
+                       count(*) AS n, round(sum(value), 2) AS val
+                FROM events GROUP BY 1, 2, 3
+            ), lagged AS (
+                SELECT event_type, yr, wk, n, val,
+                       lag(n) OVER (PARTITION BY event_type ORDER BY yr, wk) AS n_prev
+                FROM weekly
+            )
+            SELECT event_type, yr, wk, n, n_prev,
+                   round((n - n_prev) / CAST(n_prev AS DOUBLE), 4) AS wow_delta,
+                   abs((n - n_prev) / CAST(n_prev AS DOUBLE)) > 0.2 AS regressed
+            FROM lagged WHERE n_prev IS NOT NULL
+        """,
+        "q217_pii_density": """
+            WITH d AS (
+                SELECT source, doc_id,
+                       text
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' call 555-867-5309' ELSE '' END AS dirty
+                FROM documents
+            ), c AS (
+                SELECT source, doc_id,
+                       len(regexp_extract_all(dirty,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+                       len(regexp_extract_all(dirty,
+                           '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS p
+                FROM d
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(e) AS n_emails, sum(p) AS n_phones,
+                   sum(e) = sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                       AS emails_recovered,
+                   sum(p) = sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                       AS phones_recovered
+            FROM c GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "q213_cross_source_overlap",
     "q214_decayed_engagement",
     "q215_string_length_profile",
+    "q216_wow_regression",
+    "q217_pii_density",
 ]
 
 

@@ -1,1 +1,12 @@
-from . import dedup, similarity, textstats, multimodal  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    linkage,
+    multimodal,
+    scoring,
+    selection,
+    similarity,
+    sketches,
+    textstats,
+    tokenizer,
+    web,
+)
