@@ -5777,6 +5777,51 @@ def q217_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q218_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit — the check every LM data pipeline owes
+    its eval: hash-assign train(80%)/test(20%) splits, find near-dup
+    pairs (bigram Jaccard >= 0.05, q21's posting-list plan), and report
+    pairs BY SPLIT COMBINATION — a 'train-test' row with n_pairs > 0 is
+    quantified leakage that document-level dedup inside each split
+    cannot see.  Composition of assign_splits + ngram_jaccard_pairs;
+    everything shuffles on keys already justified by its parts."""
+    from pr2_transformation_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = sampling.assign_splits(
+        docs, "doc_id", {"train": 0.8, "test": 0.2}
+    ).select(F.col("doc_id"), F.col("split"))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=2, min_jaccard=0.05,
+        bucket_cols=["lang", "source"],
+    ).select("id_a", "id_b", "jaccard")
+    typed = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.concat_ws(
+                "-", F.least("sa", "sb"), F.greatest("sa", "sb")
+            ).alias("pair_type"),
+            "jaccard",
+        )
+    )
+    return typed.groupBy("pair_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        (F.first(F.col("pair_type")) == "test-train").alias("is_leak"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -5998,6 +6043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_string_length_profile": q215_string_length_profile,
         "q216_wow_regression": q216_wow_regression,
         "q217_pii_density": q217_pii_density,
+        "q218_split_leakage_audit": q218_split_leakage_audit,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8794,6 +8840,43 @@ def oracle_sql() -> dict[str, str]:
                    sum(p) = sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
                        AS phones_recovered
             FROM c GROUP BY 1
+        """,
+        "q218_split_leakage_audit": """
+            WITH toks AS (
+                SELECT doc_id, lang, source,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS s
+                FROM toks
+            ), e AS (
+                SELECT doc_id, lang, source, len(s) AS sz, unnest(s) AS g FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+                FROM e a JOIN e b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                 AND a.lang = b.lang AND a.source = b.source
+                GROUP BY 1, 2, 3, 4
+            ), pairs AS (
+                SELECT id_a, id_b,
+                       round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
+                FROM inter
+                WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.05
+            ), typed AS (
+                SELECT least(CASE WHEN (((((instr('0123456789abcdef', substr(md5(cast(id_a as string)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 4, 1)) - 1)) % 10000) < 8000 THEN 'train' ELSE 'test' END, CASE WHEN (((((instr('0123456789abcdef', substr(md5(cast(id_b as string)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 4, 1)) - 1)) % 10000) < 8000 THEN 'train' ELSE 'test' END)
+                       || '-' ||
+                       greatest(CASE WHEN (((((instr('0123456789abcdef', substr(md5(cast(id_a as string)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 4, 1)) - 1)) % 10000) < 8000 THEN 'train' ELSE 'test' END, CASE WHEN (((((instr('0123456789abcdef', substr(md5(cast(id_b as string)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 4, 1)) - 1)) % 10000) < 8000 THEN 'train' ELSE 'test' END)
+                           AS pair_type,
+                       jaccard
+                FROM pairs
+            )
+            SELECT pair_type, count(*) AS n_pairs,
+                   round(max(jaccard), 4) AS max_jaccard,
+                   pair_type = 'test-train' AS is_leak
+            FROM typed GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q215_string_length_profile",
     "q216_wow_regression",
     "q217_pii_density",
+    "q218_split_leakage_audit",
 ]
 
 
