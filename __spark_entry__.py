@@ -5822,6 +5822,106 @@ def q218_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q219_minhash_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for q213's mirror detection, verified against it:
+    one 32-perm MinHash signature PER SOURCE (constant size no matter
+    how many shingles the source has), estimated Jaccard = matching-
+    component fraction, compared in-query to the exact set Jaccard.
+    At 100 TB the signature aggregation replaces q213's distinct-set
+    shuffle with 20 x 32 longs; the md5+affine arithmetic is the same
+    the q22 oracle replays, so DuckDB re-derives every signature
+    component bit-for-bit.  Emits top-10 exact pairs with estimate,
+    error, and the 3-sigma-ish bound flag (sigma = 1/sqrt(32))."""
+    from pr2_transformation_spark.functions.dedup import (
+        MINHASH_P,
+        md5_long,
+        minhash_affine_constants,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(textstats.word_shingles(F.col("text"), 3)).alias("g"),
+    ).distinct()
+    hashed = sh.select(
+        "source", (md5_long(F.col("g")) % MINHASH_P).alias("h")
+    )
+    perms = minhash_affine_constants(32)
+    sig = hashed.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    sig_arr = sig.select(
+        "source", F.array(*[f"s{i}" for i in range(32)]).alias("sig")
+    )
+    est = (
+        sig_arr.alias("a")
+        .join(sig_arr.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("a.sig"),
+                        F.col("b.sig"),
+                        lambda x, y: (x == y).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(32.0)
+            ).alias("est_jaccard"),
+        )
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "g")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("exact_j"),
+        )
+    )
+    out = exact.join(F.broadcast(est), ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        F.round("exact_j", 4).alias("exact_jaccard"),
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+        (
+            F.abs(F.col("est_jaccard") - F.col("exact_j")) <= F.lit(0.55)
+        ).alias("within_bound"),
+    )
+    return out.orderBy(F.desc("exact_jaccard"), "src_a", "src_b").limit(10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6044,6 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_wow_regression": q216_wow_regression,
         "q217_pii_density": q217_pii_density,
         "q218_split_leakage_audit": q218_split_leakage_audit,
+        "q219_minhash_source_overlap": q219_minhash_source_overlap,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -8877,6 +8978,51 @@ def oracle_sql() -> dict[str, str]:
                    round(max(jaccard), 4) AS max_jaccard,
                    pair_type = 'test-train' AS is_leak
             FROM typed GROUP BY 1
+        """,
+        "q219_minhash_source_overlap": f"""
+            WITH toks AS (
+                SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT source, g FROM (
+                    SELECT source,
+                           unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+                    FROM toks
+                )
+            ), hashed AS (
+                SELECT source,
+                       CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)
+                           % 2147483647 AS h
+                FROM sh
+            ), sigs AS (
+                SELECT source, p.i, min((p.a * h + p.b) % 2147483647) AS sig
+                FROM hashed CROSS JOIN (VALUES {_MINHASH_PERMS32}) AS p(i, a, b)
+                GROUP BY 1, 2
+            ), est AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) / 32.0 AS est
+                FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+                GROUP BY 1, 2
+            ), sizes AS (
+                SELECT source, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_common
+                FROM sh x JOIN sh y ON x.g = y.g AND x.source < y.source
+                GROUP BY 1, 2
+            ), exact AS (
+                SELECT src_a, src_b,
+                       n_common / (sa.sz + sb.sz - n_common) AS exact_j
+                FROM inter
+                JOIN sizes sa ON sa.source = src_a
+                JOIN sizes sb ON sb.source = src_b
+            )
+            SELECT e.src_a, e.src_b,
+                   round(e.exact_j, 4) AS exact_jaccard,
+                   round(m.est, 4) AS est_jaccard,
+                   abs(m.est - e.exact_j) <= 0.55 AS within_bound
+            FROM exact e JOIN est m USING (src_a, src_b)
+            ORDER BY exact_jaccard DESC, src_a, src_b LIMIT 10
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q216_wow_regression",
     "q217_pii_density",
     "q218_split_leakage_audit",
+    "q219_minhash_source_overlap",
 ]
 
 

@@ -65,6 +65,7 @@ CARTESIAN_ALLOWED = {
     "q206_portable_hll": "exact-distinct scalar (1 row) rides a broadcast cross next to the 1-row estimate",
     "q211_temperature_sampling": "corpus-total and tempered-normalizer scalars (1 row each) ride broadcast crosses",
     "q214_decayed_engagement": "max-timestamp anchor scalar (1 row) rides a broadcast cross",
+    "q219_minhash_source_overlap": "20-row signature frame pairs with itself via inequality join by design",
 }
 
 
