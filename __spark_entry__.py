@@ -5922,6 +5922,98 @@ def q219_minhash_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("exact_jaccard"), "src_a", "src_b").limit(10)
 
 
+def q220_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer recency (days since last
+    order, anchored to corpus max date — no now()), frequency (order
+    count), monetary (total spend), each cut into quintiles by ntile,
+    then the classic segment labels (champion / loyal / at-risk /
+    hibernating / other).  One shuffle to the per-customer rollup;
+    three ntile windows over the 1 500-row summary, not the fact
+    table.  Emits the segment census."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("d_max"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("spend"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("d_max", "last_d").alias("recency_days"),
+            "freq",
+            "spend",
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days"), F.col("o_custkey")))
+    fq = F.ntile(5).over(
+        Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        r.alias("r_q"),
+        fq.alias("f_q"),
+        m.alias("m_q"),
+    )
+    seg = (
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2), "champion")
+        .when((F.col("f_q") <= 2) & (F.col("m_q") <= 2), "loyal")
+        .when((F.col("r_q") >= 4) & (F.col("m_q") <= 2), "at_risk")
+        .when(F.col("r_q") >= 4, "hibernating")
+        .otherwise("other")
+    )
+    return (
+        scored.select(seg.alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q221_degree_tail_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution tail analysis of the co-purchase graph: node
+    degree per part (distinct co-ordered partner parts), then the Hill
+    estimator alpha = 1 + k / sum(ln(d_i / d_min)) over the top-k=50
+    degrees — the power-law-tail diagnostic that predicts whether
+    hot-key mitigation (salting, AQE skew split) will be needed before
+    a join on this key ever runs.  Degrees partial-aggregate; only the
+    50-row tail is windowed."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q")
+        )
+        .distinct()
+    )
+    deg = pairs.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    topk = deg.orderBy(F.desc("d"), "p").limit(50)
+    dmin = topk.agg(F.min("d").alias("d_min"))
+    hill = (
+        topk.crossJoin(F.broadcast(dmin))
+        .select((F.log(F.col("d") / F.col("d_min"))).alias("l"))
+        .agg(
+            F.lit(50).alias("k"),
+            F.round(
+                F.lit(1.0) + F.lit(50) / F.sum("l"), 4
+            ).alias("hill_alpha"),
+        )
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.round(F.avg("d"), 2).alias("avg_degree"),
+    )
+    return hill.crossJoin(F.broadcast(stats))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6145,6 +6237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_pii_density": q217_pii_density,
         "q218_split_leakage_audit": q218_split_leakage_audit,
         "q219_minhash_source_overlap": q219_minhash_source_overlap,
+        "q220_rfm_segmentation": q220_rfm_segmentation,
+        "q221_degree_tail_estimate": q221_degree_tail_estimate,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9023,6 +9117,55 @@ def oracle_sql() -> dict[str, str]:
                    abs(m.est - e.exact_j) <= 0.55 AS within_bound
             FROM exact e JOIN est m USING (src_a, src_b)
             ORDER BY exact_jaccard DESC, src_a, src_b LIMIT 10
+        """,
+        "q220_rfm_segmentation": """
+            WITH anchor AS (
+                SELECT max(o_orderdate) AS d_max FROM orders
+            ), pc AS (
+                SELECT o_custkey,
+                       date_diff('day', max(o_orderdate),
+                                 (SELECT d_max FROM anchor)) AS recency_days,
+                       count(*) AS freq, sum(o_totalprice) AS spend
+                FROM orders GROUP BY 1
+            ), scored AS (
+                SELECT o_custkey,
+                       ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+                       ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+                       ntile(5) OVER (ORDER BY spend DESC, o_custkey) AS m_q
+                FROM pc
+            )
+            SELECT CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+                        WHEN f_q <= 2 AND m_q <= 2 THEN 'loyal'
+                        WHEN r_q >= 4 AND m_q <= 2 THEN 'at_risk'
+                        WHEN r_q >= 4 THEN 'hibernating'
+                        ELSE 'other' END AS segment,
+                   count(*) AS n_customers
+            FROM scored GROUP BY 1
+        """,
+        "q221_degree_tail_estimate": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+            ), deg AS (
+                SELECT p, count(*) AS d FROM pairs GROUP BY 1
+            ), topk AS (
+                SELECT d FROM deg ORDER BY d DESC, p LIMIT 50
+            ), dmin AS (
+                SELECT min(d) AS d_min FROM topk
+            ), hill AS (
+                SELECT 50 AS k,
+                       round(1.0 + 50 / sum(ln(d / CAST(d_min AS DOUBLE))), 4)
+                           AS hill_alpha
+                FROM topk CROSS JOIN dmin
+            ), stats AS (
+                SELECT count(*) AS n_nodes, max(d) AS max_degree,
+                       round(avg(d), 2) AS avg_degree
+                FROM deg
+            )
+            SELECT k, hill_alpha, n_nodes, max_degree, avg_degree
+            FROM hill CROSS JOIN stats
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "q217_pii_density",
     "q218_split_leakage_audit",
     "q219_minhash_source_overlap",
+    "q220_rfm_segmentation",
+    "q221_degree_tail_estimate",
 ]
 
 

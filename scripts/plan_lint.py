@@ -66,6 +66,8 @@ CARTESIAN_ALLOWED = {
     "q211_temperature_sampling": "corpus-total and tempered-normalizer scalars (1 row each) ride broadcast crosses",
     "q214_decayed_engagement": "max-timestamp anchor scalar (1 row) rides a broadcast cross",
     "q219_minhash_source_overlap": "20-row signature frame pairs with itself via inequality join by design",
+    "q220_rfm_segmentation": "max-orderdate anchor scalar (1 row) rides a broadcast cross",
+    "q221_degree_tail_estimate": "d_min and corpus-stat scalars (1 row each) ride broadcast crosses",
 }
 
 
