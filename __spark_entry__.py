@@ -6014,6 +6014,32 @@ def q221_degree_tail_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hill.crossJoin(F.broadcast(stats))
 
 
+def q222_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (completes q39's backward direction): each
+    click gets the value of the user's NEXT view at-or-after the click
+    — same union+descending-window trick, one shuffle, zero joins;
+    oracle is DuckDB's native ASOF LEFT JOIN with the <= comparison."""
+    from pr2_transformation_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("next_view_value")
+    )
+    out = asof_join(
+        clicks, views, ["user_id"], "ts", ["next_view_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round(F.col("next_view_value"), 2).alias("next_view_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6239,6 +6265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_minhash_source_overlap": q219_minhash_source_overlap,
         "q220_rfm_segmentation": q220_rfm_segmentation,
         "q221_degree_tail_estimate": q221_degree_tail_estimate,
+        "q222_asof_join_forward": q222_asof_join_forward,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9166,6 +9193,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k, hill_alpha, n_nodes, max_degree, avg_degree
             FROM hill CROSS JOIN stats
+        """,
+        "q222_asof_join_forward": """
+            SELECT l.event_id,
+                   l.user_id,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+                   round(r.v2, 2) AS next_view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id AS u2, ts AS ts2, value AS v2
+                            FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.u2 AND l.ts <= r.ts2
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q219_minhash_source_overlap",
     "q220_rfm_segmentation",
     "q221_degree_tail_estimate",
+    "q222_asof_join_forward",
 ]
 
 

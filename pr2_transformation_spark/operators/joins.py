@@ -52,9 +52,16 @@ def asof_join(
     by: list[str],
     ts_col: str,
     right_cols: list[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the latest right row with
-    ``right.ts <= left.ts`` within its ``by`` group (NULLs when none).
+    """As-of join: each left row gets the nearest right row within its
+    ``by`` group — ``direction="backward"`` (default) takes the latest
+    right with ``right.ts <= left.ts``; ``direction="forward"`` the
+    earliest right with ``right.ts >= left.ts`` (NULLs when none).
+    ``tolerance`` (seconds for timestamp columns, plain units for
+    numerics) nulls the match when the gap exceeds it — the same
+    contract as ``pandas.merge_asof``.
 
     Spark has no ASOF JOIN; the naive range join is O(n·m) per group.  This
     is the scale-safe union trick — one shuffle on (by), one sort, zero
@@ -71,6 +78,9 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
     lt = left.withColumn("__side", F.lit(1)).select(
         *by, F.col(ts_col).alias("__ts"), F.col("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
@@ -81,18 +91,50 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
     )
+    # the right side additionally carries its own ts so tolerance can
+    # measure the matched gap after the carry
+    lt = lt.withColumn("__rts", F.lit(None).cast(rt.schema["__ts"].dataType))
+    rt = rt.withColumn("__rts", F.col("__ts"))
     unioned = lt.unionByName(rt)
+    # forward = backward on reversed time: descending scan makes "last
+    # right seen" the SMALLEST right.ts that is >= left.ts; right rows
+    # still sort before left rows at equal ts, so ties match either way.
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(ts_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "__side", "__lrow",
+        "__side", "__lrow", "__ts",
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
         *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_cols],
     )
+    keep = None
+    if tolerance is not None:
+        lnum = _ts_number(F.col("__ts"), unioned.schema["__ts"].dataType)
+        rnum = _ts_number(F.col("__mts"), unioned.schema["__ts"].dataType)
+        keep = F.abs(lnum - rnum) <= F.lit(tolerance)
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(c) for c in right_cols],
+        *[
+            (
+                F.when(keep, F.col(f"__c_{c}")) if keep is not None
+                else F.col(f"__c_{c}")
+            ).alias(c)
+            for c in right_cols
+        ],
     )
     return out
+
+
+def _ts_number(col, dtype):
+    """Numeric view of a ts column for tolerance arithmetic: epoch seconds
+    for timestamps, the value itself for numerics."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_timestamp(col)
+    if isinstance(dtype, DateType):
+        return F.unix_date(col) * F.lit(86400)
+    return col

@@ -1545,3 +1545,39 @@ def test_cms_group_cols_partitions_sketches(spark):
     merged = per_day.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
     whole = sk.count_min_sketch_table(df, "user_id", depth=3, width=64)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_asof_join_forward_and_tolerance_match_pandas(spark):
+    """direction='forward' and tolerance must agree with
+    pandas.merge_asof on randomized numeric-ts data."""
+    import random
+
+    import pandas as pd
+
+    from pr2_transformation_spark.operators.joins import asof_join
+
+    rng = random.Random(11)
+    lrows = [(i, i % 3, float(rng.randint(0, 500))) for i in range(120)]
+    rrows = [(j, j % 3, float(rng.randint(0, 500)), float(j)) for j in range(80)]
+    left = spark.createDataFrame(lrows, "lid long, g long, ts double")
+    right = spark.createDataFrame(rrows, "rid long, g long, ts double, payload double")
+
+    for direction, tol in (("forward", None), ("forward", 25.0), ("backward", 25.0)):
+        got = {
+            r["lid"]: r["payload"]
+            for r in asof_join(
+                left, right.select("g", "ts", "payload"), ["g"], "ts",
+                ["payload"], direction=direction, tolerance=tol,
+            ).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["lid", "g", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["rid", "g", "ts", "payload"])[
+            ["g", "ts", "payload"]
+        ].sort_values("ts")
+        exp = pd.merge_asof(
+            lp, rp, on="ts", by="g", direction=direction,
+            tolerance=tol if tol is None else tol,
+        )
+        for _, row in exp.iterrows():
+            want = None if pd.isna(row["payload"]) else row["payload"]
+            assert got[row["lid"]] == want, (direction, tol, row["lid"])
