@@ -6040,6 +6040,38 @@ def q222_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q223_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit, fully graded: Morton-interleave (nationkey,
+    8-bit-quantized acctbal), cut the curve into 16 ntile shards, and
+    emit each shard's bounding rectangle plus BOTH layouts' pruning
+    cost for a `c_nationkey = 13` probe — shards touched under z-order
+    vs under an acctbal-sorted layout (which cannot prune nationkey at
+    all).  The z-value is a pure bit expression, so DuckDB replays the
+    interleave bit-for-bit; this grades operators/zorder.py end-to-end."""
+    from pr2_transformation_spark.operators.zorder import quantize, z_value
+
+    cust = _t(spark, sf_dir, "customer")
+    z = z_value(
+        F.col("c_nationkey"), quantize(F.col("c_acctbal"), -1000.0, 10000.0, 8),
+        bits=8,
+    )
+    sharded = cust.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(16).over(Window.orderBy(z, F.col("c_custkey"))).alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_nationkey").alias("nk_min"),
+        F.max("c_nationkey").alias("nk_max"),
+        F.round(F.min("c_acctbal"), 2).alias("bal_min"),
+        F.round(F.max("c_acctbal"), 2).alias("bal_max"),
+        (
+            (F.min("c_nationkey") <= 13) & (F.max("c_nationkey") >= 13)
+        ).alias("scanned_for_nk13"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6266,6 +6298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_rfm_segmentation": q220_rfm_segmentation,
         "q221_degree_tail_estimate": q221_degree_tail_estimate,
         "q222_asof_join_forward": q222_asof_join_forward,
+        "q223_zorder_layout_audit": q223_zorder_layout_audit,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9203,6 +9236,28 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id AS u2, ts AS ts2, value AS v2
                             FROM events WHERE event_type = 'view') r
               ON l.user_id = r.u2 AND l.ts <= r.ts2
+        """,
+        "q223_zorder_layout_audit": """
+            WITH q AS (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       CAST(floor(least(greatest((CAST(c_acctbal AS DOUBLE) - (-1000.0)) / (10000.0 - (-1000.0)), 0.0), 1.0) * 255) AS BIGINT) AS yq
+                FROM customer
+            ), zv AS (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       (((c_nationkey >> 0) & 1) << 0) | (((yq >> 0) & 1) << 1) | (((c_nationkey >> 1) & 1) << 2) | (((yq >> 1) & 1) << 3) | (((c_nationkey >> 2) & 1) << 4) | (((yq >> 2) & 1) << 5) | (((c_nationkey >> 3) & 1) << 6) | (((yq >> 3) & 1) << 7) | (((c_nationkey >> 4) & 1) << 8) | (((yq >> 4) & 1) << 9) | (((c_nationkey >> 5) & 1) << 10) | (((yq >> 5) & 1) << 11) | (((c_nationkey >> 6) & 1) << 12) | (((yq >> 6) & 1) << 13) | (((c_nationkey >> 7) & 1) << 14) | (((yq >> 7) & 1) << 15) AS z
+                FROM q
+            ), sharded AS (
+                SELECT c_nationkey, c_acctbal,
+                       ntile(16) OVER (ORDER BY z, c_custkey) AS shard
+                FROM zv
+            )
+            SELECT shard, count(*) AS n,
+                   min(c_nationkey) AS nk_min, max(c_nationkey) AS nk_max,
+                   round(min(c_acctbal), 2) AS bal_min,
+                   round(max(c_acctbal), 2) AS bal_max,
+                   min(c_nationkey) <= 13 AND max(c_nationkey) >= 13
+                       AS scanned_for_nk13
+            FROM sharded GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

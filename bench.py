@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q220_rfm_segmentation",
     "q221_degree_tail_estimate",
     "q222_asof_join_forward",
+    "q223_zorder_layout_audit",
 ]
 
 
