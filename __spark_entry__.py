@@ -6072,6 +6072,70 @@ def q223_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (and weighted p90) of unit price weighted by
+    quantity, per return flag — the 'typical traded price' statistic a
+    plain median gets wrong when line sizes vary.  Classic cumulative-
+    weight window: sort by value within the group, take the first row
+    whose running weight crosses half the total.  One shuffle on the
+    group key; no percentile UDAF needed."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("w"),
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wspec).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+
+    def wq(frac):
+        return F.min(
+            F.when(F.col("cw") >= F.col("tw") * frac, F.col("v"))
+        )
+
+    return cum.groupBy("l_returnflag").agg(
+        F.round(wq(0.5), 2).alias("weighted_median"),
+        F.round(wq(0.9), 2).alias("weighted_p90"),
+        F.round(F.first("tw"), 2).alias("total_weight"),
+    )
+
+
+def q225_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency distribution: per user, seconds from
+    first click to first subsequent purchase, summarized as exact
+    p50/p90/max over converting users — the time-to-convert report
+    behind every funnel.  Two tiny per-user aggregates on one shuffle
+    key; exact medians on the 1 500-row user frame."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    first_click = ev.filter(F.col("event_type") == "click").groupBy(
+        "user_id"
+    ).agg(F.min("t").alias("t_click"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("t") - F.col("t_click")).alias("latency_s"))
+    )
+    return purch.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.median("latency_s").alias("p50_s"),
+        F.percentile("latency_s", F.lit(0.9)).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6299,6 +6363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_degree_tail_estimate": q221_degree_tail_estimate,
         "q222_asof_join_forward": q222_asof_join_forward,
         "q223_zorder_layout_audit": q223_zorder_layout_audit,
+        "q224_weighted_median": q224_weighted_median,
+        "q225_conversion_latency": q225_conversion_latency,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9258,6 +9324,44 @@ def oracle_sql() -> dict[str, str]:
                    min(c_nationkey) <= 13 AND max(c_nationkey) >= 13
                        AS scanned_for_nk13
             FROM sharded GROUP BY 1
+        """,
+        "q224_weighted_median": """
+            WITH cum AS (
+                SELECT l_returnflag, l_extendedprice AS v,
+                       sum(l_quantity) OVER (
+                           PARTITION BY l_returnflag ORDER BY l_extendedprice
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cw,
+                       sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   round(min(CASE WHEN cw >= tw * 0.5 THEN v END), 2)
+                       AS weighted_median,
+                   round(min(CASE WHEN cw >= tw * 0.9 THEN v END), 2)
+                       AS weighted_p90,
+                   round(any_value(tw), 2) AS total_weight
+            FROM cum GROUP BY 1
+        """,
+        "q225_conversion_latency": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ), fc AS (
+                SELECT user_id, min(t) AS t_click FROM e
+                WHERE event_type = 'click' GROUP BY 1
+            ), p AS (
+                SELECT e.user_id, min(t - t_click) AS latency_s
+                FROM e JOIN fc USING (user_id)
+                WHERE event_type = 'purchase' AND t >= t_click
+                GROUP BY 1
+            )
+            SELECT count(*) AS n_converted,
+                   quantile_cont(latency_s, 0.5) AS p50_s,
+                   quantile_cont(latency_s, 0.9) AS p90_s,
+                   max(latency_s) AS max_s
+            FROM p
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

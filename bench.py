@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "q221_degree_tail_estimate",
     "q222_asof_join_forward",
     "q223_zorder_layout_audit",
+    "q224_weighted_median",
+    "q225_conversion_latency",
 ]
 
 
