@@ -6136,6 +6136,20 @@ def q225_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (PPJoin/AllPairs family):
+    thresholded Jaccard >= 0.4 over word bigrams with only each doc's
+    |s|-ceil(0.4|s|)+1 rarest shingles indexed — lossless by the prefix
+    pigeonhole (see ngram_jaccard_pairs_prefix), candidates verified
+    exactly.  The oracle is the ORDINARY full set-similarity SQL: the
+    whole point is that the pruned plan returns byte-identical results
+    to the brute-force definition."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(
+        docs, "text", "doc_id", n=2, min_jaccard=0.4
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6365,6 +6379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_zorder_layout_audit": q223_zorder_layout_audit,
         "q224_weighted_median": q224_weighted_median,
         "q225_conversion_latency": q225_conversion_latency,
+        "q226_prefix_similarity_join": q226_prefix_similarity_join,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9362,6 +9377,29 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(latency_s, 0.9) AS p90_s,
                    max(latency_s) AS max_s
             FROM p
+        """,
+        "q226_prefix_similarity_join": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS s
+                FROM toks
+            ), e AS (
+                SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+                FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
+            FROM inter
+            WHERE n_common / (sz_a + sz_b - n_common) >= 0.4
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q223_zorder_layout_audit",
     "q224_weighted_median",
     "q225_conversion_latency",
+    "q226_prefix_similarity_join",
 ]
 
 

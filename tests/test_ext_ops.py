@@ -1581,3 +1581,56 @@ def test_asof_join_forward_and_tolerance_match_pandas(spark):
         for _, row in exp.iterrows():
             want = None if pd.isna(row["payload"]) else row["payload"]
             assert got[row["lid"]] == want, (direction, tol, row["lid"])
+
+
+def test_prefix_join_equals_unfiltered_ngram_jaccard(spark):
+    """Prefix filtering must be LOSSLESS: identical pairs and jaccards
+    to the unfiltered posting-list operator at the same threshold."""
+    from pr2_transformation_spark.functions import dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different sentence about spark and data",
+        "rare words cluster here quietly under moonlight tonight",
+    ]
+    rows = []
+    for i in range(45):
+        b = base[i % 3].split()
+        # rotate + perturb so pairs span the whole jaccard range
+        rot = b[i % len(b):] + b[: i % len(b)]
+        if i % 5 == 0:
+            rot = rot + ["extra%d" % i]
+        rows.append((i, " ".join(rot)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, "text", "doc_id", n=2, min_jaccard=t
+            ).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                df, "text", "doc_id", n=2, min_jaccard=t
+            ).collect()
+        }
+        assert fast == exact, t
+
+
+def test_prefix_join_indexes_fewer_postings(spark):
+    """The prefix index must actually be smaller than the full index at
+    a high threshold (the point of the algorithm)."""
+    from pr2_transformation_spark.functions import dedup, textstats
+    import pyspark.sql.functions as F
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        "doc_id", textstats.word_shingles(F.col("text"), 2).alias("sh")
+    )
+    full_count = sh.select(F.explode("sh")).count()
+    # at t=0.8 each 9-shingle doc indexes 9 - ceil(7.2) + 1 = 2 shingles
+    out = dedup.ngram_jaccard_pairs_prefix(df, min_jaccard=0.8)
+    assert out.count() == 45  # identical docs: all pairs at jaccard 1.0
+    assert full_count == 90
