@@ -6146,7 +6146,8 @@ def q226_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the brute-force definition."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs_prefix(
-        docs, "text", "doc_id", n=2, min_jaccard=0.4
+        docs, "text", "doc_id", n=2, min_jaccard=0.4,
+        bucket_cols=["lang", "source"],
     )
 
 
@@ -9380,20 +9381,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q226_prefix_similarity_join": """
             WITH toks AS (
-                SELECT doc_id,
+                SELECT doc_id, lang, source,
                        regexp_split_to_array(lower(trim(text)), '\\s+') AS t
                 FROM documents
             ), sh AS (
-                SELECT doc_id,
+                SELECT doc_id, lang, source,
                        list_distinct(list_transform(range(1, len(t)),
                                      i -> t[i] || ' ' || t[i + 1])) AS s
                 FROM toks
             ), e AS (
-                SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+                SELECT doc_id, lang, source, len(s) AS sz, unnest(s) AS g FROM sh
             ), inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
                 FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                 AND a.lang = b.lang AND a.source = b.source
                 GROUP BY 1, 2, 3, 4
             )
             SELECT id_a, id_b,

@@ -810,6 +810,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str = "doc_id",
     n: int = 2,
     min_jaccard: float = 0.4,
+    bucket_cols: list[str] | None = None,
 ) -> DataFrame:
     """Thresholded set-similarity join with PREFIX FILTERING (the
     PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et al. 2008):
@@ -834,14 +835,18 @@ def ngram_jaccard_pairs_prefix(
     is pinned by test.
     """
     t = float(min_jaccard)
+    bucket_cols = bucket_cols or []
     tok = ensure_parallelism(df).select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+        F.col(id_col), *bucket_cols,
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
     )
     sh = tok.select(
-        F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("sh")
+        F.col(id_col), *bucket_cols,
+        shingles_from_tokens(F.col("__toks"), n).alias("sh"),
     )
     expl = sh.select(
-        F.col(id_col), F.size("sh").alias("sz"), F.explode_outer("sh").alias("s")
+        F.col(id_col), *bucket_cols, F.size("sh").alias("sz"),
+        F.explode_outer("sh").alias("s"),
     ).filter(F.col("s").isNotNull())
 
     # ONE global order: ascending document frequency, shingle text as the
@@ -849,6 +854,7 @@ def ngram_jaccard_pairs_prefix(
     dfreq = expl.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     ranked = expl.join(dfreq, "s").select(
         id_col,
+        *bucket_cols,
         "sz",
         "s",
         F.row_number()
@@ -862,13 +868,15 @@ def ngram_jaccard_pairs_prefix(
     )
 
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s"
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s",
+        *bucket_cols,
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s"
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s",
+        *bucket_cols,
     )
     cand = (
-        a.join(b, "s")
+        a.join(b, ["s", *bucket_cols])
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: |b| >= t·|a| is necessary for Jaccard >= t
         .filter(
