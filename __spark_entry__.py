@@ -6151,6 +6151,63 @@ def q226_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q227_rare_label_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail label collapsing (the categorical-feature prep step):
+    keep part brands until the running frequency share reaches 60%,
+    fold the tail into '__other__', and emit the collapsed census plus
+    how many raw labels each collapsed one absorbs.  Cumulative-share
+    window over the (tiny) label dimension, broadcast back over the
+    scan — the fact table never re-shuffles."""
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("p_brand"))
+    tot = Window.partitionBy()
+    share = counts.select(
+        "p_brand",
+        "n",
+        (
+            (F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+            / F.sum("n").over(tot)
+        ).alias("share_before"),
+    )
+    mapped = share.select(
+        "p_brand",
+        "n",
+        F.when(
+            F.coalesce(F.col("share_before"), F.lit(0.0)) < 0.6,
+            F.col("p_brand"),
+        )
+        .otherwise(F.lit("__other__"))
+        .alias("label"),
+    )
+    return mapped.groupBy("label").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_raw_labels"),
+    )
+
+
+def q228_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day via the FIRST-SEEN trick: one
+    groupBy finds each user's first active day, a second counts
+    first-appearances per day, and a running sum turns that into the
+    cumulative-unique curve — no windowed COUNT(DISTINCT) (which Spark
+    cannot express) and no day x user re-scan.  The standard growth-
+    curve pattern; shuffles only user-sized then day-sized frames."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    per_day = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d0").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6381,6 +6438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_weighted_median": q224_weighted_median,
         "q225_conversion_latency": q225_conversion_latency,
         "q226_prefix_similarity_join": q226_prefix_similarity_join,
+        "q227_rare_label_collapse": q227_rare_label_collapse,
+        "q228_cumulative_distinct_users": q228_cumulative_distinct_users,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9402,6 +9461,38 @@ def oracle_sql() -> dict[str, str]:
                    round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
             FROM inter
             WHERE n_common / (sz_a + sz_b - n_common) >= 0.4
+        """,
+        "q227_rare_label_collapse": """
+            WITH counts AS (
+                SELECT p_brand, count(*) AS n FROM part GROUP BY 1
+            ), share AS (
+                SELECT p_brand, n,
+                       sum(n) OVER (ORDER BY n DESC, p_brand
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+                       / CAST(sum(n) OVER () AS DOUBLE) AS share_before
+                FROM counts
+            ), mapped AS (
+                SELECT p_brand, n,
+                       CASE WHEN coalesce(share_before, 0.0) < 0.6
+                            THEN p_brand ELSE '__other__' END AS label
+                FROM share
+            )
+            SELECT label, sum(n) AS n_rows, count(*) AS n_raw_labels
+            FROM mapped GROUP BY 1
+        """,
+        "q228_cumulative_distinct_users": """
+            WITH fs AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS d0
+                FROM events GROUP BY 1
+            ), per_day AS (
+                SELECT d0, count(*) AS new_users FROM fs GROUP BY 1
+            )
+            SELECT d0 AS day, new_users,
+                   sum(new_users) OVER (ORDER BY d0
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumulative_users
+            FROM per_day
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

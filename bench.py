@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "q224_weighted_median",
     "q225_conversion_latency",
     "q226_prefix_similarity_join",
+    "q227_rare_label_collapse",
+    "q228_cumulative_distinct_users",
 ]
 
 
