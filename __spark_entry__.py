@@ -6208,6 +6208,95 @@ def q228_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q229_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check-digit validation (Luhn mod-10, the credit-card/IMEI
+    algorithm) as a scan-side ID-integrity gate, round-trip style: a
+    15-digit base is derived from each order key, the correct Luhn
+    check digit appended, then keys where orderkey % 13 = 0 are
+    CORRUPTED by bumping one digit — the validator must flag exactly
+    those.  Pure digit arithmetic (substr + CASE doubling), identical
+    in any SQL engine; emits the confusion counts."""
+    orders = _t(spark, sf_dir, "orders")
+    base = F.lpad(F.col("o_orderkey").cast("string"), 15, "0")
+
+    def luhn_sum(col, n, parity):
+        # sum over digit positions 1..n of d or double-with-carry
+        total = F.lit(0)
+        for i in range(1, n + 1):
+            d = F.substring(col, i, 1).cast("int")
+            if i % 2 == parity:
+                dd = d * 2
+                total = total + F.when(dd > 9, dd - 9).otherwise(dd)
+            else:
+                total = total + d
+        return total
+
+    # check digit c makes (sum + c) % 10 == 0, doubling odd positions
+    # (1-indexed from the LEFT of the 15-digit base => positions 1,3,..15
+    # are doubled when a 16th digit is appended)
+    s = luhn_sum(base, 15, 1)
+    check = F.pmod(-s, 10)
+    good = F.concat(base, check.cast("string"))
+    corrupted = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.concat(
+            F.substring(good, 1, 7),
+            F.pmod(F.substring(good, 8, 1).cast("int") + 1, 10).cast("string"),
+            F.substring(good, 9, 8),
+        ),
+    ).otherwise(good)
+    with_id = orders.select(
+        "o_orderkey", corrupted.alias("card_id"),
+        (F.col("o_orderkey") % 13 == 0).alias("was_corrupted"),
+    )
+    v = luhn_sum(F.col("card_id"), 16, 1)
+    validated = with_id.select(
+        "was_corrupted", (F.pmod(v, 10) == 0).alias("passes_luhn")
+    )
+    return validated.groupBy("was_corrupted", "passes_luhn").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q230_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphaned lineitems
+    (no parent order), childless orders, and both directions' coverage
+    — the join-key health check that belongs next to q207's single-
+    table contract.  Two anti-join counts + totals, each a partial-
+    aggregated key join; no wide rows move."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    li_stats = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(
+            F.when(orders["o_orderkey"].isNull(), 1).otherwise(0)
+        ).alias("orphan_lineitems"),
+    )
+    ld = li.distinct()
+    ord_stats = orders.join(
+        ld, orders["o_orderkey"] == ld["l_orderkey"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(ld["l_orderkey"].isNull(), 1).otherwise(0)).alias(
+            "childless_orders"
+        ),
+    )
+    return li_stats.crossJoin(F.broadcast(ord_stats)).select(
+        "n_lineitems",
+        "orphan_lineitems",
+        "n_orders",
+        "childless_orders",
+        F.round(
+            1.0 - F.col("orphan_lineitems") / F.col("n_lineitems"), 4
+        ).alias("lineitem_coverage"),
+        F.round(
+            1.0 - F.col("childless_orders") / F.col("n_orders"), 4
+        ).alias("order_coverage"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6440,6 +6529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_prefix_similarity_join": q226_prefix_similarity_join,
         "q227_rare_label_collapse": q227_rare_label_collapse,
         "q228_cumulative_distinct_users": q228_cumulative_distinct_users,
+        "q229_luhn_validation": q229_luhn_validation,
+        "q230_referential_integrity": q230_referential_integrity,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9493,6 +9584,54 @@ def oracle_sql() -> dict[str, str]:
                                         ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND CURRENT ROW) AS cumulative_users
             FROM per_day
+        """,
+        "q229_luhn_validation": """
+            WITH base AS (
+                SELECT o_orderkey,
+                       lpad(CAST(o_orderkey AS VARCHAR), 15, '0') AS b
+                FROM orders
+            ), signed AS (
+                SELECT o_orderkey,
+                       b || CAST((10 - (((CASE WHEN CAST(substr(b, 1, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 1, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 1, 1) AS INT) * 2 END) + CAST(substr(b, 2, 1) AS INT) + (CASE WHEN CAST(substr(b, 3, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 3, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 3, 1) AS INT) * 2 END) + CAST(substr(b, 4, 1) AS INT) + (CASE WHEN CAST(substr(b, 5, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 5, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 5, 1) AS INT) * 2 END) + CAST(substr(b, 6, 1) AS INT) + (CASE WHEN CAST(substr(b, 7, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 7, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 7, 1) AS INT) * 2 END) + CAST(substr(b, 8, 1) AS INT) + (CASE WHEN CAST(substr(b, 9, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 9, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 9, 1) AS INT) * 2 END) + CAST(substr(b, 10, 1) AS INT) + (CASE WHEN CAST(substr(b, 11, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 11, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 11, 1) AS INT) * 2 END) + CAST(substr(b, 12, 1) AS INT) + (CASE WHEN CAST(substr(b, 13, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 13, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 13, 1) AS INT) * 2 END) + CAST(substr(b, 14, 1) AS INT) + (CASE WHEN CAST(substr(b, 15, 1) AS INT) * 2 > 9 THEN CAST(substr(b, 15, 1) AS INT) * 2 - 9 ELSE CAST(substr(b, 15, 1) AS INT) * 2 END)) % 10)) % 10
+                                 AS VARCHAR) AS good
+                FROM base
+            ), ids AS (
+                SELECT o_orderkey % 13 = 0 AS was_corrupted,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN substr(good, 1, 7)
+                                 || CAST((CAST(substr(good, 8, 1) AS INT) + 1) % 10
+                                         AS VARCHAR)
+                                 || substr(good, 9, 8)
+                            ELSE good END AS card_id
+                FROM signed
+            ), v AS (
+                SELECT was_corrupted,
+                       (((CASE WHEN CAST(substr(card_id, 1, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 1, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 1, 1) AS INT) * 2 END) + CAST(substr(card_id, 2, 1) AS INT) + (CASE WHEN CAST(substr(card_id, 3, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 3, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 3, 1) AS INT) * 2 END) + CAST(substr(card_id, 4, 1) AS INT) + (CASE WHEN CAST(substr(card_id, 5, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 5, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 5, 1) AS INT) * 2 END) + CAST(substr(card_id, 6, 1) AS INT) + (CASE WHEN CAST(substr(card_id, 7, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 7, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 7, 1) AS INT) * 2 END) + CAST(substr(card_id, 8, 1) AS INT) + (CASE WHEN CAST(substr(card_id, 9, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 9, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 9, 1) AS INT) * 2 END) + CAST(substr(card_id, 10, 1) AS INT) + (CASE WHEN CAST(substr(card_id, 11, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 11, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 11, 1) AS INT) * 2 END) + CAST(substr(card_id, 12, 1) AS INT) + (CASE WHEN CAST(substr(card_id, 13, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 13, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 13, 1) AS INT) * 2 END) + CAST(substr(card_id, 14, 1) AS INT) + (CASE WHEN CAST(substr(card_id, 15, 1) AS INT) * 2 > 9 THEN CAST(substr(card_id, 15, 1) AS INT) * 2 - 9 ELSE CAST(substr(card_id, 15, 1) AS INT) * 2 END) + CAST(substr(card_id, 16, 1) AS INT)) % 10) = 0 AS passes_luhn
+                FROM ids
+            )
+            SELECT was_corrupted, passes_luhn, count(*) AS n
+            FROM v GROUP BY 1, 2
+        """,
+        "q230_referential_integrity": """
+            WITH li_stats AS (
+                SELECT count(*) AS n_lineitems,
+                       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                           AS orphan_lineitems
+                FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+            ), ord_stats AS (
+                SELECT count(*) AS n_orders,
+                       sum(CASE WHEN d.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                           AS childless_orders
+                FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) d
+                  ON o.o_orderkey = d.l_orderkey
+            )
+            SELECT n_lineitems, orphan_lineitems, n_orders, childless_orders,
+                   round(1.0 - orphan_lineitems / CAST(n_lineitems AS DOUBLE), 4)
+                       AS lineitem_coverage,
+                   round(1.0 - childless_orders / CAST(n_orders AS DOUBLE), 4)
+                       AS order_coverage
+            FROM li_stats CROSS JOIN ord_stats
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

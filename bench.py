@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "q226_prefix_similarity_join",
     "q227_rare_label_collapse",
     "q228_cumulative_distinct_users",
+    "q229_luhn_validation",
+    "q230_referential_integrity",
 ]
 
 

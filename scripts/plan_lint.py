@@ -68,6 +68,7 @@ CARTESIAN_ALLOWED = {
     "q219_minhash_source_overlap": "20-row signature frame pairs with itself via inequality join by design",
     "q220_rfm_segmentation": "max-orderdate anchor scalar (1 row) rides a broadcast cross",
     "q221_degree_tail_estimate": "d_min and corpus-stat scalars (1 row each) ride broadcast crosses",
+    "q230_referential_integrity": "two 1-row audit aggregates assembled via a broadcast cross",
 }
 
 
