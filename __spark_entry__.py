@@ -6297,6 +6297,42 @@ def q230_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q231_streaming_counts_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING under the batch oracle: the events table is re-ingested
+    through Structured Streaming (file source, availableNow trigger —
+    the bounded-backfill mode a production stream uses to catch up),
+    aggregated in complete mode into a memory sink, and the FINAL
+    snapshot is returned for grading.  Exactly-once file-source
+    semantics mean the snapshot must equal the batch GROUP BY — which
+    is precisely what the DuckDB oracle asserts.  The one query where
+    the engine under test is the streaming runtime itself."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the sf dir, glob-limited
+    # to the single events file
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = "q231_snapshot"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6531,6 +6567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_cumulative_distinct_users": q228_cumulative_distinct_users,
         "q229_luhn_validation": q229_luhn_validation,
         "q230_referential_integrity": q230_referential_integrity,
+        "q231_streaming_counts_graded": q231_streaming_counts_graded,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9632,6 +9669,11 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - childless_orders / CAST(n_orders AS DOUBLE), 4)
                        AS order_coverage
             FROM li_stats CROSS JOIN ord_stats
+        """,
+        "q231_streaming_counts_graded": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

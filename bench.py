@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q228_cumulative_distinct_users",
     "q229_luhn_validation",
     "q230_referential_integrity",
+    "q231_streaming_counts_graded",
 ]
 
 
