@@ -6333,6 +6333,37 @@ def q231_streaming_counts_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q232_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (the semantic complement of
+    q108's 4-gram probe): flag training vectors whose cosine to ANY
+    held-out eval vector (vec_id < 50) reaches 0.4 — near-duplicates
+    of the eval set that token n-grams cannot catch after paraphrase.
+    Eval side broadcasts (small by contract, like every query batch in
+    similarity.py); one corpus scan, max-similarity aggregate per
+    train vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 50).select(
+        F.col("embedding").cast("array<double>").alias("__ev")
+    )
+    tr = emb.filter(F.col("vec_id") >= 50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__tv")
+    )
+    sims = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        F.round(similarity.cosine(F.col("__tv"), F.col("__ev")), 4).alias(
+            "sim"
+        ),
+    )
+    per_train = sims.groupBy("vec_id").agg(F.max("sim").alias("max_sim"))
+    return per_train.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("max_sim") >= 0.4, 1).otherwise(0)).alias(
+            "n_flagged"
+        ),
+        F.round(F.max("max_sim"), 4).alias("max_sim"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6568,6 +6599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_luhn_validation": q229_luhn_validation,
         "q230_referential_integrity": q230_referential_integrity,
         "q231_streaming_counts_graded": q231_streaming_counts_graded,
+        "q232_embedding_decontamination": q232_embedding_decontamination,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9674,6 +9706,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "q232_embedding_decontamination": """
+            WITH ev AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 50
+            ), tr AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id >= 50
+            ), per_train AS (
+                SELECT t.vec_id,
+                       max(round(list_cosine_similarity(t.v, e.v), 4)) AS max_sim
+                FROM tr t CROSS JOIN ev e
+                GROUP BY 1
+            )
+            SELECT count(*) AS n_train,
+                   sum(CASE WHEN max_sim >= 0.4 THEN 1 ELSE 0 END) AS n_flagged,
+                   round(max(max_sim), 4) AS max_sim
+            FROM per_train
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q229_luhn_validation",
     "q230_referential_integrity",
     "q231_streaming_counts_graded",
+    "q232_embedding_decontamination",
 ]
 
 
