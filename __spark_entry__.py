@@ -6310,13 +6310,18 @@ def q231_streaming_counts_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # the file source wants a directory: stream the sf dir, glob-limited
-    # to the single events file
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the file source wants a directory: a directory-layout table streams
+    # directly; a single-file table streams its parent dir glob-limited
+    # to that file (globbing the parent would otherwise silently match
+    # nothing for directory layouts — 0 rows, not an error)
+    if _os.path.isdir(path):
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     agg = sdf.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
