@@ -6369,6 +6369,66 @@ def q232_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q233_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov: D = max |ECDF_a − ECDF_b|
+    over order totals of URGENT vs LOW priority orders, with the
+    classical alpha=0.05 rejection bound 1.358·sqrt((n+m)/(n·m)) — the
+    distribution-shape drift test that PSI's fixed bins can miss.
+    Distinct-value running counts (integer-exact), one sort-shuffle of
+    the value dimension, scalars broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("na_v"),
+        F.sum(1 - F.col("is_a")).alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = tagged.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    )
+    cum = per_v.select(
+        F.sum("na_v").over(w).alias("ca"), F.sum("nb_v").over(w).alias("cb")
+    ).crossJoin(F.broadcast(tot))
+    return cum.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+                )
+            ),
+            4,
+        ).alias("ks_d"),
+        F.round(
+            F.lit(1.358)
+            * F.sqrt(
+                (F.first("n_a") + F.first("n_b"))
+                / (F.first("n_a").cast("double") * F.first("n_b"))
+            ),
+            4,
+        ).alias("crit_05"),
+        (
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+                )
+            )
+            > F.lit(1.358)
+            * F.sqrt(
+                (F.first("n_a") + F.first("n_b"))
+                / (F.first("n_a").cast("double") * F.first("n_b"))
+            )
+        ).alias("reject_h0"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6605,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_referential_integrity": q230_referential_integrity,
         "q231_streaming_counts_graded": q231_streaming_counts_graded,
         "q232_embedding_decontamination": q232_embedding_decontamination,
+        "q233_ks_test": q233_ks_test,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9729,6 +9790,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN max_sim >= 0.4 THEN 1 ELSE 0 END) AS n_flagged,
                    round(max(max_sim), 4) AS max_sim
             FROM per_train
+        """,
+        "q233_ks_test": """
+            WITH tagged AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), per_v AS (
+                SELECT v, sum(is_a) AS na_v, sum(1 - is_a) AS nb_v
+                FROM tagged GROUP BY 1
+            ), tot AS (
+                SELECT sum(is_a) AS n_a, sum(1 - is_a) AS n_b FROM tagged
+            ), cum AS (
+                SELECT sum(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                       sum(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+                FROM per_v
+            )
+            SELECT any_value(t.n_a) AS n_a,
+                   any_value(t.n_b) AS n_b,
+                   round(max(abs(ca / CAST(t.n_a AS DOUBLE)
+                                 - cb / CAST(t.n_b AS DOUBLE))), 4) AS ks_d,
+                   round(any_value(1.358 * sqrt((t.n_a + t.n_b)
+                         / (CAST(t.n_a AS DOUBLE) * t.n_b))), 4) AS crit_05,
+                   max(abs(ca / CAST(t.n_a AS DOUBLE)
+                           - cb / CAST(t.n_b AS DOUBLE)))
+                     > any_value(1.358 * sqrt((t.n_a + t.n_b)
+                         / (CAST(t.n_a AS DOUBLE) * t.n_b))) AS reject_h0
+            FROM cum CROSS JOIN tot t
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q230_referential_integrity",
     "q231_streaming_counts_graded",
     "q232_embedding_decontamination",
+    "q233_ks_test",
 ]
 
 

@@ -70,6 +70,7 @@ CARTESIAN_ALLOWED = {
     "q221_degree_tail_estimate": "d_min and corpus-stat scalars (1 row each) ride broadcast crosses",
     "q230_referential_integrity": "two 1-row audit aggregates assembled via a broadcast cross",
     "q232_embedding_decontamination": "eval-vector frame broadcasts against the train scan by contract (like q20)",
+    "q233_ks_test": "two-sample total scalars (1 row) ride a broadcast cross",
 }
 
 
