@@ -6429,6 +6429,59 @@ def q233_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (KS's location-shift companion,
+    q233): URGENT vs LOW order totals.  Average ranks computed WITHOUT
+    a per-row sort: per distinct value, avg_rank = cum_before +
+    (n_v + 1)/2, so R_a = sum(na_v * avg_rank) — integer-exact group
+    arithmetic on the value dimension, ties handled correctly by
+    construction.  Emits U, the normal-approximation z (no tie
+    correction — documented; prices are effectively distinct), and the
+    |z| > 1.96 verdict."""
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_a"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("is_a").alias("na_v"),
+        F.count(F.lit(1)).alias("n_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "na_v",
+        (
+            F.coalesce(F.sum("n_v").over(w), F.lit(0))
+            + (F.col("n_v") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    tot = tagged.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    )
+    stats = ranked.agg(
+        F.sum(F.col("na_v") * F.col("avg_rank")).alias("r_a")
+    ).crossJoin(F.broadcast(tot))
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    mu = F.col("n_a") * F.col("n_b") / 2.0
+    sigma = F.sqrt(
+        F.col("n_a")
+        * F.col("n_b")
+        * (F.col("n_a") + F.col("n_b") + 1)
+        / 12.0
+    )
+    z = (u - mu) / sigma
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(u, 2).alias("u_stat"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("reject_h0"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6666,6 +6719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_streaming_counts_graded": q231_streaming_counts_graded,
         "q232_embedding_decontamination": q232_embedding_decontamination,
         "q233_ks_test": q233_ks_test,
+        "q234_mann_whitney": q234_mann_whitney,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9818,6 +9872,35 @@ def oracle_sql() -> dict[str, str]:
                      > any_value(1.358 * sqrt((t.n_a + t.n_b)
                          / (CAST(t.n_a AS DOUBLE) * t.n_b))) AS reject_h0
             FROM cum CROSS JOIN tot t
+        """,
+        "q234_mann_whitney": """
+            WITH tagged AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), per_v AS (
+                SELECT v, sum(is_a) AS na_v, count(*) AS n_v
+                FROM tagged GROUP BY 1
+            ), ranked AS (
+                SELECT na_v,
+                       coalesce(sum(n_v) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + (n_v + 1) / 2.0 AS avg_rank
+                FROM per_v
+            ), tot AS (
+                SELECT sum(is_a) AS n_a, sum(1 - is_a) AS n_b FROM tagged
+            ), s AS (
+                SELECT sum(na_v * avg_rank) AS r_a FROM ranked
+            )
+            SELECT n_a, n_b,
+                   round(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_stat,
+                   round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                         / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 4) AS z,
+                   abs((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                       / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)) > 1.96
+                       AS reject_h0
+            FROM s CROSS JOIN tot
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "q231_streaming_counts_graded",
     "q232_embedding_decontamination",
     "q233_ks_test",
+    "q234_mann_whitney",
 ]
 
 

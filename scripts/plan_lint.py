@@ -71,6 +71,7 @@ CARTESIAN_ALLOWED = {
     "q230_referential_integrity": "two 1-row audit aggregates assembled via a broadcast cross",
     "q232_embedding_decontamination": "eval-vector frame broadcasts against the train scan by contract (like q20)",
     "q233_ks_test": "two-sample total scalars (1 row) ride a broadcast cross",
+    "q234_mann_whitney": "two-sample total scalars (1 row) ride a broadcast cross",
 }
 
 
