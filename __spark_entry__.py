@@ -6482,6 +6482,60 @@ def q234_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q235_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration per nation: sum of squared
+    customer revenue shares (x10000, the antitrust scale) — how
+    dominated each nation's order book is by its largest customers
+    (complements q152's Gini).  Two stacked aggregates on one key
+    chain; shares squared map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tot = per_cust.groupBy("c_nationkey").agg(F.sum("rev").alias("tot"))
+    return (
+        per_cust.join(F.broadcast(tot), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.pow(F.col("rev") / F.col("tot"), 2)) * 10000, 2
+            ).alias("hhi"),
+        )
+    )
+
+
+def q236_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: average daily
+    volume on each weekday divided by the type's overall daily average
+    — the multiplicative profile a forecast or anomaly monitor divides
+    out before comparing days.  Daily counts reduce map-side; the
+    index join is a 5x7-row broadcast."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    )
+    daily = ev.groupBy("event_type", "d", "dow").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.avg("n").alias("dow_avg")
+    )
+    overall = daily.groupBy("event_type").agg(F.avg("n").alias("all_avg"))
+    return per_dow.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "dow",
+        F.round("dow_avg", 4).alias("dow_avg"),
+        F.round(F.col("dow_avg") / F.col("all_avg"), 4).alias(
+            "seasonality_index"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6720,6 +6774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_embedding_decontamination": q232_embedding_decontamination,
         "q233_ks_test": q233_ks_test,
         "q234_mann_whitney": q234_mann_whitney,
+        "q235_hhi_concentration": q235_hhi_concentration,
+        "q236_dow_seasonality": q236_dow_seasonality,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9901,6 +9957,35 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)) > 1.96
                        AS reject_h0
             FROM s CROSS JOIN tot
+        """,
+        "q235_hhi_concentration": """
+            WITH per_cust AS (
+                SELECT c.c_nationkey, c.c_custkey, sum(o_totalprice) AS rev
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT c_nationkey, sum(rev) AS tot FROM per_cust GROUP BY 1
+            )
+            SELECT p.c_nationkey, count(*) AS n_customers,
+                   round(sum(power(p.rev / t.tot, 2)) * 10000, 2) AS hhi
+            FROM per_cust p JOIN tot t USING (c_nationkey)
+            GROUP BY 1
+        """,
+        "q236_dow_seasonality": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       dayofweek(ts) + 1 AS dow, count(*) AS n
+                FROM events GROUP BY 1, 2, 3
+            ), per_dow AS (
+                SELECT event_type, dow, avg(n) AS dow_avg
+                FROM daily GROUP BY 1, 2
+            ), overall AS (
+                SELECT event_type, avg(n) AS all_avg FROM daily GROUP BY 1
+            )
+            SELECT p.event_type, p.dow,
+                   round(p.dow_avg, 4) AS dow_avg,
+                   round(p.dow_avg / o.all_avg, 4) AS seasonality_index
+            FROM per_dow p JOIN overall o USING (event_type)
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "q232_embedding_decontamination",
     "q233_ks_test",
     "q234_mann_whitney",
+    "q235_hhi_concentration",
+    "q236_dow_seasonality",
 ]
 
 
