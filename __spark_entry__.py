@@ -6536,6 +6536,82 @@ def q236_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q237_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level anti-entropy (q209 sharpened for repair): the
+    same row digest, XOR-folded PER ORDER-MONTH — two replicas compare
+    ~80 digest rows and re-sync only the months that differ instead of
+    re-shipping the table.  Digest arithmetic identical to q209's, so
+    the month digests XOR together to the table digest."""
+    from pr2_transformation_spark.functions.dedup import md5_long
+
+    orders = _t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+        ],
+    )
+    return (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+            md5_long(row).alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_digest"),
+        )
+    )
+
+
+def q238_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: customers cohorted by first-order year, then
+    cumulative revenue per customer tracked by order-age (years since
+    first order) — the lifetime-value ramp underneath q109's retention
+    grid.  First-order frame joins back broadcast-small; running sum
+    over the (cohort, age) aggregate only."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("yr")
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    aged = orders.join(first, "o_custkey").select(
+        "cohort", (F.col("yr") - F.col("cohort")).alias("age"), "o_totalprice"
+    )
+    cohort_sizes = first.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+    per_age = aged.groupBy("cohort", "age").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_age.select(
+            "cohort", "age", F.sum("rev").over(w).alias("cum_rev")
+        )
+        .join(F.broadcast(cohort_sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            F.round(F.col("cum_rev") / F.col("n_cust"), 2).alias(
+                "ltv_per_customer"
+            ),
+            "n_cust",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6776,6 +6852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_mann_whitney": q234_mann_whitney,
         "q235_hhi_concentration": q235_hhi_concentration,
         "q236_dow_seasonality": q236_dow_seasonality,
+        "q237_partition_checksums": q237_partition_checksums,
+        "q238_cohort_ltv": q238_cohort_ltv,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -9986,6 +10064,48 @@ def oracle_sql() -> dict[str, str]:
                    round(p.dow_avg, 4) AS dow_avg,
                    round(p.dow_avg / o.all_avg, 4) AS seasonality_index
             FROM per_dow p JOIN overall o USING (event_type)
+        """,
+        "q237_partition_checksums": """
+            WITH h AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       CAST(('0x' || substring(md5(concat_ws('|',
+                           coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+                           coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
+                           coalesce(o_orderstatus, '<NULL>'),
+                           coalesce(CAST(o_totalprice AS VARCHAR), '<NULL>'),
+                           coalesce(CAST(o_orderdate AS VARCHAR), '<NULL>'),
+                           coalesce(o_orderpriority, '<NULL>')
+                       )), 1, 15)) AS BIGINT) AS h
+                FROM orders
+            )
+            SELECT month, count(*) AS n_rows, bit_xor(h) AS xor_digest
+            FROM h GROUP BY 1
+        """,
+        "q238_cohort_ltv": """
+            WITH o AS (
+                SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+                FROM orders
+            ), first AS (
+                SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY 1
+            ), sizes AS (
+                SELECT cohort, count(DISTINCT o_custkey) AS n_cust
+                FROM first GROUP BY 1
+            ), per_age AS (
+                SELECT f.cohort, o.yr - f.cohort AS age,
+                       sum(o_totalprice) AS rev
+                FROM o JOIN first f USING (o_custkey)
+                GROUP BY 1, 2
+            ), cum AS (
+                SELECT cohort, age,
+                       sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_rev
+                FROM per_age
+            )
+            SELECT c.cohort, c.age,
+                   round(c.cum_rev / s.n_cust, 2) AS ltv_per_customer,
+                   s.n_cust
+            FROM cum c JOIN sizes s USING (cohort)
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

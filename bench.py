@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "q234_mann_whitney",
     "q235_hhi_concentration",
     "q236_dow_seasonality",
+    "q237_partition_checksums",
+    "q238_cohort_ltv",
 ]
 
 
