@@ -6612,6 +6612,67 @@ def q238_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q239_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching by CUMULATIVE-INTERVAL INTERSECTION — the
+    running-total trick that turns an inherently sequential allocation
+    into one declarative join: per part (deterministic 1-in-97 subset),
+    returned units ('R' lines, the restock stream) are consumed FIFO by
+    accepted demand ('A' lines); each stream gets cumulative [prev,cum)
+    ranges ordered by (shipdate, orderkey, linenumber), and
+    allocated = max(0, min(ends) − max(starts)) per overlapping pair.
+    No loops, no recursion, no state — two windows and a range join
+    whose fan-out is bounded by true overlap."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 97 == 0
+    )
+
+    def stream(flag, prefix):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                "l_partkey",
+                F.col("l_orderkey").alias(f"{prefix}_order"),
+                F.col("l_linenumber").alias(f"{prefix}_line"),
+                F.col("l_quantity").alias(f"{prefix}_qty"),
+                F.sum("l_quantity").over(w).alias(f"{prefix}_cum"),
+            )
+            .withColumn(
+                f"{prefix}_prev", F.col(f"{prefix}_cum") - F.col(f"{prefix}_qty")
+            )
+        )
+
+    supply = stream("R", "s")
+    demand = stream("A", "d")
+    alloc = (
+        supply.join(demand, "l_partkey")
+        .select(
+            "l_partkey",
+            "s_order",
+            "s_line",
+            "d_order",
+            "d_line",
+            (
+                F.least(F.col("s_cum"), F.col("d_cum"))
+                - F.greatest(F.col("s_prev"), F.col("d_prev"))
+            ).alias("allocated"),
+        )
+        .filter(F.col("allocated") > 0)
+    )
+    return alloc.select(
+        "l_partkey",
+        "s_order",
+        "s_line",
+        "d_order",
+        "d_line",
+        F.round("allocated", 2).alias("allocated"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6854,6 +6915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_dow_seasonality": q236_dow_seasonality,
         "q237_partition_checksums": q237_partition_checksums,
         "q238_cohort_ltv": q238_cohort_ltv,
+        "q239_fifo_allocation": q239_fifo_allocation,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -10106,6 +10168,36 @@ def oracle_sql() -> dict[str, str]:
                    round(c.cum_rev / s.n_cust, 2) AS ltv_per_customer,
                    s.n_cust
             FROM cum c JOIN sizes s USING (cohort)
+        """,
+        "q239_fifo_allocation": """
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 97 = 0
+            ), s AS (
+                SELECT l_partkey,
+                       l_orderkey AS s_order, l_linenumber AS s_line,
+                       l_quantity AS s_qty,
+                       sum(l_quantity) OVER (PARTITION BY l_partkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS s_cum
+                FROM li WHERE l_returnflag = 'R'
+            ), d AS (
+                SELECT l_partkey,
+                       l_orderkey AS d_order, l_linenumber AS d_line,
+                       l_quantity AS d_qty,
+                       sum(l_quantity) OVER (PARTITION BY l_partkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS d_cum
+                FROM li WHERE l_returnflag = 'A'
+            )
+            SELECT s.l_partkey, s_order, s_line, d_order, d_line,
+                   round(least(s_cum, d_cum)
+                         - greatest(s_cum - s_qty, d_cum - d_qty), 2)
+                       AS allocated
+            FROM s JOIN d USING (l_partkey)
+            WHERE least(s_cum, d_cum)
+                  - greatest(s_cum - s_qty, d_cum - d_qty) > 0
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

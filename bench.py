@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q236_dow_seasonality",
     "q237_partition_checksums",
     "q238_cohort_ltv",
+    "q239_fifo_allocation",
 ]
 
 
