@@ -6673,6 +6673,65 @@ def q239_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q240_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-model attribution in ONE pass (extends q172's single
+    last-touch model): every purchase's value is credited to the user's
+    prior click/view touches under first-touch, last-touch, AND linear
+    (1/n) models simultaneously — the side-by-side that shows how much
+    'campaign performance' is a modeling choice.  Touch-purchase pairs
+    fan out per user; per-purchase touch counts and min/max touch times
+    come from one window pass."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("t"),
+        F.concat(
+            F.lit("camp_"),
+            (
+                F.get_json_object("props", "$.k").cast("bigint") % 4
+            ).cast("string"),
+        ).alias("camp"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("t").alias("tt"), "camp"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("pt"), F.col("value").alias("rev")
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        F.col("tt") <= F.col("pt")
+    )
+    w = Window.partitionBy("user_id", "pt")
+    annotated = pairs.select(
+        "camp",
+        "rev",
+        "tt",
+        F.count(F.lit(1)).over(w).alias("n_touch"),
+        F.min("tt").over(w).alias("t_first"),
+        F.max("tt").over(w).alias("t_last"),
+    )
+    return annotated.groupBy("camp").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("tt") == F.col("t_first"), F.col("rev"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("first_touch_rev"),
+        F.round(
+            F.sum(
+                F.when(F.col("tt") == F.col("t_last"), F.col("rev"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("last_touch_rev"),
+        F.round(F.sum(F.col("rev") / F.col("n_touch")), 2).alias(
+            "linear_rev"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -6916,6 +6975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_partition_checksums": q237_partition_checksums,
         "q238_cohort_ltv": q238_cohort_ltv,
         "q239_fifo_allocation": q239_fifo_allocation,
+        "q240_attribution_models": q240_attribution_models,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -10198,6 +10258,38 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN d USING (l_partkey)
             WHERE least(s_cum, d_cum)
                   - greatest(s_cum - s_qty, d_cum - d_qty) > 0
+        """,
+        "q240_attribution_models": """
+            WITH e AS (
+                SELECT user_id, event_type, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                       'camp_' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4
+                                       AS VARCHAR) AS camp
+                FROM events
+            ), touches AS (
+                SELECT user_id, t AS tt, camp FROM e
+                WHERE event_type IN ('click', 'view')
+            ), purchases AS (
+                SELECT user_id, t AS pt, value AS rev FROM e
+                WHERE event_type = 'purchase'
+            ), pairs AS (
+                SELECT p.user_id, p.pt, p.rev, t.tt, t.camp
+                FROM purchases p JOIN touches t USING (user_id)
+                WHERE t.tt <= p.pt
+            ), ann AS (
+                SELECT camp, rev, tt,
+                       count(*) OVER (PARTITION BY user_id, pt) AS n_touch,
+                       min(tt) OVER (PARTITION BY user_id, pt) AS t_first,
+                       max(tt) OVER (PARTITION BY user_id, pt) AS t_last
+                FROM pairs
+            )
+            SELECT camp,
+                   round(sum(CASE WHEN tt = t_first THEN rev ELSE 0 END), 2)
+                       AS first_touch_rev,
+                   round(sum(CASE WHEN tt = t_last THEN rev ELSE 0 END), 2)
+                       AS last_touch_rev,
+                   round(sum(rev / n_touch), 2) AS linear_rev
+            FROM ann GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

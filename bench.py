@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q237_partition_checksums",
     "q238_cohort_ltv",
     "q239_fifo_allocation",
+    "q240_attribution_models",
 ]
 
 
