@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q238_cohort_ltv",
     "q239_fifo_allocation",
     "q240_attribution_models",
+    "q241_asof_cogrouped",
 ]
 
 

@@ -138,3 +138,71 @@ def _ts_number(col, dtype):
     if isinstance(dtype, DateType):
         return F.unix_date(col) * F.lit(86400)
     return col
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Co-grouped Arrow twin of ``asof_join``: both sides are grouped on
+    ``by`` and each key's pair of pandas frames meets in ONE
+    ``cogroup().applyInPandas`` call running ``pandas.merge_asof`` —
+    the canonical use of Spark's co-grouped map (two datasets, one
+    shuffle each, per-key pandas logic no SQL expresses directly).
+
+    Same contract and results as ``asof_join`` (equivalence-tested);
+    prefer the union-trick form when the logic IS expressible as a
+    window — it stays in codegen — and this form when per-key logic
+    grows beyond what a window can say (model scoring per entity,
+    custom interpolation).  Ordering inside each group is handled by
+    merge_asof's required sort.
+
+    Tie contract (both implementations): when the right side has
+    DUPLICATE (by, ts) keys, which duplicate's payload wins is
+    implementation-defined — dedup the right side on (by, ts) first if
+    payloads can differ (the same caveat pandas.merge_asof carries)."""
+    import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    from pyspark.sql.types import StructField, StructType
+
+    # fresh StructType: StructType.add mutates in place, and mutating
+    # left's CACHED schema object corrupts left's own plan analysis
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(c, right.schema[c].dataType, True) for c in right_cols]
+    )
+    left_cols = list(left.columns)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + right_cols)
+        lp = lpdf.sort_values(ts_col)
+        rp = rpdf[[ts_col, *right_cols]].sort_values(ts_col)
+        if not len(rp):
+            out = lp.copy()
+            for c in right_cols:
+                out[c] = None
+            return out[left_cols + right_cols]
+        merged = pd.merge_asof(
+            lp,
+            rp,
+            on=ts_col,
+            direction=direction,
+            tolerance=tolerance,
+            suffixes=("", "__r"),
+        )
+        return merged[left_cols + right_cols]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(lambda l, r: merge(l, r), out_schema)
+    )

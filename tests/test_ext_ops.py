@@ -1634,3 +1634,40 @@ def test_prefix_join_indexes_fewer_postings(spark):
     out = dedup.ngram_jaccard_pairs_prefix(df, min_jaccard=0.8)
     assert out.count() == 45  # identical docs: all pairs at jaccard 1.0
     assert full_count == 90
+
+
+def test_asof_cogrouped_matches_union_trick(spark):
+    """The cogroup().applyInPandas as-of twin must agree with the
+    union+window implementation in both directions."""
+    import random
+
+    from pr2_transformation_spark.operators.joins import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    rng = random.Random(5)
+    left = spark.createDataFrame(
+        [(i, i % 4, float(rng.randint(0, 300))) for i in range(150)],
+        "lid long, g long, ts double",
+    )
+    # unique (g, ts) on the right: with duplicate keys the matched
+    # payload is implementation-defined (documented tie contract)
+    right = spark.createDataFrame(
+        [(j % 4, float(j * 4 + j % 4), float(j)) for j in range(90)],
+        "g long, ts double, payload double",
+    )
+    for direction in ("backward", "forward"):
+        a = {
+            r["lid"]: r["payload"]
+            for r in asof_join(
+                left, right, ["g"], "ts", ["payload"], direction=direction
+            ).collect()
+        }
+        b = {
+            r["lid"]: r["payload"]
+            for r in asof_join_cogrouped(
+                left, right, ["g"], "ts", ["payload"], direction=direction
+            ).collect()
+        }
+        assert a == b, direction
