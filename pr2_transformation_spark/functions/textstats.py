@@ -591,3 +591,31 @@ def clean_unicode(text: Column) -> Column:
     for pat, rep in CLEAN_UNICODE_STEPS:
         out = F.regexp_replace(out, pat, rep)
     return F.trim(out)
+
+
+def token_count_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``mapInArrow`` twin of the expression ``token_count``: whole
+    RecordBatches flow into pyarrow.compute (regex split +
+    list_value_length) with NO pandas materialization — the zero-copy
+    Python fast path for kernels Arrow already ships.  Exists as the
+    API-surface demonstration and is equivalence-tested against the
+    codegen'd expression (which remains the default: JVM-side beats
+    any Python hop when an expression can say it)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count(batches):
+        for b in batches:
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(b.column(text_col)), r"\s+"
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), pc.list_value_length(toks).cast(pa.int32())],
+                names=[id_col, "n_tokens"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        count, f"{id_col} long, n_tokens int"
+    )

@@ -133,3 +133,32 @@ def test_clean_unicode_idempotent_property(spark, s):
                  "\u2013\u2014\u2026\u00a0\u0000\u0007")
     assert not (set(row["c1"]) & banned)
     assert "  " not in row["c1"]
+
+
+def test_token_count_arrow_matches_expression(spark):
+    """mapInArrow token counting must equal the codegen'd expression on
+    real corpus docs plus whitespace edge cases."""
+    from pr2_transformation_spark.functions.textstats import (
+        token_count,
+        token_count_arrow,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "plain three tokens"),
+        (2, "  leading  and   trailing  "),
+        (3, "single"),
+        (4, "tabs\tand\nnewlines here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_expr = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    via_arrow = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_count_arrow(df).collect()
+    }
+    assert via_arrow == via_expr
