@@ -6760,6 +6760,44 @@ def q241_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q242_portable_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (k=4 salted md5 hashes into 4096 bits,
+    plain set-bit table — completes the CMS/HLL portable-sketch trio):
+    built over customer keys, probed with every key plus its absent
+    +10M shadow.  The oracle replays EVERY bit position, so the graded
+    facts are exact: zero false negatives by construction, and the
+    actual (deterministic) false-positive count on the absent probes."""
+    from pr2_transformation_spark.functions import sketches as sk
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    bits = sk.bloom_bits_table(cust, "c_custkey", k=4, m=4096, hasher="md5")
+    probes = cust.select(
+        F.col("c_custkey").alias("key"), F.lit(True).alias("present")
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") + 10_000_000).alias("key"),
+            F.lit(False).alias("present"),
+        )
+    )
+    checked = sk.bloom_contains(
+        bits, probes, "key", k=4, m=4096, hasher="md5"
+    )
+    return checked.groupBy("present").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0)).alias(
+            "n_maybe_present"
+        ),
+        (
+            F.sum(
+                F.when(
+                    F.col("present") & ~F.col("maybe_present"), 1
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -7005,6 +7043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_fifo_allocation": q239_fifo_allocation,
         "q240_attribution_models": q240_attribution_models,
         "q241_asof_cogrouped": q241_asof_cogrouped,
+        "q242_portable_bloom": q242_portable_bloom,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -10332,6 +10371,37 @@ def oracle_sql() -> dict[str, str]:
                             FROM events WHERE event_type = 'view') r
               ON l.user_id = r.u2
              AND CAST(floor(epoch(l.ts)) AS BIGINT) >= r.ts2
+        """,
+        "q242_portable_bloom": """
+            WITH d4 AS (SELECT unnest(range(4)) AS i),
+            bits AS (
+                SELECT DISTINCT
+                       CAST(('0x' || substring(md5(
+                           CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)
+                       ), 1, 15)) AS BIGINT) % 4096 AS bit
+                FROM customer CROSS JOIN d4
+            ), probes AS (
+                SELECT c_custkey AS key, TRUE AS present FROM customer
+                UNION ALL
+                SELECT c_custkey + 10000000, FALSE FROM customer
+            ), checked AS (
+                SELECT p.key, p.present,
+                       sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4
+                           AS maybe_present
+                FROM (SELECT key, present,
+                             CAST(('0x' || substring(md5(
+                                 CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)
+                             ), 1, 15)) AS BIGINT) % 4096 AS bit
+                      FROM probes CROSS JOIN d4) p
+                LEFT JOIN bits b USING (bit)
+                GROUP BY 1, 2
+            )
+            SELECT present, count(*) AS n_probes,
+                   sum(CASE WHEN maybe_present THEN 1 ELSE 0 END)
+                       AS n_maybe_present,
+                   sum(CASE WHEN present AND NOT maybe_present
+                            THEN 1 ELSE 0 END) = 0 AS no_false_negatives
+            FROM checked GROUP BY 1
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q239_fifo_allocation",
     "q240_attribution_models",
     "q241_asof_cogrouped",
+    "q242_portable_bloom",
 ]
 
 

@@ -244,3 +244,66 @@ def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
     ).otherwise(raw)
     return agg.select(est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (set-bit table, cross-engine replayable)
+# ---------------------------------------------------------------------------
+
+def bloom_bits_table(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 4,
+    m: int = 4096,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Bloom filter as ``(bit,)`` — the DISTINCT set bit positions of
+    every key under ``k`` salted hashes into ``m`` bits.
+
+    Completes the portable-sketch trio (count-min q197, HLL q206):
+    plain-data representation, MERGEABLE by simple UNION DISTINCT, and
+    bit-for-bit replayable by any engine with md5 — unlike the opaque
+    JVM `bloom_filter_agg` binary.  At most ``m`` rows regardless of
+    input cardinality; the membership probe broadcasts them."""
+    pos = df.select(
+        F.explode(
+            F.array(*[
+                _cms_bucket(F.col(key_col), i, m, hasher).alias(f"b{i}")
+                for i in range(k)
+            ])
+        ).alias("bit")
+    )
+    return pos.distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    k: int = 4,
+    m: int = 4096,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Adds ``maybe_present``: TRUE iff all ``k`` of the key's bit
+    positions are set (no false negatives ever; false positives at the
+    standard (1-e^{-kn/m})^k rate).  Probe = explode k positions,
+    broadcast-join the bit table, count hits == k."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(*[
+                _cms_bucket(F.col(key_col), i, m, hasher).alias(f"b{i}")
+                for i in range(k)
+            ])
+        ).alias("bit"),
+    )
+    out_cols = list(keys.columns)
+    return (
+        probes.join(
+            F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+        )
+        .groupBy(*out_cols)
+        .agg((F.sum(F.coalesce("__set", F.lit(0))) == k).alias("maybe_present"))
+    )

@@ -1671,3 +1671,32 @@ def test_asof_cogrouped_matches_union_trick(spark):
             ).collect()
         }
         assert a == b, direction
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pr2_transformation_spark.functions import sketches as sk
+
+    df = spark.range(400).select(F.col("id").alias("k"))
+    a, b = df.filter(F.col("k") < 250), df.filter(F.col("k") >= 200)
+    kw = dict(k=4, m=2048, hasher="md5")
+    merged = (
+        sk.bloom_bits_table(a, "k", **kw)
+        .unionByName(sk.bloom_bits_table(b, "k", **kw))
+        .distinct()
+    )
+    whole = sk.bloom_bits_table(df, "k", **kw)
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+    probes = df.select(F.col("k").alias("key"))
+    out = sk.bloom_contains(whole, probes, "key", **kw)
+    assert all(r["maybe_present"] for r in out.collect())  # never FN
+
+    ghosts = spark.range(400, 800).select(F.col("id").alias("key"))
+    fp = sum(
+        1
+        for r in sk.bloom_contains(whole, ghosts, "key", **kw).collect()
+        if r["maybe_present"]
+    )
+    # (1 - e^{-kn/m})^k with k=4, n=400, m=2048 ~ 0.086 -> expect ~34 of 400
+    assert fp < 120
