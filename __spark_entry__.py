@@ -6798,6 +6798,91 @@ def q242_portable_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q243_portable_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q180's rolling-distinct pattern rebuilt on the PORTABLE HLL so the
+    whole thing is hash-graded: per-day md5 register tables, trailing-
+    3-day merge as a range window MAX per register (sketch merge IS
+    max), harmonic estimate + linear-counting correction per day, and
+    the 20% contract flag — every register and every estimate replayed
+    bit-for-bit by DuckDB, which q180's opaque JVM sketch cannot offer.
+    Raw events never re-shuffle across windows; only 256 registers per
+    day move."""
+    from pr2_transformation_spark.functions.dedup import md5_long
+
+    m, width = 256, 52
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("d"),
+        md5_long(F.col("user_id").cast("string")).alias("h"),
+    )
+    regs = (
+        ev.select(
+            "d",
+            F.col("h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            F.when(F.shiftright("h", 8) == 0, F.lit(width + 1))
+            .otherwise(
+                F.instr(F.lpad(F.bin(F.shiftright("h", 8)), width, "0"), "1")
+            )
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    # densify the (day x bucket) grid BEFORE the rolling merge: a bucket
+    # seen on day d-1 but not day d must still reach day d's merged
+    # sketch, and only an explicit row per (day, bucket) lets the range
+    # window carry it
+    days = ev.select("d").distinct()
+    grid = days.crossJoin(
+        spark.range(m).select(F.col("id").cast("int").alias("bucket"))
+    )
+    g = grid.join(regs, ["d", "bucket"], "left")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.unix_date("d"))
+        .rangeBetween(-2, 0)
+    )
+    merged = g.select(
+        "d",
+        "bucket",
+        F.coalesce(F.max("rho_max").over(w), F.lit(0)).alias("rho"),
+    )
+    per_day = merged.groupBy("d").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    raw = F.lit(alpha_m2) / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+    ).otherwise(raw)
+    # exact trailing-3-day distinct for the contract flag
+    exact = (
+        days.alias("a")
+        .join(
+            ev.select(F.col("d").alias("d2"), "h").distinct().alias("b"),
+            (F.unix_date(F.col("d2")) >= F.unix_date(F.col("a.d")) - 2)
+            & (F.unix_date(F.col("d2")) <= F.unix_date(F.col("a.d"))),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.countDistinct("h").alias("n_exact"))
+    )
+    return (
+        per_day.select("d", est.alias("est"))
+        .join(exact, "d")
+        .select(
+            "d",
+            F.round("est", 2).alias("estimate"),
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= 0.2 * F.col("n_exact")
+            ).alias("within_20pct"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001 (driver smoke-checks rows > 0)."""
     return q01_pricing_summary(spark, DEFAULT_SF_DIR)
@@ -7044,6 +7129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_attribution_models": q240_attribution_models,
         "q241_asof_cogrouped": q241_asof_cogrouped,
         "q242_portable_bloom": q242_portable_bloom,
+        "q243_portable_hll_rolling": q243_portable_hll_rolling,
         # rows-only queries (no SQL-expressible oracle: recall<1 LSH/IVF,
         # engine-specific sketches) sit last so the driver's graded
         # 50-query window contains only oracle-backed entries.
@@ -10402,6 +10488,57 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN present AND NOT maybe_present
                             THEN 1 ELSE 0 END) = 0 AS no_false_negatives
             FROM checked GROUP BY 1
+        """,
+        "q243_portable_hll_rolling": """
+            WITH ev AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM events
+            ), regs AS (
+                SELECT d, h & 255 AS bucket,
+                       max(CASE WHEN h >> 8 = 0 THEN 53
+                                ELSE instr(lpad(bin(h >> 8), 52, '0'), '1')
+                           END) AS rho_max
+                FROM ev GROUP BY 1, 2
+            ), days AS (
+                SELECT DISTINCT d FROM ev
+            ), grid AS (
+                SELECT d, CAST(unnest(range(256)) AS BIGINT) AS bucket FROM days
+            ), g AS (
+                SELECT grid.d, grid.bucket, r.rho_max,
+                       date_diff('day', DATE '1970-01-01', grid.d) AS ord
+                FROM grid LEFT JOIN regs r
+                  ON grid.d = r.d AND grid.bucket = r.bucket
+            ), merged AS (
+                SELECT d, bucket,
+                       coalesce(max(rho_max) OVER (PARTITION BY bucket
+                           ORDER BY ord
+                           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 0)
+                           AS rho
+                FROM g
+            ), per_day AS (
+                SELECT d, sum(power(2.0, -rho)) AS z,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+                FROM merged GROUP BY 1
+            ), est AS (
+                SELECT d,
+                       CASE WHEN 0.7213 / (1 + 1.079 / 256) * 256 * 256 / z <= 2.5 * 256
+                             AND zeros > 0
+                            THEN 256.0 * ln(256.0 / zeros)
+                            ELSE 0.7213 / (1 + 1.079 / 256) * 256 * 256 / z
+                       END AS e
+                FROM per_day
+            ), exact AS (
+                SELECT a.d, count(DISTINCT b.h) AS n_exact
+                FROM days a JOIN (SELECT DISTINCT d AS d2, h FROM ev) b
+                  ON date_diff('day', DATE '1970-01-01', b.d2)
+                     BETWEEN date_diff('day', DATE '1970-01-01', a.d) - 2
+                         AND date_diff('day', DATE '1970-01-01', a.d)
+                GROUP BY 1
+            )
+            SELECT e.d, round(e.e, 2) AS estimate, x.n_exact,
+                   abs(e.e - x.n_exact) <= 0.2 * x.n_exact AS within_20pct
+            FROM est e JOIN exact x USING (d)
         """,
         "q128_connected_components_two_phase": """
             WITH RECURSIVE e AS (

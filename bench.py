@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q240_attribution_models",
     "q241_asof_cogrouped",
     "q242_portable_bloom",
+    "q243_portable_hll_rolling",
 ]
 
 

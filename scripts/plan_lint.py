@@ -72,6 +72,7 @@ CARTESIAN_ALLOWED = {
     "q232_embedding_decontamination": "eval-vector frame broadcasts against the train scan by contract (like q20)",
     "q233_ks_test": "two-sample total scalars (1 row) ride a broadcast cross",
     "q234_mann_whitney": "two-sample total scalars (1 row) ride a broadcast cross",
+    "q243_portable_hll_rolling": "dense 30x256 register grid cross + the <=31-row day dim range-joining the exact verification side",
 }
 
 
