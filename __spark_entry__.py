@@ -1286,13 +1286,20 @@ def q132_png_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q133_gif_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GIF twin of q132: each doc id seeds an 8x8 palette image (index at
-    pixel p = (doc_id+p) % 64; palette entry j = (3j%256, 5j%256,
-    7j%256)), ENCODED with true variable-width LZW and DECODED back by
-    the pure-stdlib dictionary decoder; ``image_checksums`` emits
-    position-weighted sums the DuckDB oracle replays from the palette
-    arithmetic alone — any LZW width desync, palette misread, or channel
-    swap breaks the value hash.  Two narrow Arrow stages, zero shuffles."""
+    """GIF twin of q132: each doc id seeds TWO 8x8 palette images —
+    asset ``<id>`` uses a 64-entry palette (index at pixel p =
+    (doc_id+p) % 64; palette entry j = (3j%256, 5j%256, 7j%256)) for
+    dictionary-depth coverage, and asset ``<id>:b`` uses a 5-entry
+    palette (same entry formula, index = (doc_id+p) % 5) whose LZW
+    stream's FINAL data code lands exactly on the decoder's phantom-add
+    code-width boundary for every doc id — the round-3 encoder bug
+    (EOI written narrow after the decoder widened) fails this fixture
+    for all 500 docs.  Both are ENCODED with true variable-width LZW
+    and DECODED back by the pure-stdlib dictionary decoder;
+    ``image_checksums`` emits position-weighted sums the DuckDB oracle
+    replays from the palette arithmetic alone — any LZW width desync,
+    palette misread, or channel swap breaks the value hash.  Two narrow
+    Arrow stages, zero shuffles."""
     import numpy as np
     import pandas as pd
 
@@ -1306,15 +1313,23 @@ def q133_gif_roundtrip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         p = np.arange(64, dtype=np.int64)
         for pdf in batches:
-            payloads = [
-                multimodal.gif_encode(
-                    palette[(int(did) + p) % 64].reshape(8, 8, 3)
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                ids.append(str(int(did)))
+                payloads.append(
+                    multimodal.gif_encode(
+                        palette[(int(did) + p) % 64].reshape(8, 8, 3)
+                    )
                 )
-                for did in pdf["doc_id"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                ids.append(f"{int(did)}:b")
+                payloads.append(
+                    multimodal.gif_encode(
+                        palette[(int(did) + p) % 5].reshape(8, 8, 3)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    media = docs.mapInPandas(gen, "doc_id string, payload binary")
     return multimodal.image_checksums(media, "payload", "doc_id")
 
 
@@ -8164,6 +8179,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(  (3 * p.i + 1) * ((((doc_id + p.i) % 64) * 3) % 256)
                             + (3 * p.i + 2) * ((((doc_id + p.i) % 64) * 5) % 256)
                             + (3 * p.i + 3) * ((((doc_id + p.i) % 64) * 7) % 256))
+                        AS BIGINT) AS pixel_wsum
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 63)) AS i) p
+            GROUP BY doc_id
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) || ':b' AS asset_id,
+                   8 AS width, 8 AS height, 3 AS channels,
+                   CAST(SUM(  (((doc_id + p.i) % 5) * 3) % 256
+                            + (((doc_id + p.i) % 5) * 5) % 256
+                            + (((doc_id + p.i) % 5) * 7) % 256) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(SUM(  (3 * p.i + 1) * ((((doc_id + p.i) % 5) * 3) % 256)
+                            + (3 * p.i + 2) * ((((doc_id + p.i) % 5) * 5) % 256)
+                            + (3 * p.i + 3) * ((((doc_id + p.i) % 5) * 7) % 256))
                         AS BIGINT) AS pixel_wsum
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) p

@@ -1182,6 +1182,17 @@ def gif_encode(pixels, version: bytes = b"GIF89a") -> bytes:
         prev = (sym,)
     if prev:
         emit(table[prev], code_size)
+        # Mirror the decoder's phantom add on this FINAL code: the decoder
+        # inserts a table entry for every code after the first since CLEAR
+        # and widens when its counter hits 2^code_size, even though the
+        # encoder has nothing left to add.  If the encoder's counter sits
+        # exactly at 2^code_size here (it widens at 2^n + 1, one add ahead),
+        # the decoder's phantom add lands on the boundary and it reads EOI
+        # at the widened size — so EOI must be emitted wide to match.
+        # (next_code == eoi + 1 means this was the first code since CLEAR:
+        # the decoder's prev is None there and it adds nothing.)
+        if next_code > eoi + 1 and next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
     emit(eoi, code_size)
 
     acc = nbits = 0

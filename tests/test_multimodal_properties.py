@@ -13,8 +13,22 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
+
+# Palette/dimension values biased to the 2^n boundaries where variable-width
+# codecs (GIF LZW, prefix codes) reset or widen their dictionaries — the
+# round-3 GIF end-of-stream bug lived exactly on such a boundary and was
+# invisible to fixed fixtures and uniform-random draws alike.
+_pow2_boundaries = st.sampled_from(
+    [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65,
+     127, 128, 129, 255, 256]
+)
+_palette_sizes = st.one_of(_pow2_boundaries, st.integers(1, 256))
+_boundary_dims = st.one_of(
+    st.sampled_from([1, 2, 3, 4, 7, 8, 9, 12, 15, 16, 17, 24, 31, 32]),
+    st.integers(1, 32),
+)
 
 from pr2_transformation_spark.functions import multimodal
 
@@ -131,10 +145,10 @@ def test_truncated_headers_raise_value_error_not_struct_error():
         multimodal.bmp_pixels(full[:-5])  # pixel array short of stride*h
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(
-    w=st.integers(1, 24),
-    h=st.integers(1, 24),
+    w=_boundary_dims,
+    h=_boundary_dims,
     channels=st.sampled_from([1, 2, 3, 4]),
     mode=st.sampled_from(["none", "sub", "up", "average", "paeth", "mixed"]),
     seed=st.integers(0, 2**31 - 1),
@@ -149,16 +163,20 @@ def test_png_roundtrip_property(w, h, channels, mode, seed):
     )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=250, deadline=None)
 @given(
-    w=st.integers(1, 24),
-    h=st.integers(1, 24),
-    ncolors=st.integers(1, 256),
+    w=_boundary_dims,
+    h=_boundary_dims,
+    ncolors=_palette_sizes,
     seed=st.integers(0, 2**31 - 1),
 )
+@example(w=12, h=17, ncolors=36, seed=0)  # round-3 EOI code-width desync
+@example(w=8, h=8, ncolors=5, seed=0)     # q133 ':b' boundary fixture shape
 def test_gif_roundtrip_property(w, h, ncolors, seed):
     """gif_encode -> gif_pixels is the identity for any palette size,
-    including depths that force width growth mid-stream."""
+    including depths that force width growth mid-stream AND the
+    end-of-stream phantom-add widening (the round-3 bug, pinned by the
+    explicit @example)."""
     rng = np.random.default_rng(seed)
     pal = np.unique(
         rng.integers(0, 256, size=(ncolors, 3), dtype="uint8"), axis=0
@@ -167,10 +185,10 @@ def test_gif_roundtrip_property(w, h, ncolors, seed):
     assert np.array_equal(multimodal.gif_pixels(multimodal.gif_encode(img)), img)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(
-    w=st.integers(1, 20),
-    h=st.integers(1, 20),
+    w=_boundary_dims,
+    h=_boundary_dims,
     rgba=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
@@ -187,11 +205,11 @@ def test_webp_roundtrip_property(w, h, rgba, seed):
     assert np.array_equal(dec, want)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(
     bw=st.integers(1, 5),
     bh=st.integers(1, 5),
-    ri=st.sampled_from([0, 1, 3]),
+    ri=st.sampled_from([0, 1, 2, 3, 4]),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_jpeg_flat_blocks_property(bw, bh, ri, seed):
@@ -204,6 +222,87 @@ def test_jpeg_flat_blocks_property(bw, bh, ri, seed):
         multimodal.jpeg_encode(img, quality=100, restart_interval=ri)
     )
     assert np.array_equal(dec[:, :, 0], img)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    n=st.one_of(st.sampled_from([0, 1, 2, 255, 256, 257]), st.integers(0, 512)),
+)
+def test_mulaw_roundtrip_property(data, n):
+    """G.711 mu-law canonical identities over arbitrary PCM: byte identity
+    encode(decode(b)) == b (modulo the documented -0 -> +0 collapse at
+    0x7F) and quantization error bounded by half the top-segment step."""
+    samples = np.array(
+        data.draw(st.lists(st.integers(-(2**15), 2**15 - 1), min_size=n, max_size=n)),
+        dtype=np.int16,
+    )
+    enc = multimodal.mulaw_encode(samples)
+    assert len(enc) == n
+    dec = multimodal.mulaw_decode(enc).astype(np.int64)
+    clamped = np.clip(samples.astype(np.int64), -32635, 32635)
+    assert np.abs(dec - clamped).max(initial=0) <= 512
+    rt = multimodal.mulaw_encode(dec.astype(np.int16))
+    # byte identity except the documented -0 (0x7F) -> +0 (0xFF) collapse
+    assert all((a == b) or (b == 0x7F and a == 0xFF) for a, b in zip(rt, enc))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    amp=st.integers(0, 8000),
+    period=st.integers(15, 200),
+    phase=st.integers(0, 628),
+    n=st.integers(1, 800),
+)
+def test_ima_adpcm_tracking_property(amp, period, phase, n):
+    """IMA ADPCM over band-limited content: exact 4:1 nibble packing and
+    the decoder tracks the encoder's predictor with bounded RMS error —
+    the adaptive step size must converge for ANY slow signal, not just
+    the fixed sine mixture in the example test."""
+    t = np.arange(n, dtype=np.float64)
+    s = (amp * np.sin(t / period + phase / 100.0)).astype(np.int16)
+    enc = multimodal.ima_adpcm_encode(s)
+    assert len(enc) == (n + 1) // 2
+    dec = multimodal.ima_adpcm_decode(enc, n)
+    err = dec.astype(np.int64) - s.astype(np.int64)
+    # the predictor starts at 0 with the minimum step, so the first ~dozen
+    # samples are a documented startup transient (step index climbs <=8 per
+    # sample); grade RMS after a 64-sample warm-up, like a real decoder would
+    if n > 64:
+        tail = err[64:]
+        assert float(np.sqrt((tail * tail).mean())) < 800
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    n_frames=st.integers(1, 3),
+    bw=st.integers(1, 2),
+    bh=st.integers(1, 2),
+    container=st.sampled_from(["mp4", "avi"]),
+)
+def test_container_flat_frames_roundtrip_property(data, n_frames, bw, bh, container):
+    """MP4 sample-table navigation and AVI movi-chunk walks return every
+    frame bit-exactly for block-flat MJPEG content at quality 100, for
+    any frame count and block grid (stsz/stco arithmetic and RIFF chunk
+    padding are the parts fixed fixtures under-exercise)."""
+    frames = []
+    for _ in range(n_frames):
+        vals = data.draw(
+            st.lists(st.integers(0, 255), min_size=bh * bw, max_size=bh * bw)
+        )
+        blocks = np.array(vals, dtype="uint8").reshape(bh, bw)
+        frames.append(np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1))
+    if container == "mp4":
+        blob = multimodal.mp4_encode(frames, fps=25)
+        got = multimodal.mp4_frames(blob)
+        assert multimodal.mp4_decode(blob)["n_frames"] == n_frames
+    else:
+        blob = multimodal.avi_encode(frames, fps=25)
+        got = multimodal.avi_frames(blob)
+    assert len(got) == n_frames
+    for want, have in zip(frames, got):
+        assert np.array_equal(have[:, :, 0], want)
 
 
 @settings(max_examples=60, deadline=None)
