@@ -7466,7 +7466,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
             FROM inter
-            WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.01
+            WHERE n_common / (sz_a + sz_b - n_common) >= 0.01
         """,
         # q22/q23 run their md5 hasher mode (dedup.md5_long) so DuckDB can
         # replay the signature arithmetic bit-for-bit.  q24/q25: recall<1
@@ -9979,7 +9979,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id_a, id_b,
                        round(n_common / (sz_a + sz_b - n_common), 4) AS jaccard
                 FROM inter
-                WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.05
+                WHERE n_common / (sz_a + sz_b - n_common) >= 0.05
             ), typed AS (
                 SELECT least(CASE WHEN (((((instr('0123456789abcdef', substr(md5(cast(id_a as string)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_a as string)), 4, 1)) - 1)) % 10000) < 8000 THEN 'train' ELSE 'test' END, CASE WHEN (((((instr('0123456789abcdef', substr(md5(cast(id_b as string)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5(cast(id_b as string)), 4, 1)) - 1)) % 10000) < 8000 THEN 'train' ELSE 'test' END)
                        || '-' ||
@@ -11071,7 +11071,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2, 3, 4
             ), pairs AS (
                 SELECT id_a, id_b FROM inter
-                WHERE round(n_common / (sz_a + sz_b - n_common), 4) >= 0.5
+                WHERE n_common / (sz_a + sz_b - n_common) >= 0.5
             ), sym AS (
                 SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs

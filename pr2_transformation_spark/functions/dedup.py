@@ -572,15 +572,16 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # threshold on the UNROUNDED value (round only the reported column):
+    # the prefix-filtered variant can only prune on true jaccard, so a
+    # rounded threshold here would admit pairs in [t - 5e-5, t) that
+    # ngram_jaccard_pairs_prefix provably never generates
+    jac_raw = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
     return (
-        inter.select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
+        inter.filter(jac_raw >= min_jaccard)
+        .select("id_a", "id_b", F.round(jac_raw, 4).alias("jaccard"))
     )
 
 
@@ -830,9 +831,10 @@ def ngram_jaccard_pairs_prefix(
     100 TB.  Candidates are then verified EXACTLY (full posting-list
     intersection restricted to candidate pairs).
 
-    Returns ``(id_a, id_b, jaccard)`` with jaccard rounded to 4 — the
-    same contract (and oracle) as the unfiltered operator; equivalence
-    is pinned by test.
+    Returns ``(id_a, id_b, jaccard)`` with the REPORTED jaccard rounded
+    to 4 but the threshold applied to the raw value — the same contract
+    as the unfiltered operator (which also thresholds unrounded, so the
+    two are genuinely identical; equivalence is pinned by test).
     """
     t = float(min_jaccard)
     bucket_cols = bucket_cols or []

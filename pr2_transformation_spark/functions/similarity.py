@@ -989,12 +989,61 @@ def cosine_topk_pq(
 # k-center greedy coreset selection (diverse-subset sampling)
 # ---------------------------------------------------------------------------
 
+def _kcenter_score_newest(
+    state: DataFrame,
+    pick_vec: list,
+    exclude_id,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    picks_via: str,
+) -> DataFrame:
+    """One k-center round: drop the just-picked row and fold the distance
+    to the newest pick into the running min.  ``picks_via`` chooses how
+    the picked vector reaches the executors:
+
+    - ``"literal"`` — the vector rides the plan as ``F.lit`` elements.
+      Zero extra operators, but plan text grows with the dimension
+      (fine at 64-dim; megabyte plans at 1536-dim x hundreds of picks).
+    - ``"broadcast"`` — the vector ships as a broadcast ONE-ROW frame
+      cross-joined in (BroadcastNestedLoopJoin over a single row — the
+      same broadcast-scalar shape as the allowlisted mean/threshold
+      scalars in plan_lint).  Plan size stays flat in the dimension.
+
+    Both produce identical values (pinned by test)."""
+    vcol = F.col(vec_col).cast("array<double>")
+    rest = state.filter(F.col(id_col) != exclude_id)
+    if picks_via == "literal":
+        s = F.array(*[F.lit(float(x)) for x in pick_vec])
+        d = F.round(
+            F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
+            round_digits,
+        )
+        scored = rest
+    elif picks_via == "broadcast":
+        pick_df = state.sparkSession.createDataFrame(
+            [([float(x) for x in pick_vec],)], "__pick array<double>"
+        )
+        s = F.col("__pick")
+        d = F.round(
+            F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
+            round_digits,
+        )
+        scored = rest.crossJoin(F.broadcast(pick_df))
+    else:
+        raise ValueError(f"picks_via must be literal|broadcast, got {picks_via!r}")
+    return scored.select(
+        id_col, vec_col, F.least(F.col("dmin"), d).alias("dmin")
+    )
+
+
 def kcenter_greedy(
     df: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    picks_via: str = "literal",
 ) -> "list[tuple[int, object, float | None]]":
     """Greedy k-center coreset: start from the min-id vector, then k-1
     times pick the point FARTHEST (cosine distance, rounded to
@@ -1008,8 +1057,12 @@ def kcenter_greedy(
     (step 1 has no distance).  Each round is one scan + a 1-row argmax
     collect — the same driver-round pattern as the iterative graph ops;
     cache/checkpoint the projected frame upstream for many rounds at
-    scale.  The selected set rides the closure as literals: no shuffle,
-    ever — the scan is embarrassingly parallel at any corpus size."""
+    scale.  ``picks_via="literal"`` (default) embeds each round's pick
+    as plan literals — right for small dims; ``"broadcast"`` ships it
+    as a broadcast 1-row frame so plan size stays flat at 1536-dim x
+    hundreds of picks (see :func:`_kcenter_score_newest`).  Either way
+    the corpus never shuffles — the scan is embarrassingly parallel at
+    any size."""
     def dist_to(vec: list) -> F.Column:
         vcol = F.col(vec_col).cast("array<double>")
         s = F.array(*[F.lit(float(x)) for x in vec])
@@ -1031,6 +1084,10 @@ def kcenter_greedy(
         .select(id_col, vec_col, dist_to(list(seed[1])).alias("dmin"))
         .persist()
     )
+    prev = None  # the previous round's cache, unpersisted only AFTER the
+    # argmax collect has materialized the current one — unpersisting
+    # before materialization would silently re-derive every round from
+    # the source (O(k²·n) with k-deep lineage instead of O(k·n))
     try:
         for step in range(2, k + 1):
             [row] = (
@@ -1038,21 +1095,20 @@ def kcenter_greedy(
                 .limit(1)
                 .collect()
             )
+            # the global argmax scanned (and therefore cached) every
+            # partition of `state`; the previous cache is now safe to drop
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             picks.append((step, row[0], float(row["dmin"])))
             if step < k:
-                nxt = (
-                    state.filter(F.col(id_col) != row[0])
-                    .select(
-                        id_col,
-                        vec_col,
-                        F.least(
-                            F.col("dmin"), dist_to(list(row[1]))
-                        ).alias("dmin"),
-                    )
-                    .persist()
-                )
-                state.unpersist()
-                state = nxt
+                nxt = _kcenter_score_newest(
+                    state, list(row[1]), row[0],
+                    id_col, vec_col, round_digits, picks_via,
+                ).persist()
+                prev, state = state, nxt
     finally:
         state.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return picks

@@ -289,7 +289,11 @@ def bloom_contains(
     """Adds ``maybe_present``: TRUE iff all ``k`` of the key's bit
     positions are set (no false negatives ever; false positives at the
     standard (1-e^{-kn/m})^k rate).  Probe = explode k positions,
-    broadcast-join the bit table, count hits == k."""
+    broadcast-join the bit table, require every position to have hit
+    (``min(hit) == 1``, NOT ``sum == k``: duplicate key rows collapse
+    into one group whose sum would be a multiple of k, which would
+    break the no-false-negative invariant).  Output is one row per
+    DISTINCT key row."""
     probes = keys.select(
         "*",
         F.explode(
@@ -305,5 +309,5 @@ def bloom_contains(
             F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
         )
         .groupBy(*out_cols)
-        .agg((F.sum(F.coalesce("__set", F.lit(0))) == k).alias("maybe_present"))
+        .agg((F.min(F.coalesce("__set", F.lit(0))) == 1).alias("maybe_present"))
     )

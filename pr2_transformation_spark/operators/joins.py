@@ -171,7 +171,13 @@ def asof_join_cogrouped(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import (
+        DateType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     # fresh StructType: StructType.add mutates in place, and mutating
     # left's CACHED schema object corrupts left's own plan analysis
@@ -181,25 +187,45 @@ def asof_join_cogrouped(
     )
     left_cols = list(left.columns)
 
+    # mirror _ts_number's seconds convention: pandas.merge_asof demands a
+    # Timedelta tolerance for datetime64 keys (a bare number raises
+    # MergeError), and DateType arrives as object-dtype datetime.date,
+    # which merge_asof cannot sort — promote to datetime64 for the merge
+    ts_dtype = left.schema[ts_col].dataType
+    ts_is_date = isinstance(ts_dtype, DateType)
+    ts_is_datetime = ts_is_date or isinstance(
+        ts_dtype, (TimestampType, TimestampNTZType)
+    )
+    tol = (
+        pd.Timedelta(seconds=float(tolerance))
+        if tolerance is not None and ts_is_datetime
+        else tolerance
+    )
+
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf):
             return pd.DataFrame(columns=left_cols + right_cols)
         lp = lpdf.sort_values(ts_col)
         rp = rpdf[[ts_col, *right_cols]].sort_values(ts_col)
+        if ts_is_date:
+            lp = lp.assign(**{ts_col: pd.to_datetime(lp[ts_col])})
+            rp = rp.assign(**{ts_col: pd.to_datetime(rp[ts_col])})
         if not len(rp):
             out = lp.copy()
             for c in right_cols:
                 out[c] = None
-            return out[left_cols + right_cols]
-        merged = pd.merge_asof(
-            lp,
-            rp,
-            on=ts_col,
-            direction=direction,
-            tolerance=tolerance,
-            suffixes=("", "__r"),
-        )
-        return merged[left_cols + right_cols]
+        else:
+            out = pd.merge_asof(
+                lp,
+                rp,
+                on=ts_col,
+                direction=direction,
+                tolerance=tol,
+                suffixes=("", "__r"),
+            )
+        if ts_is_date:
+            out = out.assign(**{ts_col: out[ts_col].dt.date})
+        return out[left_cols + right_cols]
 
     return (
         left.groupBy(*by)

@@ -1502,6 +1502,33 @@ def test_kcenter_greedy_spreads_across_clusters(spark):
     assert [(s, i) for s, i, _ in again] == [(s, i) for s, i, _ in picks]
 
 
+def test_kcenter_broadcast_picks_equivalent_and_plan_flat(spark):
+    """picks_via='broadcast' returns the SAME picks as the literal form
+    (q202's fixture shape), and its per-round plan size stays flat in
+    the embedding dimension — the literal form's plan grows ~linearly,
+    which is the 1536-dim x hundreds-of-picks failure mode."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    lit = similarity.kcenter_greedy(emb, k=5, picks_via="literal")
+    bc = similarity.kcenter_greedy(emb, k=5, picks_via="broadcast")
+    assert lit == bc
+
+    def plan_len(dim: int, mode: str) -> int:
+        vec = [float(i % 7) for i in range(dim)]
+        state = spark.createDataFrame(
+            [(1, vec, 0.5), (2, vec, 0.4)],
+            "vec_id long, embedding array<double>, dmin double",
+        )
+        scored = similarity._kcenter_score_newest(
+            state, vec, 1, "vec_id", "embedding", 6, mode
+        )
+        return len(scored._jdf.queryExecution().optimizedPlan().toString())
+
+    assert plan_len(512, "literal") > plan_len(64, "literal") + 2000
+    assert abs(plan_len(512, "broadcast") - plan_len(64, "broadcast")) < 500
+
+
 def test_portable_hll_merge_and_accuracy(spark):
     from pr2_transformation_spark.functions import sketches as sk
 
@@ -1673,6 +1700,64 @@ def test_asof_cogrouped_matches_union_trick(spark):
         assert a == b, direction
 
 
+def test_asof_cogrouped_timestamp_and_date_tolerance(spark):
+    """Timestamp/date ts columns with a NUMERIC (seconds) tolerance — the
+    asof_join contract — must work in the cogrouped twin too: pandas
+    demands a Timedelta for datetime64 keys and cannot sort object-dtype
+    dates, both of which the twin now converts internally."""
+    import datetime as dt
+
+    from pr2_transformation_spark.operators.joins import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, i % 3, base + dt.timedelta(seconds=i * 37)) for i in range(60)],
+        "lid long, g long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j % 3, base + dt.timedelta(seconds=j * 50), float(j)) for j in range(40)],
+        "g long, ts timestamp, payload double",
+    )
+    for tol in (None, 30.0):
+        a = {
+            r["lid"]: r["payload"]
+            for r in asof_join(
+                left, right, ["g"], "ts", ["payload"], tolerance=tol
+            ).collect()
+        }
+        b = {
+            r["lid"]: r["payload"]
+            for r in asof_join_cogrouped(
+                left, right, ["g"], "ts", ["payload"], tolerance=tol
+            ).collect()
+        }
+        assert a == b, tol
+    assert any(v is None for v in b.values())  # the tolerance actually bites
+
+    dleft = left.select("lid", "g", F.to_date("ts").alias("ts"))
+    # per-group right timestamps >24h apart -> unique (g, date) keys, so
+    # the implementation-defined duplicate-key tie never engages
+    dright = spark.createDataFrame(
+        [(j % 3, base + dt.timedelta(seconds=j * 50_000), float(j)) for j in range(40)],
+        "g long, ts timestamp, payload double",
+    ).select("g", F.to_date("ts").alias("ts"), "payload")
+    da = {
+        r["lid"]: r["payload"]
+        for r in asof_join(
+            dleft, dright, ["g"], "ts", ["payload"], tolerance=86400.0
+        ).collect()
+    }
+    db_rows = asof_join_cogrouped(
+        dleft, dright, ["g"], "ts", ["payload"], tolerance=86400.0
+    ).collect()
+    db = {r["lid"]: r["payload"] for r in db_rows}
+    assert da == db
+    assert all(isinstance(r["ts"], dt.date) for r in db_rows)
+
+
 def test_bloom_no_false_negatives_and_merge(spark):
     from pr2_transformation_spark.functions import sketches as sk
 
@@ -1700,3 +1785,11 @@ def test_bloom_no_false_negatives_and_merge(spark):
     )
     # (1 - e^{-kn/m})^k with k=4, n=400, m=2048 ~ 0.086 -> expect ~34 of 400
     assert fp < 120
+
+    # DUPLICATE key rows must not break the no-false-negative invariant:
+    # they collapse into one group whose per-bit hit rows multiply, which
+    # the old sum(__set) == k aggregate misread as absent (sum = 2k).
+    dup_probes = probes.unionByName(probes.filter(F.col("key") < 50))
+    dup_out = sk.bloom_contains(whole, dup_probes, "key", **kw).collect()
+    assert len(dup_out) == 400  # distinct key rows out
+    assert all(r["maybe_present"] for r in dup_out)
