@@ -1030,12 +1030,18 @@ def q55_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of daily revenue: aggregate-then-window. The
     global (unpartitioned) window frame is safe at any input scale because
     it runs on the *daily* aggregate — cardinality = distinct days, tiny
-    by construction after the first groupBy reduces 100 TB to rows-per-day."""
+    by construction after the first groupBy reduces 100 TB to rows-per-day.
+    The frame is RANGE over epoch-day (calendar days), not ROWS: with a
+    gap in the date series, ROWS(-6, 0) would silently widen the window
+    past 7 calendar days — a fixture-blind divergence on dense TPC-H
+    dates that a sparse series exposes."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
     )
-    w = Window.orderBy("d").rowsBetween(-6, 0)
+    w = Window.orderBy(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    ).rangeBetween(-6, 0)
     return daily.select(
         F.col("d").cast("string").alias("day"),
         "rev",
@@ -5700,23 +5706,25 @@ def q216_wow_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO-week vs previous-week event count and value sum, relative
     deltas, and a >20%-swing flag — the pipeline-health dashboard row.
     LAG over a (type, week) aggregate: the scan reduces map-side to
-    types x weeks rows before any window moves."""
+    types x weeks rows before any window moves.  Weeks are keyed by
+    ``date_trunc('week', ts)`` (the ISO Monday start date), NOT by the
+    (calendar year, ISO week-number) pair: Dec 29-31 falling in ISO
+    week 1 of the NEXT year would sort (yr, 1) before (yr, 2) and
+    split the boundary week into two groups."""
     ev = _events(spark, sf_dir).select(
         "event_type",
         "value",
-        F.weekofyear("ts").alias("wk"),
-        F.year("ts").alias("yr"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
     )
-    weekly = ev.groupBy("event_type", "yr", "wk").agg(
+    weekly = ev.groupBy("event_type", "week_start").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("val"),
     )
-    w = Window.partitionBy("event_type").orderBy("yr", "wk")
+    w = Window.partitionBy("event_type").orderBy("week_start")
     return (
         weekly.select(
             "event_type",
-            "yr",
-            "wk",
+            "week_start",
             "n",
             "val",
             F.lag("n").over(w).alias("n_prev"),
@@ -5724,8 +5732,7 @@ def q216_wow_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_prev").isNotNull())
         .select(
             "event_type",
-            "yr",
-            "wk",
+            "week_start",
             "n",
             "n_prev",
             F.round((F.col("n") - F.col("n_prev")) / F.col("n_prev"), 4).alias(
@@ -7888,8 +7895,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1
             )
             SELECT CAST(d AS VARCHAR) AS day, rev,
-                   round(avg(rev) OVER (ORDER BY d
-                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+                   round(avg(rev) OVER (ORDER BY datediff('day', DATE '1970-01-01', d)
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
             FROM daily
         """,
         "q56_rank_features": """
@@ -9917,15 +9924,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q216_wow_regression": """
             WITH weekly AS (
-                SELECT event_type, year(ts) AS yr, weekofyear(ts) AS wk,
+                SELECT event_type,
+                       CAST(date_trunc('week', ts) AS DATE) AS week_start,
                        count(*) AS n, round(sum(value), 2) AS val
-                FROM events GROUP BY 1, 2, 3
+                FROM events GROUP BY 1, 2
             ), lagged AS (
-                SELECT event_type, yr, wk, n, val,
-                       lag(n) OVER (PARTITION BY event_type ORDER BY yr, wk) AS n_prev
+                SELECT event_type, week_start, n, val,
+                       lag(n) OVER (PARTITION BY event_type ORDER BY week_start) AS n_prev
                 FROM weekly
             )
-            SELECT event_type, yr, wk, n, n_prev,
+            SELECT event_type, week_start, n, n_prev,
                    round((n - n_prev) / CAST(n_prev AS DOUBLE), 4) AS wow_delta,
                    abs((n - n_prev) / CAST(n_prev AS DOUBLE)) > 0.2 AS regressed
             FROM lagged WHERE n_prev IS NOT NULL
