@@ -4,13 +4,23 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query seconds.
 Each query is forced to full execution with a noop-format write (all compute,
 no sink cost).  A warmup pass on sf-independent metadata initializes the JVM
 so timings reflect query execution, not session startup.
+
+Besides the ONE-line stdout JSON the driver parses (and tail-truncates to
+2,000 chars, losing most per-query times), the full result — including both
+raw repetitions per query, so cold-JIT outliers are visible instead of
+polluting the record — is written to ``BENCH_full_r{N}.json`` next to this
+file, where N is one past the highest driver-recorded ``BENCH_r{N}.json``
+(override with $SPARK_GRAFT_ROUND).  Commit that file each round for
+round-over-round per-query comparability.
 """
 
 from __future__ import annotations
 
 import gc
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -190,16 +200,18 @@ def main() -> None:
     # not first-touch JIT/codegen-compile noise (q22's persist timing was
     # observed varying 2.6-11s run-to-run under concurrent stage scheduling).
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         try:
             fn = qs[name]
-            best = float("inf")
+            runs = []
             for _ in range(2):
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 3)
+                runs.append(round(time.perf_counter() - start, 3))
+            reps[name] = runs
+            timings[name] = min(runs)
         except Exception as exc:  # noqa: BLE001 — one broken query must not zero the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -209,18 +221,34 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+
+    # Full, untruncated record (round-4 VERDICT item 2): per-query best AND
+    # both raw repetitions, committed per round for offline delta analysis.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if not round_no:
+        recorded = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ]
+        round_no = f"{(max(recorded) + 1) if recorded else 1:02d}"
+    full_path = os.path.join(repo_dir, f"BENCH_full_r{round_no}.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump({**payload, "reps": reps, "cpus": int(cpus)}, f, indent=1)
+        print(f"bench: full record -> {full_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
     spark.stop()
 
 

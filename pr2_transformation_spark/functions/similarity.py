@@ -563,6 +563,36 @@ def semantic_dedup(
     )
 
 
+def _collect_query_rows(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    max_query_rows: int,
+) -> list:
+    """Driver-side collect of the ANN query frame, guarded.
+
+    The Arrow ANN paths ship the query matrix in the task closure — correct
+    for the query ≪ corpus shape they're built for, but nothing used to
+    enforce it: an accidentally-huge query frame would OOM the driver.  The
+    ``limit(max+1)`` bounds what ever reaches the driver (no full count, no
+    unbounded collect) and fails fast with the remediation options."""
+    rows = (
+        queries.select(query_id_col, vec_col)
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query frame exceeds max_query_rows={max_query_rows}: the ANN "
+            "pandas paths collect queries to the driver and broadcast them "
+            "in the task closure, which is only safe when queries << corpus. "
+            "Chunk the query frame, raise max_query_rows explicitly if the "
+            "driver has the memory, or use a join-based scorer for "
+            "corpus-x-corpus shapes."
+        )
+    return [(r[0], r[1]) for r in rows if r[1] is not None]
+
+
 def cosine_topk_bruteforce_pandas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -571,6 +601,7 @@ def cosine_topk_bruteforce_pandas(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int = 4,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Arrow-vectorized twin of ``cosine_topk_bruteforce``: the query
     matrix collects to the driver (queries are small by contract — the
@@ -590,11 +621,7 @@ def cosine_topk_bruteforce_pandas(
     import numpy as np
     import pandas as pd
 
-    qrows = [
-        (r[0], r[1])
-        for r in queries.select(query_id_col, vec_col).collect()
-        if r[1] is not None
-    ]
+    qrows = _collect_query_rows(queries, query_id_col, vec_col, max_query_rows)
     qids = np.asarray([r[0] for r in qrows])
     qm = np.asarray([r[1] for r in qrows], dtype="float64")
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
@@ -641,6 +668,7 @@ def cosine_topk_lsh_pandas(
     seed: int = 42,
     n_tables: int = 1,
     round_digits: int = 4,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Arrow-vectorized twin of :func:`cosine_topk_lsh` — identical
     multi-table candidate semantics (a corpus vector is scored iff it
@@ -660,11 +688,7 @@ def cosine_topk_lsh_pandas(
     import numpy as np
     import pandas as pd
 
-    qrows = [
-        (r[0], r[1])
-        for r in queries.select(query_id_col, vec_col).collect()
-        if r[1] is not None
-    ]
+    qrows = _collect_query_rows(queries, query_id_col, vec_col, max_query_rows)
     qids = np.asarray([r[0] for r in qrows])
     qm = np.asarray([r[1] for r in qrows], dtype="float64")
     dim = qm.shape[1]
@@ -876,6 +900,7 @@ def cosine_topk_pq(
     query_id_col: str = "query_id",
     round_digits: int = 4,
     rerank: int | None = None,
+    max_query_rows: int = 100_000,
     **train_kw,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation (ADC):
@@ -905,11 +930,7 @@ def cosine_topk_pq(
     m = len(books)
     sub = books[0].shape[1]
 
-    qrows = [
-        (r[0], r[1])
-        for r in queries.select(query_id_col, vec_col).collect()
-        if r[1] is not None
-    ]
+    qrows = _collect_query_rows(queries, query_id_col, vec_col, max_query_rows)
     qids = np.asarray([r[0] for r in qrows])
     qm = np.asarray([r[1] for r in qrows], dtype="float64")
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)

@@ -78,6 +78,7 @@ def prepare_training_corpus(
     segment_tokens: int = 10,
     chunk_tokens: Optional[int] = None,
     chunk_stride: Optional[int] = None,
+    checkpoint: str = "auto",
 ) -> tuple[DataFrame, dict]:
     """Run the standard pre-training hygiene sequence over ``docs``.
 
@@ -87,7 +88,19 @@ def prepare_training_corpus(
     the sink).  Stage order follows the usual cost gradient: cheap
     scan-side filters first, the shuffling dedup passes on the reduced
     corpus, decontamination and budget trims last.
+
+    ``checkpoint`` selects how the iterative stages (MinHash signatures,
+    connected-component labels) materialize intermediates — ``"local"`` /
+    ``"reliable"`` / ``None`` as in ``checkpointing.checkpoint_frame``, or
+    the default ``"auto"``: reliable when the session has a checkpoint
+    directory configured, local otherwise.  On a real multi-executor
+    cluster set a checkpoint dir (object store) so one lost executor
+    can't invalidate every iteration's blocks mid-pipeline.
     """
+    if checkpoint == "auto":
+        sc = docs.sparkSession.sparkContext
+        checkpoint = "reliable" if sc.getCheckpointDir() else "local"
+
     stats: dict[str, int] = {}
 
     def note(stage: str, df: DataFrame) -> DataFrame:
@@ -134,9 +147,11 @@ def prepare_training_corpus(
             id_col=id_col,
             threshold=jaccard_threshold,
             hasher=hasher,
+            checkpoint=checkpoint,
         )
         keep = dedup_clusters(
-            pairs, out.select(id_col), id_col, "id_a", "id_b"
+            pairs, out.select(id_col), id_col, "id_a", "id_b",
+            checkpoint=checkpoint,
         ).filter(F.col("keep")).select(F.col("id").alias(id_col))
         out = note("near_dup", out.join(keep, id_col, "left_semi"))
 

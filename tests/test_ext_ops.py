@@ -502,6 +502,28 @@ def test_vectorized_bruteforce_matches_expression_form(spark):
         assert abs(score_a - score_b) <= 1e-4
 
 
+def test_ann_query_collect_guard_fails_fast(spark):
+    """The Arrow ANN paths collect the query frame to the driver; an
+    oversized query frame must fail fast with an actionable error, and
+    the guard must not scan past max_query_rows+1 rows (limit-bounded)."""
+    import pytest as _pytest
+
+    from pr2_transformation_spark.functions.similarity import (
+        cosine_topk_bruteforce_pandas,
+        cosine_topk_lsh_pandas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb
+    for fn in (cosine_topk_bruteforce_pandas, cosine_topk_lsh_pandas):
+        with _pytest.raises(ValueError, match="max_query_rows"):
+            fn(corpus, queries, k=3, max_query_rows=5)
+    # at or under the cap still works
+    out = cosine_topk_bruteforce_pandas(corpus, queries, k=3, max_query_rows=10)
+    assert out.count() == 30
+
+
 def test_winnowing_pairs_catch_shared_runs(spark):
     """Two documents sharing a >= k+w-1 token run must share at least one
     fingerprint (the winnowing guarantee); unrelated documents with

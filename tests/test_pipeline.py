@@ -80,6 +80,32 @@ def test_pipeline_lazy_without_stats(spark, corpus):
     assert out.count() > 0
 
 
+def test_pipeline_reliable_checkpoint(spark, corpus, tmp_path):
+    """checkpoint='auto' promotes to reliable when a checkpoint dir is
+    configured: the iterative stages (MinHash signatures, CC labels) write
+    RDD checkpoint files to the directory — the cluster-survivable mode —
+    and the result matches the local-checkpoint run exactly."""
+    baseline, _ = prepare_training_corpus(
+        corpus, near_dup=True, jaccard_threshold=0.9, checkpoint="local"
+    )
+    expected = {r["doc_id"] for r in baseline.select("doc_id").collect()}
+
+    sc = spark.sparkContext
+    ckpt_dir = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt_dir)
+    try:
+        out, _ = prepare_training_corpus(
+            corpus, near_dup=True, jaccard_threshold=0.9
+        )
+        got = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert got == expected
+        # reliable mode actually hit the durable directory
+        import glob
+        assert glob.glob(f"{ckpt_dir}/*/rdd-*"), "no RDD checkpoint written"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # type: ignore[union-attr]
+
+
 def test_pipeline_compression_floor_drops_template_spam(spark, corpus):
     """A planted ultra-repetitive doc falls below the zlib ratio floor
     while natural-prose docs survive."""
