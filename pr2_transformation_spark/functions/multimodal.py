@@ -21,7 +21,7 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   :func:`mp4_frames` — real stts/stsc/stsz/stco sample-table
   navigation — and :func:`mp4_encode`, the ISO-BMFF muxer),
 * STUBBED: formats needing codec libraries this environment lacks
-  (lossy-WebP/mp3/h264-in-mp4; progressive JPEG).  The feature extractor's default decoder is a
+  (lossy-WebP/mp3/h264-in-mp4).  The feature extractor's default decoder is a
   clearly-marked deterministic fake, and passing ``decoder=None`` raises
   ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
   wrapper would plug into the same callable signature the real decoders
@@ -587,8 +587,9 @@ def _jpeg_extend(v: int, t: int) -> int:
 @_decode_errors
 def jpeg_decode(payload: bytes) -> dict:
     """REAL JPEG header decoder — pure stdlib: walks the marker stream to
-    the frame header (SOF0/1 baseline; progressive SOF2 raises), returning
-    dimensions, component count, and per-component sampling factors."""
+    the frame header (SOF0/1 baseline, SOF2 progressive), returning
+    dimensions, component count, per-component sampling factors, and a
+    ``progressive`` flag."""
     import struct
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -602,7 +603,7 @@ def jpeg_decode(payload: bytes) -> dict:
             pos += 2
             continue
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
-        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
             precision, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 4)
             if w == 0 or h == 0:
                 raise ValueError("JPEG with zero dimension")
@@ -618,25 +619,89 @@ def jpeg_decode(payload: bytes) -> dict:
                 "bit_depth": int(precision),
                 "n_components": int(ncomp),
                 "sampling": samp,
+                "progressive": marker == 0xC2,
             }
-        if marker == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
         if marker == 0xD9:
             break
         pos += 2 + seglen
     raise ValueError("JPEG missing frame header")
 
 
+def _jpeg_parse_dqt(payload, body, end, qt):
+    """Parse one DQT segment body (possibly several tables) into ``qt``."""
+    import numpy as np
+
+    p = body
+    while p < end:
+        pq, tq = payload[p] >> 4, payload[p] & 0xF
+        n = 64 * (2 if pq else 1)
+        raw = payload[p + 1 : p + 1 + n]
+        vals = (
+            np.frombuffer(raw, ">u2").astype(np.int32)
+            if pq
+            else np.frombuffer(raw, np.uint8).astype(np.int32)
+        )
+        table = np.zeros(64, np.int32)
+        table[_JPEG_ZIGZAG] = vals  # stored in zigzag order
+        qt[tq] = table.reshape(8, 8)
+        p += 1 + n
+
+
+def _jpeg_parse_dht(payload, body, end, huff_dc, huff_ac):
+    """Parse one DHT segment body (possibly several tables) into the
+    ``(code, length) -> value`` lookups the bit reader consumes."""
+    p = body
+    while p < end:
+        tc, th = payload[p] >> 4, payload[p] & 0xF
+        bits = list(payload[p + 1 : p + 17])
+        nval = sum(bits)
+        values = list(payload[p + 17 : p + 17 + nval])
+        codes = _jpeg_huffman_codes(bits, values)
+        lookup = {(c, ln): v for v, (c, ln) in codes.items()}
+        (huff_dc if tc == 0 else huff_ac)[th] = lookup
+        p += 17 + nval
+
+
+def _jpeg_finish(planes, comps, hmax, vmax, fw, fh):
+    """Shared reconstruction tail: crop the MCU-padded component planes,
+    nearest-neighbor upsample subsampled chroma, level-shift, and convert
+    BT.601 YCbCr to RGB (or pass through grayscale)."""
+    import numpy as np
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:fh, :fw] + 128.0)
+
+    if len(out_planes) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError("JPEG scans with 2 or 4 components not supported")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 @_decode_errors
 def jpeg_pixels(payload: bytes):
-    """Decode a baseline JPEG to ``(h, w, channels)`` uint8 — REAL
-    entropy + transform decode with zero codec libraries: canonical
+    """Decode a baseline OR progressive JPEG to ``(h, w, channels)`` uint8
+    — REAL entropy + transform decode with zero codec libraries: canonical
     Huffman tables parsed from DHT, dequantization from DQT, zigzag
     unpacking, orthonormal-matrix IDCT (numpy), nearest-neighbor chroma
     upsampling for subsampled scans, restart-interval resync, and BT.601
     YCbCr->RGB.  Grayscale returns 1 channel; 3-component scans return
-    RGB.  Raises ``ValueError`` on progressive/arithmetic streams or a
-    corrupt entropy segment.
+    RGB.  Progressive (SOF2) streams run the multi-scan accumulator in
+    :func:`_jpeg_decode_progressive` — spectral selection AND successive
+    approximation, DC and AC, first and refinement passes.  Raises
+    ``ValueError`` on arithmetic-coded streams or a corrupt entropy
+    segment.
 
     Scale note: the MCU loop is Python-per-block (the entropy coding is
     inherently sequential); per-asset decode cost is the same order as the
@@ -646,9 +711,9 @@ def jpeg_pixels(payload: bytes):
     """
     import struct
 
-    import numpy as np
-
-    meta = jpeg_decode(payload)  # validates SOI + baseline frame
+    meta = jpeg_decode(payload)  # validates SOI + frame header
+    if meta["progressive"]:
+        return _jpeg_decode_progressive(payload)
     qt: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
@@ -663,31 +728,9 @@ def jpeg_pixels(payload: bytes):
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         body = pos + 4
         if marker == 0xDB:  # DQT: one or more tables
-            p = body
-            while p < pos + 2 + seglen:
-                pq, tq = payload[p] >> 4, payload[p] & 0xF
-                n = 64 * (2 if pq else 1)
-                raw = payload[p + 1 : p + 1 + n]
-                vals = (
-                    np.frombuffer(raw, ">u2").astype(np.int32)
-                    if pq
-                    else np.frombuffer(raw, np.uint8).astype(np.int32)
-                )
-                table = np.zeros(64, np.int32)
-                table[_JPEG_ZIGZAG] = vals  # stored in zigzag order
-                qt[tq] = table.reshape(8, 8)
-                p += 1 + n
+            _jpeg_parse_dqt(payload, body, pos + 2 + seglen, qt)
         elif marker == 0xC4:  # DHT: one or more tables
-            p = body
-            while p < pos + 2 + seglen:
-                tc, th = payload[p] >> 4, payload[p] & 0xF
-                bits = list(payload[p + 1 : p + 17])
-                nval = sum(bits)
-                values = list(payload[p + 17 : p + 17 + nval])
-                codes = _jpeg_huffman_codes(bits, values)
-                lookup = {(c, ln): v for v, (c, ln) in codes.items()}
-                (huff_dc if tc == 0 else huff_ac)[th] = lookup
-                p += 17 + nval
+            _jpeg_parse_dht(payload, body, pos + 2 + seglen, huff_dc, huff_ac)
         elif marker in (0xC0, 0xC1):
             _prec, fh, fw, ncomp = struct.unpack_from(">BHHB", payload, body)
             comps = []
@@ -777,26 +820,275 @@ def _jpeg_decode_scan(
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    out_planes = []
-    for c in comps:
-        p = planes[c["id"]]
-        # nearest-neighbor upsample to full frame resolution
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:fh, :fw] + 128.0)
+    return _jpeg_finish(planes, comps, hmax, vmax, fw, fh)
 
-    if len(out_planes) == 1:
-        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
-        return gray[:, :, None]
-    if len(out_planes) != 3:
-        raise ValueError("JPEG scans with 2 or 4 components not supported")
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+def _jpeg_scan_end(data: bytes, pos: int) -> int:
+    """Byte position of the first real marker at/after ``pos`` (skipping
+    stuffed 0xFF00 pairs, fill bytes, and restart markers) — where the
+    next header segment begins after an entropy-coded scan."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _jpeg_prog_scan(
+    payload, data_start, frame, coef, scomps, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval,
+):
+    """Decode ONE progressive scan (T.81 Annex G) into the zigzag-order
+    coefficient accumulators ``coef[cid][by, bx, k]``; returns the byte
+    position after the scan's entropy data.
+
+    Four pass kinds, selected by (Ss, Ah): DC first (Ss=0, Ah=0 — the only
+    kind that may interleave components), DC refinement (Ss=0, Ah>0, one
+    bit per block), AC first (Ss>0, Ah=0 — band Ss..Se with EOB-run
+    coding), AC refinement (Ss>0, Ah>0 — correction bits for known
+    coefficients woven between newly-significant ±1<<Al insertions,
+    including through ZRL and EOB runs)."""
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    byid = {c["id"]: c for c in comps}
+    reader = _JpegBitReader(payload, data_start)
+    state = {"eobrun": 0}
+
+    def dc_first(blk, tab, pred, cid):
+        t = reader.huffman(tab)
+        pred[cid] += _jpeg_extend(reader.bits(t), t)
+        blk[0] = pred[cid] << al
+
+    def dc_refine(blk):
+        if reader.bits(1):
+            blk[0] |= 1 << al  # two's-complement OR: grows |v| either sign
+
+    def ac_first(blk, tab):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.huffman(tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past spectral band")
+            blk[k] = _jpeg_extend(reader.bits(s), s) << al
+            k += 1
+
+    bit = 1 << al
+
+    def refine_known(blk, k):
+        # correction bit for a coefficient already nonzero at this precision
+        if reader.bits(1) and not (abs(int(blk[k])) & bit):
+            blk[k] += bit if blk[k] > 0 else -bit
+
+    def ac_refine(blk, tab):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            for k in range(ss, se + 1):
+                if blk[k] != 0:
+                    refine_known(blk, k)
+            return
+        k = ss
+        while k <= se:
+            rs = reader.huffman(tab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:  # EOBn: refine the rest, then skip whole blocks
+                    state["eobrun"] = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_known(blk, k)
+                        k += 1
+                    return
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC-refinement magnitude")
+                newval = bit if reader.bits(1) else -bit
+            while k <= se:
+                if blk[k] != 0:
+                    refine_known(blk, k)
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+
+    if ss == 0:  # DC scan — interleaved MCU order (also covers ns == 1)
+        if se != 0:
+            raise ValueError("JPEG DC scan with nonzero Se")
+        sel = [byid[cid] for cid, _t in scomps]
+        tabs = {cid: huff_dc[t >> 4] for cid, t in scomps} if ah == 0 else {}
+        for cid, t in scomps:
+            if ah == 0 and (t >> 4) not in huff_dc:
+                raise ValueError("JPEG references a missing Huffman table")
+        pred = {cid: 0 for cid, _ in scomps}
+        if len(sel) == 1:  # non-interleaved: the component's own block grid
+            c = sel[0]
+            bw = -(-(-(-fw * c["h"] // hmax)) // 8)
+            bh = -(-(-(-fh * c["v"] // vmax)) // 8)
+            units = [(c, by, bx) for by in range(bh) for bx in range(bw)]
+        else:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for c in sel:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                unit.append((c, my * c["v"] + by, mx * c["h"] + bx))
+                    units.append(unit)
+        count = 0
+        for unit in units:
+            if restart_interval and count and count % restart_interval == 0:
+                reader.restart()
+                pred = {cid: 0 for cid, _ in scomps}
+            blocks = unit if isinstance(unit, list) else [unit]
+            for c, by, bx in blocks:
+                blk = coef[c["id"]][by, bx]
+                if ah == 0:
+                    dc_first(blk, tabs[c["id"]], pred, c["id"])
+                else:
+                    dc_refine(blk)
+            count += 1
+    else:  # AC scan — T.81 requires non-interleaved (one component)
+        if len(scomps) != 1:
+            raise ValueError("JPEG progressive AC scan must be non-interleaved")
+        cid, t = scomps[0]
+        c = byid[cid]
+        if (t & 0xF) not in huff_ac:
+            raise ValueError("JPEG references a missing Huffman table")
+        tab = huff_ac[t & 0xF]
+        bw = -(-(-(-fw * c["h"] // hmax)) // 8)
+        bh = -(-(-(-fh * c["v"] // vmax)) // 8)
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.restart()
+                    state["eobrun"] = 0
+                blk = coef[cid][by, bx]
+                (ac_first if ah == 0 else ac_refine)(blk, tab)
+                count += 1
+
+    return _jpeg_scan_end(payload, reader.pos)
+
+
+def _jpeg_decode_progressive(payload: bytes):
+    """Multi-scan progressive JPEG decode: walk every marker segment in
+    order (tables may be redefined between scans), accumulate dequantized-
+    domain coefficients across scans, then run the shared IDCT/upsample/
+    color tail once at EOI."""
+    import struct
+
+    import numpy as np
+
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    coef: dict = {}
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(payload):
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = pos + 4
+        if marker == 0xDB:
+            _jpeg_parse_dqt(payload, body, pos + 2 + seglen, qt)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(payload, body, pos + 2 + seglen, huff_dc, huff_ac)
+        elif marker == 0xC2:
+            _prec, fh, fw, ncomp = struct.unpack_from(">BHHB", payload, body)
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", payload, body + 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (fw, fh, comps)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            for c in comps:
+                coef[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), np.int64
+                )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", payload, body)[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = payload[body]
+            scomps = [
+                (payload[body + 1 + 2 * i], payload[body + 2 + 2 * i])
+                for i in range(ns)
+            ]
+            ss = payload[body + 1 + 2 * ns]
+            se = payload[body + 2 + 2 * ns]
+            ahal = payload[body + 3 + 2 * ns]
+            pos = _jpeg_prog_scan(
+                payload, pos + 2 + seglen, frame, coef, scomps,
+                ss, se, ahal >> 4, ahal & 0xF, huff_dc, huff_ac,
+                restart_interval,
+            )
+            continue
+        pos += 2 + seglen
+
+    if frame is None or not coef:
+        raise ValueError("progressive JPEG missing frame or scan data")
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    C = _jpeg_dct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    planes = {}
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG references a missing quantization table")
+        arr = coef[c["id"]]  # (bh, bw, 64) zigzag order
+        bh, bw = arr.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[:, :, zz] = arr  # zigzag -> natural
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[c["tq"]][None, None].astype(
+            np.float64
+        )
+        # broadcast matmul = the same per-block GEMM the baseline path runs,
+        # so both decoders produce bitwise-identical floats
+        f = C.T @ blocks @ C
+        planes[c["id"]] = f.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _jpeg_finish(planes, comps, hmax, vmax, fw, fh)
 
 
 class _JpegBitWriter:
@@ -988,6 +1280,329 @@ def jpeg_encode(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_quantized_blocks(pixels, quality: int, subsample: bool):
+    """Shared front half of JPEG encoding: color convert, subsample, pad,
+    FDCT, quantize — returning per-component zigzag-order coefficient
+    arrays ``(bh, bw, 64)`` plus the frame layout, so entropy coding
+    (baseline single-scan or progressive multi-scan) is a pure function
+    of the same coefficients."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 1)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("jpeg encode expects (h, w) gray or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("jpeg encode: zero dimension")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
+    def scaled(table):
+        q = (np.array(table, np.int64) * scale + 50) // 100
+        return np.clip(q, 1, 255).astype(np.int32).reshape(8, 8)
+
+    qluma, qchroma = scaled(_JPEG_QT_LUMA), scaled(_JPEG_QT_CHROMA)
+    C = _jpeg_dct_matrix()
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        qts, comps = [qluma], [(1, 1, 1, 0)]  # id, h, v, tq
+    else:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [qluma, qchroma, qchroma]
+        if subsample:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def pad_to(p, ph, pw):
+        py, px = p.shape
+        return np.pad(p, ((0, ph - py), (0, pw - px)), mode="edge")
+
+    zz = np.asarray(_JPEG_ZIGZAG)
+    coeff = {}
+    for (cid, ch, cv, tq), p in zip(comps, planes):
+        if ch < hmax or cv < vmax:  # mean-pool subsample
+            p = pad_to(p, -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2)
+            p = (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+        p = pad_to(p, mcuy * cv * 8, mcux * ch * 8)
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        fdct = C @ blocks @ C.T  # broadcast GEMM == jpeg_encode's per-block math
+        qnat = np.rint(fdct / qts[tq][None, None]).astype(np.int64)
+        coeff[cid] = qnat.reshape(bh, bw, 64)[:, :, zz]  # natural -> zigzag
+    return comps, qts, coeff, (h, w, gray)
+
+
+def jpeg_encode_progressive(pixels, quality: int = 90, subsample: bool = False) -> bytes:
+    """REAL pure-numpy PROGRESSIVE JPEG encoder (SOF2) — the write half of
+    the progressive decode path, using libjpeg's standard 10-scan script
+    (6 scans for grayscale): an Al=1 DC scan, spectral-selection AC first
+    passes at coarse precision, then successive-approximation refinement
+    passes (DC Ah=1 and AC Ah=2->1->0) ending at full precision, with real
+    EOB-run coding across blocks.  The quantized coefficients are shared
+    with :func:`jpeg_encode` (same ``_jpeg_quantized_blocks`` front half),
+    so once every scan lands the decoded image is IDENTICAL to decoding
+    the baseline encoding of the same pixels — pinned in
+    test_multimodal.
+
+    Per-scan Huffman tables are emitted as flat 8-bit canonical codes over
+    exactly the symbols the scan uses (a dry collection pass, then the
+    write pass) — simple, always valid (<= 255 symbols), and it keeps
+    EOBn symbols legal where the Annex-K baseline tables lack them."""
+    import struct
+
+    comps, qts, coeff, (h, w, gray) = _jpeg_quantized_blocks(
+        pixels, quality, subsample
+    )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # (kind, component indexes, Ss, Se, Ah, Al) — jcparam.c's standard script
+    if gray:
+        script = [
+            ("dc", [0], 0, 0, 0, 1),
+            ("ac", [0], 1, 5, 0, 2),
+            ("ac", [0], 6, 63, 0, 2),
+            ("ac", [0], 1, 63, 2, 1),
+            ("dc", [0], 0, 0, 1, 0),
+            ("ac", [0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0, 1, 2], 0, 0, 0, 1),
+            ("ac", [0], 1, 5, 0, 2),
+            ("ac", [2], 1, 63, 0, 1),
+            ("ac", [1], 1, 63, 0, 1),
+            ("ac", [0], 6, 63, 0, 2),
+            ("ac", [0], 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 0, 0, 1, 0),
+            ("ac", [2], 1, 63, 1, 0),
+            ("ac", [1], 1, 63, 1, 0),
+            ("ac", [0], 1, 63, 1, 0),
+        ]
+
+    def comp_blocks(ci):
+        cid, ch, cv, _tq = comps[ci]
+        bw = -(-(-(-w * ch // hmax)) // 8)
+        bh = -(-(-(-h * cv // vmax)) // 8)
+        return cid, bh, bw
+
+    def dc_scan_symbols_and_bits(idxs, ah, al, sink):
+        """Run one DC scan, feeding (symbol, (value, nbits)...) to sink."""
+        if ah == 0:
+            pred = {comps[ci][0]: 0 for ci in idxs}
+        if len(idxs) == 1:
+            cid, bh, bw = comp_blocks(idxs[0])
+            order = [(idxs[0], by, bx) for by in range(bh) for bx in range(bw)]
+        else:
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in idxs:
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                order.append((ci, my * cv + by, mx * ch + bx))
+        for ci, by, bx in order:
+            cid = comps[ci][0]
+            v = int(coeff[cid][by, bx, 0]) >> al  # arithmetic shift (T.81 DC)
+            if ah == 0:
+                diff = v - pred[cid]
+                pred[cid] = v
+                t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+                sink.symbol(ci, t)
+                if t:
+                    sink.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+            else:
+                sink.bits(v & 1, 1)
+
+    def ac_scan_symbols_and_bits(ci, ss, se, ah, al, sink):
+        cid, bh, bw = comp_blocks(ci)
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered through EOB runs
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                sink.symbol(ci, r << 4)
+                if r:
+                    sink.bits(eobrun - (1 << r), r)
+                eobrun = 0
+            for b in pending:
+                sink.bits(b, 1)
+            pending.clear()
+
+        for by in range(bh):
+            for bx in range(bw):
+                blk = coeff[cid][by, bx]
+                if ah == 0:  # first pass over this band
+                    vals = []
+                    for k in range(ss, se + 1):
+                        v = int(blk[k])
+                        vals.append(-((-v) >> al) if v < 0 else v >> al)
+                    last = -1
+                    for i, v in enumerate(vals):
+                        if v:
+                            last = i
+                    if last < 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    for i in range(last + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            sink.symbol(ci, 0xF0)  # ZRL
+                            run -= 16
+                        s = v.bit_length() if v > 0 else (-v).bit_length()
+                        sink.symbol(ci, (run << 4) | s)
+                        sink.bits(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if last < se - ss:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                else:  # refinement pass (jcphuff.c encode_mcu_AC_refine)
+                    bit = 1 << al
+                    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                    eob_i = -1
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eob_i = i
+                    r = 0
+                    br: list[int] = []
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eob_i:
+                            flush_eobrun()
+                            sink.symbol(ci, 0xF0)
+                            r -= 16
+                            for b in br:
+                                sink.bits(b, 1)
+                            br = []
+                        if t > 1:  # already significant: buffer correction bit
+                            br.append(t & 1)
+                            continue
+                        flush_eobrun()
+                        sink.symbol(ci, (r << 4) | 1)
+                        sink.bits(1 if int(blk[ss + i]) > 0 else 0, 1)
+                        for b in br:
+                            sink.bits(b, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        pending.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+        flush_eobrun()
+
+    class _Collect:
+        def __init__(self):
+            self.syms: dict[int, set] = {}
+
+        def symbol(self, ci, s):
+            self.syms.setdefault(ci, set()).add(s)
+
+        def bits(self, v, n):
+            pass
+
+    class _Emit:
+        def __init__(self, writer, codes):
+            self.w, self.codes = writer, codes
+
+        def symbol(self, ci, s):
+            code, ln = self.codes[ci][s]
+            self.w.bits(code, ln)
+
+        def bits(self, v, n):
+            self.w.bits(v, n)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    import numpy as np
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz = np.asarray(_JPEG_ZIGZAG)
+    for tq, q in enumerate(qts[: 1 if gray else 2]):
+        zzq = q.reshape(64)[zz]
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zzq))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive
+
+    for kind, idxs, ss, se, ah, al in script:
+        run = (
+            (lambda s: dc_scan_symbols_and_bits(idxs, ah, al, s))
+            if kind == "dc"
+            else (lambda s: ac_scan_symbols_and_bits(idxs[0], ss, se, ah, al, s))
+        )
+        needs_table = not (kind == "dc" and ah > 0)  # DC refine is table-free
+        codes: dict = {}
+        if needs_table:
+            col = _Collect()
+            run(col)
+            tc = 0 if kind == "dc" else 1
+            # components sharing a table slot (Cb+Cr on th=1) merge symbols
+            by_th: dict[int, set] = {}
+            for ci in idxs:
+                th = 0 if ci == 0 else 1
+                by_th.setdefault(th, set()).update(col.syms.get(ci, {0}))
+            th_codes = {}
+            for th, symset in by_th.items():
+                values = sorted(symset)
+                if len(values) > 255:
+                    raise ValueError("progressive scan exceeds flat-code table")
+                bits16 = [0] * 16
+                bits16[7] = len(values)  # all codes length 8, canonical
+                out += seg(
+                    0xC4, bytes([(tc << 4) | th]) + bytes(bits16) + bytes(values)
+                )
+                th_codes[th] = {v: (i, 8) for i, v in enumerate(values)}
+            for ci in idxs:
+                codes[ci] = th_codes[0 if ci == 0 else 1]
+        sos = bytes([len(idxs)])
+        for ci in idxs:
+            th = 0 if ci == 0 else 1
+            tsel = (th << 4) if kind == "dc" else th
+            sos += bytes([comps[ci][0], tsel])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        writer = _JpegBitWriter()
+        run(_Emit(writer, codes))
+        writer.flush()
+        out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1970,9 +2585,9 @@ def image_decode(payload: bytes) -> dict:
 
 def image_pixels(payload: bytes):
     """Format-dispatching pixel decoder (BMP 24-bit -> RGB, PNG 8-bit ->
-    native channels, GIF -> palette RGB, baseline JPEG -> gray/RGB).  Same
-    ``bytes -> (h, w, c) uint8`` seam a PIL wrapper would fill for
-    webp/progressive-JPEG."""
+    native channels, GIF -> palette RGB, baseline AND progressive JPEG ->
+    gray/RGB).  Same ``bytes -> (h, w, c) uint8`` seam a PIL wrapper
+    would fill for lossy WebP."""
     if payload[:2] == b"BM":
         return bmp_pixels(payload)
     if payload[:8] == _PNG_SIG:

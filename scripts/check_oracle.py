@@ -38,6 +38,27 @@ def norm(v):
     return str(v)
 
 
+def check_query_index(qs) -> list[str]:
+    """The generated QUERY INDEX at the top of __spark_entry__.py must
+    list exactly the queries() keys (scripts/gen_query_index.py rewrites
+    it); returns drift messages, empty when in sync."""
+    import re
+
+    entry_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+    src = open(entry_path).read()
+    m = re.search(r"# === QUERY INDEX.*?# === END QUERY INDEX ===", src, re.S)
+    if not m:
+        return ["QUERY INDEX block missing (run scripts/gen_query_index.py)"]
+    indexed = set(re.findall(r"^# (q\d+[a-z0-9_]*)\s", m.group(0), re.M))
+    msgs = []
+    if missing := set(qs) - indexed:
+        msgs.append(f"QUERY INDEX missing entries: {sorted(missing)[:5]}...")
+    if stale := indexed - set(qs):
+        msgs.append(f"QUERY INDEX has stale entries: {sorted(stale)[:5]}...")
+    return msgs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -57,6 +78,9 @@ def main():
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    index_msgs = check_query_index(qs)
+    for msg in index_msgs:
+        print(f"FAIL  {msg}")
     unknown = only - set(qs)
     if unknown:
         print(f"ERROR: unknown query names (not in queries()): {sorted(unknown)}")
@@ -110,6 +134,7 @@ def main():
             continue
         print(f"OK    {name}: {len(spark_rows)} rows match")
 
+    failures.extend(index_msgs)
     print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     spark.stop()
     return 1 if failures else 0

@@ -465,6 +465,53 @@ def test_jpeg_header_decode_and_rejection():
         multimodal.jpeg_encode(img, quality=0)
 
 
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """A progressive (SOF2) stream carrying the SAME quantized coefficients
+    as the baseline encoding — libjpeg's standard multi-scan script with
+    spectral selection, successive approximation, and cross-block EOB runs
+    — must decode to the BIT-identical pixel array, for grayscale, RGB
+    4:4:4, 4:2:0, and ragged dimensions, across quality levels."""
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    base = np.add.outer(np.linspace(0, 200, 37), np.linspace(0, 55, 29))
+    gray = np.clip(base + rng.normal(0, 35, (37, 29)), 0, 255).astype("uint8")
+    rgb = np.stack([gray, np.roll(gray, 3, 0), np.roll(gray, 5, 1)], axis=-1)
+    for img, sub in [(gray, False), (rgb, False), (rgb, True)]:
+        for q in (35, 90, 100):
+            b = multimodal.jpeg_pixels(
+                multimodal.jpeg_encode(img, quality=q, subsample=sub))
+            p = multimodal.jpeg_pixels(
+                multimodal.jpeg_encode_progressive(img, quality=q, subsample=sub))
+            assert np.array_equal(b, p), f"sub={sub} q={q}"
+
+
+def test_jpeg_progressive_flat_blocks_bit_exact_and_meta():
+    """Block-flat images round-trip BIT-exactly through the progressive
+    codec at quality=100 (the same all-ones-quant identity the baseline
+    pins), maximal EOB runs included; the header decoder reports the
+    progressive flag and dimensions from SOF2."""
+    import numpy as np
+
+    rng = np.random.default_rng(48)
+    blocks = rng.integers(0, 256, size=(4, 6), dtype="uint8")
+    gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = multimodal.jpeg_encode_progressive(gray, quality=100)
+    assert np.array_equal(multimodal.jpeg_pixels(payload)[:, :, 0], gray)
+    meta = multimodal.jpeg_decode(payload)
+    assert meta["progressive"] is True
+    assert (meta["width"], meta["height"], meta["n_components"]) == (48, 32, 1)
+    assert multimodal.jpeg_decode(
+        multimodal.jpeg_encode(gray))["progressive"] is False
+    # dispatch path decodes progressive payloads too
+    assert np.array_equal(
+        multimodal.image_pixels(payload)[:, :, 0], gray)
+    # payload truncated inside the header segments is a data rejection
+    # (ValueError), not a struct/index crash
+    with pytest.raises(ValueError):
+        multimodal.jpeg_pixels(payload[:30])
+
+
 def _vp8l_container(payload_bits_writer):
     import struct
 

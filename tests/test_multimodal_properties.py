@@ -224,6 +224,34 @@ def test_jpeg_flat_blocks_property(bw, bh, ri, seed):
     assert np.array_equal(dec[:, :, 0], img)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(1, 41),
+    h=st.integers(1, 41),
+    color=st.booleans(),
+    sub=st.booleans(),
+    quality=st.sampled_from([25, 60, 90, 100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(w, h, color, sub, quality, seed):
+    """Progressive (SOF2) encode of ANY image decodes bit-identically to
+    decoding the baseline encode of the same pixels — the two entropy
+    layerings carry the same quantized coefficients, so the multi-scan
+    accumulator (spectral selection + successive approximation + EOB
+    runs) must reconstruct them exactly at every shape/quality."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype="uint8")
+    sub = sub and color
+    base = multimodal.jpeg_pixels(
+        multimodal.jpeg_encode(img, quality=quality, subsample=sub)
+    )
+    prog = multimodal.jpeg_pixels(
+        multimodal.jpeg_encode_progressive(img, quality=quality, subsample=sub)
+    )
+    assert np.array_equal(base, prog)
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     data=st.data(),
