@@ -873,3 +873,140 @@ def test_ima_adpcm_roundtrip_properties():
     assert np.abs(z.astype(int)).max() <= 2
     with pytest.raises(ValueError):
         multimodal.ima_adpcm_encode(np.zeros((4, 4)))
+
+
+def _msv1_validate_stream(data: bytes, n_blocks: int):
+    """Wire-format conformance walk of one CRAM frame stream: classify
+    every code word, enforce the public-format constraints (skip codes in
+    0x8401..0x87FF, flag words with bit15 clear, 8-color marker on the
+    first color only), and return per-mode counts."""
+    import struct
+
+    pos, blocks = 0, 0
+    counts = {"skip": 0, "fill": 0, "two": 0, "eight": 0}
+    while blocks < n_blocks:
+        code = struct.unpack_from("<H", data, pos)[0]
+        pos += 2
+        hi = code >> 8
+        if (hi & 0xFC) == 0x84:
+            n = code - 0x8400
+            assert 1 <= n <= 0x3FF
+            blocks += n
+            counts["skip"] += n
+        elif hi < 0x80:
+            assert code & 0x8000 == 0  # flags bit15 must be clear
+            c0, c1 = struct.unpack_from("<HH", data, pos)
+            pos += 4
+            if c0 & 0x8000:
+                rest = struct.unpack_from("<6H", data, pos)
+                pos += 12
+                assert all(c & 0x8000 == 0 for c in (c1,) + rest)
+                counts["eight"] += 1
+            else:
+                assert c1 & 0x8000 == 0
+                counts["two"] += 1
+            blocks += 1
+        else:
+            assert code & 0x8000  # fill colors carry bit15
+            assert (hi & 0xFC) != 0x84
+            counts["fill"] += 1
+            blocks += 1
+    assert blocks == n_blocks and pos == len(data)
+    return counts
+
+
+def test_msvideo1_intra_quantized_blocks_exact():
+    """Uniform and 2-color 4x4 blocks survive the lossy path exactly
+    after RGB555 quantization (the VQ only loses on >2-color blocks)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    f0 = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+    f1 = np.zeros((16, 24, 3), np.uint8)
+    f1[::2, :, 0] = 200
+    f1[1::2, :, 2] = 100
+    for frame in (f0, f1):
+        dec = multimodal.msvideo1_frames(multimodal.msvideo1_encode([frame]))
+        expected = multimodal._rgb555_expand(multimodal._rgb555_quantize(frame))
+        assert np.array_equal(dec[0], expected)
+
+
+def test_msvideo1_skip_and_delta_streams():
+    """Interframe property: an identical frame is ONE skip code (2
+    bytes); a one-block change is skip + fill + skip (6 bytes), and
+    decoded frames thread previous-frame pixels through the skips."""
+    import numpy as np
+
+    f0 = np.zeros((16, 16, 3), np.uint8)
+    f0[:, :, 1] = 160
+    f2 = f0.copy()
+    f2[0:4, 0:4] = [255, 255, 0]  # true-image top-left block
+    avi = multimodal.msvideo1_encode([f0, f0, f2])
+    bodies = list(multimodal._avi_chunk_bodies(avi))
+    assert len(bodies[1]) == 2
+    _msv1_validate_stream(bodies[1], 16)
+    # top-left (true) = LAST block row bottom-up: skip 12, code, skip 3
+    assert len(bodies[2]) == 6
+    c = _msv1_validate_stream(bodies[2], 16)
+    assert c == {"skip": 15, "fill": 1, "two": 0, "eight": 0}
+    dec = multimodal.msvideo1_frames(avi)
+    assert np.array_equal(dec[0], dec[1])
+    assert np.array_equal(dec[2][0:4, 0:4], np.full((4, 4, 3), [255, 255, 0], np.uint8) >> 3 << 3 | (np.full((4, 4, 3), [255, 255, 0], np.uint8) >> 3 >> 2))
+    assert np.array_equal(dec[2][4:, :], dec[0][4:, :])
+
+
+def test_msvideo1_red1_fill_collision_degrades_to_two_color():
+    """An RGB555 fill whose red component is 1 would collide with the
+    0x84xx skip range; the encoder must spend 6 bytes on an equal-pair
+    2-color block instead and still decode exactly."""
+    import numpy as np
+
+    f = np.zeros((4, 4, 3), np.uint8)
+    f[:, :] = [12, 77, 230]  # red 12 >> 3 == 1
+    avi = multimodal.msvideo1_encode([f])
+    body = next(iter(multimodal._avi_chunk_bodies(avi)))
+    counts = _msv1_validate_stream(body, 1)
+    assert counts == {"skip": 0, "fill": 0, "two": 1, "eight": 0}
+    dec = multimodal.msvideo1_frames(avi)
+    assert np.array_equal(
+        dec[0], multimodal._rgb555_expand(multimodal._rgb555_quantize(f))
+    )
+
+
+def test_msvideo1_eight_color_quadrants_exact():
+    """A block whose every 2x2 quadrant holds <= 2 distinct colors (but
+    > 2 overall) upgrades to 8-color mode under a zero 2-color budget and
+    round-trips exactly."""
+    import numpy as np
+
+    f = np.zeros((4, 4, 3), np.uint8)
+    quad_colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    for q, (qy, qx) in enumerate([(0, 0), (0, 2), (2, 0), (2, 2)]):
+        f[qy : qy + 2, qx : qx + 2] = quad_colors[q]
+        f[qy, qx] = (16, 32, 48)  # second color per quadrant
+    avi = multimodal.msvideo1_encode([f], sse_8color=-1.0)
+    body = next(iter(multimodal._avi_chunk_bodies(avi)))
+    counts = _msv1_validate_stream(body, 1)
+    assert counts["eight"] == 1
+    dec = multimodal.msvideo1_frames(avi)
+    assert np.array_equal(
+        dec[0], multimodal._rgb555_expand(multimodal._rgb555_quantize(f))
+    )
+
+
+def test_msvideo1_validation_and_dispatch():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.msvideo1_encode([])
+    with pytest.raises(ValueError):
+        multimodal.msvideo1_encode([np.zeros((5, 4, 3), np.uint8)])
+    f = np.full((8, 8, 3), 99, np.uint8)
+    avi = multimodal.msvideo1_encode([f, f])
+    # generic avi_frames dispatches on the strf fourcc
+    frames = multimodal.avi_frames(avi)
+    assert len(frames) == 2 and frames[0].shape == (8, 8, 3)
+    meta = multimodal.avi_decode(avi)
+    assert meta["n_frames"] == 2 and meta["width"] == 8

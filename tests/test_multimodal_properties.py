@@ -378,3 +378,50 @@ def test_frame_and_pixel_walkers_reject_garbage(payload):
             fn(data)
         except ValueError:
             pass
+
+
+@given(
+    bw=st.integers(1, 6),
+    bh=st.integers(1, 6),
+    n_frames=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    mode=st.sampled_from(["uniform", "quad", "busy"]),
+)
+@settings(max_examples=120, deadline=None)
+def test_msvideo1_roundtrip_property(bw, bh, n_frames, seed, mode):
+    """MS Video 1 invariants over random clips: frames whose 2x2
+    quadrants each hold <= 2 distinct RGB555 colors round-trip exactly
+    (uniform/quad modes); busy frames still decode to the encoder's own
+    reconstruction deterministically; an appended identical frame always
+    costs exactly one 2-byte skip code; every stream passes the
+    wire-format conformance walk."""
+    from tests.test_multimodal import _msv1_validate_stream
+
+    rng = np.random.RandomState(seed)
+    h, w = bh * 4, bw * 4
+    frames = []
+    for _ in range(n_frames):
+        if mode == "uniform":
+            f = np.repeat(np.repeat(
+                rng.randint(0, 256, (bh, bw, 3), dtype=np.uint8), 4, 0), 4, 1)
+        elif mode == "quad":
+            f = np.repeat(np.repeat(
+                rng.randint(0, 256, (bh * 2, bw * 2, 3), dtype=np.uint8), 2, 0), 2, 1)
+        else:
+            f = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        frames.append(f)
+    frames.append(frames[-1].copy())  # identical tail frame
+    avi = multimodal.msvideo1_encode(frames, sse_8color=-1.0)
+    bodies = list(multimodal._avi_chunk_bodies(avi))
+    for body in bodies:
+        _msv1_validate_stream(body, bw * bh)
+    assert len(bodies[-1]) == 2  # pure skip
+    decoded = multimodal.msvideo1_frames(avi)
+    assert len(decoded) == len(frames)
+    assert np.array_equal(decoded[-1], decoded[-2])
+    if mode in ("uniform", "quad"):
+        for f, d in zip(frames, decoded):
+            expected = multimodal._rgb555_expand(multimodal._rgb555_quantize(f))
+            assert np.array_equal(d, expected)
+    # determinism: a second encode/decode cycle is bit-identical
+    assert multimodal.msvideo1_encode(frames, sse_8color=-1.0) == avi
