@@ -3815,3 +3815,521 @@ def ima_adpcm_decode(payload: bytes, n_samples: int):
         index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
         out[i] = pred
     return out
+
+
+# ----------------------------------------------------------------- FLAC
+#
+# Pure-numpy/stdlib FLAC (Free Lossless Audio Codec, the xiph.org spec /
+# RFC 9639): a real STREAMINFO + frame stream with CONSTANT / VERBATIM /
+# FIXED / LPC subframes, Rice-coded residuals, UTF-8 frame numbers,
+# CRC-8 header and CRC-16 frame checksums, and the STREAMINFO MD5 of the
+# unencoded samples verified on decode.  The encoder picks the best
+# fixed predictor per (block, channel) — optionally a quantized
+# Levinson-Durbin LPC — and computes residuals with the decoder's exact
+# integer prediction, so the round trip is bit-lossless by construction.
+# 16-bit PCM, 1-8 independent channels.
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, bits: int):
+        self.write(value & ((1 << bits) - 1), bits)
+
+    def write_unary(self, n: int):
+        while n >= 32:
+            self.write(0, 32)
+            n -= 32
+        self.write(1, n + 1)
+
+    def align(self):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # byte position
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            out = (out << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+            if n > 1 << 20:
+                raise ValueError("FLAC unary run too long")
+        return n
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of frame numbers."""
+    if n < 0x80:
+        return bytes([n])
+    # payload capacity for a `total`-byte form is (7 - total) + 6*(total-1)
+    for total in range(2, 8):
+        if n.bit_length() <= (7 - total) + 6 * (total - 1):
+            cont = [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(total - 1)][::-1]
+            lead = ((0xFF << (8 - total)) & 0xFF) | (n >> (6 * (total - 1)))
+            return bytes([lead] + cont)
+    raise ValueError("frame number too large for UTF-8 coding")
+
+
+def _flac_utf8_decode(br: "_FlacBitReader") -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    # count leading ones
+    total = 0
+    for i in range(7, -1, -1):
+        if (b0 >> i) & 1:
+            total += 1
+        else:
+            break
+    if total < 2 or total > 7:
+        raise ValueError("bad FLAC UTF-8 lead byte")
+    n = b0 & (0x7F >> total)
+    for _ in range(total - 1):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("bad FLAC UTF-8 continuation byte")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def _flac_fixed_residual(x, order: int):
+    """Residuals of FLAC's fixed polynomial predictors (orders 0-4)."""
+    import numpy as np
+
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _flac_best_rice_param(u) -> int:
+    """Smallest-cost Rice parameter for folded residuals (0..14)."""
+    best_p, best_cost = 0, None
+    for p in range(15):
+        cost = int((u >> p).sum()) + u.size * (p + 1)
+        if best_cost is None or cost < best_cost:
+            best_p, best_cost = p, cost
+    return best_p
+
+
+def _flac_write_residual(bw: "_FlacBitWriter", res):
+    """Single-partition 4-bit Rice method."""
+    import numpy as np
+
+    u = (np.abs(res) * 2 - (res < 0)).astype(np.uint64)
+    param = _flac_best_rice_param(u)
+    bw.write(0, 2)      # method: RICE (4-bit params)
+    bw.write(0, 4)      # partition order 0
+    bw.write(param, 4)
+    for v in u.tolist():
+        bw.write_unary(int(v) >> param)
+        bw.write(int(v), param)
+
+
+def _flac_lpc_coeffs(x, order: int, precision: int = 14):
+    """Quantized LPC coefficients via autocorrelation + Levinson-Durbin.
+    Returns (coefs int list, shift) or None when the signal is degenerate."""
+    import numpy as np
+
+    xf = x.astype(np.float64)
+    n = xf.size
+    if n <= order + 1:
+        return None
+    ac = np.array([np.dot(xf[: n - k], xf[k:]) for k in range(order + 1)])
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= 1 - k * k
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if cmax == 0 or not np.isfinite(cmax):
+        return None
+    shift = precision - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(1, min(15, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = 1 << (precision - 1)
+    q = np.clip(q, -lim, lim - 1)
+    if not q.any():
+        return None
+    return q.tolist(), shift
+
+
+def _flac_lpc_residual(x, coefs, shift: int):
+    import numpy as np
+
+    xi = x.astype(np.int64)
+    order = len(coefs)
+    c = np.array(coefs, dtype=np.int64)
+    # prediction for samples order..n-1: dot of previous `order` samples
+    # with coefs (most recent first)
+    windows = np.lib.stride_tricks.sliding_window_view(xi[:-1], order)
+    pred = (windows @ c[::-1]) >> shift
+    return xi[order:] - pred
+
+
+def flac_encode(samples, sample_rate: int = 16000, block_size: int = 4096,
+                use_lpc: bool = False, lpc_order: int = 8) -> bytes:
+    """REAL FLAC encode of 16-bit PCM — (n,) mono or (n, ch) int16.
+    Subframe choice per (block, channel): CONSTANT when flat, else the
+    best of fixed orders 0-4 (and a quantized Levinson-Durbin LPC when
+    ``use_lpc``), VERBATIM as the incompressible fallback; residuals are
+    single-partition Rice.  The stream carries real CRC-8/CRC-16
+    checksums and the STREAMINFO MD5 of the raw samples."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[0] == 0:
+        raise ValueError("flac_encode needs a non-empty (n,) or (n, ch) int16 array")
+    n, ch = s.shape
+    if not 1 <= ch <= 8:
+        raise ValueError("FLAC supports 1-8 channels")
+    if not 16 <= block_size <= 65535:
+        raise ValueError("block_size must be in [16, 65535]")
+    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+
+    frames = []
+    for f_idx, start in enumerate(range(0, n, block_size)):
+        blk = s[start : start + block_size]
+        bs = blk.shape[0]
+        bw = _FlacBitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)          # reserved
+        bw.write(0, 1)          # fixed blocking strategy
+        bw.write(0b0111, 4)     # blocksize: 16-bit at end of header
+        bw.write(0b0000, 4)     # sample rate: from STREAMINFO
+        bw.write(ch - 1, 4)     # independent channels
+        bw.write(0b100, 3)      # 16 bits per sample
+        bw.write(0, 1)          # reserved
+        for b in _flac_utf8_encode(f_idx):
+            bw.write(b, 8)
+        bw.write(bs - 1, 16)
+        header = bw.bytes()
+        bw.buf = bytearray(header + bytes([_flac_crc8(header)]))
+        for c in range(ch):
+            x = blk[:, c].astype(np.int64)
+            bw.write(0, 1)  # zero pad bit
+            if bs > 1 and bool((x == x[0]).all()):
+                bw.write(0, 6)  # CONSTANT
+                bw.write(0, 1)  # no wasted bits
+                bw.write_signed(int(x[0]), 16)
+                continue
+            candidates = []
+            max_fixed = min(4, bs - 1)
+            for order in range(max_fixed + 1):
+                res = _flac_fixed_residual(x, order)
+                cost = int(np.abs(res).sum()) if res.size else 0
+                candidates.append((cost, "fixed", order, res, None))
+            lpc = None
+            if use_lpc and bs > lpc_order + 1:
+                lpc = _flac_lpc_coeffs(x, lpc_order)
+                if lpc is not None:
+                    coefs, shift = lpc
+                    res = _flac_lpc_residual(x, coefs, shift)
+                    candidates.append(
+                        (int(np.abs(res).sum()), "lpc", lpc_order, res, (coefs, shift))
+                    )
+            cost, kind, order, res, extra = min(candidates, key=lambda t: (t[0], t[2]))
+            # incompressible block: fall back to VERBATIM when the Rice
+            # stream (residual + warmup + any LPC header) costs more bits
+            # than raw samples
+            u = (np.abs(res) * 2 - (res < 0)).astype(np.uint64)
+            param = _flac_best_rice_param(u)
+            rice_bits = int((u >> param).sum()) + u.size * (param + 1)
+            rice_bits += order * 16 + 10  # warmup + residual prologue
+            if kind == "lpc":
+                rice_bits += 4 + 5 + 14 * order
+            if rice_bits >= bs * 16:
+                bw.write(1, 6)  # VERBATIM
+                bw.write(0, 1)
+                for v in x.tolist():
+                    bw.write_signed(int(v), 16)
+                continue
+            if kind == "fixed":
+                bw.write(0b001000 | order, 6)
+                bw.write(0, 1)
+                for v in x[:order].tolist():
+                    bw.write_signed(int(v), 16)
+            else:
+                coefs, shift = extra
+                bw.write(0b100000 | (order - 1), 6)
+                bw.write(0, 1)
+                for v in x[:order].tolist():
+                    bw.write_signed(int(v), 16)
+                bw.write(14 - 1, 4)   # precision 14
+                bw.write_signed(shift, 5)
+                for cf in coefs:
+                    bw.write_signed(int(cf), 14)
+            _flac_write_residual(bw, res)
+        bw.align()
+        body = bw.bytes()
+        frames.append(body + struct.pack(">H", _flac_crc16(body)))
+
+    frame_sizes = [len(f) for f in frames]
+    si = _FlacBitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(min(frame_sizes), 24)
+    si.write(max(frame_sizes), 24)
+    si.write(sample_rate, 20)
+    si.write(ch - 1, 3)
+    si.write(15, 5)  # bps - 1
+    si.write(n & ((1 << 36) - 1), 36)
+    streaminfo = si.bytes() + md5
+    header = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return header + b"".join(frames)
+
+
+def _flac_read_residual(br: "_FlacBitReader", bs: int, order: int):
+    import numpy as np
+
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("FLAC blocksize not divisible by partition count")
+    out = np.empty(bs - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        cnt = (bs >> porder) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC residual partition underflow")
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for i in range(cnt):
+                out[pos + i] = br.read_signed(raw) if raw else 0
+        else:
+            for i in range(cnt):
+                q = br.read_unary()
+                u = (q << param) | br.read(param)
+                out[pos + i] = (u >> 1) ^ -(u & 1)
+        pos += cnt
+    return out
+
+
+def flac_decode(payload: bytes):
+    """REAL FLAC decode: parses STREAMINFO, walks every frame verifying
+    the CRC-8 header and CRC-16 frame checksums, decodes CONSTANT /
+    VERBATIM / FIXED / LPC subframes (with wasted-bits support) for
+    independent channels, and verifies the STREAMINFO MD5 over the
+    reconstructed samples.  Returns (samples int16 (n, ch), sample_rate).
+    Raises ``ValueError`` on any structural or checksum mismatch."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC missing STREAMINFO")
+    sr_info = _FlacBitReader(streaminfo)
+    sr_info.read(16); sr_info.read(16); sr_info.read(24); sr_info.read(24)
+    sample_rate = sr_info.read(20)
+    n_channels = sr_info.read(3) + 1
+    bps = sr_info.read(5) + 1
+    total_samples = sr_info.read(36)
+    md5_expect = streaminfo[18:34]
+    if bps != 16:
+        raise ValueError("only 16-bit FLAC supported")
+
+    chans = [[] for _ in range(n_channels)]
+    while pos < len(payload):
+        frame_start = pos
+        br = _FlacBitReader(payload, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("FLAC frame sync lost")
+        br.read(1)
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        _flac_utf8_decode(br)
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved FLAC blocksize code")
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        if ch_code >= 8:
+            raise ValueError("stereo decorrelation not supported")
+        if ch_code + 1 != n_channels:
+            raise ValueError("frame/STREAMINFO channel mismatch")
+        if ss_code != 0b100:
+            raise ValueError("frame sample size must be 16-bit")
+        header_len = br.pos - frame_start
+        crc8 = br.read(8)
+        if _flac_crc8(payload[frame_start : frame_start + header_len]) != crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        for c in range(n_channels):
+            if br.read(1):
+                raise ValueError("FLAC subframe pad bit set")
+            stype = br.read(6)
+            wasted = 0
+            if br.read(1):
+                wasted = 1
+                while br.read(1) == 0:
+                    wasted += 1
+            eff = 16 - wasted
+            if stype == 0:
+                v = br.read_signed(eff)
+                x = np.full(bs, v, dtype=np.int64)
+            elif stype == 1:
+                x = np.array([br.read_signed(eff) for _ in range(bs)], dtype=np.int64)
+            elif 8 <= stype <= 12:
+                order = stype - 8
+                warm = [br.read_signed(eff) for _ in range(order)]
+                res = _flac_read_residual(br, bs, order)
+                x = np.empty(bs, dtype=np.int64)
+                x[:order] = warm
+                if order == 0:
+                    x = res.copy()
+                else:
+                    # undo repeated differencing by cumulative sums
+                    cur = res
+                    for o in range(order, 0, -1):
+                        warm_o = _flac_fixed_residual(
+                            np.array(warm, dtype=np.int64), o - 1
+                        )
+                        cur = np.concatenate([[warm_o[-1]], cur]).cumsum()[1:]
+                    x[order:] = cur
+                    x[:order] = warm
+            elif stype >= 32:
+                order = stype - 31
+                warm = [br.read_signed(eff) for _ in range(order)]
+                precision = br.read(4) + 1
+                if precision == 16:
+                    raise ValueError("invalid FLAC LPC precision")
+                shift = br.read_signed(5)
+                if shift < 0:
+                    raise ValueError("negative FLAC LPC shift")
+                coefs = [br.read_signed(precision) for _ in range(order)]
+                res = _flac_read_residual(br, bs, order)
+                x = np.empty(bs, dtype=np.int64)
+                x[:order] = warm
+                for i in range(order, bs):
+                    acc = 0
+                    for j in range(order):
+                        acc += coefs[j] * x[i - 1 - j]
+                    x[i] = (acc >> shift) + res[i - order]
+            else:
+                raise ValueError("reserved FLAC subframe type")
+            if wasted:
+                x <<= wasted
+            chans[c].append(x)
+        br.align()
+        body_len = br.pos - frame_start
+        crc16 = struct.unpack_from(">H", payload, br.pos)[0]
+        if _flac_crc16(payload[frame_start : frame_start + body_len]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.pos + 2
+
+    out = np.stack([np.concatenate(c) for c in chans], axis=1)
+    if total_samples and out.shape[0] != total_samples:
+        raise ValueError("FLAC sample count mismatch")
+    if out.max(initial=0) > 32767 or out.min(initial=0) < -32768:
+        raise ValueError("FLAC decoded samples exceed 16-bit range")
+    out16 = out.astype(np.int16)
+    if hashlib.md5(out16.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("FLAC MD5 signature mismatch")
+    return out16, sample_rate

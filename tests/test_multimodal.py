@@ -1010,3 +1010,70 @@ def test_msvideo1_validation_and_dispatch():
     assert len(frames) == 2 and frames[0].shape == (8, 8, 3)
     meta = multimodal.avi_decode(avi)
     assert meta["n_frames"] == 2 and meta["width"] == 8
+
+
+def test_flac_roundtrip_mono_and_stereo():
+    """FLAC is lossless by construction: encode->decode is bit-exact for
+    mono and stereo, fixed and LPC predictors, across frame boundaries
+    and a short tail frame."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    s = (6000 * np.sin(np.arange(3000) / 23) + rng.randint(-200, 200, 3000)).astype(np.int16)
+    enc = multimodal.flac_encode(s, sample_rate=22050, block_size=512)
+    dec, sr = multimodal.flac_decode(enc)
+    assert sr == 22050 and np.array_equal(dec[:, 0], s)
+    assert len(enc) < 2 * len(s)  # actually compresses tonal content
+    st = np.stack([s, -s], axis=1)
+    enc2 = multimodal.flac_encode(st, 8000, block_size=333, use_lpc=True)
+    dec2, _ = multimodal.flac_decode(enc2)
+    assert np.array_equal(dec2, st)
+
+
+def test_flac_constant_and_verbatim_paths():
+    import numpy as np
+
+    c = np.full(5000, 1234, dtype=np.int16)
+    enc = multimodal.flac_encode(c, 16000)
+    assert len(enc) < 120  # CONSTANT subframes collapse the stream
+    assert np.array_equal(multimodal.flac_decode(enc)[0][:, 0], c)
+    rng = np.random.RandomState(5)
+    w = rng.randint(-32768, 32768, 2048).astype(np.int16)
+    encw = multimodal.flac_encode(w, 16000, block_size=256)
+    assert np.array_equal(multimodal.flac_decode(encw)[0][:, 0], w)
+    assert len(encw) < 2 * len(w) * 1.1  # VERBATIM caps the blowup
+
+
+def test_flac_checksums_reject_corruption():
+    import numpy as np
+    import pytest
+
+    s = (np.arange(2000) % 977).astype(np.int16)
+    enc = multimodal.flac_encode(s, 16000, block_size=512)
+    # frame-body flip -> CRC-16; STREAMINFO MD5 flip -> MD5 check
+    bad = bytearray(enc)
+    bad[len(bad) // 2] ^= 0x10
+    with pytest.raises(ValueError):
+        multimodal.flac_decode(bytes(bad))
+    bad2 = bytearray(enc)
+    bad2[25] ^= 0x01  # inside the 16-byte MD5 field
+    with pytest.raises(ValueError):
+        multimodal.flac_decode(bytes(bad2))
+    with pytest.raises(ValueError):
+        multimodal.flac_decode(b"fLaX" + enc[4:])
+    with pytest.raises(ValueError):
+        multimodal.flac_encode(np.zeros(0, dtype=np.int16))
+
+
+def test_flac_utf8_frame_numbers_and_many_frames():
+    """Frame indexes >= 128 exercise the multi-byte extended-UTF-8
+    coding in both directions."""
+    import numpy as np
+
+    s = (np.arange(16 * 140) % 251 - 125).astype(np.int16)
+    enc = multimodal.flac_encode(s, 16000, block_size=16)  # 140 frames
+    dec, _ = multimodal.flac_decode(enc)
+    assert np.array_equal(dec[:, 0], s)
+    for n in (0, 127, 128, 2047, 2048, 65535, 1 << 20):
+        b = multimodal._flac_utf8_encode(n)
+        assert multimodal._flac_utf8_decode(multimodal._FlacBitReader(b)) == n

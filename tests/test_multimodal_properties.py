@@ -425,3 +425,40 @@ def test_msvideo1_roundtrip_property(bw, bh, n_frames, seed, mode):
             assert np.array_equal(d, expected)
     # determinism: a second encode/decode cycle is bit-identical
     assert multimodal.msvideo1_encode(frames, sse_8color=-1.0) == avi
+
+
+@given(
+    n=st.one_of(st.sampled_from([1, 2, 15, 16, 17, 31, 32, 33, 512]),
+                st.integers(1, 700)),
+    block_size=st.sampled_from([16, 17, 32, 64, 192, 333, 512]),
+    channels=st.integers(1, 3),
+    use_lpc=st.booleans(),
+    kind=st.sampled_from(["noise", "tone", "ramp", "const", "alt"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_flac_lossless_property(n, block_size, channels, use_lpc, kind, seed):
+    """decode(encode(x)) == x bit-exactly for every content class,
+    channel count, and block/tail-size combination — including the
+    full-range extremes where residual folding and warmup signs bite."""
+    rng = np.random.RandomState(seed)
+    if kind == "noise":
+        s = rng.randint(-32768, 32768, (n, channels)).astype(np.int16)
+    elif kind == "tone":
+        t = np.arange(n)[:, None] + np.arange(channels)[None, :] * 7
+        s = (9000 * np.sin(t / (3 + seed % 40))).astype(np.int16)
+    elif kind == "ramp":
+        s = ((np.arange(n)[:, None] * (1 + seed % 97)) % 65536 - 32768).astype(np.int16)
+        s = np.repeat(s, channels, axis=1)[:, :channels]
+    elif kind == "const":
+        s = np.full((n, channels), (seed % 65536) - 32768, dtype=np.int16)
+    else:  # alternating extremes
+        s = np.where(np.arange(n)[:, None] % 2 == 0, 32767, -32768).astype(np.int16)
+        s = np.repeat(s, channels, axis=1)[:, :channels]
+    enc = multimodal.flac_encode(s, 16000, block_size=block_size, use_lpc=use_lpc)
+    dec, sr = multimodal.flac_decode(enc)
+    assert sr == 16000
+    assert dec.shape == s.shape
+    assert np.array_equal(dec, s)
+    # determinism
+    assert multimodal.flac_encode(s, 16000, block_size=block_size, use_lpc=use_lpc) == enc
