@@ -935,3 +935,121 @@ def ngram_jaccard_pairs_prefix(
         common.filter(jac_raw >= t)
         .select("id_a", "id_b", F.round(jac_raw, 4).alias("jaccard"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate SPAN detection — the suffix-array
+    substring dedup of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499) re-expressed as
+    positional k-gram hashing: any word k-gram occurring >= ``min_count``
+    times anywhere in the corpus (other documents OR the same one) marks
+    its positions, and overlapping marked windows merge into maximal
+    spans per document — exactly the spans a suffix array would report
+    for duplicated substrings of >= k tokens, discretized to word
+    boundaries.
+
+    Scale design: the k-gram assembly is scan-local (``transform`` over a
+    ``sequence``, no UDFs); only narrow ``(gram_hash, id, pos)`` rows
+    shuffle — one equi-groupBy on the 64-bit gram hash, one equi-join
+    back, one id-keyed window for the interval merge.  Nothing is ever
+    all-pairs; at 100 TB this is the same posting-list shape as
+    ``ngram_jaccard_pairs``.
+
+    Returns one row per merged span: ``(id, span_start, span_end)`` in
+    word offsets, inclusive.
+    """
+    if k < 2:
+        raise ValueError("duplicate_spans needs k >= 2")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
+    )
+    n = F.size("__w")
+    grams = base.select(
+        "__id",
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))).alias("gh"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+        .alias("__g"),
+    )
+    pos_grams = grams.select(
+        "__id", F.explode("__g").alias("pg")
+    ).select("__id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+    dup_hashes = (
+        pos_grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gh")
+    )
+    dup_pos = pos_grams.join(dup_hashes, "gh").select("__id", "pos")
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_pos.withColumn(
+        "__prev_end", F.max(F.col("pos") + (k - 1)).over(w_prev)
+    )
+    is_break = F.when(
+        F.col("__prev_end").isNull() | (F.col("pos") > F.col("__prev_end")), 1
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("__isl", F.sum(is_break).over(w_run))
+        .groupBy("__id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document rollup of :func:`duplicate_spans`: span count,
+    duplicated-token count, total tokens, and the duplicated fraction —
+    the per-doc removal budget a Lee-et-al-style span-excision pass
+    needs.  Documents with no duplicate spans keep a zero row."""
+    spans = duplicate_spans(df, text_col, id_col, k, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__dup_tokens"),
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("__n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("__dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("__dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1815,3 +1815,47 @@ def test_bloom_no_false_negatives_and_merge(spark):
     dup_out = sk.bloom_contains(whole, dup_probes, "key", **kw).collect()
     assert len(dup_out) == 400  # distinct key rows out
     assert all(r["maybe_present"] for r in dup_out)
+
+
+def test_duplicate_spans_lee_et_al(spark):
+    """Positional k-gram span dedup: a shared 9-word substring yields one
+    maximal merged span per doc at the right word offsets; within-doc
+    repeats count; sub-k overlaps and unique docs yield nothing."""
+    from pr2_transformation_spark.functions.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, shared + " again and again today"),
+        (2, "intro text " + shared + " closing words here"),
+        (3, "completely unrelated content with no overlap whatsoever in this doc"),
+        (4, "short"),
+        # within-doc repetition: same 6-gram twice in one doc
+        (5, "alpha beta gamma delta epsilon zeta filler alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, k=5).collect()
+    }
+    # doc 1: shared substring at words 0..8; doc 2: at words 2..10
+    assert (1, 0, 8) in spans and (2, 2, 10) in spans
+    assert not any(d == 3 or d == 4 for d, *_ in spans)
+    k6 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, k=6).collect()
+    }
+    assert (5, 0, 5) in k6 and (5, 7, 12) in k6  # within-doc pair, not merged
+    stats = {r.doc_id: r for r in duplicate_span_stats(df, k=5).collect()}
+    assert stats[1].n_spans == 1 and stats[1].dup_tokens == 9
+    assert stats[1].dup_fraction == round(9 / stats[1].n_tokens, 4)
+    assert stats[3].n_spans == 0 and stats[3].dup_tokens == 0
+    assert stats[4].dup_fraction == 0.0
+    # overlapping marked windows merge into ONE maximal span
+    assert stats[2].n_spans == 1 and stats[2].dup_tokens == 9
+    import pytest
+
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=1)
