@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     "q241_asof_cogrouped",
     "q242_portable_bloom",
     "q243_portable_hll_rolling",
+    "q244_msvideo1_interframe",
+    "q245_flac_roundtrip",
+    "q246_duplicate_spans",
+    "q247_span_excision",
 ]
 
 

@@ -1053,3 +1053,66 @@ def duplicate_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-excision rewrite — the transform half of Lee et al. 2021
+    exact-substring dedup: every duplicate span from
+    :func:`duplicate_spans` is cut out of its document (aggressive mode:
+    ALL occurrences go; run with a keep-one ownership filter upstream
+    for the paper's keep-one-copy policy) and the surviving words are
+    reassembled in order.
+
+    Scale design: covered positions come from exploding the merged span
+    intervals (bounded by total tokens, not spans x tokens), removal is
+    one ``(id, pos)`` anti-join, and reassembly is an id-keyed
+    sort-within-group — no all-pairs stage anywhere.
+
+    Returns ``(id, text_before_tokens, text_after_tokens, text_after)``.
+    """
+    spans = duplicate_spans(df, text_col, id_col, k, min_count)
+    covered = spans.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    ).distinct()
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
+    )
+    words = base.select(
+        "__id", F.posexplode("__w").alias("pos", "__word")
+    )
+    kept = words.join(covered, ["__id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__word"))),
+                lambda s: s["__word"],
+            ),
+        ).alias("__after")
+    )
+    return (
+        base.select("__id", F.size("__w").alias("text_before_tokens"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "text_before_tokens",
+            F.coalesce("__after", F.lit("")).alias("text_after"),
+        )
+        .withColumn(
+            "text_after_tokens",
+            F.when(F.col("text_after") == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col("text_after"), " "))
+            ),
+        )
+        .select(
+            id_col, "text_before_tokens", "text_after_tokens", "text_after"
+        )
+    )

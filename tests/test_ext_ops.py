@@ -1859,3 +1859,31 @@ def test_duplicate_spans_lee_et_al(spark):
 
     with pytest.raises(ValueError):
         duplicate_spans(df, k=1)
+
+
+def test_excise_duplicate_spans_rewrites_text(spark):
+    """Span excision removes exactly the duplicate-span words (all
+    occurrences, aggressive mode), preserves word order of survivors,
+    and leaves unique docs byte-identical (modulo lower/trim)."""
+    from pr2_transformation_spark.functions.dedup import excise_duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, shared + " again and again today"),
+        (2, "intro text " + shared + " closing words here"),
+        (3, "unique content here only once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in excise_duplicate_spans(df, k=5).collect()}
+    assert out[1].text_after == "again and again today"
+    assert out[2].text_after == "intro text closing words here"
+    assert out[3].text_after == "unique content here only once"
+    assert out[1].text_before_tokens == 13 and out[1].text_after_tokens == 4
+    assert out[3].text_before_tokens == out[3].text_after_tokens == 5
+    # a doc that is ENTIRELY a duplicate span excises to empty
+    df2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in excise_duplicate_spans(df2, k=5).collect()}
+    assert out2[1].text_after == "" and out2[1].text_after_tokens == 0
+    assert out2[2].text_after == "" and out2[2].text_before_tokens == 9
