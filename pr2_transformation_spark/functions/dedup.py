@@ -970,25 +970,24 @@ def duplicate_spans(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
     )
-    n = F.size("__w")
-    grams = base.select(
-        "__id",
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))).alias("gh"),
-                ),
-            ),
+    # positional k-grams via the zip_with-over-slices fold (O(k·tokens),
+    # stays in the interpreted-HOF fast shape — see shingles_from_tokens
+    # for why a sequence+slice lambda would re-walk the array per index);
+    # hashing happens AFTER posexplode so xxhash64 runs in codegen.
+    m = F.size("__w")
+    length = F.greatest(m - (k - 1), F.lit(0))
+    gram_arr = F.slice("__w", 1, length)
+    for j in range(1, k):
+        gram_arr = F.zip_with(
+            gram_arr,
+            F.slice("__w", 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-        .otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
-        .alias("__g"),
+    pos_grams = (
+        base.select("__id", gram_arr.alias("__g"))
+        .select("__id", F.posexplode("__g").alias("pos", "__gram"))
+        .select("__id", "pos", F.xxhash64("__gram").alias("gh"))
     )
-    pos_grams = grams.select(
-        "__id", F.explode("__g").alias("pg")
-    ).select("__id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
     dup_hashes = (
         pos_grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("__c"))
