@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "q245_flac_roundtrip",
     "q246_duplicate_spans",
     "q247_span_excision",
+    "q248_alaw_roundtrip",
 ]
 
 

@@ -4333,3 +4333,42 @@ def flac_decode(payload: bytes):
     if hashlib.md5(out16.astype("<i2").tobytes()).digest() != md5_expect:
         raise ValueError("FLAC MD5 signature mismatch")
     return out16, sample_rate
+
+
+def alaw_encode(samples) -> bytes:
+    """REAL G.711 A-law compression — the European/international twin of
+    :func:`mulaw_encode` (same ITU-T G.711 standard, Sun g711.c
+    semantics): 16-bit PCM -> 13-bit domain -> segment/mantissa
+    companding with alternate-bit inversion (XOR 0x55)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim != 1:
+        raise ValueError("alaw_encode expects a 1-D sample array")
+    x13 = x >> 3  # arithmetic shift: 16-bit -> 13-bit domain
+    neg = x < 0
+    v = np.where(neg, -x13 - 1, x13)
+    # segment by threshold comparison (integer-exact, SQL-replayable)
+    seg = sum((v > t).astype(np.int64)
+              for t in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF))
+    shift = np.maximum(seg, 1)
+    mantissa = (v >> shift) & 0x0F
+    mask = np.where(neg, 0x55, 0xD5)
+    byte = ((seg << 4) | mantissa) ^ mask
+    return bytes(byte.astype(np.uint8).tobytes())
+
+
+def alaw_decode(payload: bytes):
+    """G.711 A-law expansion back to 16-bit PCM (Sun g711.c
+    alaw2linear): XOR 0x55, rebuild segment/mantissa, mid-rise offset
+    (+8 / +0x108), sign from bit 7."""
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    mag = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0))
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)

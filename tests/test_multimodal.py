@@ -1077,3 +1077,28 @@ def test_flac_utf8_frame_numbers_and_many_frames():
     for n in (0, 127, 128, 2047, 2048, 65535, 1 << 20):
         b = multimodal._flac_utf8_encode(n)
         assert multimodal._flac_utf8_decode(multimodal._FlacBitReader(b)) == n
+
+
+def test_alaw_codec_invariants():
+    """G.711 A-law: full-16-bit-range sweep round-trips within the
+    per-segment quantization step, decoded values are codec fixed
+    points, and the canonical small-value behaviors hold (0 -> +8,
+    -1 -> -8, alternate-bit inversion makes silence encode to 0xD5)."""
+    import numpy as np
+    import pytest
+
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    enc = multimodal.alaw_encode(s)
+    dec = multimodal.alaw_decode(enc)
+    err = np.abs(dec.astype(np.int64) - s.astype(np.int64))
+    assert err.max() <= 512  # top-segment step is 1024, mid-rise -> 512
+    assert np.array_equal(multimodal.alaw_decode(multimodal.alaw_encode(dec)), dec)
+    assert multimodal.alaw_decode(multimodal.alaw_encode(np.zeros(1, np.int16)))[0] == 8
+    assert multimodal.alaw_decode(multimodal.alaw_encode(np.array([-1], np.int16)))[0] == -8
+    assert multimodal.alaw_encode(np.zeros(3, np.int16)) == b"\xd5\xd5\xd5"
+    # small samples land in segment 0 where the step is 16
+    small = np.arange(-256, 256, dtype=np.int16)
+    errs = np.abs(multimodal.alaw_decode(multimodal.alaw_encode(small)).astype(int) - small.astype(int))
+    assert errs.max() <= 8
+    with pytest.raises(ValueError):
+        multimodal.alaw_encode(np.zeros((2, 2)))
