@@ -17,11 +17,21 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   :func:`audio_features` RMS/ZCR/peak).
   MJPEG-AVI video (:func:`avi_decode` headers, :func:`avi_frames` —
   RIFF demux + per-frame JPEG decode — and :func:`avi_encode`, the
-  muxer), and MJPEG-MP4 (:func:`mp4_decode` box-tree headers,
+  muxer), MJPEG-MP4 (:func:`mp4_decode` box-tree headers,
   :func:`mp4_frames` — real stts/stsc/stsz/stco sample-table
   navigation — and :func:`mp4_encode`, the ISO-BMFF muxer),
-* STUBBED: formats needing codec libraries this environment lacks
-  (lossy-WebP/mp3/h264-in-mp4).  The feature extractor's default decoder is a
+  MS Video 1 INTERFRAME video (:func:`msvideo1_encode` /
+  :func:`msvideo1_frames` — 'CRAM' 16-bit with skip-run conditional
+  replenishment, dispatched through :func:`avi_frames`),
+  FLAC lossless audio (:func:`flac_encode` / :func:`flac_decode` —
+  CONSTANT/FIXED/LPC subframes, Rice residuals, CRC-8/CRC-16/MD5),
+  and the full G.711 companding pair (:func:`mulaw_encode` /
+  :func:`alaw_encode` + decoders) beside IMA ADPCM,
+* STUBBED: formats whose bitstreams require spec probability/window
+  tables or motion machinery no pure-python reimplementation can
+  honestly carry (perceptual transform audio: mp3/vorbis; modern
+  interframe video: h264/vp9; lossy VP8-in-WebP).  The feature
+  extractor's default decoder is a
   clearly-marked deterministic fake, and passing ``decoder=None`` raises
   ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
   wrapper would plug into the same callable signature the real decoders
