@@ -2628,6 +2628,22 @@ def pcm_samples(payload: bytes):
     return samples.reshape(meta["n_frames"], meta["n_channels"])
 
 
+def audio_samples(payload: bytes):
+    """Magic-byte audio dispatcher — the audio twin of
+    :func:`image_pixels`: RIFF/WAVE routes to :func:`pcm_samples`, fLaC
+    to :func:`flac_decode`.  Returns ``(samples (n, ch) int16,
+    sample_rate)``; raises ``ValueError`` for formats the pure-python
+    codecs can't decode (mp3/vorbis — the perceptual-audio seam, where
+    a torchaudio wrapper plugs into the same ``bytes -> (array, rate)``
+    signature)."""
+    if len(payload) >= 4 and payload[:4] == b"fLaC":
+        return flac_decode(payload)
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        meta = wav_decode(payload)
+        return pcm_samples(payload), meta["sample_rate_hz"]
+    raise ValueError("unrecognized audio container (not WAV/FLAC)")
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", StringType()),

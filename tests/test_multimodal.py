@@ -1102,3 +1102,20 @@ def test_alaw_codec_invariants():
     assert errs.max() <= 8
     with pytest.raises(ValueError):
         multimodal.alaw_encode(np.zeros((2, 2)))
+
+
+def test_audio_samples_dispatcher():
+    """audio_samples routes WAV to the PCM parser and FLAC to the full
+    decoder, returning identical (samples, rate) for the same content."""
+    import numpy as np
+    import pytest
+
+    s = (4000 * np.sin(np.arange(500) / 9)).astype(np.int16)
+    wav = multimodal.wav_encode(s, sample_rate=8000)
+    flac = multimodal.flac_encode(s, sample_rate=8000)
+    ws, wr = multimodal.audio_samples(wav)
+    fs, fr = multimodal.audio_samples(flac)
+    assert wr == fr == 8000
+    assert np.array_equal(ws[:, 0], s) and np.array_equal(fs[:, 0], s)
+    with pytest.raises(ValueError):
+        multimodal.audio_samples(b"ID3\x04mp3-ish bytes")
