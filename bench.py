@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q246_duplicate_spans",
     "q247_span_excision",
     "q248_alaw_roundtrip",
+    "q249_avro_roundtrip",
 ]
 
 
