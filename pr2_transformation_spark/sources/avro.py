@@ -355,3 +355,81 @@ def read_avro(spark: SparkSession, path: str, schema: dict | None = None) -> Dat
             )
 
     return blobs.mapInPandas(decode, spark_schema)
+
+
+# ----------------------------------------------- Spark 4 Python DataSource
+
+try:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class AvroDataSource(DataSource):
+        """``spark.read.format("pyavro").load(dir)`` — the OCF reader as
+        a first-class Spark 4 Python data source (named ``pyavro`` so it
+        can coexist with the JVM spark-avro package when that is on the
+        classpath).
+
+        One :class:`InputPartition` per ``.avro`` file; the schema is
+        sniffed driver-side from the first file (names only listing,
+        one header read) and every executor re-verifies its own file's
+        schema against it — a heterogeneous directory fails loudly
+        instead of zipping mismatched columns.  Register once per
+        session::
+
+            spark.dataSource.register(AvroDataSource)
+            spark.read.format("pyavro").load("/data/drops/")
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "pyavro"
+
+        def schema(self):
+            files = _avro_listing(self.options.get("path"))
+            with open(files[0], "rb") as fh:
+                head = fh.read()
+            return avro_schema_to_spark(avro_read(head)[0])
+
+        def reader(self, schema):
+            return _AvroFileReader(self.options)
+
+    class _AvroFileReader(DataSourceReader):
+        def __init__(self, options):
+            self._path = options.get("path")
+            files = _avro_listing(self._path)
+            with open(files[0], "rb") as fh:
+                schema = avro_read(fh.read())[0]
+            self._expected = json.dumps(schema, sort_keys=True)
+            self._fields = [f["name"] for f in schema["fields"]]
+
+        def partitions(self):
+            return [InputPartition(f) for f in _avro_listing(self._path)]
+
+        def read(self, partition):
+            with open(partition.value, "rb") as fh:
+                schema, rows = avro_read(fh.read())
+            if json.dumps(schema, sort_keys=True) != self._expected:
+                raise ValueError(
+                    f"{partition.value}: avro schema differs from the "
+                    "directory's first file"
+                )
+            for row in rows:
+                yield tuple(row[f] for f in self._fields)
+
+except ImportError:  # pragma: no cover — pre-4.0 Spark
+    AvroDataSource = None  # type: ignore[assignment]
+
+
+def _avro_listing(path: str | None) -> list:
+    import glob
+    import os
+
+    if not path:
+        raise ValueError("pyavro source requires a path: .load(dir)")
+    files = sorted(glob.glob(os.path.join(path, "**", "*.avro"), recursive=True))
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
+    return files

@@ -95,3 +95,25 @@ def test_avro_spark_read_path(spark, tmp_path):
     other["fields"] = other["fields"][:2]
     with pytest.raises(Exception):
         av.read_avro(spark, str(d), schema=other).collect()
+
+
+def test_avro_python_datasource(spark, tmp_path):
+    """The Spark 4 Python DataSource surface: format('pyavro') yields
+    the same typed rows as read_avro, and a schema-heterogeneous
+    directory fails loudly on the executor."""
+    d = tmp_path / "ds"
+    d.mkdir()
+    rows = [{"id": i, "title": f"r{i}", "score": i * 0.5, "ok": i % 2 == 0,
+             "tag": None, "nums": [i], "blob": b"z"} for i in range(8)]
+    (d / "a.avro").write_bytes(av.avro_write(rows[:4], SCHEMA))
+    (d / "b.avro").write_bytes(av.avro_write(rows[4:], SCHEMA, codec="deflate"))
+    spark.dataSource.register(av.AvroDataSource)
+    df = spark.read.format("pyavro").load(str(d))
+    assert df.schema == av.avro_schema_to_spark(SCHEMA)
+    got = sorted((r.id, r.title, r.nums) for r in df.collect())
+    assert got == [(i, f"r{i}", [i]) for i in range(8)]
+    other = {"type": "record", "name": "Other", "fields": [
+        {"name": "x", "type": "long"}]}
+    (d / "c.avro").write_bytes(av.avro_write([{"x": 1}], other))
+    with pytest.raises(Exception):
+        spark.read.format("pyavro").load(str(d)).collect()
