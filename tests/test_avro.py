@@ -117,3 +117,43 @@ def test_avro_python_datasource(spark, tmp_path):
     (d / "c.avro").write_bytes(av.avro_write([{"x": 1}], other))
     with pytest.raises(Exception):
         spark.read.format("pyavro").load(str(d)).collect()
+
+
+def test_avro_block_split_scan_and_read(spark, tmp_path):
+    """blockSplit mode: the driver seek-scan indexes blocks without
+    loading payloads, partitions group to targetBytes, and the union of
+    block-range reads equals the whole-file read exactly."""
+    d = tmp_path / "big"
+    d.mkdir()
+    rows = [{"id": i, "title": "x" * 50, "score": 0.5, "ok": True,
+             "tag": None, "nums": [], "blob": b""} for i in range(2000)]
+    path = d / "big.avro"
+    path.write_bytes(av.avro_write(rows, SCHEMA, block_rows=100))  # 20 blocks
+    schema, codec, sync, blocks = av.avro_scan_blocks(str(path))
+    assert schema == SCHEMA and codec == "null" and len(blocks) == 20
+    assert sum(b[1] for b in blocks) == 2000
+    # contiguity: each block ends where the next starts
+    assert all(blocks[i][2] == blocks[i + 1][0] for i in range(19))
+    spark.dataSource.register(av.AvroDataSource)
+    df = (
+        spark.read.format("pyavro")
+        .option("blockSplit", "true")
+        .option("targetBytes", "4096")  # force many partitions
+        .load(str(d))
+    )
+    assert df.rdd.getNumPartitions() > 4
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(2000))
+    # deflate files split identically
+    (d / "big.avro").write_bytes(
+        av.avro_write(rows, SCHEMA, codec="deflate", block_rows=100)
+    )
+    got2 = sorted(
+        r.id
+        for r in spark.read.format("pyavro")
+        .option("blockSplit", "true")
+        .option("targetBytes", "2048")
+        .load(str(d))
+        .collect()
+    )
+    assert got2 == list(range(2000))
