@@ -949,10 +949,11 @@ def duplicate_spans(
     Makes Language Models Better", arXiv:2107.06499) re-expressed as
     positional k-gram hashing: any word k-gram occurring >= ``min_count``
     times anywhere in the corpus (other documents OR the same one) marks
-    its positions, and overlapping marked windows merge into maximal
-    spans per document — exactly the spans a suffix array would report
-    for duplicated substrings of >= k tokens, discretized to word
-    boundaries.
+    its covered positions, and contiguous coverage merges into maximal
+    spans per document — exactly the spans a suffix-array + LCP pass
+    reports for duplicated substrings of >= k tokens, discretized to
+    word boundaries (pinned by an independent suffix-array reference
+    implementation in test_ext_ops).
 
     Scale design: the k-gram assembly is scan-local (``transform`` over a
     ``sequence``, no UDFs); only narrow ``(gram_hash, id, pos)`` rows
@@ -1003,8 +1004,16 @@ def duplicate_spans(
     flagged = dup_pos.withColumn(
         "__prev_end", F.max(F.col("pos") + (k - 1)).over(w_prev)
     )
+    # a window starting at pos covers [pos, pos+k-1]; coverage is
+    # contiguous with the island so far iff pos <= prev_end + 1 — the
+    # RANGE-UNION semantics of Lee et al. substring removal (two
+    # duplicated substrings butted against each other form ONE excisable
+    # region; merging only on window-start overlap would split it, a
+    # divergence the suffix-array reference test pins)
     is_break = F.when(
-        F.col("__prev_end").isNull() | (F.col("pos") > F.col("__prev_end")), 1
+        F.col("__prev_end").isNull()
+        | (F.col("pos") > F.col("__prev_end") + 1),
+        1,
     ).otherwise(0)
     w_run = (
         Window.partitionBy("__id")

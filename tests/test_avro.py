@@ -157,3 +157,52 @@ def test_avro_block_split_scan_and_read(spark, tmp_path):
         .collect()
     )
     assert got2 == list(range(2000))
+
+
+def test_avro_property_random_rows_roundtrip():
+    """Hypothesis-style randomized round trip (driver-side, no Spark):
+    random row batches across every supported field shape survive
+    encode->decode bit-exactly under both codecs, at block sizes that
+    force multi-block files."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "s", "type": "string"},
+            {"name": "y", "type": "bytes"},
+            {"name": "ns", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    row_st = st.fixed_dictionaries(
+        {
+            "i": st.integers(-(2**31), 2**31 - 1),
+            "l": st.integers(-(2**63), 2**63 - 1),
+            "d": st.floats(allow_nan=False, width=64),
+            "b": st.booleans(),
+            "s": st.text(max_size=40),
+            "y": st.binary(max_size=40),
+            "ns": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+            "arr": st.lists(st.integers(-(2**20), 2**20), max_size=8),
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rows=st.lists(row_st, max_size=25),
+        codec=st.sampled_from(["null", "deflate"]),
+        block_rows=st.sampled_from([1, 3, 1000]),
+    )
+    def check(rows, codec, block_rows):
+        data = av.avro_write(rows, schema, codec=codec, block_rows=block_rows)
+        got_schema, got = av.avro_read(data)
+        assert got_schema == schema and got == rows
+
+    check()

@@ -1887,3 +1887,71 @@ def test_excise_duplicate_spans_rewrites_text(spark):
     out2 = {r.doc_id: r for r in excise_duplicate_spans(df2, k=5).collect()}
     assert out2[1].text_after == "" and out2[1].text_after_tokens == 0
     assert out2[2].text_after == "" and out2[2].text_before_tokens == 9
+
+
+def test_duplicate_spans_match_suffix_array_reference(spark):
+    """INDEPENDENT-ALGORITHM cross-check (the q216 lesson: same-expression
+    oracles can share blind spots): expected spans come from a real
+    suffix-array + LCP construction over the concatenated token stream —
+    maximal repeated substrings of >= k tokens, projected to per-doc
+    word intervals — built with none of the hashing/grouping machinery
+    the engine uses.  The two implementations must agree exactly."""
+    from pr2_transformation_spark.functions.dedup import duplicate_spans
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "z z a b c d e f q r s t"),          # shares a..f (6 tokens)
+        (3, "m n o p q r s t u v m n o p q"),     # within-doc repeat m n o p q
+        (4, "unique tokens only here nothing repeats at all"),
+        (5, "q r s t u v w x y"),                 # shares q r s t u v with doc 3
+    ]
+    k = 4
+
+    # reference: suffix array over the doc-separated token stream
+    toks, owner, offs = [], [], []
+    for did, text in docs:
+        ws = text.lower().split()
+        for i, w in enumerate(ws):
+            toks.append(w)
+            owner.append(did)
+            offs.append(i)
+        toks.append(f"\x00sep{did}")  # unique separator: no cross-doc runs
+        owner.append(None)
+        offs.append(None)
+    n = len(toks)
+    sa = sorted(range(n), key=lambda i: toks[i:])
+    lcp = [0] * n  # lcp[r] = common prefix tokens of sa[r] and sa[r-1]
+    for r in range(1, n):
+        i, j = sa[r], sa[r - 1]
+        l = 0
+        while i + l < n and j + l < n and toks[i + l] == toks[j + l]:
+            l += 1
+        lcp[r] = l
+    marked = set()  # (doc, word_pos) covered by a duplicated >= k-token run
+    for r in range(1, n):
+        if lcp[r] >= k:
+            for start in (sa[r], sa[r - 1]):
+                for p in range(start, start + lcp[r]):
+                    if owner[p] is not None:
+                        marked.add((owner[p], offs[p]))
+    # project marked positions to maximal per-doc intervals
+    expected = set()
+    for did, _text in docs:
+        pos = sorted(p for d, p in marked if d == did)
+        run = []
+        for p in pos:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expected.add((did, run[0], run[-1]))
+                run = [p]
+        if run:
+            expected.add((did, run[0], run[-1]))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == expected
