@@ -206,3 +206,15 @@ def test_avro_property_random_rows_roundtrip():
         assert got_schema == schema and got == rows
 
     check()
+
+
+def test_avro_zigzag_varint_known_encodings():
+    """The Avro spec's published zigzag-varint byte encodings — pins the
+    wire format itself, which a symmetric read/write bug could fake."""
+    cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+             63: b"\x7e", -64: b"\x7f", 64: b"\x80\x01", -65: b"\x81\x01"}
+    for value, wire in cases.items():
+        out = bytearray()
+        av._write_long(out, value)
+        assert bytes(out) == wire, value
+        assert av._Reader(wire).read_long() == value

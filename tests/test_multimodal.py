@@ -1119,3 +1119,15 @@ def test_audio_samples_dispatcher():
     assert np.array_equal(ws[:, 0], s) and np.array_equal(fs[:, 0], s)
     with pytest.raises(ValueError):
         multimodal.audio_samples(b"ID3\x04mp3-ish bytes")
+
+
+def test_flac_crc_known_vectors():
+    """INDEPENDENT verification of the checksum algorithms (a symmetric
+    encoder/decoder bug would survive round-trip tests): the published
+    check values for CRC-8 poly 0x07 init 0 (SMBUS) and CRC-16 poly
+    0x8005 init 0 non-reflected (BUYPASS) over the standard '123456789'
+    test message — the exact parameterizations the FLAC spec mandates."""
+    assert multimodal._flac_crc8(b"123456789") == 0xF4
+    assert multimodal._flac_crc16(b"123456789") == 0xFEE8
+    assert multimodal._flac_crc8(b"") == 0
+    assert multimodal._flac_crc16(b"") == 0
