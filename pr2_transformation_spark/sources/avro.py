@@ -441,6 +441,7 @@ try:
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 
@@ -473,6 +474,9 @@ try:
 
         def reader(self, schema):
             return _AvroFileReader(self.options)
+
+        def streamReader(self, schema):
+            return _AvroStreamReader(self.options)
 
     class _AvroFileReader(DataSourceReader):
         """File-level partitions by default; ``.option("blockSplit",
@@ -538,6 +542,56 @@ try:
                 )
             for row in rows:
                 yield tuple(row[f] for f in self._fields)
+
+    class _AvroStreamReader(DataSourceStreamReader):
+        """Micro-batch streaming over an Avro drop zone — the same
+        exact file-set offset contract as the WARC stream source: each
+        trigger picks up ``.avro`` files not yet seen; the offset is the
+        sorted file list (no mtime races, replays deterministic given
+        (start, end) — exactly-once with any idempotent sink)."""
+
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("pyavro source requires a path: .load(dir)")
+            files = _avro_listing(self._path)
+            with open(files[0], "rb") as fh:
+                schema = avro_read(fh.read())[0]
+            self._expected = json.dumps(schema, sort_keys=True)
+            self._fields = [f["name"] for f in schema["fields"]]
+
+        def _listing(self) -> list:
+            import glob
+            import os as _os
+
+            return sorted(
+                glob.glob(_os.path.join(self._path, "**", "*.avro"),
+                          recursive=True)
+            )
+
+        def initialOffset(self):
+            return {"files": []}
+
+        def latestOffset(self):
+            return {"files": self._listing()}
+
+        def partitions(self, start, end):
+            new = sorted(set(end["files"]) - set(start["files"]))
+            return [InputPartition(f) for f in new]
+
+        def read(self, partition):
+            with open(partition.value, "rb") as fh:
+                schema, rows = avro_read(fh.read())
+            if json.dumps(schema, sort_keys=True) != self._expected:
+                raise ValueError(
+                    f"{partition.value}: avro schema differs from the "
+                    "directory's first file"
+                )
+            for row in rows:
+                yield tuple(row[f] for f in self._fields)
+
+        def commit(self, end):
+            pass  # files are the durable log
 
 except ImportError:  # pragma: no cover — pre-4.0 Spark
     AvroDataSource = None  # type: ignore[assignment]

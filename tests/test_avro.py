@@ -218,3 +218,52 @@ def test_avro_zigzag_varint_known_encodings():
         av._write_long(out, value)
         assert bytes(out) == wire, value
         assert av._Reader(wire).read_long() == value
+
+
+def test_avro_streaming_source_picks_up_new_files(spark, tmp_path):
+    """The pyavro micro-batch stream: files present at start are batch 1;
+    files dropped later arrive in a later batch exactly once (file-set
+    offsets, same contract as the WARC stream source)."""
+    import time
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    mk = lambda i: [{"id": i * 100 + j, "title": f"f{i}", "score": 0.0,
+                     "ok": True, "tag": None, "nums": [], "blob": b""}
+                    for j in range(3)]
+    (d / "a.avro").write_bytes(av.avro_write(mk(0), SCHEMA))
+    spark.dataSource.register(av.AvroDataSource)
+    out_dir = tmp_path / "out"
+    chk = tmp_path / "chk"
+    stream = (
+        spark.readStream.format("pyavro").load(str(d))
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(chk))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = set()
+            try:
+                got = {r.id for r in spark.read.parquet(str(out_dir)).collect()}
+            except Exception:
+                pass
+            if {0, 1, 2} <= got:
+                break
+            time.sleep(1)
+        assert {0, 1, 2} <= got
+        (d / "b.avro").write_bytes(av.avro_write(mk(1), SCHEMA, codec="deflate"))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {r.id for r in spark.read.parquet(str(out_dir)).collect()}
+            if {100, 101, 102} <= got:
+                break
+            time.sleep(1)
+        rows = spark.read.parquet(str(out_dir)).collect()
+        ids = sorted(r.id for r in rows)
+        assert ids == [0, 1, 2, 100, 101, 102]  # exactly once, no dupes
+    finally:
+        stream.stop()
