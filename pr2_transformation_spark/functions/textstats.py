@@ -619,3 +619,159 @@ def token_count_arrow(
     return df.select(id_col, text_col).mapInArrow(
         count, f"{id_col} long, n_tokens int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filters (Gopher / MassiveText, Rae et al. 2021 §A1.1).
+#
+# Within-document repetition is the single strongest heuristic signal of
+# low-quality web text for LM training.  Three families, all expressed as
+# pure DataFrame ops so they run at scan speed and shuffle only on
+# (doc_id[, gram]) — evenly distributed keys at any corpus size:
+#
+#   * duplicate-word fraction      — per-row array math, NO shuffle;
+#   * top n-gram fraction          — the most frequent word n-gram's
+#     occurrence count x n over the token count (the paper's "fraction of
+#     characters contained within the most frequently-occurring n-gram",
+#     token-granular here; overlapping occurrences can push the raw ratio
+#     past 1.0 exactly as the paper's character version can);
+#   * duplicate n-gram coverage    — fraction of token POSITIONS covered by
+#     n-grams occurring >= 2 times (the paper's "fraction of characters
+#     contained within all duplicate n-grams", positional-union form, which
+#     never double-counts overlaps).
+# ---------------------------------------------------------------------------
+
+#: Published MassiveText bounds: drop a doc when the top-n-gram fraction
+#: exceeds these (Rae et al. 2021, table A1).
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+#: Published bounds for duplicate n-gram coverage, n = 5..10.
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+#: Analogue of the paper's duplicate-line-fraction bound (0.30), applied to
+#: duplicate words — this corpus's documents are single-line.
+GOPHER_DUP_WORD_MAX = 0.30
+
+
+def ngram_list(toks: Column, n: int) -> Column:
+    """Ordered, NON-distinct word n-grams from a materialized token array.
+
+    Same O(n·tokens) shifted-slice ``zip_with`` fold as
+    :func:`shingles_from_tokens`, minus the final ``array_distinct`` —
+    repetition metrics need every occurrence, and element i of the result
+    is the gram starting at token position i (0-based), so ``posexplode``
+    yields (start_position, gram) pairs directly.
+    """
+    if n == 1:
+        return toks
+    m = F.size(toks)
+    length = F.greatest(m - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Per-document repetition metrics: ``(id, n_tokens, dup_word_frac,
+    top{n}_frac..., dup{n}_cover_frac...)``.
+
+    Scale shape: one scan per metric family member, each a
+    ``posexplode -> groupBy(doc_id[, gram])`` keyed by document (never a
+    global hot key), then an equi-join back on ``id_col``.  At 100 TB each
+    branch partial-aggregates map-side before its exchange; AQE coalesces
+    the small per-doc aggregates.  Docs shorter than n tokens produce no
+    grams and are backfilled with 0.0 via the left joins.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).select(
+        id_col,
+        "__toks",
+        F.size("__toks").alias("n_tokens"),
+        F.round(
+            (F.size("__toks") - F.size(F.array_distinct(F.col("__toks"))))
+            / F.greatest(F.size("__toks"), F.lit(1)),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    out = base.select(id_col, "n_tokens", "dup_word_frac")
+    for n in top_ns:
+        top = (
+            base.select(
+                id_col,
+                "n_tokens",
+                F.explode(ngram_list(F.col("__toks"), n)).alias("gram"),
+            )
+            .groupBy(id_col, "n_tokens", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(id_col, "n_tokens")
+            .agg(F.max("cnt").alias("max_cnt"))
+            .select(
+                F.col(id_col),
+                F.round(
+                    F.col("max_cnt") * n / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+                ).alias(f"top{n}_frac"),
+            )
+        )
+        out = out.join(top, id_col, "left")
+    for n in dup_ns:
+        w = Window.partitionBy(id_col, "gram")
+        cov = (
+            base.select(
+                id_col,
+                "n_tokens",
+                F.posexplode(ngram_list(F.col("__toks"), n)).alias("pos", "gram"),
+            )
+            .withColumn("cnt", F.count(F.lit(1)).over(w))
+            .filter(F.col("cnt") >= 2)
+            .select(
+                id_col,
+                "n_tokens",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+                ).alias("p"),
+            )
+            .groupBy(id_col, "n_tokens")
+            .agg(F.count_distinct("p").alias("covered"))
+            .select(
+                F.col(id_col),
+                F.round(
+                    F.col("covered") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+                ).alias(f"dup{n}_cover_frac"),
+            )
+        )
+        out = out.join(cov, id_col, "left")
+    fills = {f"top{n}_frac": 0.0 for n in top_ns}
+    fills.update({f"dup{n}_cover_frac": 0.0 for n in dup_ns})
+    return out.fillna(fills)
+
+
+def repetition_keep(
+    profile: DataFrame,
+    top_max: dict[int, float] | None = None,
+    dup_max: dict[int, float] | None = None,
+    dup_word_max: float = GOPHER_DUP_WORD_MAX,
+) -> DataFrame:
+    """Append a boolean ``keep`` column applying the published MassiveText
+    bounds to whichever metric columns ``profile`` carries."""
+    top_max = GOPHER_TOP_NGRAM_MAX if top_max is None else top_max
+    dup_max = GOPHER_DUP_NGRAM_MAX if dup_max is None else dup_max
+    cond = F.col("dup_word_frac") <= F.lit(dup_word_max)
+    for n, bound in top_max.items():
+        if f"top{n}_frac" in profile.columns:
+            cond = cond & (F.col(f"top{n}_frac") <= F.lit(bound))
+    for n, bound in dup_max.items():
+        if f"dup{n}_cover_frac" in profile.columns:
+            cond = cond & (F.col(f"dup{n}_cover_frac") <= F.lit(bound))
+    return profile.withColumn("keep", cond)

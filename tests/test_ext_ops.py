@@ -1989,3 +1989,73 @@ def test_assign_training_shards_properties(spark):
         assign_training_shards(df, "doc_id", 0)
     with pytest.raises(ValueError):
         assign_training_shards(df, "doc_id", 4, hasher="sha1")
+
+
+def test_repetition_profile_hand_computed(spark):
+    from pr2_transformation_spark.functions import textstats
+
+    df = spark.createDataFrame(
+        [
+            # 8 tokens; "a b" occurs 3x (top2 = 3*2/8); distinct = {a,b,c}
+            # -> dup_word_frac = (8-3)/8; no 5-gram repeats.
+            (1, "a b a b a b c c"),
+            # 10 tokens, "x y z w v" repeated back-to-back: the 5-gram
+            # occurs twice, covering all 10 positions -> dup5 = 1.0.
+            (2, "x y z w v x y z w v"),
+            # shorter than 5 tokens: no 5-grams -> dup5 backfilled 0.0.
+            (3, "p q r"),
+            # degenerate repeat: "a a a a" -> top2 "a a" occurs 3x ->
+            # raw ratio 3*2/4 = 1.5 (> 1, matching the published
+            # count-times-length definition).
+            (4, "a a a a"),
+        ],
+        ["doc_id", "text"],
+    )
+    prof = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_profile(df).collect()
+    }
+    assert prof[1]["dup_word_frac"] == 0.625
+    assert prof[1]["top2_frac"] == 0.75
+    assert prof[1]["dup5_cover_frac"] == 0.0
+    assert prof[2]["dup5_cover_frac"] == 1.0
+    assert prof[2]["top2_frac"] == 0.4  # "x y" (or any) occurs 2x: 2*2/10
+    assert prof[3]["dup5_cover_frac"] == 0.0
+    assert prof[3]["dup_word_frac"] == 0.0
+    assert prof[4]["top2_frac"] == 1.5
+    assert prof[4]["dup_word_frac"] == 0.75
+
+
+def test_repetition_partial_5gram_coverage(spark):
+    """Duplicated 5-grams covering only part of the doc: positional union,
+    no double counting of overlapping duplicate grams."""
+    from pr2_transformation_spark.functions import textstats
+
+    # 12 tokens; "a b c d e" occurs at positions 0 and 7 (0-based), and no
+    # other 5-gram repeats -> covered = {0..4, 7..11} = 10 of 12.
+    text = "a b c d e q r a b c d e"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = textstats.repetition_profile(df).collect()[0]
+    assert row["n_tokens"] == 12
+    assert row["dup5_cover_frac"] == round(10 / 12, 4)
+
+
+def test_repetition_keep_bounds(spark):
+    from pr2_transformation_spark.functions import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c c"),          # top2 0.75 > 0.20 -> drop
+            # all unique, long enough that a single occurrence of a 4-gram
+            # (4/n) stays under the 0.16 bound -> keep
+            (2, " ".join(f"w{i}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]: r["keep"]
+        for r in textstats.repetition_keep(
+            textstats.repetition_profile(df)
+        ).collect()
+    }
+    assert kept == {1: False, 2: True}
