@@ -967,14 +967,31 @@ def duplicate_spans(
     """
     if k < 2:
         raise ValueError("duplicate_spans needs k >= 2")
+    pos_grams = _positional_gram_hashes(df, text_col, id_col, k)
+    dup_hashes = (
+        pos_grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gh")
+    )
+    dup_pos = pos_grams.join(dup_hashes, "gh").select("__id", "pos")
+    return _spans_from_positions(dup_pos, k, id_col)
+
+
+def _positional_gram_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """``(__id, pos, gh)`` — one xxhash64 per word-k-gram start position.
+
+    Positional k-grams via the zip_with-over-slices fold (O(k·tokens),
+    stays in the interpreted-HOF fast shape — see shingles_from_tokens
+    for why a sequence+slice lambda would re-walk the array per index);
+    hashing happens AFTER posexplode so xxhash64 runs in codegen.
+    """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
     )
-    # positional k-grams via the zip_with-over-slices fold (O(k·tokens),
-    # stays in the interpreted-HOF fast shape — see shingles_from_tokens
-    # for why a sequence+slice lambda would re-walk the array per index);
-    # hashing happens AFTER posexplode so xxhash64 runs in codegen.
     m = F.size("__w")
     length = F.greatest(m - (k - 1), F.lit(0))
     gram_arr = F.slice("__w", 1, length)
@@ -984,18 +1001,24 @@ def duplicate_spans(
             F.slice("__w", 1 + j, length),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    pos_grams = (
+    return (
         base.select("__id", gram_arr.alias("__g"))
         .select("__id", F.posexplode("__g").alias("pos", "__gram"))
         .select("__id", "pos", F.xxhash64("__gram").alias("gh"))
     )
-    dup_hashes = (
-        pos_grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("gh")
-    )
-    dup_pos = pos_grams.join(dup_hashes, "gh").select("__id", "pos")
+
+
+def _spans_from_positions(dup_pos: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Merge flagged k-gram start positions ``(__id, pos)`` into maximal
+    spans ``(id, span_start, span_end)`` — RANGE-UNION semantics.
+
+    A window starting at pos covers [pos, pos+k-1]; coverage is
+    contiguous with the island so far iff pos <= prev_end + 1 — the
+    RANGE-UNION semantics of Lee et al. substring removal (two
+    duplicated substrings butted against each other form ONE excisable
+    region; merging only on window-start overlap would split it, a
+    divergence the suffix-array reference test pins).
+    """
     w_prev = (
         Window.partitionBy("__id")
         .orderBy("pos")
@@ -1004,12 +1027,6 @@ def duplicate_spans(
     flagged = dup_pos.withColumn(
         "__prev_end", F.max(F.col("pos") + (k - 1)).over(w_prev)
     )
-    # a window starting at pos covers [pos, pos+k-1]; coverage is
-    # contiguous with the island so far iff pos <= prev_end + 1 — the
-    # RANGE-UNION semantics of Lee et al. substring removal (two
-    # duplicated substrings butted against each other form ONE excisable
-    # region; merging only on window-start overlap would split it, a
-    # divergence the suffix-array reference test pins)
     is_break = F.when(
         F.col("__prev_end").isNull()
         | (F.col("pos") > F.col("__prev_end") + 1),
@@ -1028,6 +1045,91 @@ def duplicate_spans(
             (F.max("pos") + (k - 1)).alias("span_end"),
         )
         .select(F.col("__id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def contamination_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    k: int = 10,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Cross-corpus exact-substring DECONTAMINATION spans: every corpus
+    span whose word k-grams all appear verbatim in ``bench`` (the
+    eval/benchmark set), merged into maximal intervals — the span-level
+    train/test-overlap check of Lee et al. 2021 §5 / the GPT-3 appendix-C
+    13-gram collision scan, discretized to word boundaries.
+
+    Scale shape: the benchmark side reduces to DISTINCT 64-bit gram
+    hashes — for real eval suites that is thousands-to-millions of rows,
+    so with ``broadcast_bench`` (default) the corpus gram stream is
+    filtered MAP-SIDE by a broadcast hash semi-join and the 100 TB side
+    never shuffles against the benchmark at all; the only corpus-wide
+    exchange left is the id-keyed interval-merge window over the (rare)
+    flagged positions.  Set ``broadcast_bench=False`` for a giant bench
+    side to fall back to a shuffled semi-join.
+
+    Returns ``(id, span_start, span_end)`` word offsets, inclusive.
+    """
+    if k < 2:
+        raise ValueError("contamination_spans needs k >= 2")
+    bench_text = bench_text_col or text_col
+    corpus = _positional_gram_hashes(df, text_col, id_col, k)
+    toks = F.split(F.lower(F.trim(F.col(bench_text))), r"\s+")
+    bw = ensure_parallelism(bench.select(toks.alias("__w")))
+    m = F.size("__w")
+    length = F.greatest(m - (k - 1), F.lit(0))
+    gram_arr = F.slice("__w", 1, length)
+    for j in range(1, k):
+        gram_arr = F.zip_with(
+            gram_arr,
+            F.slice("__w", 1 + j, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    dirty = (
+        bw.select(F.explode(gram_arr).alias("__gram"))
+        .select(F.xxhash64("__gram").alias("gh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        dirty = F.broadcast(dirty)
+    flagged = corpus.join(dirty, "gh", "left_semi").select("__id", "pos")
+    return _spans_from_positions(flagged, k, id_col)
+
+
+def contamination_stats(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    k: int = 10,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-document decontamination rollup over
+    :func:`contamination_spans`: span count, contaminated-token count and
+    fraction — the per-doc drop/excise decision input.  Clean documents
+    keep a zero row."""
+    spans = contamination_spans(
+        df, bench, text_col, id_col, bench_text_col, k, broadcast_bench
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__bad_tokens"),
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("__n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.coalesce("__bad_tokens", F.lit(0)).cast("long").alias("contaminated_tokens"),
+        F.round(
+            F.coalesce("__bad_tokens", F.lit(0)) / F.col("n_tokens"), 4
+        ).alias("contaminated_fraction"),
     )
 
 
@@ -1085,6 +1187,21 @@ def excise_duplicate_spans(
     Returns ``(id, text_before_tokens, text_after_tokens, text_after)``.
     """
     spans = duplicate_spans(df, text_col, id_col, k, min_count)
+    return excise_spans(df, spans, text_col, id_col)
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut an arbitrary span frame ``(id, span_start, span_end)`` out of
+    ``df``'s documents and reassemble the survivors in order — the shared
+    transform half behind :func:`excise_duplicate_spans` (within-corpus)
+    and :func:`contamination_spans`-based decontamination rewrites
+    (cross-corpus).  Same scale shape: interval explode bounded by total
+    tokens, one ``(id, pos)`` anti-join, id-keyed sort-within-group."""
     covered = spans.select(
         F.col(id_col).alias("__id"),
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),

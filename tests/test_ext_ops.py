@@ -2059,3 +2059,79 @@ def test_repetition_keep_bounds(spark):
         ).collect()
     }
     assert kept == {1: False, 2: True}
+
+
+def test_contamination_spans_and_excision(spark):
+    """Cross-corpus decontamination: only spans matching the benchmark are
+    flagged; within-corpus duplicates alone are NOT contamination."""
+    from pr2_transformation_spark.functions import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            # 8 tokens; tokens 0..5 appear verbatim in the benchmark.
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # clean doc — no benchmark overlap.
+            (2, "one two three four five six seven eight nine"),
+            # within-corpus duplicate of doc 1's tail only; its benchmark
+            # overlap is tokens 2..7.
+            (3, "x y alpha beta gamma delta epsilon zeta q r"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "junk alpha beta gamma delta epsilon zeta more junk")],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in dedup.contamination_spans(corpus, bench, k=6).collect()
+    }
+    assert spans == {1: (0, 5), 3: (2, 7)}
+
+    stats = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.contamination_stats(corpus, bench, k=6).collect()
+    }
+    assert stats[1]["contaminated_tokens"] == 6
+    assert stats[1]["contaminated_fraction"] == 0.75
+    assert stats[2]["n_spans"] == 0 and stats[2]["contaminated_tokens"] == 0
+    assert stats[3]["contaminated_fraction"] == 0.6
+
+    ex = {
+        r["doc_id"]: r["text_after"]
+        for r in dedup.excise_spans(
+            corpus, dedup.contamination_spans(corpus, bench, k=6)
+        ).collect()
+    }
+    assert ex == {
+        1: "eta theta",
+        2: "one two three four five six seven eight nine",
+        3: "x y q r",
+    }
+
+
+def test_contamination_range_union_merge(spark):
+    """Two benchmark hits butted against each other merge into ONE span
+    (range-union, not window-start merging)."""
+    from pr2_transformation_spark.functions import dedup
+
+    # benchmark contributes 3-grams "a b c" (pos 0) and "d e f" (pos 3):
+    # coverage [0,2] and [3,5] touch -> one span (0,5).
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f tail1 tail2")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c zzz d e f")], ["doc_id", "text"]
+    )
+    spans = dedup.contamination_spans(corpus, bench, k=3).collect()
+    assert [(r["span_start"], r["span_end"]) for r in spans] == [(0, 5)]
+
+
+def test_contamination_no_bench_overlap_is_empty(spark):
+    from pr2_transformation_spark.functions import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a a a a a a a a a a")], ["doc_id", "text"]  # self-repetitive
+    )
+    bench = spark.createDataFrame([(100, "b c d e f g")], ["doc_id", "text"])
+    assert dedup.contamination_spans(corpus, bench, k=3).count() == 0
