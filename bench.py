@@ -180,6 +180,12 @@ BENCH_QUERIES = [
     "q248_alaw_roundtrip",
     "q249_avro_roundtrip",
     "q250_training_shards",
+    "q251_repetition_profile",
+    "q252_repetition_filter",
+    "q253_contamination_stats",
+    "q254_decontaminated_rewrite",
+    "q255_quality_classifier_train",
+    "q256_quality_classifier_score",
 ]
 
 

@@ -45,6 +45,8 @@ __all__ = [
     "dsir_log_weights",
     "dsir_select_topk",
     "dsir_selected_ids",
+    "logreg_train_hashed",
+    "logreg_score_hashed",
 ]
 
 
@@ -201,4 +203,164 @@ def dsir_selected_ids(
         weights.orderBy(F.col("log_weight").desc(), F.col(id_col))
         .limit(k)
         .select(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier: hashed-feature logistic regression.
+#
+# The GPT-3 / LLaMA CommonCrawl recipe trains a small linear classifier
+# (fastText-style hashed n-gram features) against a high-quality reference
+# corpus and keeps crawl documents the model scores as reference-like.
+# Here both halves — training AND scoring — are pure DataFrame programs:
+#
+#   * features: the same distinct-n-gram -> hashed-bucket stream DSIR uses
+#     (binary presence per (doc, bucket));
+#   * training: full-batch gradient descent where each iteration is ONE
+#     distributed pass — margins via a broadcast join of the (<= n_buckets
+#     row) weight vector, residuals via the label join, gradients via a
+#     bucket-keyed partial aggregate.  The MODEL is driver-resident (it is
+#     at most n_buckets + 1 doubles); the DATA never leaves the cluster.
+#     This is exactly the parameter-server-less shape mllib's LBFGS uses
+#     (treeAggregate of gradients), written against the public DataFrame
+#     API with deterministic iteration count so an external SQL engine can
+#     replay the arithmetic.
+#   * scoring: one broadcast join + doc-keyed aggregate -> sigmoid margin.
+# ---------------------------------------------------------------------------
+
+
+def logreg_train_hashed(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n: int = 2,
+    n_buckets: int = 64,
+    hasher: str = "xxhash64",
+    iters: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train binary logistic regression on hashed n-gram presence
+    features with ``iters`` full-batch GD steps from a zero init.
+
+    Returns the dense model as a DataFrame: one row per bucket
+    ``(bucket, weight)`` plus the intercept as ``bucket = -1`` — the
+    broadcastable shape :func:`logreg_score_hashed` consumes.
+
+    Each iteration runs two doc-keyed shuffles (margin aggregate,
+    gradient aggregate) and collects only the ≤ ``n_buckets + 1``
+    gradient rows; at 100 TB that is 3 scans and a few KB of driver
+    traffic per step.  Deterministic given (seedless) zero init and a
+    fixed iteration count.
+    """
+    spark = df.sparkSession
+    feats = hashed_feature_buckets(
+        df.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        n_buckets=n_buckets,
+        hasher=hasher,
+    ).distinct()
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("__y")
+    )
+    n_docs = labels.count()
+    weights: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(iters):
+        if weights:
+            wdf = spark.createDataFrame(
+                [(b, w) for b, w in sorted(weights.items())],
+                "bucket int, __w double",
+            )
+            margins = (
+                feats.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy(id_col)
+                .agg(F.sum(F.coalesce("__w", F.lit(0.0))).alias("__m"))
+            )
+        else:  # zero init: every margin is the bias
+            margins = feats.select(id_col).distinct().select(
+                F.col(id_col), F.lit(0.0).alias("__m")
+            )
+        resid = labels.join(margins, id_col, "left").select(
+            id_col,
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.coalesce("__m", F.lit(0.0)) + bias)))
+                - F.col("__y")
+            ).alias("__r"),
+        )
+        grad_rows = (
+            feats.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.sum("__r").alias("__g"))
+            .collect()
+        )
+        bias_grad = resid.agg(F.sum("__r")).first()[0] or 0.0
+        for row in grad_rows:
+            weights[row["bucket"]] = weights.get(row["bucket"], 0.0) - lr * (
+                row["__g"] / n_docs
+            )
+        bias -= lr * (bias_grad / n_docs)
+    dense = [(b, weights.get(b, 0.0)) for b in range(n_buckets)]
+    dense.append((-1, bias))
+    return spark.createDataFrame(dense, "bucket int, weight double")
+
+
+def logreg_score_hashed(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 64,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Score documents under a :func:`logreg_train_hashed` model:
+    ``(id, n_feats, prob)`` with ``prob = sigmoid(bias + Σ w_bucket)``.
+
+    One broadcast join (the model is ≤ n_buckets + 1 rows) + one
+    doc-keyed aggregate; docs with no features score ``sigmoid(bias)``.
+    Feature params must match training."""
+    feats = hashed_feature_buckets(
+        df.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        n_buckets=n_buckets,
+        hasher=hasher,
+    ).distinct()
+    bias = F.broadcast(
+        model.filter(F.col("bucket") == -1).select(
+            F.col("weight").alias("__bias")
+        )
+    )
+    scored = (
+        feats.join(
+            F.broadcast(model.filter(F.col("bucket") >= 0)), "bucket"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("weight").alias("__m"),
+        )
+    )
+    base = df.select(id_col)
+    return (
+        base.join(scored, id_col, "left")
+        .crossJoin(bias)
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("int").alias("n_feats"),
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.coalesce("__m", F.lit(0.0)) + F.col("__bias")))
+                )
+            ).alias("prob"),
+        )
     )

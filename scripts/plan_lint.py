@@ -58,6 +58,7 @@ CARTESIAN_ALLOWED = {
     "q143_ppmi_bigrams": "bigram-total scalar (1 row) rides a broadcast cross",
     "q144_kneser_ney_bigrams": "bigram-type-count scalar (1 row) rides a broadcast cross",
     "q148_key_skew_report": "row-total scalar (1 row) rides a broadcast cross",
+    "q256_quality_classifier_score": "model intercept (1 row) rides a broadcast cross",
     "q157_hard_negative_mining": "exact contrastive baseline: broadcast anchors x corpus scan by contract",
     "q151_mutual_information": "contingency-total scalar (1 row) rides a broadcast cross",
     "q196_dsir_importance": "model totals (1 row each) ride broadcast crosses into the <=256-row delta dim",

@@ -117,3 +117,76 @@ def test_dsir_selected_ids_matches_rank_window(spark):
     }
     via_limit = {r["doc_id"] for r in sel.dsir_selected_ids(w, frac=0.5).collect()}
     assert via_limit == via_rank
+
+
+def test_logreg_train_separates_and_converges(spark):
+    from pyspark.sql import functions as F
+    from pr2_transformation_spark.functions import selection
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, f"good clean prose with varied wording number {i}", 1))
+        else:
+            rows.append((i, f"spam spam buy now spam click spam now {i}", 0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    model = selection.logreg_train_hashed(
+        df, n=1, n_buckets=32, hasher="md5", iters=4, lr=1.0
+    )
+    # dense contract: one row per bucket plus the bucket=-1 intercept
+    assert model.count() == 33
+    scored = selection.logreg_score_hashed(
+        df, model, n=1, n_buckets=32, hasher="md5"
+    )
+    means = {
+        r["label"]: r["p"]
+        for r in scored.join(df.select("doc_id", "label"), "doc_id")
+        .groupBy("label")
+        .agg(F.avg("prob").alias("p"))
+        .collect()
+    }
+    assert means[1] > 0.8 and means[0] < 0.2
+
+    # more steps reduce logistic loss (monotone on this separable set)
+    def loss(iters):
+        m = selection.logreg_train_hashed(
+            df, n=1, n_buckets=32, hasher="md5", iters=iters, lr=1.0
+        )
+        s = selection.logreg_score_hashed(df, m, n=1, n_buckets=32, hasher="md5")
+        j = s.join(df.select("doc_id", "label"), "doc_id")
+        return (
+            j.select(
+                F.when(F.col("label") == 1, -F.log("prob"))
+                .otherwise(-F.log(1 - F.col("prob")))
+                .alias("l")
+            )
+            .agg(F.avg("l"))
+            .first()[0]
+        )
+
+    l1, l2, l4 = loss(1), loss(2), loss(4)
+    assert l1 > l2 > l4
+
+
+def test_logreg_score_empty_doc_gets_bias(spark):
+    from pr2_transformation_spark.functions import selection
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", 1), (2, "", 0)], ["doc_id", "text", "label"]
+    )
+    model = selection.logreg_train_hashed(
+        df, n=2, n_buckets=16, hasher="md5", iters=2, lr=0.5
+    )
+    bias = model.filter("bucket = -1").first()["weight"]
+    scored = {
+        r["doc_id"]: r
+        for r in selection.logreg_score_hashed(
+            df, model, n=2, n_buckets=16, hasher="md5"
+        ).collect()
+    }
+    import math
+
+    # doc 2 has no bigram features -> scores sigmoid(bias)
+    assert scored[2]["n_feats"] == 0
+    assert abs(scored[2]["prob"] - 1 / (1 + math.exp(-bias))) < 1e-12
