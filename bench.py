@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "q254_decontaminated_rewrite",
     "q255_quality_classifier_train",
     "q256_quality_classifier_score",
+    "q257_image_perceptual_dedup",
 ]
 
 

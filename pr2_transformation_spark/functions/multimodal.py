@@ -4398,3 +4398,80 @@ def alaw_decode(payload: bytes):
         np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0))
     )
     return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    grid_rows: int = 8,
+    grid_cols: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels — the
+    multimodal near-dup key: re-encodes, uniform brightness shifts, and
+    benign transcodes keep the hash, so one groupBy clusters perceptual
+    duplicates the way content-hash dedup clusters exact bytes.
+
+    Integer-exact pipeline (so an external SQL engine can replay it from
+    pixel formulas): per-pixel luma ``299R + 587G + 114B`` (scaled x1000,
+    never divided), an integer-boundary ``grid_rows x grid_cols`` tiling
+    of region SUMS, and bit ``(R, C) = 1`` iff region ``(R, C+1)`` out-
+    brightens ``(R, C)`` under the cross-multiplied area-normalized
+    compare ``s1 * a0 > s0 * a1`` (exact mean comparison without
+    division).  Bits pack LSB-first as ``R * (grid_cols-1) + C`` into an
+    int64 — ``grid_rows * (grid_cols - 1)`` must stay <= 62.
+
+    Gradient bits are invariant to uniform brightness shifts by
+    construction (sums over equal-area regions shift equally).  Arrow-
+    batched ``mapInPandas``, narrow, no shuffle; downstream clustering is
+    one groupBy on the 8-byte hash — at 100 TB of images the dedup key
+    exchange is hash-width, never pixel-width.
+    """
+    import numpy as np
+
+    if grid_rows * (grid_cols - 1) > 62:
+        raise ValueError("dhash bit count exceeds a signed int64")
+    cols = df.select(F.col(id_col).cast("string"), F.col(binary_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "width", "height", "dhash")}
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                px = image_pixels(bytes(payload)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if px.shape[2] >= 3:
+                    luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                else:
+                    luma = px[..., 0] * 1000
+                rb = [r * h // grid_rows for r in range(grid_rows + 1)]
+                cb = [c * w // grid_cols for c in range(grid_cols + 1)]
+                s = np.add.reduceat(
+                    np.add.reduceat(luma, rb[:-1], axis=0), cb[:-1], axis=1
+                )
+                areas = np.outer(np.diff(rb), np.diff(cb))
+                bits = (
+                    s[:, 1:] * areas[:, :-1] > s[:, :-1] * areas[:, 1:]
+                )
+                weights = (
+                    np.int64(1)
+                    << np.arange(
+                        grid_rows * (grid_cols - 1), dtype=np.int64
+                    ).reshape(grid_rows, grid_cols - 1)
+                )
+                out["asset_id"].append(asset_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, IMAGE_DHASH_SCHEMA)

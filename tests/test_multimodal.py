@@ -1131,3 +1131,51 @@ def test_flac_crc_known_vectors():
     assert multimodal._flac_crc16(b"123456789") == 0xFEE8
     assert multimodal._flac_crc8(b"") == 0
     assert multimodal._flac_crc16(b"") == 0
+
+
+def test_image_dhash_brightness_invariant_content_sensitive(spark):
+    import numpy as np
+    from pr2_transformation_spark.functions import multimodal
+
+    r = np.arange(16, dtype=np.int64)[:, None]
+    c = np.arange(16, dtype=np.int64)[None, :]
+
+    def img(base, bright):
+        v = (10 + (base * 7 + 13 * r + 29 * c) % 180 + bright).astype(np.uint8)
+        return np.repeat(v[:, :, None], 3, axis=2)
+
+    rows = [
+        ("a0", multimodal.png_encode(img(3, 0))),
+        ("a1", multimodal.png_encode(img(3, 20))),   # brightness shift
+        ("a2", multimodal.png_encode(img(3, 40))),
+        ("b0", multimodal.png_encode(img(4, 0))),    # different content
+        # same pixels through a DIFFERENT codec: hash must not care
+        ("a3", multimodal.gif_encode(img(3, 0))),
+    ]
+    df = spark.createDataFrame(rows, ["asset_id", "payload"])
+    got = {
+        x["asset_id"]: x["dhash"]
+        for x in multimodal.image_dhash(df, "payload", "asset_id").collect()
+    }
+    assert got["a0"] == got["a1"] == got["a2"] == got["a3"]
+    assert got["b0"] != got["a0"]
+
+
+def test_image_dhash_uneven_grid_cross_multiplied_means(spark):
+    """Non-divisible dims: the area-normalized compare must behave as a
+    mean comparison, not a raw-sum comparison."""
+    import numpy as np
+    from pr2_transformation_spark.functions import multimodal
+
+    # 10 px wide, grid_cols=4 -> region widths 2,3,2,3.  A constant image
+    # must hash to 0 (no strict mean increase anywhere) even though raw
+    # region sums differ by width.
+    px = np.full((8, 10, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("const", multimodal.png_encode(px))], ["asset_id", "payload"]
+    )
+    row = multimodal.image_dhash(
+        df, "payload", "asset_id", grid_rows=4, grid_cols=4
+    ).collect()[0]
+    assert row["dhash"] == 0
+    assert (row["width"], row["height"]) == (10, 8)
