@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "q255_quality_classifier_train",
     "q256_quality_classifier_score",
     "q257_image_perceptual_dedup",
+    "q258_audio_perceptual_dedup",
 ]
 
 

@@ -1179,3 +1179,51 @@ def test_image_dhash_uneven_grid_cross_multiplied_means(spark):
     ).collect()[0]
     assert row["dhash"] == 0
     assert (row["width"], row["height"]) == (10, 8)
+
+
+def test_audio_fingerprint_gain_and_container_invariant(spark):
+    import numpy as np
+    from pr2_transformation_spark.functions import multimodal
+
+    i = np.arange(570, dtype=np.int64)
+
+    def clip(base, gain):
+        raw = (base * 31 + 17 * i) % 257 - 128
+        return (gain * raw * 64).astype(np.int16).reshape(-1, 1)
+
+    rows = [
+        ("w1", multimodal.wav_encode(clip(7, 1), 8000)),
+        ("w2", multimodal.wav_encode(clip(7, 2), 8000)),   # louder master
+        ("f1", multimodal.flac_encode(clip(7, 3), 8000)),  # other container
+        ("x1", multimodal.wav_encode(clip(8, 1), 8000)),   # different content
+    ]
+    df = spark.createDataFrame(rows, ["asset_id", "payload"])
+    got = {
+        r["asset_id"]: r["fingerprint"]
+        for r in multimodal.audio_fingerprint(
+            df, "payload", "asset_id", frames=57
+        ).collect()
+    }
+    assert got["w1"] == got["w2"] == got["f1"]
+    assert got["x1"] != got["w1"]
+
+
+def test_audio_fingerprint_frame_bounds(spark):
+    import numpy as np
+    import pytest as _pytest
+    from pr2_transformation_spark.functions import multimodal
+
+    clip = np.zeros((10, 1), dtype=np.int16)
+    d = spark.createDataFrame(
+        [("a", multimodal.wav_encode(clip, 8000))], ["asset_id", "payload"]
+    )
+    # > 63 frames would overflow the int64 bit packing; < 2 is degenerate
+    with _pytest.raises(ValueError):
+        multimodal.audio_fingerprint(d, "payload", "asset_id", frames=64)
+    with _pytest.raises(ValueError):
+        multimodal.audio_fingerprint(d, "payload", "asset_id", frames=1)
+    # constant silence: no frame out-powers its neighbor -> fingerprint 0
+    row = multimodal.audio_fingerprint(
+        d, "payload", "asset_id", frames=5
+    ).collect()[0]
+    assert row["fingerprint"] == 0 and row["n_samples"] == 10
