@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "q256_quality_classifier_score",
     "q257_image_perceptual_dedup",
     "q258_audio_perceptual_dedup",
+    "q259_image_hamming_pairs",
 ]
 
 

@@ -1241,3 +1241,73 @@ def excise_spans(
             id_col, "text_before_tokens", "text_after_tokens", "text_after"
         )
     )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    bits: int = 64,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup PAIRS under Hamming distance over a packed bit-hash
+    column (simhash, image dhash, audio fingerprint): the banded
+    pigeonhole join.
+
+    The ``bits``-bit hash splits into ``bands`` contiguous chunks
+    (default ``max_distance + 1``); any two hashes within
+    ``max_distance`` differ in at most ``max_distance`` chunks, so they
+    AGREE on at least one chunk — candidates are the union of ``bands``
+    equi-joins on ``(band_index, chunk_value)``, verified exactly with
+    ``bit_count(a XOR b) <= max_distance``.  LOSSLESS for
+    ``bands > max_distance`` (pigeonhole), unlike probabilistic LSH.
+
+    Scale shape: identical to MinHash band-bucket joins — one explode to
+    ``bands`` narrow rows per asset, equi-join on the chunk key (never
+    all-pairs), distinct candidate pairs, then an 8-byte XOR popcount
+    per candidate.  Works for any ``bits <= 63`` packing.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    bands = bands if bands is not None else max_distance + 1
+    if bands <= max_distance:
+        raise ValueError(
+            "bands must exceed max_distance for the pigeonhole guarantee"
+        )
+    if bits > 63:
+        raise ValueError("hamming_near_dup_pairs supports packed bits <= 63")
+    base_w, extra = divmod(bits, bands)
+    chunks, shift = [], 0
+    for j in range(bands):
+        w = base_w + (1 if j < extra else 0)
+        chunks.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("__h"), shift)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("chunk"),
+            )
+        )
+        shift += w
+    h = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+    keyed = h.select(
+        "__id", "__h", F.explode(F.array(*chunks)).alias("bc")
+    ).select("__id", "__h", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = keyed.select(
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"), "band", "chunk"
+    )
+    b = keyed.select(
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"), "band", "chunk"
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.filter(ham <= max_distance)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )

@@ -2135,3 +2135,47 @@ def test_contamination_no_bench_overlap_is_empty(spark):
     )
     bench = spark.createDataFrame([(100, "b c d e f g")], ["doc_id", "text"])
     assert dedup.contamination_spans(corpus, bench, k=3).count() == 0
+
+
+def test_hamming_near_dup_pairs_exact_and_lossless(spark):
+    from pr2_transformation_spark.functions import dedup
+
+    # 4 hashes: a=0b0000, b=0b0001 (d=1), c=0b0111 (d(a)=3, d(b)=2),
+    # d=0b1111_0000_1111 (far from all within 2)
+    rows = [(1, 0b0000), (2, 0b0001), (3, 0b0111), (4, 0b111100001111)]
+    df = spark.createDataFrame(rows, ["vid", "h"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_near_dup_pairs(
+            df, "h", "vid", max_distance=2, bits=12
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 2}
+
+    # losslessness vs brute force on a pseudo-random set
+    import itertools
+    vals = [(i, (i * 2654435761) % (1 << 20)) for i in range(60)]
+    vdf = spark.createDataFrame(vals, ["vid", "h"])
+    expect = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(vals, 2)
+        if bin(a[1] ^ b[1]).count("1") <= 3
+    }
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.hamming_near_dup_pairs(
+            vdf, "h", "vid", max_distance=3, bits=20
+        ).collect()
+    }
+    assert got2 == expect
+
+
+def test_hamming_near_dup_pairs_validation(spark):
+    import pytest as _pytest
+    from pr2_transformation_spark.functions import dedup
+
+    df = spark.createDataFrame([(1, 3)], ["vid", "h"])
+    with _pytest.raises(ValueError):
+        dedup.hamming_near_dup_pairs(df, "h", "vid", max_distance=3, bands=3)
+    with _pytest.raises(ValueError):
+        dedup.hamming_near_dup_pairs(df, "h", "vid", bits=64)
