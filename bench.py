@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "q257_image_perceptual_dedup",
     "q258_audio_perceptual_dedup",
     "q259_image_hamming_pairs",
+    "q260_video_perceptual_dedup",
 ]
 
 

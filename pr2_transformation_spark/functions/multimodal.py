@@ -4447,34 +4447,39 @@ def image_dhash(
         for pdf in batches:
             out = {k: [] for k in ("asset_id", "width", "height", "dhash")}
             for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                px = image_pixels(bytes(payload)).astype(np.int64)
-                h, w = px.shape[0], px.shape[1]
-                if px.shape[2] >= 3:
-                    luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
-                else:
-                    luma = px[..., 0] * 1000
-                rb = [r * h // grid_rows for r in range(grid_rows + 1)]
-                cb = [c * w // grid_cols for c in range(grid_cols + 1)]
-                s = np.add.reduceat(
-                    np.add.reduceat(luma, rb[:-1], axis=0), cb[:-1], axis=1
-                )
-                areas = np.outer(np.diff(rb), np.diff(cb))
-                bits = (
-                    s[:, 1:] * areas[:, :-1] > s[:, :-1] * areas[:, 1:]
-                )
-                weights = (
-                    np.int64(1)
-                    << np.arange(
-                        grid_rows * (grid_cols - 1), dtype=np.int64
-                    ).reshape(grid_rows, grid_cols - 1)
-                )
+                px = image_pixels(bytes(payload))
                 out["asset_id"].append(asset_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["dhash"].append(int((bits * weights).sum()))
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["dhash"].append(_dhash_from_pixels(px, grid_rows, grid_cols))
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, IMAGE_DHASH_SCHEMA)
+
+
+def _dhash_from_pixels(px, grid_rows: int, grid_cols: int) -> int:
+    """The integer-exact dhash core shared by :func:`image_dhash` (one
+    still) and :func:`video_fingerprint` (every decoded frame)."""
+    import numpy as np
+
+    px = px.astype(np.int64)
+    h, w = px.shape[0], px.shape[1]
+    if px.shape[2] >= 3:
+        luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+    else:
+        luma = px[..., 0] * 1000
+    rb = [r * h // grid_rows for r in range(grid_rows + 1)]
+    cb = [c * w // grid_cols for c in range(grid_cols + 1)]
+    s = np.add.reduceat(np.add.reduceat(luma, rb[:-1], axis=0), cb[:-1], axis=1)
+    areas = np.outer(np.diff(rb), np.diff(cb))
+    bits = s[:, 1:] * areas[:, :-1] > s[:, :-1] * areas[:, 1:]
+    weights = (
+        np.int64(1)
+        << np.arange(grid_rows * (grid_cols - 1), dtype=np.int64).reshape(
+            grid_rows, grid_cols - 1
+        )
+    )
+    return int((bits * weights).sum())
 
 
 AUDIO_FINGERPRINT_SCHEMA = StructType(
@@ -4539,3 +4544,55 @@ def audio_fingerprint(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, AUDIO_FINGERPRINT_SCHEMA)
+
+
+VIDEO_FINGERPRINT_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("n_frames", IntegerType()),
+        StructField("clip_fp", StringType()),
+    ]
+)
+
+
+def video_fingerprint(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    grid_rows: int = 8,
+    grid_cols: int = 8,
+) -> DataFrame:
+    """Perceptual VIDEO fingerprint — the temporal member of the
+    dedup trio (image :func:`image_dhash`, audio
+    :func:`audio_fingerprint`): every decoded frame gets the shared
+    integer-exact dhash, and the clip fingerprint is the md5 of the
+    comma-joined per-frame hash sequence.  Container metadata (fps,
+    stream headers) never enters the hash, so re-muxed / re-timed copies
+    of the same frames collide; any frame-content change separates.
+
+    Decodes through :func:`avi_frames` (fourcc dispatch: raw DIB or MS
+    Video 1 conditional-replenishment streams).  Arrow-batched
+    ``mapInPandas``, narrow; clustering downstream is a groupBy on the
+    32-char fingerprint.
+    """
+    import hashlib as _hashlib
+
+    cols = df.select(F.col(id_col).cast("string"), F.col(binary_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "n_frames", "clip_fp")}
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                frames = avi_frames(bytes(payload))
+                hashes = [
+                    str(_dhash_from_pixels(fr, grid_rows, grid_cols))
+                    for fr in frames
+                ]
+                out["asset_id"].append(asset_id)
+                out["n_frames"].append(len(frames))
+                out["clip_fp"].append(
+                    _hashlib.md5(",".join(hashes).encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, VIDEO_FINGERPRINT_SCHEMA)

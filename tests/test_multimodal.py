@@ -1227,3 +1227,48 @@ def test_audio_fingerprint_frame_bounds(spark):
         d, "payload", "asset_id", frames=5
     ).collect()[0]
     assert row["fingerprint"] == 0 and row["n_samples"] == 10
+
+
+def test_video_fingerprint_retiming_invariant_content_sensitive(spark):
+    import numpy as np
+    from pr2_transformation_spark.functions import multimodal
+
+    def bitrep(q):
+        return q * 8 + q // 4
+
+    def clip(base, tweak_last=False):
+        frames = []
+        for t in range(3):
+            fr = np.zeros((16, 16, 3), dtype=np.uint8)
+            for i in range(4):
+                for j in range(4):
+                    for ch in range(3):
+                        if tweak_last and t == 2 and i == 0 and j == 0:
+                            q = (base * 5 + ch + 11) % 32
+                        else:
+                            q = (base * 3 + (i * 4 + j) * 2 + ch + t * 7) % 32
+                        fr[4 * i : 4 * i + 4, 4 * j : 4 * j + 4, ch] = bitrep(q)
+            frames.append(fr)
+        return frames
+
+    rows = [
+        ("a10", multimodal.msvideo1_encode(clip(7), fps=10)),
+        ("a30", multimodal.msvideo1_encode(clip(7), fps=30)),   # re-timed
+        ("tw", multimodal.msvideo1_encode(clip(7, True), fps=10)),
+        ("b", multimodal.msvideo1_encode(clip(8), fps=10)),
+    ]
+    df = spark.createDataFrame(rows, ["asset_id", "payload"])
+    got = {
+        r["asset_id"]: (r["clip_fp"], r["n_frames"])
+        for r in multimodal.video_fingerprint(df, "payload", "asset_id").collect()
+    }
+    assert got["a10"] == got["a30"]            # fps is container metadata
+    assert got["a10"][1] == 3
+    assert got["tw"][0] != got["a10"][0]       # one changed block splits
+    assert got["b"][0] != got["a10"][0]
+
+    # RGB555-aligned inputs round-trip the lossy codec bit-exactly —
+    # the property the q260 oracle's formula replay stands on
+    dec = multimodal.avi_frames(rows[0][1])
+    for t in range(3):
+        assert np.array_equal(dec[t], clip(7)[t])
