@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "q258_audio_perceptual_dedup",
     "q259_image_hamming_pairs",
     "q260_video_perceptual_dedup",
+    "q261_embedding_simhash_pairs",
 ]
 
 

@@ -1133,3 +1133,89 @@ def kcenter_greedy(
         if prev is not None:
             prev.unpersist()
     return picks
+
+
+def embedding_simhash(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 56,
+    scale: int = 1000,
+) -> DataFrame:
+    """SimHash signatures for embedding vectors — ``(id, simhash)`` with
+    one sign bit per random hyperplane, ready for
+    ``dedup.hamming_near_dup_pairs``: angularly-close vectors agree on
+    most hyperplane sides (Charikar 2002), so embedding near-dup becomes
+    an 8-byte Hamming problem instead of a float-vector one.
+
+    Engine-portable and INTEGER-exact by construction:
+
+      * components quantize via ``floor(CAST(x AS DOUBLE) * scale)`` —
+        no round-half ambiguity, exact in ANY engine;
+      * hyperplane entries are ±1 derived from the portable 60-bit md5
+        fold (``md5_long(p || '_' || d) % 2``) — no RNG, no state;
+      * the dot product sums integer-valued doubles (exact far below
+        2^53), so the SIGN — the only thing kept — can never differ
+        across engines or partition orders.
+
+    Scale shape: the plane table is ``bits x dim`` rows and BROADCASTS;
+    the vector side explodes to (id, d, component), joins map-side, and
+    aggregates on (id, plane) then (id) — linear, evenly keyed.  For
+    tight distance thresholds relative to ``bits`` (where banded
+    candidate filtering weakens), widen to multiple signature words
+    rather than raising max_distance.
+    """
+    from .dedup import md5_long
+
+    if bits < 1 or bits > 62:
+        raise ValueError("embedding_simhash supports 1 <= bits <= 62")
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    planes = (
+        spark.range(bits * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("p"),
+            F.pmod(F.col("id"), F.lit(dim)).cast("int").alias("d"),
+        )
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.pmod(
+                    md5_long(
+                        F.concat(
+                            F.col("p").cast("string"),
+                            F.lit("_"),
+                            F.col("d").cast("string"),
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    comps = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("d", "__e"),
+    ).select(
+        "__id",
+        "d",
+        F.floor(F.col("__e").cast("double") * scale).alias("__v"),
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy("__id", "p")
+        .agg(F.sum(F.col("__v") * F.col("sign")).alias("__dot"))
+    )
+    return dots.groupBy("__id").agg(
+        F.sum(
+            F.when(
+                F.col("__dot") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    ).select(F.col("__id").alias(id_col), "simhash")

@@ -2179,3 +2179,40 @@ def test_hamming_near_dup_pairs_validation(spark):
         dedup.hamming_near_dup_pairs(df, "h", "vid", max_distance=3, bands=3)
     with _pytest.raises(ValueError):
         dedup.hamming_near_dup_pairs(df, "h", "vid", bits=64)
+
+
+def test_embedding_simhash_angular_property(spark):
+    """Near-parallel vectors agree on almost every hyperplane side; a
+    negated vector flips every decided bit."""
+    from pr2_transformation_spark.functions import dedup, similarity
+
+    base = [(0.1 * ((i * 7) % 13) - 0.6) for i in range(16)]
+    near = [v * 1.5 for v in base]            # same direction, scaled
+    perturbed = [v + (0.001 if i == 3 else 0) for i, v in enumerate(base)]
+    neg = [-v for v in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, perturbed), (4, neg)],
+        "vec_id long, embedding array<double>",
+    )
+    sigs = {
+        r["vec_id"]: r["simhash"]
+        for r in similarity.embedding_simhash(
+            df, "embedding", "vec_id", bits=32
+        ).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # scaling preserves every sign exactly (floor-quantized magnitudes
+    # change, signs of dots cannot flip direction)
+    assert ham(sigs[1], sigs[2]) <= 2
+    assert ham(sigs[1], sigs[3]) <= 2
+    assert ham(sigs[1], sigs[4]) >= 28  # antipodal: nearly all bits flip
+
+    pairs = dedup.hamming_near_dup_pairs(
+        similarity.embedding_simhash(df, "embedding", "vec_id", bits=32),
+        "simhash",
+        "vec_id",
+        max_distance=3,
+        bits=32,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
