@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "q259_image_hamming_pairs",
     "q260_video_perceptual_dedup",
     "q261_embedding_simhash_pairs",
+    "q262_pdf_extraction",
 ]
 
 

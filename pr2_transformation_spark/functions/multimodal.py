@@ -4596,3 +4596,180 @@ def video_fingerprint(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, VIDEO_FINGERPRINT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF (ISO 32000 / PDF 1.4 subset) — the document-ingestion format every
+# training pipeline meets.  A REAL minimal writer and parser: objects,
+# xref table, page tree, Helvetica text operators, and FlateDecode
+# content streams via stdlib zlib.  No external libraries.
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(text: str) -> bytes:
+    out = []
+    for ch in text:
+        if ch in "()\\":
+            out.append("\\" + ch)
+        elif ch == "\n":
+            out.append("\\n")
+        else:
+            out.append(ch)
+    return "".join(out).encode("latin-1", "replace")
+
+
+def pdf_encode(pages: list, compress: tuple = ()) -> bytes:
+    """Write a valid single-column PDF 1.4: one Helvetica ``Tj`` text run
+    per page; pages whose index is in ``compress`` get FlateDecode
+    content streams (stdlib zlib).  Produces a correct xref table and
+    trailer, so the output opens in real viewers."""
+    import zlib
+
+    chunks = [b"%PDF-1.4\n"]
+    offsets = {}
+
+    def emit(num: int, body: bytes):
+        offsets[num] = sum(len(c) for c in chunks)
+        chunks.append(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    n = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    emit(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, text in enumerate(pages):
+        page_num, content_num = 4 + 2 * i, 5 + 2 * i
+        emit(
+            page_num,
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode(),
+        )
+        stream = (
+            b"BT /F1 12 Tf 72 720 Td (" + _pdf_escape(text) + b") Tj ET"
+        )
+        if i in compress:
+            data = zlib.compress(stream)
+            head = b"<< /Filter /FlateDecode /Length %d >>" % len(data)
+        else:
+            data = stream
+            head = b"<< /Length %d >>" % len(data)
+        emit(content_num, head + b"\nstream\n" + data + b"\nendstream")
+    xref_at = sum(len(c) for c in chunks)
+    top = 4 + 2 * n
+    lines = [b"xref\n", b"0 %d\n" % top, b"0000000000 65535 f \n"]
+    for num in range(1, top):
+        lines.append(b"%010d 00000 n \n" % offsets[num])
+    chunks.extend(lines)
+    chunks.append(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (top, xref_at)
+    )
+    return b"".join(chunks)
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out, i = [], 0
+    while i < len(raw):
+        b = raw[i : i + 1]
+        if b == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            out.append({b"n": "\n", b"r": "\r", b"t": "\t"}.get(nxt, nxt.decode("latin-1")))
+            i += 2
+        else:
+            out.append(b.decode("latin-1"))
+            i += 1
+    return "".join(out)
+
+
+def pdf_text(payload: bytes) -> list:
+    """Parse a PDF and return the text of each page in page-tree order:
+    walks ``N 0 obj``..``endobj`` objects, resolves Catalog -> Pages ->
+    Kids -> Contents, inflates FlateDecode streams (stdlib zlib), and
+    collects ``(...) Tj`` show-text operators with escape handling.
+    Raises ``ValueError`` on structural problems — corrupt documents are
+    data to quarantine, not formats to guess at."""
+    import re
+    import zlib
+
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    objects = {}
+    for m in re.finditer(rb"(\d+)\s+0\s+obj(.*?)endobj", payload, re.S):
+        num, body = int(m.group(1)), m.group(2)
+        sm = re.search(rb"stream\r?\n", body)
+        if sm:
+            head = body[: sm.start()]
+            data = body[sm.end() :]
+            em = data.rfind(b"endstream")
+            if em < 0:
+                raise ValueError("unterminated stream object")
+            lm = re.search(rb"/Length\s+(\d+)", head)
+            if lm:
+                # exact byte count from the dict: NEVER strip trailing
+                # bytes — compressed data legitimately ends in 0x0a/0x0d
+                stream = data[: int(lm.group(1))]
+            else:
+                # spec: one EOL separates data from 'endstream'
+                stream = data[:em]
+                if stream.endswith(b"\n"):
+                    stream = stream[:-1]
+                if stream.endswith(b"\r"):
+                    stream = stream[:-1]
+        else:
+            head, stream = body, None
+        objects[num] = (head, stream)
+    catalog = next(
+        (o for o in objects.values() if b"/Catalog" in o[0]), None
+    )
+    if catalog is None:
+        raise ValueError("no /Catalog object")
+    pages_ref = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog[0])
+    pages_obj = objects[int(pages_ref.group(1))]
+    kids = re.search(rb"/Kids\s*\[(.*?)\]", pages_obj[0], re.S)
+    texts = []
+    for pm in re.finditer(rb"(\d+)\s+0\s+R", kids.group(1)):
+        page = objects[int(pm.group(1))]
+        cref = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page[0])
+        head, stream = objects[int(cref.group(1))]
+        if stream is None:
+            raise ValueError("page content is not a stream object")
+        if b"/FlateDecode" in head:
+            stream = zlib.decompress(stream)
+        parts = []
+        for tm in re.finditer(rb"\(((?:\\.|[^\\()])*)\)\s*Tj", stream, re.S):
+            parts.append(_pdf_unescape(tm.group(1)))
+        texts.append("".join(parts))
+    return texts
+
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("page", IntegerType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def extract_pdf_text(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched PDF text extraction: one output row per page —
+    the ingestion front door for PDF corpora, feeding the same
+    cleaning/dedup operators as HTML and WARC text.  Narrow
+    ``mapInPandas``, no shuffle; downstream ops key by (asset, page)."""
+
+    cols = df.select(F.col(id_col).cast("string"), F.col(binary_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "page": [], "text": []}
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                for pg, text in enumerate(pdf_text(bytes(payload))):
+                    out["asset_id"].append(asset_id)
+                    out["page"].append(pg)
+                    out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, PDF_TEXT_SCHEMA)

@@ -1272,3 +1272,49 @@ def test_video_fingerprint_retiming_invariant_content_sensitive(spark):
     dec = multimodal.avi_frames(rows[0][1])
     for t in range(3):
         assert np.array_equal(dec[t], clip(7)[t])
+
+
+def test_pdf_roundtrip_and_parser_robustness(spark):
+    from pr2_transformation_spark.functions import multimodal
+
+    pages = [
+        "plain first page",
+        "second (page) with \\ escapes\nand a newline",
+        "",  # empty page stays a page
+    ]
+    pdf = multimodal.pdf_encode(pages, compress=(1,))
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    assert multimodal.pdf_text(pdf) == pages
+
+    # compressed stream whose deflate bytes end in EOL-looking bytes must
+    # survive (the /Length-exact slice, not rstrip)
+    for filler in range(300):
+        p2 = multimodal.pdf_encode([f"x{filler} " * 11], compress=(0,))
+        assert multimodal.pdf_text(p2) == [f"x{filler} " * 11]
+        if filler > 40:
+            break
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.pdf_text(b"not a pdf at all")
+    with _pytest.raises(ValueError):
+        multimodal.pdf_text(b"%PDF-1.4\nno objects here")
+
+
+def test_extract_pdf_text_spark_path(spark):
+    from pr2_transformation_spark.functions import multimodal
+
+    rows = [
+        ("d1", multimodal.pdf_encode(["alpha beta", "gamma"], compress=(0, 1))),
+        ("d2", multimodal.pdf_encode(["single"])),
+    ]
+    df = spark.createDataFrame(rows, ["asset_id", "payload"])
+    got = {
+        (r["asset_id"], r["page"]): r["text"]
+        for r in multimodal.extract_pdf_text(df, "payload", "asset_id").collect()
+    }
+    assert got == {
+        ("d1", 0): "alpha beta",
+        ("d1", 1): "gamma",
+        ("d2", 0): "single",
+    }
