@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "q260_video_perceptual_dedup",
     "q261_embedding_simhash_pairs",
     "q262_pdf_extraction",
+    "q263_webdataset_roundtrip",
 ]
 
 
