@@ -508,3 +508,56 @@ def test_foreach_batch_merge_upsert_bucket_pruned(spark, tmp_path):
     )
     assert snap.count() == 2
     assert _rows(snap.select(*ev.columns)) == _rows(expected.select(*ev.columns))
+
+
+def test_streaming_repetition_and_decontamination_gates(spark, tmp_path):
+    """Round-5 corpus-hygiene gates running PER MICRO-BATCH: each
+    arriving batch of docs is (1) repetition-profiled and gated at the
+    published MassiveText bounds, then (2) span-decontaminated against a
+    STATIC benchmark gram set (the broadcast design — the stream side
+    never shuffles against the benchmark), before landing in the sink."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.functions import dedup, textstats
+
+    src = tmp_path / "in"
+    src.mkdir()
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    clean_words = " ".join(f"w{i}" for i in range(40))
+    secret = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        {"doc_id": 1, "text": clean_words},                    # passes both
+        {"doc_id": 2, "text": "spam spam spam spam spam spam"},  # repetition
+        {
+            "doc_id": 3,  # clean repetition-wise, but carries the secret
+            "text": " ".join(f"v{i}" for i in range(20))
+            + f" {secret} "
+            + " ".join(f"u{i}" for i in range(14)),
+        },
+    ]
+    (src / "batch0.json").write_text("\n".join(json.dumps(d) for d in docs))
+
+    bench = spark.createDataFrame([(100, f"junk {secret} junk")], ["doc_id", "text"])
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+
+    def gate(batch, _bid):
+        prof = textstats.repetition_keep(textstats.repetition_profile(batch))
+        clean = batch.join(prof.filter("keep").select("doc_id"), "doc_id")
+        stats = dedup.contamination_stats(clean, bench, k=4)
+        ok = stats.filter(F.col("contaminated_fraction") <= 0.1).select("doc_id")
+        clean.join(ok, "doc_id").write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert [r["doc_id"] for r in out.collect()] == [1]
