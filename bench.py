@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "q261_embedding_simhash_pairs",
     "q262_pdf_extraction",
     "q263_webdataset_roundtrip",
+    "q264_perceptual_dedup_clusters",
 ]
 
 
