@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q262_pdf_extraction",
     "q263_webdataset_roundtrip",
     "q264_perceptual_dedup_clusters",
+    "q265_conversation_render",
 ]
 
 

@@ -775,3 +775,35 @@ def repetition_keep(
         if f"dup{n}_cover_frac" in profile.columns:
             cond = cond & (F.col(f"dup{n}_cover_frac") <= F.lit(bound))
     return profile.withColumn("keep", cond)
+
+
+def render_ordered_transcript(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    line_col: Column | str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Assemble ordered per-group transcripts — the SFT/chat-data prep
+    step that turns event or message rows into one training document per
+    conversation: ``(group_cols..., n_turns, transcript)``.
+
+    Ordering is by ``order_cols`` INSIDE the aggregation
+    (``array_sort`` over collected structs), so the result is
+    deterministic under any shuffle order without a global sort — the
+    same per-group pattern the training-shard order fingerprint uses.
+    One groupBy on the conversation key; transcript size is bounded by
+    conversation length, never partition size.
+    """
+    line = F.col(line_col) if isinstance(line_col, str) else line_col
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], line.alias("__line"))
+        )
+    )
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.concat_ws(
+            sep, F.transform(ordered, lambda s: s["__line"])
+        ).alias("transcript"),
+    )

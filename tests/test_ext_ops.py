@@ -2216,3 +2216,37 @@ def test_embedding_simhash_angular_property(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
+
+
+def test_render_ordered_transcript_deterministic(spark):
+    from pyspark.sql import functions as F
+    from pr2_transformation_spark.functions import textstats
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 3, "third"),
+            ("c1", 1, "first"),
+            ("c1", 2, "second"),
+            ("c2", 1, "only"),
+        ],
+        ["convo", "turn", "line"],
+    )
+    out = {
+        r["convo"]: (r["n_turns"], r["transcript"])
+        for r in textstats.render_ordered_transcript(
+            df, ["convo"], ["turn"], "line"
+        ).collect()
+    }
+    assert out["c1"] == (3, "first\nsecond\nthird")
+    assert out["c2"] == (1, "only")
+    # stable under a different physical row order
+    out2 = {
+        r["convo"]: r["transcript"]
+        for r in textstats.render_ordered_transcript(
+            df.repartition(7).sortWithinPartitions(F.desc("turn")),
+            ["convo"],
+            ["turn"],
+            "line",
+        ).collect()
+    }
+    assert out2["c1"] == "first\nsecond\nthird"
