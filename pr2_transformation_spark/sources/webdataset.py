@@ -126,3 +126,100 @@ def parse_webdataset_members(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, tar_col).mapInPandas(explode, MEMBER_SCHEMA)
+
+
+MEMBER_DS_SCHEMA = (
+    "shard_path string, key string, ext string, content binary"
+)
+
+try:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class WebDatasetDataSource(DataSource):
+        """Spark 4 Python DataSource for WebDataset shard directories:
+        ``spark.read.format("webdataset").load(dir)`` maps every
+        ``*.tar`` member to a row (shard_path, key, ext, content).
+        Shards are the unit of parallelism — exactly how loaders consume
+        them.  ``readStream`` turns the directory into a drop zone with
+        the same exact file-set offsets as the WARC/Avro stream readers
+        (deterministic batches -> exactly-once with idempotent sinks).
+
+        Register once per session::
+
+            spark.dataSource.register(WebDatasetDataSource)
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "webdataset"
+
+        def schema(self) -> str:
+            return MEMBER_DS_SCHEMA
+
+        def reader(self, schema):
+            return _WdsReader(self.options)
+
+        def streamReader(self, schema):
+            return _WdsStreamReader(self.options)
+
+    def _wds_listing(path: str) -> list:
+        import glob
+        import os as _os
+
+        return sorted(
+            glob.glob(_os.path.join(path, "**", "*.tar"), recursive=True)
+        )
+
+    def _wds_read(path: str):
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        for key, ext, content in parse_tar_shard(blob):
+            yield (path, key, ext, content)
+
+    class _WdsReader(DataSourceReader):
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("webdataset source requires a path: .load(dir)")
+
+        def partitions(self):
+            files = _wds_listing(self._path)
+            if not files:
+                raise ValueError(f"no .tar shards under {self._path}")
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            yield from _wds_read(partition.value)
+
+    class _WdsStreamReader(DataSourceStreamReader):
+        """Drop-zone micro-batches: offset = exact sorted file set seen
+        so far (no mtime races; replay-deterministic batches)."""
+
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("webdataset source requires a path: .load(dir)")
+
+        def initialOffset(self):
+            return {"files": []}
+
+        def latestOffset(self):
+            return {"files": _wds_listing(self._path)}
+
+        def partitions(self, start, end):
+            new = sorted(set(end["files"]) - set(start["files"]))
+            return [InputPartition(f) for f in new]
+
+        def read(self, partition):
+            yield from _wds_read(partition.value)
+
+        def commit(self, end):
+            pass  # files are the durable log
+
+except ImportError:  # pragma: no cover — pre-4.0 Spark
+    WebDatasetDataSource = None  # type: ignore[assignment]

@@ -57,3 +57,50 @@ def test_webdataset_spark_roundtrip(spark):
     assert members[("s1", "2", "cls")] == b"en"
     assert members[("s2", "3", "txt")] == b"gamma"
     assert len(members) == 6
+
+
+def test_webdataset_datasource_batch_and_stream(spark, tmp_path):
+    import pytest as _pytest
+
+    if w.WebDatasetDataSource is None:
+        _pytest.skip("pyspark.sql.datasource unavailable")
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    (shards / "s0.tar").write_bytes(
+        w.build_tar_shard([("a", {"txt": b"one"}), ("b", {"txt": b"two"})])
+    )
+    spark.dataSource.register(w.WebDatasetDataSource)
+
+    batch = spark.read.format("webdataset").load(str(shards))
+    got = {(r["key"], r["ext"]): bytes(r["content"]) for r in batch.collect()}
+    assert got == {("a", "txt"): b"one", ("b", "txt"): b"two"}
+
+    # streaming drop zone: second shard arrives mid-stream
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("webdataset")
+        .load(str(shards))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (shards / "s1.tar").write_bytes(
+            w.build_tar_shard([("c", {"txt": b"three"})])
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["key"], r["ext"]): bytes(r["content"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows == {
+        ("a", "txt"): b"one",
+        ("b", "txt"): b"two",
+        ("c", "txt"): b"three",
+    }
