@@ -47,6 +47,7 @@ __all__ = [
     "dsir_selected_ids",
     "logreg_train_hashed",
     "logreg_score_hashed",
+    "waterfill_allocations",
 ]
 
 
@@ -375,5 +376,123 @@ def logreg_score_hashed(
                     + F.exp(-(F.coalesce("__m", F.lit(0.0)) + F.col("__bias")))
                 )
             ).alias("prob"),
+        )
+    )
+
+
+def waterfill_allocations(
+    df: DataFrame,
+    budget,
+    *,
+    weight_col: str = "n_tokens",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Token-budget water-filling across domains — the corpus-assembly
+    allocator that answers "each source holds ``c_g`` tokens and the run
+    affords ``B``: how many tokens may each source contribute?".  Small
+    domains keep everything; large domains are capped at one common
+    water level ``L`` chosen so the caps exactly exhaust the budget:
+    ``Σ_g min(c_g, L) = B`` (the max-min-fair allocation — the unique
+    split that cannot raise any capped domain without lowering a smaller
+    one).  This is the budgeting half that precedes per-source trimming
+    (``q112``-style fill-then-stop enforces a cap; this op *derives* the
+    caps jointly).
+
+    ``budget`` is either an absolute token count (int) or a fraction of
+    the total corpus tokens (float in (0, 1)), resolved with a scalar
+    aggregate — never a driver collect.
+
+    Closed form: sort the ``n`` group counts ascending ``c_1 ≤ … ≤ c_n``
+    with running sums ``S_i``; the largest ``i*`` with
+    ``S_i + c_i·(n - i) ≤ B`` marks the groups that keep everything, and
+    ``L = (B - S_{i*}) / (n - i*)`` levels the rest (``i* = n`` ⇒ the
+    budget covers the corpus; ``L`` is unbounded and every group keeps
+    all).  Integer allocations take ``floor``, so ``Σ alloc ≤ B`` with
+    slack < ``n``.
+
+    Distributed shape: the ONLY wide exchange is the per-group weight
+    aggregate over the corpus (map-side partial sums).  Everything after
+    runs on the tiny group table — two single-partition window passes
+    and a broadcast of one scalar row — so the plan is identical at
+    sf0.001 and at 100 TB, where "tiny" still means
+    O(distinct domains) ≪ executor memory.
+
+    Returns one row per group: ``(*group_cols, tokens, alloc, level,
+    kept_frac)`` where ``level`` is ``round(L, 4)`` (NULL when
+    unbounded) and ``kept_frac = round(alloc / tokens, 4)``.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("waterfill_allocations needs at least one group col")
+    counts = df.groupBy(*gcols).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("tokens")
+    )
+    if isinstance(budget, float):
+        if not 0.0 < budget < 1.0:
+            raise ValueError("fractional budget must be in (0, 1)")
+        budget_expr = F.floor(F.col("__total") * F.lit(budget)).cast("long")
+    elif isinstance(budget, int) and not isinstance(budget, bool):
+        if budget < 0:
+            raise ValueError("budget must be >= 0")
+        budget_expr = F.lit(budget).cast("long")
+    else:
+        raise TypeError("budget must be an int (tokens) or float (fraction)")
+
+    scalar = F.broadcast(
+        counts.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("tokens").alias("__total"),
+        ).select("__n", "__total", budget_expr.alias("__budget"))
+    )
+    order = [F.col("tokens")] + [F.col(c) for c in gcols]
+    w_rank = Window.orderBy(*order)
+    ranked = (
+        counts.crossJoin(scalar)
+        .withColumn("__i", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "__s",
+            F.sum("tokens").over(
+                w_rank.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    feas = F.broadcast(
+        ranked.filter(
+            F.col("__s") + F.col("tokens") * (F.col("__n") - F.col("__i"))
+            <= F.col("__budget")
+        ).agg(
+            F.max("__i").alias("__i_star"),
+            F.max_by("__s", "__i").alias("__s_star"),
+        )
+    )
+    lvl = F.when(
+        F.col("__i_star") < F.col("__n"),
+        (F.col("__budget") - F.col("__s_star"))
+        / (F.col("__n") - F.col("__i_star")).cast("double"),
+    )
+    # NB: lvl is NULL when i* = n (budget covers the corpus) — keep that
+    # branch explicit: Spark's greatest() SKIPS nulls, so
+    # greatest(floor(NULL), 0) would silently collapse to 0, not NULL.
+    alloc = F.when(lvl.isNull(), F.col("tokens")).otherwise(
+        F.least(
+            F.col("tokens"), F.greatest(F.floor(lvl), F.lit(0)).cast("long")
+        )
+    )
+    return (
+        ranked.crossJoin(feas)
+        .withColumn("__i_star", F.coalesce("__i_star", F.lit(0)))
+        .withColumn("__s_star", F.coalesce("__s_star", F.lit(0)))
+        .select(
+            *gcols,
+            F.col("tokens"),
+            alloc.alias("alloc"),
+            F.round(lvl, 4).alias("level"),
+            F.round(
+                alloc.cast("double")
+                / F.greatest(F.col("tokens"), F.lit(1)).cast("double"),
+                4,
+            ).alias("kept_frac"),
         )
     )

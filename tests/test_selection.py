@@ -190,3 +190,75 @@ def test_logreg_score_empty_doc_gets_bias(spark):
     # doc 2 has no bigram features -> scores sigmoid(bias)
     assert scored[2]["n_feats"] == 0
     assert abs(scored[2]["prob"] - 1 / (1 + math.exp(-bias))) < 1e-12
+
+
+def _wf(spark, rows):
+    return spark.createDataFrame(rows, "source string, n_tokens long")
+
+
+def test_waterfill_exact_level_and_allocations(spark):
+    df = _wf(spark, [("a", 100), ("b", 300), ("c", 1000), ("d", 50)])
+    # ascending d=50,a=100,b=300,c=1000; budget 800 -> i*=3, L=(800-450)/1=350
+    out = {
+        r["source"]: r
+        for r in sel.waterfill_allocations(df, 800).collect()
+    }
+    assert out["d"]["alloc"] == 50 and out["a"]["alloc"] == 100
+    assert out["b"]["alloc"] == 300 and out["c"]["alloc"] == 350
+    assert out["c"]["level"] == 350.0 and out["c"]["kept_frac"] == 0.35
+    assert sum(r["alloc"] for r in out.values()) == 800
+
+
+def test_waterfill_fractional_level_floors(spark):
+    df = _wf(spark, [("a", 100), ("b", 300), ("c", 1000), ("d", 50)])
+    # budget 725 -> i*=2 (S=150), L=(725-150)/2=287.5; b,c floor to 287
+    out = {
+        r["source"]: r
+        for r in sel.waterfill_allocations(df, 725).collect()
+    }
+    assert out["b"]["alloc"] == 287 and out["c"]["alloc"] == 287
+    assert out["b"]["level"] == 287.5
+    assert sum(r["alloc"] for r in out.values()) <= 725
+
+
+def test_waterfill_budget_covers_corpus(spark):
+    df = _wf(spark, [("a", 100), ("b", 300)])
+    out = {
+        r["source"]: r
+        for r in sel.waterfill_allocations(df, 2000).collect()
+    }
+    # level unbounded -> NULL; Spark greatest() skips nulls, so this
+    # pins the explicit NULL branch (alloc == tokens, not 0)
+    assert out["a"]["alloc"] == 100 and out["b"]["alloc"] == 300
+    assert out["a"]["level"] is None
+    assert all(r["kept_frac"] == 1.0 for r in out.values())
+
+
+def test_waterfill_zero_budget_and_fraction_mode(spark):
+    df = _wf(spark, [("a", 100), ("b", 300), ("c", 1000), ("d", 50)])
+    out = sel.waterfill_allocations(df, 0).collect()
+    assert all(r["alloc"] == 0 for r in out)
+    # fraction 0.5 of total 1450 -> budget 725: same result as absolute
+    frac = {
+        r["source"]: r["alloc"]
+        for r in sel.waterfill_allocations(df, 0.5).collect()
+    }
+    absr = {
+        r["source"]: r["alloc"]
+        for r in sel.waterfill_allocations(df, 725).collect()
+    }
+    assert frac == absr
+
+
+def test_waterfill_validation(spark):
+    import pytest
+
+    df = _wf(spark, [("a", 100)])
+    with pytest.raises(ValueError):
+        sel.waterfill_allocations(df, 1.5)
+    with pytest.raises(ValueError):
+        sel.waterfill_allocations(df, -1)
+    with pytest.raises(TypeError):
+        sel.waterfill_allocations(df, "many")
+    with pytest.raises(ValueError):
+        sel.waterfill_allocations(df, 10, group_cols=())
