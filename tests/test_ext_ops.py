@@ -2250,3 +2250,36 @@ def test_render_ordered_transcript_deterministic(spark):
         ).collect()
     }
     assert out2["c1"] == "first\nsecond\nthird"
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    from pr2_transformation_spark.functions import dedup
+    from pr2_transformation_spark.operators.graph import dedup_clusters
+    from pr2_transformation_spark.operators.sampling import assign_splits
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s"),
+        (2, "alpha beta gamma delta epsilon eta", "en", "s"),  # near-dup of 1
+        (3, "alpha beta gamma delta epsilon theta", "en", "s"),  # near-dup of 2
+        (4, "one two three four five six", "en", "s"),
+        (5, "completely different words here now indeed", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=2, min_jaccard=0.5,
+        bucket_cols=["lang", "source"],
+    )
+    clustered = dedup_clusters(pairs, docs, "doc_id", "id_a", "id_b")
+    out = assign_splits(
+        clustered, "cluster", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    # 1-2-3 are one transitive cluster: same representative, same split
+    assert by_id[1]["cluster"] == by_id[2]["cluster"] == by_id[3]["cluster"] == 1
+    assert by_id[1]["split"] == by_id[2]["split"] == by_id[3]["split"]
+    # singletons are their own cluster
+    assert by_id[4]["cluster"] == 4 and by_id[5]["cluster"] == 5
+    # every split name is one of the three
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
