@@ -1219,3 +1219,65 @@ def embedding_simhash(
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     ).select(F.col("__id").alias(id_col), "simhash")
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the transfer format that
+    ships a 100 TB embedding corpus at 1/4 the bytes of float32 (plus
+    one float scale per vector) while keeping dot-product ranking intact
+    to ~0.4% relative error: ``scale = max|x| / 127``,
+    ``code_i = round(x_i / scale)`` clamped to [-127, 127] (the clamp is
+    belt-and-braces: |x_i| <= max|x| makes |x_i/scale| <= 127 already).
+    Dequantization error is bounded by ``scale/2`` per component — the
+    ``rel_err`` audit column reports the observed max as a fraction of
+    ``scale`` (<= 0.5 by construction, NULL-safe for all-zero vectors).
+
+    Engine-portable by construction: float32 components cast exactly to
+    double, and max / divide / round(half-away-from-zero) are the same
+    IEEE ops in Spark and DuckDB, so the oracle replays code arrays
+    bit-for-bit.  Pure narrow projection — no shuffle, no UDF; at any
+    scale this fuses into the scan.
+
+    Returns ``(id_col, n_dims, scale, codes, rel_err)`` with ``codes``
+    an ``array<int>`` in [-127, 127].
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xd, F.abs))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    codes = F.when(
+        mx == 0.0, F.transform(xd, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            xd,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / (mx / F.lit(127.0))).cast("int")),
+            ),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(xd).alias("n_dims"),
+        scale,
+        codes.alias("codes"),
+        xd.alias("__x"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            "codes",
+            "__x",
+            lambda c, x: F.abs(c.cast("double") * F.col("scale") - x),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_dims",
+        "scale",
+        "codes",
+        F.when(F.col("scale") > 0.0, err / F.col("scale")).alias("rel_err"),
+    )

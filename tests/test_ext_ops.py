@@ -2283,3 +2283,60 @@ def test_leakage_free_split_keeps_clusters_together(spark):
     assert by_id[4]["cluster"] == 4 and by_id[5]["cluster"] == 5
     # every split name is one of the three
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_int8_quantization_exact_codes_and_bounds(spark):
+    from pr2_transformation_spark.functions.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # all-zero vector: scale 0, NULL rel_err
+            (3, [1.0]),
+            (4, [-2.0, 1.0, 0.5, -0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert rows[1]["codes"] == [127, -64, 0]  # -63.5 rounds away from zero
+    assert rows[2]["codes"] == [0, 0, 0]
+    assert rows[2]["scale"] == 0.0 and rows[2]["rel_err"] is None
+    assert rows[3]["codes"] == [127] and rows[3]["rel_err"] == 0.0
+    assert rows[4]["codes"] == [-127, 64, 32, -32]
+    # error bound: observed max dequant error <= scale/2 (rel_err <= 0.5)
+    for r in rows.values():
+        if r["rel_err"] is not None:
+            assert 0.0 <= r["rel_err"] <= 0.5 + 1e-12
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        assert r["n_dims"] == len(r["codes"])
+
+
+def test_int8_quantization_preserves_cosine_ranking(spark):
+    import numpy as np
+
+    from pr2_transformation_spark.functions.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantize_embeddings_int8(df).collect()
+    byid = {r["vec_id"]: r for r in rows}
+    qv = np.array(
+        [np.array(byid[i]["codes"]) * byid[i]["scale"] for i in range(20)]
+    )
+    ref = vecs[0]
+
+    def cos(m, v):
+        return (m @ v) / (np.linalg.norm(m, axis=1) * np.linalg.norm(v))
+
+    exact = np.argsort(-cos(vecs[1:], ref))
+    approx = np.argsort(-cos(qv[1:], qv[0]))
+    # top-5 neighbors by dequantized cosine match the exact top-5 set
+    assert set(exact[:5]) == set(approx[:5])
