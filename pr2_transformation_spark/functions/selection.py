@@ -48,6 +48,7 @@ __all__ = [
     "logreg_train_hashed",
     "logreg_score_hashed",
     "waterfill_allocations",
+    "preference_pairs",
 ]
 
 
@@ -495,4 +496,94 @@ def waterfill_allocations(
                 4,
             ).alias("kept_frac"),
         )
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    min_margin: float = 0.0,
+    max_jaccard: float = 1.0,
+    n: int = 2,
+) -> DataFrame:
+    """Preference-pair assembly — the DPO/RLHF data-prep step that turns
+    scored candidates into one (chosen, rejected) training pair per
+    prompt group: chosen = highest score, rejected = lowest (ties broken
+    by id, so the election is deterministic under any shuffle order).
+    A pair is ``kept`` only if it is *informative*: the score margin
+    reaches ``min_margin`` (no near-tie pairs, which teach nothing) AND
+    the two texts' distinct word-``n``-gram Jaccard stays at or below
+    ``max_jaccard`` (a paraphrase of the chosen answer labelled
+    "rejected" is a contradictory gradient — the classic silent failure
+    of naive pair mining).  Groups with a single candidate are dropped.
+
+    Distributed shape: one shuffle on the group key serves both rank
+    windows; the chosen/rejected frames are one row per group, so the
+    assembly join runs at prompt-group cardinality, never corpus
+    cardinality, and the n-gram arrays ride along as columns (no second
+    scan, no explode).
+
+    Returns ``(*group_cols, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, pair_jaccard, kept)``.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("preference_pairs needs at least one group col")
+    base = df.select(
+        *gcols, F.col(id_col), F.col(text_col), F.col(score_col)
+    )
+    w_best = Window.partitionBy(*gcols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    w_worst = Window.partitionBy(*gcols).orderBy(
+        F.col(score_col).asc(), F.col(id_col)
+    )
+    grams = F.array_distinct(
+        shingles_from_tokens(tokens(F.lower(F.col(text_col))), n)
+    )
+    chosen = (
+        base.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *gcols,
+            F.col(id_col).alias("chosen_id"),
+            F.col(score_col).alias("chosen_score"),
+            grams.alias("__cg"),
+        )
+    )
+    rejected = (
+        base.withColumn("__rn", F.row_number().over(w_worst))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *gcols,
+            F.col(id_col).alias("rejected_id"),
+            F.col(score_col).alias("rejected_score"),
+            grams.alias("__rg"),
+        )
+    )
+    pair = chosen.join(rejected, gcols).filter(
+        F.col("chosen_id") != F.col("rejected_id")
+    )
+    inter = F.size(F.array_intersect("__cg", "__rg"))
+    union = F.size("__cg") + F.size("__rg") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 4)
+    margin = F.col("chosen_score") - F.col("rejected_score")
+    return pair.select(
+        *gcols,
+        "chosen_id",
+        "rejected_id",
+        "chosen_score",
+        "rejected_score",
+        margin.alias("margin"),
+        jac.alias("pair_jaccard"),
+        (
+            (margin >= F.lit(float(min_margin)))
+            & (jac <= F.lit(float(max_jaccard)))
+        ).alias("kept"),
     )

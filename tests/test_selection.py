@@ -262,3 +262,47 @@ def test_waterfill_validation(spark):
         sel.waterfill_allocations(df, "many")
     with pytest.raises(ValueError):
         sel.waterfill_allocations(df, 10, group_cols=())
+
+
+def test_preference_pairs_election_margin_and_near_dup_gate(spark):
+    rows = [
+        ("g1", 1, "the quick brown fox jumps over the lazy dog", 0.9),
+        ("g1", 2, "bad short", 0.2),
+        ("g1", 3, "middle quality text here", 0.5),
+        ("g2", 4, "the quick brown fox jumps over the lazy dog", 0.8),
+        ("g2", 5, "the quick brown fox jumps over a lazy dog", 0.75),
+        ("g3", 6, "only one doc", 0.4),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, doc_id long, text string, score double"
+    )
+    out = {
+        r["grp"]: r
+        for r in sel.preference_pairs(
+            df, group_cols=("grp",), min_margin=0.3, max_jaccard=0.5
+        ).collect()
+    }
+    # g1: clear margin, dissimilar texts -> kept
+    assert out["g1"]["chosen_id"] == 1 and out["g1"]["rejected_id"] == 2
+    assert out["g1"]["kept"] and out["g1"]["pair_jaccard"] == 0.0
+    # g2: tiny margin AND a paraphrase pair -> assembled but NOT kept
+    assert out["g2"]["chosen_id"] == 4 and out["g2"]["rejected_id"] == 5
+    assert not out["g2"]["kept"] and out["g2"]["pair_jaccard"] > 0.5
+    # singleton prompt groups are dropped entirely
+    assert "g3" not in out
+
+
+def test_preference_pairs_deterministic_tie_break(spark):
+    rows = [
+        ("g", 10, "aa bb cc", 0.5),
+        ("g", 11, "dd ee ff", 0.5),
+        ("g", 12, "gg hh ii", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, doc_id long, text string, score double"
+    )
+    out = sel.preference_pairs(df, group_cols=("grp",)).collect()
+    # with every score tied, the asc-id tie-break elects doc 10 as BOTH
+    # chosen and rejected, so the pair collapses and the group drops —
+    # correct, since an all-tie group has margin 0 and teaches nothing
+    assert out == []
