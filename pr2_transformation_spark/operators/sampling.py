@@ -189,3 +189,55 @@ def assign_training_shards(
         .withColumn("position", F.row_number().over(w) - 1)
         .drop("__h")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str,
+    id_col: str,
+    *,
+    n_stages: int = 5,
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Curriculum layout for staged training: documents are banded into
+    ``n_stages`` difficulty stages (``stage = floor(clamp01(d) *
+    n_stages)``, top of the range capped into the last stage) and given
+    a deterministic pseudo-random position WITHIN their stage
+    (``hash(id#seed)`` rank, id tie-break) — easy-first epoch order
+    that is reproducible run-to-run, reshuffles globally on a seed
+    change, and never global-sorts: fixed difficulty bands replace the
+    ``ntile`` quantile window a naive version would use, because a
+    global quantile rank is a total sort at 100 TB while banding is a
+    scan-side projection.  The only exchange is the per-stage position
+    window, the same shuffle any per-stage ordering needs.
+
+    ``hasher="md5"`` is the engine-portable graded mode (see
+    :func:`assign_training_shards`).  Returns the input plus ``stage``
+    (int) and ``position`` (0-based within stage).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.dedup import md5_long
+
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    if hasher == "md5":
+        h = md5_long(keyed)
+    elif hasher == "xxhash64":
+        h = F.xxhash64(keyed)
+    else:
+        raise ValueError("hasher must be 'xxhash64' or 'md5'")
+    d = F.least(F.greatest(F.col(difficulty_col), F.lit(0.0)), F.lit(1.0))
+    stage = F.least(
+        F.floor(d * F.lit(float(n_stages))).cast("int"),
+        F.lit(n_stages - 1),
+    )
+    w = Window.partitionBy("stage").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("stage", stage)
+        .withColumn("position", F.row_number().over(w) - 1)
+        .drop("__h")
+    )

@@ -2340,3 +2340,50 @@ def test_int8_quantization_preserves_cosine_ranking(spark):
     approx = np.argsort(-cos(qv[1:], qv[0]))
     # top-5 neighbors by dequantized cosine match the exact top-5 set
     assert set(exact[:5]) == set(approx[:5])
+
+
+def test_curriculum_order_properties(spark):
+    """Curriculum layout: stage banding is the fixed floor(d*n) rule with
+    the top of the range capped into the last stage and out-of-range
+    difficulties clamped; positions are a dense 0..n-1 permutation within
+    every stage; the layout is run-stable, seed-sensitive, and both hasher
+    modes honor the same contract."""
+    import pytest
+
+    from pr2_transformation_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)] + [(100, -0.5), (101, 2.0)],
+        ["doc_id", "difficulty"],
+    )
+    out = curriculum_order(df, "difficulty", "doc_id", n_stages=4, seed=3)
+    rows = out.collect()
+    stages = {r.doc_id: r.stage for r in rows}
+    # fixed banding: d in [0, .25) -> 0 ... [.75, 1) -> 3, d == 1 capped to 3
+    assert stages[0] == 0 and stages[24] == 0
+    assert stages[25] == 1 and stages[74] == 2
+    assert stages[75] == 3 and stages[99] == 3
+    # clamping: below-range -> stage 0, above-range -> last stage
+    assert stages[100] == 0 and stages[101] == 3
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r.position)
+    assert set(by_stage) == {0, 1, 2, 3}
+    for positions in by_stage.values():
+        assert sorted(positions) == list(range(len(positions)))
+    again = curriculum_order(
+        df, "difficulty", "doc_id", n_stages=4, seed=3
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    reseed = curriculum_order(
+        df, "difficulty", "doc_id", n_stages=4, seed=4
+    ).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, reseed))
+    md = curriculum_order(
+        df, "difficulty", "doc_id", n_stages=4, seed=3, hasher="md5"
+    ).collect()
+    assert {r.doc_id: r.stage for r in md} == stages  # stages hash-free
+    with pytest.raises(ValueError):
+        curriculum_order(df, "difficulty", "doc_id", n_stages=0)
+    with pytest.raises(ValueError):
+        curriculum_order(df, "difficulty", "doc_id", hasher="sha1")
