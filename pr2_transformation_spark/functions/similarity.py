@@ -1281,3 +1281,107 @@ def quantize_embeddings_int8(
         "codes",
         F.when(F.col("scale") > 0.0, err / F.col("scale")).alias("rel_err"),
     )
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_iters: int = 4,
+    seed: int = 0,
+) -> dict:
+    """Leading principal component of an embedding corpus by distributed
+    power iteration (Golub & Van Loan §7.3) — the whitening/denoising
+    primitive an embedding pipeline wants before clustering or
+    visualizing 100 TB of vectors, without ever materializing the d×d
+    covariance: each step is ONE map-side-combinable aggregation of d
+    running sums (``w_j = Σ_i (x_ij − μ_j)·t_i`` with
+    ``t_i = (x_i − μ)·v``), so the driver holds only d doubles per round
+    and the cluster does n_iters + 2 scans over a cached frame.
+
+    Determinism is total: the start vector is ±1/√d signs from the
+    parity of the portable 60-bit md5 hash of ``"pca#{seed}#{j}"`` (any
+    engine replays it), and the covariance being PSD means iteration can
+    never flip sign relative to that init — so two engines starting from
+    the same v0 converge to bitwise-comparable components with no sign
+    canonicalization step.
+
+    Returns a plain dict (driver-side, d-sized):
+    ``{"n_rows", "mean": [d], "component": [d] (unit-norm),
+    "eigenvalue", "explained_ratio"}`` — eigenvalue is the Rayleigh
+    quotient at the FINAL vector and explained_ratio divides by total
+    centered variance, both from one extra pass."""
+    import hashlib
+
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    x = df.select(F.col(vec_col).cast("array<double>").alias("x"))
+    d = x.select(F.size("x")).first()[0]
+    x = x.persist()
+    try:
+        mu_row = x.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(F.col("x")[j]).alias(f"m{j}") for j in range(d)],
+        ).first()
+        n_rows = mu_row[0]
+        mu = [float(m) for m in mu_row[1:]]
+        inv_sqrt_d = 1.0 / math.sqrt(d)
+        v = [
+            inv_sqrt_d
+            if int(
+                hashlib.md5(f"pca#{seed}#{j}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -inv_sqrt_d
+            for j in range(d)
+        ]
+
+        def centered_dot(vec):
+            return F.aggregate(
+                F.zip_with(
+                    "x",
+                    F.array(*[F.lit(c) for c in vec]),
+                    lambda xi, vi: xi * vi,
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ) - F.lit(sum(m * c for m, c in zip(mu, vec)))
+
+        for _ in range(n_iters):
+            ti = x.select("x", centered_dot(v).alias("t"))
+            row = ti.agg(
+                *[
+                    F.sum((F.col("x")[j] - F.lit(mu[j])) * F.col("t")).alias(
+                        f"w{j}"
+                    )
+                    for j in range(d)
+                ]
+            ).first()
+            w = [float(c) for c in row]
+            nrm = math.sqrt(sum(c * c for c in w))
+            v = [c / nrm for c in w]
+
+        fin = x.select(
+            centered_dot(v).alias("t"),
+            F.aggregate(
+                F.zip_with(
+                    "x",
+                    F.array(*[F.lit(m) for m in mu]),
+                    lambda xi, mi: (xi - mi) * (xi - mi),
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ).alias("sq"),
+        ).agg(F.sum(F.col("t") * F.col("t")).alias("tt"), F.sum("sq").alias("ss")).first()
+        eigenvalue = float(fin["tt"]) / n_rows
+        total_var = float(fin["ss"]) / n_rows
+    finally:
+        x.unpersist()
+    return {
+        "n_rows": n_rows,
+        "mean": mu,
+        "component": v,
+        "eigenvalue": eigenvalue,
+        "explained_ratio": eigenvalue / total_var if total_var > 0 else 0.0,
+    }

@@ -2387,3 +2387,39 @@ def test_curriculum_order_properties(spark):
         curriculum_order(df, "difficulty", "doc_id", n_stages=0)
     with pytest.raises(ValueError):
         curriculum_order(df, "difficulty", "doc_id", hasher="sha1")
+
+
+def test_power_iteration_pca_matches_numpy(spark):
+    """Power iteration converges to numpy's exact leading eigenvector of
+    the covariance (PSD ⇒ no sign flip vs the deterministic init ⇒ compare
+    up to the converged sign), with the Rayleigh-quotient eigenvalue and
+    explained ratio matching eigh; run-to-run deterministic."""
+    import numpy as np
+
+    from pr2_transformation_spark.functions.similarity import power_iteration_pca
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: one dominant direction, clear eigengap
+    base = rng.normal(size=(300, 8))
+    base[:, 0] *= 6.0
+    base[:, 1] *= 2.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    got = power_iteration_pca(df, n_iters=12, seed=3)
+    x = np.asarray(
+        df.select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64
+    )
+    c = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(c)
+    v_np, lam_np = vecs[:, -1], vals[-1]
+    v = np.array(got["component"])
+    assert abs(abs(float(v @ v_np)) - 1.0) < 1e-6
+    assert abs(got["eigenvalue"] - lam_np) / lam_np < 1e-6
+    assert abs(got["explained_ratio"] - lam_np / vals.sum()) < 1e-6
+    assert np.allclose(got["mean"], x.mean(axis=0), atol=1e-9)
+    again = power_iteration_pca(df, n_iters=12, seed=3)
+    assert got["component"] == again["component"]
+    with __import__("pytest").raises(ValueError):
+        power_iteration_pca(df, n_iters=0)
