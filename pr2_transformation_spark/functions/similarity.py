@@ -1385,3 +1385,53 @@ def power_iteration_pca(
         "eigenvalue": eigenvalue,
         "explained_ratio": eigenvalue / total_var if total_var > 0 else 0.0,
     }
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003):
+    ``y_k = (Σ_j x_j · s_jk) / √out_dim`` with ``s_jk ∈ {±1}`` drawn from
+    the parity of the portable 60-bit md5 hash of ``"rp#{seed}#{k}#{j}"``
+    — any engine regenerates the exact matrix from the seed, nothing is
+    stored or broadcast.  The d×k sign matrix is built driver-side
+    (d·k booleans) and inlined as array literals, so the projection is a
+    pure narrow JVM projection that fuses into the scan: zero shuffles,
+    zero UDFs, and at 100 TB it runs at scan speed with k·d
+    multiply-adds per row.  Returns the input plus ``proj``
+    (array<double>, length ``out_dim``); JL guarantees pairwise
+    euclidean distances distort by at most 1±ε with
+    ε ≈ √(8·ln n / out_dim)."""
+    import hashlib
+
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    x = F.col(vec_col).cast("array<double>")
+    d = df.select(F.size(x)).first()[0]
+    inv = 1.0 / math.sqrt(out_dim)
+
+    def sign(k, j):
+        h = hashlib.md5(f"rp#{seed}#{k}#{j}".encode()).hexdigest()[:15]
+        return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    x,
+                    F.array(*[F.lit(sign(k, j)) for j in range(d)]),
+                    lambda xi, si: xi * si,
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+            * F.lit(inv)
+        )
+        for k in range(out_dim)
+    ]
+    return df.withColumn("proj", F.array(*comps))

@@ -2423,3 +2423,48 @@ def test_power_iteration_pca_matches_numpy(spark):
     assert got["component"] == again["component"]
     with __import__("pytest").raises(ValueError):
         power_iteration_pca(df, n_iters=0)
+
+
+def test_random_projection_jl_properties(spark):
+    """JL sign projection: linearity (projection of a sum = sum of
+    projections), scale equivariance, deterministic across runs,
+    seed-sensitive, and distance-preserving on average (mean squared
+    projected distance ≈ mean squared original distance — the E[·]
+    identity that holds exactly for ±1/√k matrices)."""
+    import numpy as np
+
+    from pr2_transformation_spark.functions.similarity import random_projection
+
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(120, 32))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.proj for r in random_projection(df, out_dim=12, seed=9).collect()}
+    again = {
+        r.vec_id: r.proj for r in random_projection(df, out_dim=12, seed=9).collect()
+    }
+    assert out == again
+    other = {
+        r.vec_id: r.proj for r in random_projection(df, out_dim=12, seed=10).collect()
+    }
+    assert out != other
+    p = np.array([out[i] for i in range(120)])
+    x = np.asarray(
+        df.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    # linearity: P(x0 + x1) == P(x0) + P(x1) via a synthetic summed row
+    df2 = spark.createDataFrame(
+        [(0, [float(a + b) for a, b in zip(pts[0], pts[1])])],
+        "vec_id long, embedding array<float>",
+    )
+    summed = random_projection(df2, out_dim=12, seed=9).collect()[0].proj
+    assert np.allclose(summed, p[0] + p[1], atol=1e-9)
+    # unbiased distance preservation in expectation over many pairs
+    do = ((x[:60] - x[60:]) ** 2).sum(axis=1)
+    dp = ((p[:60] - p[60:]) ** 2).sum(axis=1)
+    assert abs(dp.mean() / do.mean() - 1.0) < 0.25
+    with __import__("pytest").raises(ValueError):
+        random_projection(df, out_dim=0)
