@@ -94,3 +94,64 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    group_cols: list[str],
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Per-group Cohen's kappa (Cohen 1960) — chance-corrected
+    inter-annotator agreement, the QA gate for labeled / preference data
+    before it trains a reward model: ``κ = (p_o − p_e) / (1 − p_e)``
+    with observed agreement ``p_o`` and chance agreement ``p_e`` from
+    the raters' marginal label distributions.
+
+    Three aggregations keyed by (group[, label]) — each map-side
+    combinable, no all-pairs anything, so group count bounds every
+    shuffle regardless of corpus size.  Returns one row per group:
+    ``n, po, pe, kappa`` (kappa NULL when ``p_e = 1``: a constant-label
+    group has no chance-corrected signal).  All ratios derive from
+    integer counts, so any engine reproduces them bit-for-bit."""
+    g = list(group_cols)
+    base = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col(rater_a) == F.col(rater_b), 1).otherwise(0)
+        ).alias("__agree"),
+    )
+    ma = df.groupBy(*g, F.col(rater_a).alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    mb = df.groupBy(*g, F.col(rater_b).alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    pe_num = (
+        ma.join(mb, g + ["__lab"])
+        .groupBy(*g)
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__pe_num"))
+    )
+    po = F.col("__agree") / F.col("n")
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0)) / (F.col("n") * F.col("n"))
+    return (
+        base.join(pe_num, g, "left")
+        .select(
+            *g,
+            "n",
+            po.alias("__po"),
+            pe.alias("__pe"),
+        )
+        .select(
+            *g,
+            "n",
+            F.round("__po", 4).alias("po"),
+            F.round("__pe", 4).alias("pe"),
+            F.when(
+                F.col("__pe") < 1.0,
+                F.round(
+                    (F.col("__po") - F.col("__pe")) / (1.0 - F.col("__pe")), 4
+                ),
+            ).alias("kappa"),
+        )
+    )

@@ -2468,3 +2468,27 @@ def test_random_projection_jl_properties(spark):
     assert abs(dp.mean() / do.mean() - 1.0) < 0.25
     with __import__("pytest").raises(ValueError):
         random_projection(df, out_dim=0)
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """Kappa against hand-computed textbook values: a perfect-agreement
+    group (κ=1), a known mixed 2x2 table, and a constant-label group
+    where p_e = 1 yields NULL."""
+    from pr2_transformation_spark.functions.scoring import cohens_kappa
+
+    rows = (
+        # g1: classic 2x2 — 20 items: a=yes/b=yes 10, yes/no 2, no/yes 4, no/no 4
+        [("g1", 1, 1)] * 10 + [("g1", 1, 0)] * 2 + [("g1", 0, 1)] * 4 + [("g1", 0, 0)] * 4
+        # g2: perfect agreement over two labels
+        + [("g2", 0, 0)] * 3 + [("g2", 1, 1)] * 5
+        # g3: both raters constant -> pe = 1 -> kappa NULL
+        + [("g3", 2, 2)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, rater_a int, rater_b int")
+    out = {r.grp: r for r in cohens_kappa(df, ["grp"], "rater_a", "rater_b").collect()}
+    # g1: po = 14/20 = .7; pe = (12*14 + 8*6)/400 = 216/400 = .54
+    # kappa = (.7-.54)/.46 = 0.3478
+    assert out["g1"].po == 0.7 and out["g1"].pe == 0.54
+    assert out["g1"].kappa == 0.3478
+    assert out["g2"].kappa == 1.0
+    assert out["g3"].po == 1.0 and out["g3"].kappa is None
