@@ -365,3 +365,40 @@ def data_contract(df: DataFrame, checks: list[dict]) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    ks: tuple = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier set — the
+    privacy-governance gate before a table leaves the trust boundary: a
+    row is k-anonymous iff its quasi-identifier equivalence class holds
+    at least k rows, so re-identification by linking on those columns
+    narrows to >= k candidates.
+
+    One groupBy on the quasi-identifier tuple (the class census), then a
+    scalar roll-up per requested k — both map-side combinable, total
+    shuffle bounded by the class count, never the row count.  Returns one
+    row per k: classes and rows below the threshold, the at-risk row
+    fraction, and the minimum class size observed (the table's actual
+    anonymity level).  All integer counts: engine-exact everywhere."""
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__sz"))
+    # one class census, then all thresholds in ONE pass: explode the k
+    # list over the (small) class frame instead of re-scanning per k
+    fanned = classes.select(
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"), "__sz"
+    )
+    risky = F.sum(F.when(F.col("__sz") < F.col("k"), F.col("__sz")))
+    return fanned.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(
+            F.when(F.col("__sz") < F.col("k"), 1).otherwise(0)
+        ).alias("risky_classes"),
+        F.coalesce(risky, F.lit(0)).alias("risky_rows"),
+        F.round(F.coalesce(risky, F.lit(0)) / F.sum("__sz"), 4).alias(
+            "risky_frac"
+        ),
+        F.min("__sz").alias("min_class_size"),
+    )

@@ -2492,3 +2492,24 @@ def test_cohens_kappa_hand_computed(spark):
     assert out["g1"].kappa == 0.3478
     assert out["g2"].kappa == 1.0
     assert out["g3"].po == 1.0 and out["g3"].kappa is None
+
+
+def test_k_anonymity_hand_computed(spark):
+    """k-anonymity census on a hand-built table: classes of size 1, 2, and
+    5 give known risky counts per threshold, and min_class_size reports
+    the table's true anonymity level."""
+    from pr2_transformation_spark.profiling import k_anonymity_report
+
+    rows = (
+        [("us", "a")] * 5 + [("us", "b")] * 2 + [("de", "a")] * 1
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    out = {
+        r.k: r for r in k_anonymity_report(df, ["country", "seg"], ks=(2, 3, 6)).collect()
+    }
+    assert out[2].n_classes == 3 and out[2].min_class_size == 1
+    assert out[2].risky_classes == 1 and out[2].risky_rows == 1
+    assert out[2].risky_frac == 0.125  # 1 / 8
+    assert out[3].risky_classes == 2 and out[3].risky_rows == 3
+    assert out[6].risky_classes == 3 and out[6].risky_rows == 8
+    assert out[6].risky_frac == 1.0
