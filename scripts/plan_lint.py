@@ -75,6 +75,7 @@ CARTESIAN_ALLOWED = {
     "q234_mann_whitney": "two-sample total scalars (1 row) ride a broadcast cross",
     "q243_portable_hll_rolling": "dense 30x256 register grid cross + the <=31-row day dim range-joining the exact verification side",
     "q266_waterfill_budget": "n/budget scalar and i*/S* frontier scalar (1 row each) ride broadcast crosses over the ~100-row domain table",
+    "q276_json_schema_inference": "total-count scalar (1 row) rides a broadcast cross into the per-key report",
 }
 
 
