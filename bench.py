@@ -195,6 +195,18 @@ BENCH_QUERIES = [
     "q263_webdataset_roundtrip",
     "q264_perceptual_dedup_clusters",
     "q265_conversation_render",
+    "q266_waterfill_budget",
+    "q267_leakage_free_split",
+    "q268_embedding_int8_quant",
+    "q269_preference_pairs",
+    "q270_curriculum_order",
+    "q271_power_iteration_pca",
+    "q272_jl_projection_distortion",
+    "q273_annotator_agreement",
+    "q274_k_anonymity",
+    "q275_textrank_keywords",
+    "q276_json_schema_inference",
+    "q277_kmeans_clusters",
 ]
 
 

@@ -1435,3 +1435,94 @@ def random_projection(
         for k in range(out_dim)
     ]
     return df.withColumn("proj", F.array(*comps))
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 6,
+) -> dict:
+    """Fully distributed Lloyd's k-means with an ENGINE-PORTABLE trajectory.
+
+    Unlike :func:`train_ivf_centroids` (which trains driver-side on a
+    bounded sample — standard IVF practice), this is the full-corpus
+    clustering operator: every iteration is ONE scan computing the argmin
+    assignment against k literal centroid arrays plus ONE k-group
+    aggregation of d running means, so a 1000-executor cluster does
+    ``n_iters + 1`` scans over a cached frame and the driver ever holds
+    only the k×d centroid matrix (the same driver-state shape as
+    :func:`power_iteration_pca`'s d doubles).
+
+    Portability is engineered, not hoped for: initialization is the first
+    k vectors by ``id_col`` (no RNG), every distance is quantized to
+    ``quant`` decimals BEFORE the argmin (ties break on the lowest
+    centroid index via first-occurrence ``array_position``), and every
+    updated centroid coordinate is re-quantized to ``quant`` decimals —
+    so two engines replaying the recipe walk bit-identical assignment
+    sequences instead of diverging on 1e-15 summation-order noise.  An
+    empty cluster keeps its previous centroid (deterministic, replayable).
+
+    Returns ``{"centroids": [k][d], "assignments": DataFrame(id, cluster,
+    dist)}`` where ``dist`` is the quantized squared L2 distance to the
+    final centroid.  The returned frame still reads the cached input (so
+    consuming it costs the single final scan, not a source re-read);
+    the cache is released on error, otherwise it lives until the session
+    evicts it — the same lifetime contract as ``kcenter_greedy``.
+    """
+    if k < 1 or n_iters < 1:
+        raise ValueError("k and n_iters must be >= 1")
+    x = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__x")
+    ).persist()
+    try:
+        d = x.select(F.size("__x")).first()[0]
+        init = (
+            x.orderBy("__id")
+            .limit(k)
+            .select(F.transform("__x", lambda v: F.round(v, quant)).alias("c"))
+            .collect()
+        )
+        cents = [list(r["c"]) for r in init]
+        if len(cents) < k:
+            raise ValueError(f"need at least k={k} rows, got {len(cents)}")
+
+        def assigned(cs):
+            cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cs])
+            dists = F.transform(
+                cent_lit,
+                lambda c: F.round(
+                    F.aggregate(
+                        F.zip_with("__x", c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, p: acc + p,
+                    ),
+                    quant,
+                ),
+            )
+            return x.select(
+                "__id",
+                "__x",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.array_min(dists).alias("dist"),
+            )
+
+        for _ in range(n_iters):
+            rows = (
+                assigned(cents)
+                .groupBy("cluster")
+                .agg(*[F.round(F.avg(F.col("__x")[j]), quant).alias(f"m{j}") for j in range(d)])
+                .collect()
+            )
+            new = {int(r["cluster"]): [float(r[f"m{j}"]) for j in range(d)] for r in rows}
+            cents = [new.get(j, cents[j]) for j in range(k)]
+
+        return {"centroids": cents, "assignments": assigned(cents).drop("__x")}
+    except Exception:
+        x.unpersist()
+        raise

@@ -2513,3 +2513,49 @@ def test_k_anonymity_hand_computed(spark):
     assert out[3].risky_classes == 2 and out[3].risky_rows == 3
     assert out[6].risky_classes == 3 and out[6].risky_rows == 8
     assert out[6].risky_frac == 1.0
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    """On the 3-axis-separated fixture, k=3 Lloyd must recover the exact
+    i%3 partition (20 members each), be invariant to input partitioning,
+    and report the quantized squared distance to the FINAL centroid."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    km = similarity.kmeans_lloyd(emb, k=3, n_iters=3)
+    got = {r["__id"]: r["cluster"] for r in km["assignments"].collect()}
+    # members of one true cluster must share a label, across all three
+    label_of = {axis: got[axis] for axis in (0, 1, 2)}
+    assert len(set(label_of.values())) == 3
+    assert all(got[i] == label_of[i % 3] for i in range(60))
+
+    again = similarity.kmeans_lloyd(emb.repartition(13), k=3, n_iters=3)
+    assert again["centroids"] == km["centroids"]
+
+    # the reported dist is against the final centroid, quantized
+    c = km["centroids"][got[0]]
+    vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    want = round(sum((a - b) * (a - b) for a, b in zip(vec, c)), 6)
+    d0 = km["assignments"].filter(F.col("__id") == 0).first()["dist"]
+    assert abs(d0 - want) < 1e-9
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that captures no members must survive the update
+    unchanged (the deterministic, oracle-replayable rule)."""
+    from pr2_transformation_spark.functions import similarity
+
+    # ids 0/1 are duplicate init points -> in round 1 every vector ties
+    # or prefers centroid 0 (ties break to the LOWER index), so centroid
+    # 1 is starved and must keep its init value; once centroid 0 moves
+    # to the far mass, the two zero-points legitimately re-assign to 1.
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])] + [
+        (i, [10.0 + (i % 3) * 0.1, 5.0]) for i in range(2, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = similarity.kmeans_lloyd(emb, k=2, n_iters=1)
+    assert km["centroids"][1] == [0.0, 0.0]
+    by_cluster = {}
+    for r in km["assignments"].collect():
+        by_cluster.setdefault(r["cluster"], set()).add(r["__id"])
+    assert by_cluster == {0: set(range(2, 12)), 1: {0, 1}}
