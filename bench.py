@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "q275_textrank_keywords",
     "q276_json_schema_inference",
     "q277_kmeans_clusters",
+    "q278_classifier_eval",
 ]
 
 

@@ -2559,3 +2559,35 @@ def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
     for r in km["assignments"].collect():
         by_cluster.setdefault(r["cluster"], set()).add(r["__id"])
     assert by_cluster == {0: set(range(2, 12)), 1: {0, 1}}
+
+
+def test_binary_classifier_report_auc_and_bins(spark):
+    """AUC must be the exact tie-corrected Mann-Whitney statistic and the
+    calibration bins exact: perfect separation -> 1.0, anti-separation ->
+    0.0, all-tied scores -> 0.5 regardless of label mix."""
+    from pr2_transformation_spark.functions import scoring
+
+    def report(rows):
+        df = spark.createDataFrame(rows, "p double, y int")
+        out = scoring.binary_classifier_report(df, score_col="p", label_col="y")
+        return {r["bin"]: r for r in out.collect()}
+
+    perfect = report([(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])
+    assert all(r["auc"] == 1.0 for r in perfect.values())
+    assert perfect[8]["frac_pos"] == 1.0 and perfect[1]["frac_pos"] == 0.0
+
+    inverted = report([(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)])
+    assert all(r["auc"] == 0.0 for r in inverted.values())
+
+    tied = report([(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0), (0.5, 0)])
+    assert list(tied) == [5]
+    assert tied[5]["auc"] == 0.5 and tied[5]["n"] == 5
+    assert tied[5]["frac_pos"] == 0.4
+    # brier for p=0.5 everywhere is exactly 0.25
+    assert tied[5]["brier"] == 0.25
+
+    # mixed case with a tie straddling the labels:
+    # scores asc: 0.2(y0) r1, 0.4(y1),0.4(y0) avg r2.5, 0.7(y1) r4
+    # rpos = 2.5 + 4 = 6.5; auc = (6.5 - 3) / (2*2) = 0.875
+    mixed = report([(0.2, 0), (0.4, 1), (0.4, 0), (0.7, 1)])
+    assert all(r["auc"] == 0.875 for r in mixed.values())
