@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q276_json_schema_inference",
     "q277_kmeans_clusters",
     "q278_classifier_eval",
+    "q279_fellegi_sunter",
 ]
 
 

@@ -106,3 +106,82 @@ def blocked_name_pairs(
         "jw", F.round(jaro_winkler("name_a", "name_b"), 4)
     )
     return scored.filter(F.col("jw") >= min_similarity)
+
+
+def fellegi_sunter_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    block_cols: list[str],
+    compare_cols: list[str],
+    m_probs: dict[str, float],
+    weight_quant: int = 6,
+    pair_quant: int = 4,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage (JASA 1969) over blocked pairs.
+
+    Per compare field f the agreement/disagreement log-likelihood weights
+    are ``log2(m_f / u_f)`` / ``log2((1-m_f) / (1-u_f))`` where the
+    u-probability (chance two RANDOM records agree on f) is estimated
+    from value frequencies in one pass: ``u_f = Σ_v (n_v / N)²`` — the
+    standard frequency-based estimator, computed as exact integer sums
+    ``Σ n_v² / N²`` so both engines divide the same integers.  m-probs
+    are supplied (match-set agreement rates; in production from EM or
+    clerical review).
+
+    Scale shape: one count aggregate per field (the 1-row weight frame
+    rides a broadcast cross), then ONE equi-join on the blocking key with
+    ``id_a < id_b`` — quadratic only within the largest block, the same
+    contract as :func:`blocked_name_pairs`.  Weights quantize to
+    ``weight_quant`` decimals and each pair's total to ``pair_quant``, so
+    downstream thresholding is engine-portable.
+
+    Returns (id_a, id_b, <agree flags>, weight).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(id_col, *block_cols, *compare_cols)
+    aggs = None
+    for f in compare_cols:
+        cnt = base.groupBy(f).agg(F.count(F.lit(1)).alias("__c"))
+        one = cnt.agg(
+            F.sum(F.col("__c") * F.col("__c")).alias(f"__s_{f}"),
+            F.sum("__c").alias(f"__n_{f}"),
+        )
+        aggs = one if aggs is None else aggs.crossJoin(one)
+    weight_cols = []
+    for f in compare_cols:
+        u = F.col(f"__s_{f}") / (F.col(f"__n_{f}") * F.col(f"__n_{f}"))
+        m = float(m_probs[f])
+        weight_cols.append(
+            F.round(F.log2(F.lit(m) / u), weight_quant).alias(f"__wa_{f}")
+        )
+        weight_cols.append(
+            F.round(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u)), weight_quant).alias(
+                f"__wd_{f}"
+            )
+        )
+    weights = F.broadcast(aggs.select(*weight_cols))
+
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__bk_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__bk_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    pairs = a.join(b, [f"__bk_{c}" for c in block_cols]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    out = pairs.crossJoin(weights)
+    total = F.lit(0.0)
+    selects = [F.col("id_a"), F.col("id_b")]
+    for f in compare_cols:
+        agree = (F.col(f"__a_{f}") == F.col(f"__b_{f}")) & F.col(f"__a_{f}").isNotNull()
+        selects.append(agree.alias(f"agree_{f}"))
+        total = total + F.when(agree, F.col(f"__wa_{f}")).otherwise(F.col(f"__wd_{f}"))
+    selects.append(F.round(total, pair_quant).alias("weight"))
+    return out.select(*selects)

@@ -77,6 +77,7 @@ CARTESIAN_ALLOWED = {
     "q266_waterfill_budget": "n/budget scalar and i*/S* frontier scalar (1 row each) ride broadcast crosses over the ~100-row domain table",
     "q276_json_schema_inference": "total-count scalar (1 row) rides a broadcast cross into the per-key report",
     "q278_classifier_eval": "model bias + AUC + Brier scalars (1 row each) ride broadcast crosses onto the bin rows",
+    "q279_fellegi_sunter": "u-probability weight scalars (1-row frame) ride a broadcast cross onto the blocked pairs",
 }
 
 

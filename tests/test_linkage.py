@@ -58,3 +58,37 @@ def test_blocked_pairs_distinct_and_thresholded(spark):
     assert all(a != "large bolt" and b != "large bolt" for a, b in pairs)
     # duplicates collapsed: no self-pairs, each pair once
     assert len(pairs) == len(out)
+
+
+def test_fellegi_sunter_weights_and_verdicts(spark):
+    """u-probs from value frequencies, agreement weights positive,
+    disagreement negative, and the total = sum of per-field weights."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.functions import linkage
+
+    # one block; field 'x' half-half, field 'y' uniform over 4 values
+    rows = [(i, 1, "a" if i < 4 else "b", str(i % 4)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, blk int, x string, y string")
+    pairs = linkage.fellegi_sunter_pairs(
+        df,
+        id_col="id",
+        block_cols=["blk"],
+        compare_cols=["x", "y"],
+        m_probs={"x": 0.9, "y": 0.8},
+    ).collect()
+    assert len(pairs) == 28  # C(8,2)
+
+    u_x = (16 + 16) / 64.0  # 0.5
+    u_y = 4 * 4 / 64.0  # 0.25
+    wa_x, wd_x = round(math.log2(0.9 / u_x), 6), round(math.log2(0.1 / 0.5), 6)
+    wa_y, wd_y = round(math.log2(0.8 / u_y), 6), round(math.log2(0.2 / 0.75), 6)
+    for r in pairs:
+        want = (wa_x if r["agree_x"] else wd_x) + (wa_y if r["agree_y"] else wd_y)
+        assert abs(r["weight"] - round(want, 4)) < 1e-9
+    # ids 0 and 4 share y (0%4 == 4%4) but not x
+    m = {(r["id_a"], r["id_b"]): r for r in pairs}
+    assert m[(0, 4)]["agree_y"] and not m[(0, 4)]["agree_x"]
+    assert m[(0, 1)]["agree_x"] and not m[(0, 1)]["agree_y"]
