@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "q277_kmeans_clusters",
     "q278_classifier_eval",
     "q279_fellegi_sunter",
+    "q280_merkle_antientropy",
 ]
 
 
