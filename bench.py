@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q278_classifier_eval",
     "q279_fellegi_sunter",
     "q280_merkle_antientropy",
+    "q281_heaps_law",
 ]
 
 

@@ -78,6 +78,7 @@ CARTESIAN_ALLOWED = {
     "q276_json_schema_inference": "total-count scalar (1 row) rides a broadcast cross into the per-key report",
     "q278_classifier_eval": "model bias + AUC + Brier scalars (1 row each) ride broadcast crosses onto the bin rows",
     "q279_fellegi_sunter": "u-probability weight scalars (1-row frame) ride a broadcast cross onto the blocked pairs",
+    "q281_heaps_law": "corpus-size and OLS-fit scalars (1 row each) ride broadcast crosses onto the 10-point curve",
 }
 
 
