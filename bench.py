@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q279_fellegi_sunter",
     "q280_merkle_antientropy",
     "q281_heaps_law",
+    "q282_rrf_hybrid_retrieval",
 ]
 
 
