@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "q280_merkle_antientropy",
     "q281_heaps_law",
     "q282_rrf_hybrid_retrieval",
+    "q283_gdpr_erasure_cascade",
 ]
 
 
