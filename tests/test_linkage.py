@@ -92,3 +92,64 @@ def test_fellegi_sunter_weights_and_verdicts(spark):
     m = {(r["id_a"], r["id_b"]): r for r in pairs}
     assert m[(0, 4)]["agree_y"] and not m[(0, 4)]["agree_x"]
     assert m[(0, 1)]["agree_x"] and not m[(0, 1)]["agree_y"]
+
+
+def test_fellegi_sunter_profile_report_equals_pair_form(spark):
+    """The closed-form profile report must aggregate to EXACTLY what the
+    brute-force pair enumeration gives — counts, averages, extremes —
+    across multiple blocks and thresholds."""
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.functions import linkage
+
+    rows = [
+        (i, i % 3, ["a", "b", "c"][i % 2 + (i % 5 == 0)], str(i % 4))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, blk int, x string, y string")
+    kw = dict(
+        id_col="id",
+        block_cols=["blk"],
+        compare_cols=["x", "y"],
+        m_probs={"x": 0.9, "y": 0.8},
+    )
+    for thresholds in [(1.0, -1.0), (0.5, -3.0)]:
+        pairs = linkage.fellegi_sunter_pairs(df, **kw)
+        hi, lo = thresholds
+        verdict = (
+            F.when(F.col("weight") >= hi, F.lit("match"))
+            .when(F.col("weight") >= lo, F.lit("possible"))
+            .otherwise(F.lit("nonmatch"))
+        )
+        brute = {
+            r["verdict"]: (
+                r["n_pairs"],
+                r["avg_weight"],
+                r["min_weight"],
+                r["max_weight"],
+            )
+            for r in pairs.groupBy(verdict.alias("verdict"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.avg("weight"), 4).alias("avg_weight"),
+                F.min("weight").alias("min_weight"),
+                F.max("weight").alias("max_weight"),
+            )
+            .collect()
+        }
+        closed = {
+            r["verdict"]: (
+                r["n_pairs"],
+                r["avg_weight"],
+                r["min_weight"],
+                r["max_weight"],
+            )
+            for r in linkage.fellegi_sunter_profile_report(
+                df, thresholds=thresholds, **kw
+            ).collect()
+        }
+        assert set(brute) == set(closed)
+        for v in brute:
+            assert brute[v][0] == closed[v][0], v
+            assert abs(brute[v][1] - closed[v][1]) < 1e-9, v
+            assert brute[v][2] == closed[v][2] and brute[v][3] == closed[v][3], v
