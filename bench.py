@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "q281_heaps_law",
     "q282_rrf_hybrid_retrieval",
     "q283_gdpr_erasure_cascade",
+    "q284_mmr_rerank",
 ]
 
 
