@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "q282_rrf_hybrid_retrieval",
     "q283_gdpr_erasure_cascade",
     "q284_mmr_rerank",
+    "q285_source_js_divergence",
 ]
 
 

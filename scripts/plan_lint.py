@@ -80,6 +80,7 @@ CARTESIAN_ALLOWED = {
     "q279_fellegi_sunter": "u-probability weight scalars (1-row frame) ride a broadcast cross onto the blocked pairs",
     "q281_heaps_law": "corpus-size and OLS-fit scalars (1 row each) ride broadcast crosses onto the 10-point curve",
     "q282_rrf_hybrid_retrieval": "BM25 corpus stats + the 1-row anchor vector ride broadcast crosses (q20/q135 contracts)",
+    "q285_source_js_divergence": "dense class x source grid is a bounded <=65 x S cross of two tiny distinct frames",
 }
 
 
