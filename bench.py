@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "q283_gdpr_erasure_cascade",
     "q284_mmr_rerank",
     "q285_source_js_divergence",
+    "q286_label_propagation",
 ]
 
 

@@ -30,7 +30,7 @@ SURVEY.md §2.12 EXT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import checkpoint_frame
@@ -405,3 +405,54 @@ def pagerank(
             )
         )
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with FULLY DETERMINISTIC update order: every node starts as its
+    own label; each round a node adopts the MOST FREQUENT label among its
+    neighbors, ties broken by the SMALLEST label (classic LPA leaves tie
+    handling to randomness — the deterministic tie-break is what makes
+    the trajectory engine-replayable and test-pinnable).  Nodes keep
+    their current label only when they have no neighbors.
+
+    Edges are treated as undirected (symmetrized + deduped once).  Each
+    of the fixed ``iterations`` rounds is one (node, neighbor-label)
+    count shuffle + one per-node argmax — the (vertex, label) frame is
+    8+8 bytes however big the graph, the same per-round traffic shape as
+    :func:`pagerank`.  All arithmetic is integer: no cross-engine float
+    risk anywhere.
+
+    Returns (id, label) — nodes sharing a label form one community.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), "nbr_label")
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.withColumnRenamed("id", "b").withColumnRenamed(
+                "label", "nbr_label"
+            ),
+            "b",
+        )
+        counted = nbr.groupBy(F.col("a").alias("id"), "nbr_label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("nbr_label").alias("label"))
+        )
+    return labels

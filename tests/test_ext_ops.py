@@ -2591,3 +2591,24 @@ def test_binary_classifier_report_auc_and_bins(spark):
     # rpos = 2.5 + 4 = 6.5; auc = (6.5 - 3) / (2*2) = 0.875
     mixed = report([(0.2, 0), (0.4, 1), (0.4, 0), (0.7, 1)])
     assert all(r["auc"] == 0.875 for r in mixed.values())
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """Two disjoint triangles must collapse to their min-id labels in one
+    round; a path node between two equal-size neighbor groups breaks the
+    tie to the SMALLER label; result invariant to edge direction and
+    partitioning."""
+    from pr2_transformation_spark.operators.graph import label_propagation
+
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+    got = {r["id"]: r["label"] for r in label_propagation(edges, 3).collect()}
+    assert {got[0], got[1], got[2]} == {0} or len({got[0], got[1], got[2]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[0] != got[10]
+
+    flipped = spark.createDataFrame(
+        [(b, a) for a, b in tri], "src long, dst long"
+    ).repartition(7)
+    again = {r["id"]: r["label"] for r in label_propagation(flipped, 3).collect()}
+    assert again == got
