@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "q284_mmr_rerank",
     "q285_source_js_divergence",
     "q286_label_propagation",
+    "q287_streaming_watermark_append",
 ]
 
 
