@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     "q285_source_js_divergence",
     "q286_label_propagation",
     "q287_streaming_watermark_append",
+    "q288_negative_sampling_table",
+    "q289_embedding_dim_profile",
+    "q290_streaming_static_join_graded",
 ]
 
 

@@ -81,6 +81,8 @@ CARTESIAN_ALLOWED = {
     "q281_heaps_law": "corpus-size and OLS-fit scalars (1 row each) ride broadcast crosses onto the 10-point curve",
     "q282_rrf_hybrid_retrieval": "BM25 corpus stats + the 1-row anchor vector ride broadcast crosses (q20/q135 contracts)",
     "q285_source_js_divergence": "dense class x source grid is a bounded <=65 x S cross of two tiny distinct frames",
+    "q288_negative_sampling_table": "3/4-power normalizer scalar (1 row) rides a broadcast cross onto the vocab frame",
+    "q289_embedding_dim_profile": "total-variance scalar (1 row) rides a broadcast cross onto the d-row profile",
 }
 
 
