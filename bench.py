@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "q288_negative_sampling_table",
     "q289_embedding_dim_profile",
     "q290_streaming_static_join_graded",
+    "q291_streaming_dedup_graded",
 ]
 
 
