@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "q289_embedding_dim_profile",
     "q290_streaming_static_join_graded",
     "q291_streaming_dedup_graded",
+    "q292_cdc_apply",
 ]
 
 

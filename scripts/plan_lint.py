@@ -83,6 +83,7 @@ CARTESIAN_ALLOWED = {
     "q285_source_js_divergence": "dense class x source grid is a bounded <=65 x S cross of two tiny distinct frames",
     "q288_negative_sampling_table": "3/4-power normalizer scalar (1 row) rides a broadcast cross onto the vocab frame",
     "q289_embedding_dim_profile": "total-variance scalar (1 row) rides a broadcast cross onto the d-row profile",
+    "q292_cdc_apply": "insert-key ceiling scalar (1 row) rides a broadcast cross onto the changelog inserts",
 }
 
 
