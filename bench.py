@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "q290_streaming_static_join_graded",
     "q291_streaming_dedup_graded",
     "q292_cdc_apply",
+    "q293_cluster_labeling",
 ]
 
 
