@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "q291_streaming_dedup_graded",
     "q292_cdc_apply",
     "q293_cluster_labeling",
+    "q294_exponential_smoothing",
 ]
 
 

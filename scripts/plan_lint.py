@@ -84,6 +84,7 @@ CARTESIAN_ALLOWED = {
     "q288_negative_sampling_table": "3/4-power normalizer scalar (1 row) rides a broadcast cross onto the vocab frame",
     "q289_embedding_dim_profile": "total-variance scalar (1 row) rides a broadcast cross onto the d-row profile",
     "q292_cdc_apply": "insert-key ceiling scalar (1 row) rides a broadcast cross onto the changelog inserts",
+    "q294_exponential_smoothing": "triangular closed-form join over the calendar-bounded daily frame (days, not rows)",
 }
 
 

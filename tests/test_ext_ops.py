@@ -2612,3 +2612,30 @@ def test_label_propagation_deterministic_communities(spark):
     ).repartition(7)
     again = {r["id"]: r["label"] for r in label_propagation(flipped, 3).collect()}
     assert again == got
+
+
+def test_exponential_smoothing_closed_form_equals_recurrence(spark):
+    """q294's windowed closed form must equal the literal sequential
+    recurrence s_t = a*x_t + (1-a)*s_{t-1} seeded at x_0."""
+    import __spark_entry__ as e
+
+    out = {
+        r["day"]: (r["level"], r["forecast"])
+        for r in e.q294_exponential_smoothing(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    daily = sorted(
+        (r["day"], r["rev"])
+        for r in spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    s = None
+    for i, (day, x) in enumerate(daily):
+        prev = s
+        s = x if s is None else 0.3 * x + 0.7 * s
+        assert abs(out[day][0] - s) < max(1e-6 * abs(s), 1e-4), day
+        if i > 0:
+            assert abs(out[day][1] - prev) < max(1e-6 * abs(prev), 1e-4), day
