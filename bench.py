@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "q292_cdc_apply",
     "q293_cluster_labeling",
     "q294_exponential_smoothing",
+    "q295_mojibake_repair",
 ]
 
 
