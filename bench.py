@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q293_cluster_labeling",
     "q294_exponential_smoothing",
     "q295_mojibake_repair",
+    "q296_ndcg_quantization",
 ]
 
 

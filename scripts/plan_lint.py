@@ -85,6 +85,7 @@ CARTESIAN_ALLOWED = {
     "q289_embedding_dim_profile": "total-variance scalar (1 row) rides a broadcast cross onto the d-row profile",
     "q292_cdc_apply": "insert-key ceiling scalar (1 row) rides a broadcast cross onto the changelog inserts",
     "q294_exponential_smoothing": "triangular closed-form join over the calendar-bounded daily frame (days, not rows)",
+    "q296_ndcg_quantization": "anchor vector/codes + DCG/IDCG scalars (1 row each) ride broadcast crosses (q20 contract)",
 }
 
 
