@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "q294_exponential_smoothing",
     "q295_mojibake_repair",
     "q296_ndcg_quantization",
+    "q297_audio_upsample",
 ]
 
 
