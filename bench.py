@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "q295_mojibake_repair",
     "q296_ndcg_quantization",
     "q297_audio_upsample",
+    "q298_rank_ensemble",
 ]
 
 
