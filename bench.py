@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "q296_ndcg_quantization",
     "q297_audio_upsample",
     "q298_rank_ensemble",
+    "q299_chi_square",
+    "q300_markov_eval",
 ]
 
 

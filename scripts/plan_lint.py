@@ -86,6 +86,7 @@ CARTESIAN_ALLOWED = {
     "q292_cdc_apply": "insert-key ceiling scalar (1 row) rides a broadcast cross onto the changelog inserts",
     "q294_exponential_smoothing": "triangular closed-form join over the calendar-bounded daily frame (days, not rows)",
     "q296_ndcg_quantization": "anchor vector/codes + DCG/IDCG scalars (1 row each) ride broadcast crosses (q20 contract)",
+    "q299_chi_square": "n/r/c totals scalar (1 row) rides a broadcast cross onto the category-bounded cell frame",
 }
 
 
