@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "q298_rank_ensemble",
     "q299_chi_square",
     "q300_markov_eval",
+    "q301_wasserstein_length_drift",
+    "q302_largest_remainder",
+    "q303_burstiness",
 ]
 
 
