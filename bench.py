@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "q301_wasserstein_length_drift",
     "q302_largest_remainder",
     "q303_burstiness",
+    "q304_kcore_peeling",
 ]
 
 
