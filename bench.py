@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "q302_largest_remainder",
     "q303_burstiness",
     "q304_kcore_peeling",
+    "q305_degree_assortativity",
+    "q306_l_diversity",
 ]
 
 

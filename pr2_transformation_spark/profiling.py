@@ -402,3 +402,45 @@ def k_anonymity_report(
         ),
         F.min("__sz").alias("min_class_size"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ls: tuple = (2, 3),
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a class can hold k rows yet leak the secret when
+    every row SHARES the sensitive value (homogeneity attack).  A class
+    is l-diverse iff its rows span at least l distinct sensitive values.
+
+    One groupBy on (quasi tuple, sensitive) then a class-level rollup —
+    shuffle bounded by class x value combinations, never rows.  Returns
+    one row per l: classes/rows below the threshold, the at-risk
+    fraction, and the table's minimum class diversity.  All integers:
+    engine-exact."""
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("__n").alias("__sz"),
+        F.count(F.lit(1)).alias("__div"),
+    )
+    fanned = classes.select(
+        F.explode(F.array(*[F.lit(int(v)) for v in ls])).alias("l"),
+        "__sz",
+        "__div",
+    )
+    risky = F.sum(F.when(F.col("__div") < F.col("l"), F.col("__sz")))
+    return fanned.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("__div") < F.col("l"), 1).otherwise(0)).alias(
+            "risky_classes"
+        ),
+        F.coalesce(risky, F.lit(0)).alias("risky_rows"),
+        F.round(F.coalesce(risky, F.lit(0)) / F.sum("__sz"), 4).alias(
+            "risky_frac"
+        ),
+        F.min("__div").alias("min_diversity"),
+    )
