@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "q304_kcore_peeling",
     "q305_degree_assortativity",
     "q306_l_diversity",
+    "q307_blocklist_contexts",
 ]
 
 
