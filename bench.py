@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "q305_degree_assortativity",
     "q306_l_diversity",
     "q307_blocklist_contexts",
+    "q308_novelty_fraction",
+    "q309_soft_dedup_weights",
 ]
 
 
