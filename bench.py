@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     "q307_blocklist_contexts",
     "q308_novelty_fraction",
     "q309_soft_dedup_weights",
+    "q310_encoding_advisor",
+    "q311_salt_planner",
+    "q312_neyman_allocation",
 ]
 
 
