@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "q310_encoding_advisor",
     "q311_salt_planner",
     "q312_neyman_allocation",
+    "q313_tiff_roundtrip",
 ]
 
 

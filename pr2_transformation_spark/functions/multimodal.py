@@ -2589,8 +2589,10 @@ def image_decode(payload: bytes) -> dict:
         return jpeg_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return webp_decode(payload)
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"*\x00", b"\x00*"):
+        return tiff_decode(payload)
     raise ValueError(
-        "unrecognized image payload (BMP/PNG/GIF/JPEG/WebP-lossless are decodable)")
+        "unrecognized image payload (BMP/PNG/GIF/JPEG/WebP-lossless/TIFF are decodable)")
 
 
 def image_pixels(payload: bytes):
@@ -2608,8 +2610,10 @@ def image_pixels(payload: bytes):
         return jpeg_pixels(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return webp_pixels(payload)
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"*\x00", b"\x00*"):
+        return tiff_pixels(payload)
     raise ValueError(
-        "unrecognized image payload (BMP/PNG/GIF/JPEG/WebP-lossless are decodable)")
+        "unrecognized image payload (BMP/PNG/GIF/JPEG/WebP-lossless/TIFF are decodable)")
 
 
 @_decode_errors
@@ -4773,3 +4777,191 @@ def extract_pdf_text(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, PDF_TEXT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 (baseline gray-8, single strip, PackBits or uncompressed)
+# ---------------------------------------------------------------------------
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Canonical PackBits (TIFF 6.0 §9) for ONE row: runs of >= 3 identical
+    bytes become (257-n, byte); everything else batches into literal
+    groups of <= 128.  Deterministic — same bytes in, same bytes out."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit_start = 0
+
+    def flush_literals(upto: int) -> None:
+        s = lit_start
+        while s < upto:
+            chunk = row[s:min(s + 128, upto)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            s += len(chunk)
+
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_packbits_encode`; stops after ``expected``
+    output bytes (TIFF strips know their decompressed size)."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits stream truncated")
+        h = data[i]
+        i += 1
+        if h < 128:                      # literal run of h+1 bytes
+            if i + h + 1 > len(data):
+                raise ValueError("PackBits literal overruns stream")
+            out.extend(data[i:i + h + 1])
+            i += h + 1
+        elif h > 128:                    # repeat next byte 257-h times
+            if i >= len(data):
+                raise ValueError("PackBits repeat missing byte")
+            out.extend(bytes([data[i]]) * (257 - h))
+            i += 1
+        # h == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits output overshoots strip size")
+    return bytes(out)
+
+
+def tiff_encode(pixels, compression: str = "packbits") -> bytes:
+    """REAL baseline TIFF 6.0 writer (little-endian, gray-8, ONE strip):
+    8-byte header, strip data at offset 8, then a 9-tag IFD
+    (width/length/bits/compression/photometric/strip offset/samples/
+    rows-per-strip/strip byte count).  ``compression``: "packbits"
+    (32773, per-row canonical PackBits — rows stay independently
+    decodable per the spec's restart recommendation) or "none" (1).
+    Deterministic byte-for-byte."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("tiff_encode expects a 2-D gray-8 array")
+    h, w = px.shape
+    if compression == "packbits":
+        strip = b"".join(_packbits_encode(px[r].tobytes()) for r in range(h))
+        comp_tag = 32773
+    elif compression == "none":
+        strip = px.tobytes()
+        comp_tag = 1
+    else:
+        raise ValueError(f"unsupported TIFF compression: {compression}")
+    if len(strip) % 2:
+        strip += b"\x00"  # IFD must start on a word boundary
+    ifd_offset = 8 + len(strip)
+    header = struct.pack("<2sHI", b"II", 42, ifd_offset)
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tid, ttype, count, value)
+
+    tags = [
+        tag(256, 3, 1, w),            # ImageWidth  (SHORT)
+        tag(257, 3, 1, h),            # ImageLength
+        tag(258, 3, 1, 8),            # BitsPerSample
+        tag(259, 3, 1, comp_tag),     # Compression
+        tag(262, 3, 1, 1),            # Photometric: BlackIsZero
+        tag(273, 4, 1, 8),            # StripOffsets -> data at offset 8
+        tag(277, 3, 1, 1),            # SamplesPerPixel
+        tag(278, 3, 1, h),            # RowsPerStrip (one strip)
+        tag(279, 4, 1, len(strip)),   # StripByteCounts (incl. pad)
+    ]
+    ifd = struct.pack("<H", len(tags)) + b"".join(tags) + struct.pack("<I", 0)
+    return header + strip + ifd
+
+
+@_decode_errors
+def tiff_decode(payload: bytes) -> dict:
+    """REAL baseline TIFF reader: both byte orders, walks the first IFD,
+    supports gray-8 single-strip images with PackBits or no compression
+    (the exact surface :func:`tiff_encode` writes, plus big-endian
+    files from other writers).  Returns the metadata dict; use
+    :func:`tiff_pixels` for the sample array."""
+    import struct
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_offset = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_tags,) = struct.unpack_from(bo + "H", payload, ifd_offset)
+    tags = {}
+    for i in range(n_tags):
+        tid, ttype, count, value = struct.unpack_from(
+            bo + "HHII", payload, ifd_offset + 2 + 12 * i
+        )
+        if ttype == 3:  # SHORT packed into the value word
+            value = struct.unpack_from(bo + "HH", payload,
+                                       ifd_offset + 2 + 12 * i + 8)[0]
+        tags[tid] = (ttype, count, value)
+    try:
+        w = tags[256][2]
+        h = tags[257][2]
+        comp = tags[259][2]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from None
+    if tags.get(258, (3, 1, 8))[2] != 8 or tags.get(277, (3, 1, 1))[2] != 1:
+        raise ValueError("only gray-8 single-sample TIFF supported")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression tag {comp}")
+    return {
+        "media_type": "image",
+        "format": "tiff",
+        "width": int(w),
+        "height": int(h),
+        "compression": "packbits" if comp == 32773 else "none",
+    }
+
+
+@_decode_errors
+def tiff_pixels(payload: bytes):
+    """Decode a :func:`tiff_decode`-supported TIFF to an (h, w) uint8
+    array (REAL sample access, numpy only)."""
+    import struct
+
+    import numpy as np
+
+    meta = tiff_decode(payload)
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_offset,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_tags,) = struct.unpack_from(bo + "H", payload, ifd_offset)
+    tags = {}
+    for i in range(n_tags):
+        tid, ttype, count, value = struct.unpack_from(
+            bo + "HHII", payload, ifd_offset + 2 + 12 * i
+        )
+        if ttype == 3:
+            value = struct.unpack_from(bo + "HH", payload,
+                                       ifd_offset + 2 + 12 * i + 8)[0]
+        tags[tid] = value
+    w, h = meta["width"], meta["height"]
+    off, nbytes = tags[273], tags[279]
+    strip = payload[off:off + nbytes]
+    if len(strip) < nbytes:
+        raise ValueError("TIFF strip truncated")
+    if meta["compression"] == "packbits":
+        raw = _packbits_decode(strip, w * h)
+    else:
+        raw = strip[: w * h]
+        if len(raw) < w * h:
+            raise ValueError("TIFF strip shorter than image")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)

@@ -1318,3 +1318,49 @@ def test_extract_pdf_text_spark_path(spark):
         ("d1", 1): "gamma",
         ("d2", 0): "single",
     }
+
+
+def test_tiff_roundtrip_both_compressions_and_dispatch():
+    import numpy as np
+
+    from pr2_transformation_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    for shape in [(1, 1), (9, 7), (16, 33), (5, 130)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for comp in ("packbits", "none"):
+            enc = mm.tiff_encode(px, compression=comp)
+            assert (mm.tiff_pixels(enc) == px).all()
+            meta = mm.tiff_decode(enc)
+            assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+            assert meta["compression"] == comp
+    # runs actually compress; dispatcher routes by magic
+    flat = np.full((8, 64), 7, dtype=np.uint8)
+    enc = mm.tiff_encode(flat)
+    assert len(enc) < 8 + 64 * 8
+    assert mm.image_decode(enc)["format"] == "tiff"
+    assert (mm.image_pixels(enc) == flat).all()
+
+
+def test_tiff_packbits_spec_cases_and_rejects():
+    import pytest
+
+    from pr2_transformation_spark.functions import multimodal as mm
+
+    # 128-literal batching and >128 runs split correctly
+    lit = bytes(range(200))
+    assert mm._packbits_decode(mm._packbits_encode(lit), 200) == lit
+    run = bytes([5]) * 300
+    enc = mm._packbits_encode(run)
+    assert len(enc) == 6  # 128+128+44 -> three (header, byte) pairs
+    assert mm._packbits_decode(enc, 300) == run
+    # canonical corner: run of exactly 2 stays literal
+    two = b"aab"
+    assert mm._packbits_encode(two) == bytes([2]) + two
+    # rejects
+    with pytest.raises(ValueError):
+        mm.tiff_decode(b"II*")  # truncated header
+    with pytest.raises(ValueError):
+        mm.tiff_decode(b"XX\x2a\x00" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        mm._packbits_decode(bytes([10]), 5)  # literal overruns stream
