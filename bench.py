@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "q311_salt_planner",
     "q312_neyman_allocation",
     "q313_tiff_roundtrip",
+    "q314_cidr_match",
+    "q315_point_in_polygon",
 ]
 
 
