@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "q313_tiff_roundtrip",
     "q314_cidr_match",
     "q315_point_in_polygon",
+    "q316_bh_fdr",
 ]
 
 

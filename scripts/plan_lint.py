@@ -92,6 +92,7 @@ CARTESIAN_ALLOWED = {
     "q304_kcore_peeling": "per-round before-count scalar (1 row) rides a broadcast cross onto the census row",
     "q310_encoding_advisor": "per-column plain/dict 1-row aggregates assembled via broadcast crosses",
     "q312_neyman_allocation": "Nh*sigma normalizer and leftover scalars (1 row each) ride broadcast crosses onto the stratum frame",
+    "q316_bh_fdr": "test-count and step-up-kmax scalars (1 row each) ride broadcast crosses onto the m-row test frame",
 }
 
 
