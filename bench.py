@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q314_cidr_match",
     "q315_point_in_polygon",
     "q316_bh_fdr",
+    "q317_personalized_pagerank",
 ]
 
 

@@ -358,6 +358,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint: str | None = "local",
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (power method, no dangling-mass
     redistribution — leaked mass is the standard simplification when the
@@ -373,6 +374,12 @@ def pagerank(
     build side and only the (vertex, rank) frame — 16 bytes/row — moves
     per round.  Fixed ``iterations`` (no convergence probe) keeps the
     driver out of the loop entirely.  Returns ``(id, rank)`` (8dp).
+
+    ``reset`` turns this into PERSONALIZED PageRank (random walk with
+    restart): a (id, weight) frame — weights should sum to 1 — replaces
+    the uniform teleport, so both the init and the (1-d) restart term
+    concentrate on the seed set.  Same per-iteration plan; the seed
+    frame joins once up front.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -387,8 +394,14 @@ def pagerank(
         e.join(outdeg, "s").repartition(F.col("s")), checkpoint
     )
     n = verts.count()
-    base = (1.0 - damping) / n
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    if reset is None:
+        seeded = verts.select("id", F.lit(1.0 / n).alias("__w"))
+    else:
+        seeded = verts.join(
+            reset.select("id", F.col("weight").alias("__w")), "id", "left"
+        ).select("id", F.coalesce("__w", F.lit(0.0)).alias("__w"))
+    seeded = checkpoint_frame(seeded.repartition(F.col("id")), checkpoint)
+    ranks = seeded.select("id", F.col("__w").alias("rank"))
     for _ in range(iterations):
         contribs = (
             ready.join(ranks.withColumnRenamed("id", "s"), "s")
@@ -396,12 +409,13 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
         )
         ranks = (
-            verts.join(contribs.withColumnRenamed("t", "id"), "id", "left")
+            seeded.join(contribs.withColumnRenamed("t", "id"), "id", "left")
             .select(
                 "id",
-                (F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(1.0 - damping) * F.col("__w")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     return ranks.select("id", F.round("rank", 8).alias("rank"))
