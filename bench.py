@@ -247,6 +247,9 @@ BENCH_QUERIES = [
     "q315_point_in_polygon",
     "q316_bh_fdr",
     "q317_personalized_pagerank",
+    "q318_protobuf_roundtrip",
+    "q319_mime_parse",
+    "q320_ulid_ordering",
 ]
 
 
