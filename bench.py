@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "q318_protobuf_roundtrip",
     "q319_mime_parse",
     "q320_ulid_ordering",
+    "q321_geohash_rollup",
+    "q322_mod97_check",
 ]
 
 
