@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "q320_ulid_ordering",
     "q321_geohash_rollup",
     "q322_mod97_check",
+    "q323_sprt",
 ]
 
 
