@@ -112,3 +112,50 @@ def test_blocklist_contexts_contain_term(spark):
     for r in rows:
         assert r["term"] in ("slow", "big", "hash")
         assert r["term"] in r["context"].split()
+
+
+def test_geohash_sql_matches_textbook_bisection():
+    """q321's integer-interleave geohash must equal the classic
+    interval-bisection algorithm everywhere (500 pseudo-random points)
+    and on the canonical Wikipedia vector (57.64911, 10.40744) ->
+    u4pruy."""
+    import random
+
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref(lat, lon, precision=6):
+        lat_i, lon_i = (-90.0, 90.0), (-180.0, 180.0)
+        bits, even, ch, out = 0, True, 0, []
+        while len(out) < precision:
+            if even:
+                mid = sum(lon_i) / 2
+                if lon > mid:
+                    ch, lon_i = ch * 2 + 1, (mid, lon_i[1])
+                else:
+                    ch, lon_i = ch * 2, (lon_i[0], mid)
+            else:
+                mid = sum(lat_i) / 2
+                if lat > mid:
+                    ch, lat_i = ch * 2 + 1, (mid, lat_i[1])
+                else:
+                    ch, lat_i = ch * 2, (lat_i[0], mid)
+            even, bits = not even, bits + 1
+            if bits == 5:
+                out.append(b32[ch])
+                bits = ch = 0
+        return "".join(out)
+
+    def mine(lat, lon):
+        lon_q = int((lon + 180.0) / 360.0 * 32768)
+        lat_q = int((lat + 90.0) / 180.0 * 32768)
+        inter = 0
+        for i in range(15):
+            inter += ((lon_q >> (14 - i)) & 1) << (29 - 2 * i)
+            inter += ((lat_q >> (14 - i)) & 1) << (28 - 2 * i)
+        return "".join(b32[(inter >> (25 - 5 * c)) & 31] for c in range(6))
+
+    assert mine(57.64911, 10.40744) == "u4pruy"
+    rng = random.Random(1)
+    for _ in range(500):
+        lat, lon = rng.uniform(-89.9, 89.9), rng.uniform(-179.9, 179.9)
+        assert mine(lat, lon) == ref(lat, lon), (lat, lon)
