@@ -462,3 +462,51 @@ def test_flac_lossless_property(n, block_size, channels, use_lpc, kind, seed):
     assert np.array_equal(dec, s)
     # determinism
     assert multimodal.flac_encode(s, 16000, block_size=block_size, use_lpc=use_lpc) == enc
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 200),
+    style=st.sampled_from(["random", "runs", "mixed", "constant"]),
+    comp=st.sampled_from(["packbits", "none"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_property(h, w, style, comp, seed):
+    """Any gray-8 array round-trips through the TIFF codec under both
+    compressions — run-heavy content (the PackBits boundary-case
+    generator: exact 128-byte runs, 2-byte almost-runs) included."""
+    import numpy as np
+
+    from pr2_transformation_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(seed % 2**32)
+    if style == "random":
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    elif style == "constant":
+        px = np.full((h, w), seed % 256, dtype=np.uint8)
+    elif style == "runs":
+        row = np.repeat(
+            rng.randint(0, 256, size=max(1, w // 7 + 1)), 7
+        )[:w].astype(np.uint8)
+        px = np.tile(row, (h, 1))
+    else:  # mixed: alternate literal rows and run rows
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        px[::2] = (seed % 251)
+    enc = mm.tiff_encode(px, compression=comp)
+    assert (mm.tiff_pixels(enc) == px).all()
+    meta = mm.tiff_decode(enc)
+    assert (meta["width"], meta["height"]) == (w, h)
+
+
+@settings(max_examples=100, deadline=None)
+@given(junk=st.binary(max_size=60))
+def test_tiff_decode_rejects_or_parses_junk(junk):
+    """Arbitrary bytes either parse (if they happen to be a valid
+    header chain) or raise ValueError — never a struct/index crash."""
+    from pr2_transformation_spark.functions import multimodal as mm
+
+    try:
+        mm.tiff_decode(junk)
+    except ValueError:
+        pass

@@ -70,3 +70,42 @@ def test_spark_ingestion_path(spark):
     row = pw.decode_events(df).first()
     assert (row["msg_id"], row["name"], row["delta"]) == (42, "hello", -5)
     assert (row["vals_sum"], row["w"], row["h"]) == (6, 3, 4)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    msg_id=st.integers(0, 2**62),
+    name=st.text(max_size=40),
+    delta=st.integers(-(2**62), 2**62),
+    vals=st.lists(st.integers(0, 2**40), max_size=20),
+    w=st.integers(0, 2**30),
+    h=st.integers(0, 2**30),
+)
+def test_protowire_roundtrip_property(msg_id, name, delta, vals, w, h):
+    """Any Event-shaped message round-trips: varint widths, zigzag
+    sign handling, packed lists (incl. empty), nested messages, and
+    arbitrary unicode strings."""
+    msg = {1: msg_id, 2: name, 3: ("sint", delta), 4: vals, 5: {1: w, 2: h}}
+    dec = pw.decode_message(pw.encode_message(msg))
+    assert dec[1][0][1] == msg_id
+    assert dec[2][0][1].decode("utf-8") == name
+    assert pw.zigzag_decode(dec[3][0][1]) == delta
+    assert pw.decode_packed_varints(dec[4][0][1]) == vals
+    nested = pw.decode_message(dec[5][0][1])
+    assert nested[1][0][1] == w and nested[2][0][1] == h
+
+
+@settings(max_examples=150, deadline=None)
+@given(junk=st.binary(max_size=60))
+def test_protowire_decode_rejects_or_parses_junk(junk):
+    """Arbitrary bytes either decode (wire format is dense — many byte
+    strings are valid) or raise ValueError; never an uncontrolled
+    crash."""
+    try:
+        pw.decode_message(junk)
+    except ValueError:
+        pass
