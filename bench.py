@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "q321_geohash_rollup",
     "q322_mod97_check",
     "q323_sprt",
+    "q324_leadlag_xcorr",
+    "q325_entropy_rate",
 ]
 
 
