@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "q323_sprt",
     "q324_leadlag_xcorr",
     "q325_entropy_rate",
+    "q326_cc_in_text",
 ]
 
 
