@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "q324_leadlag_xcorr",
     "q325_entropy_rate",
     "q326_cc_in_text",
+    "q327_phrase_search",
+    "q328_churn_labels",
 ]
 
 
