@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "q326_cc_in_text",
     "q327_phrase_search",
     "q328_churn_labels",
+    "q329_hist_equalization",
 ]
 
 
