@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "q327_phrase_search",
     "q328_churn_labels",
     "q329_hist_equalization",
+    "q330_kendall_tau",
+    "q331_forecast_metrics",
 ]
 
 

@@ -94,6 +94,7 @@ CARTESIAN_ALLOWED = {
     "q312_neyman_allocation": "Nh*sigma normalizer and leftover scalars (1 row each) ride broadcast crosses onto the stratum frame",
     "q316_bh_fdr": "test-count and step-up-kmax scalars (1 row each) ride broadcast crosses onto the m-row test frame",
     "q324_leadlag_xcorr": "15-row lag dim crossed against the calendar-bounded daily series by design",
+    "q330_kendall_tau": "inequality self-join of the |sources|-row summary frame by design (quadratic in sources only)",
     "q325_entropy_rate": "grand-total scalar (1 row) rides broadcast crosses onto the category-squared transition frame",
 }
 
