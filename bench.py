@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "q329_hist_equalization",
     "q330_kendall_tau",
     "q331_forecast_metrics",
+    "q332_bayesian_average",
+    "q333_dedup_threshold_curve",
 ]
 
 

@@ -95,6 +95,8 @@ CARTESIAN_ALLOWED = {
     "q316_bh_fdr": "test-count and step-up-kmax scalars (1 row each) ride broadcast crosses onto the m-row test frame",
     "q324_leadlag_xcorr": "15-row lag dim crossed against the calendar-bounded daily series by design",
     "q330_kendall_tau": "inequality self-join of the |sources|-row summary frame by design (quadratic in sources only)",
+    "q332_bayesian_average": "global-prior scalar (1 row) rides a broadcast cross onto the brand frame",
+    "q333_dedup_threshold_curve": "8-row threshold dim + 1-row corpus total ride broadcast crosses onto the scored pairs",
     "q325_entropy_rate": "grand-total scalar (1 row) rides broadcast crosses onto the category-squared transition frame",
 }
 
