@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "q331_forecast_metrics",
     "q332_bayesian_average",
     "q333_dedup_threshold_curve",
+    "q334_bbit_minhash",
 ]
 
 
