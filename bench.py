@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "q332_bayesian_average",
     "q333_dedup_threshold_curve",
     "q334_bbit_minhash",
+    "q335_good_turing",
+    "q336_power_analysis",
 ]
 
 
