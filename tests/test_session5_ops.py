@@ -159,3 +159,61 @@ def test_geohash_sql_matches_textbook_bisection():
     for _ in range(500):
         lat, lon = rng.uniform(-89.9, 89.9), rng.uniform(-179.9, 179.9)
         assert mine(lat, lon) == ref(lat, lon), (lat, lon)
+
+
+def test_bh_fdr_stepup_internal_consistency(spark):
+    """BH thresholds must rise linearly with rank; every significant test
+    sits at rank <= the largest threshold-passing rank; p-values sorted
+    by rank are non-decreasing."""
+    rows = sorted(e.q316_bh_fdr(spark, SF).collect(), key=lambda r: r["rank"])
+    m = len(rows)
+    for i, r in enumerate(rows, start=1):
+        assert r["rank"] == i
+        assert abs(r["bh_threshold"] - round(i / m * 0.05, 6)) < 1e-9
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    passing = [r["rank"] for r in rows if r["p_value"] <= r["bh_threshold"]]
+    kmax = max(passing) if passing else 0
+    for r in rows:
+        assert r["significant"] == (r["rank"] <= kmax)
+
+
+def test_ulid_contract_holds(spark):
+    """Monotonicity audit must report zero violations and 26-char ids."""
+    for r in e.q320_ulid_ordering(spark, SF).collect():
+        assert r["order_violations"] == 0
+        assert len(r["min_ulid"]) == 26 and len(r["max_ulid"]) == 26
+        assert r["min_ulid"] <= r["max_ulid"]
+
+
+def test_leadlag_xcorr_flags_exactly_one_best(spark):
+    rows = e.q324_leadlag_xcorr(spark, SF).collect()
+    assert len(rows) == 15
+    assert sum(1 for r in rows if r["is_best"]) == 1
+    best = next(r for r in rows if r["is_best"])
+    assert best["xcorr"] == max(r["xcorr"] for r in rows)
+
+
+def test_sprt_stops_no_later_than_stream(spark):
+    for r in e.q323_sprt(spark, SF).collect():
+        if r["decision"] != "undecided":
+            assert 1 <= r["stop_step"] <= r["n_stream"]
+            assert r["samples_saved_frac"] >= 0.0
+        else:
+            assert r["stop_step"] is None
+
+
+def test_good_turing_masses_are_probabilities(spark):
+    rows = e.q335_good_turing(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["raw_mass"] <= 1.0
+        assert 0.0 <= r["unseen_mass"] <= 1.0
+        if r["r_star"] is not None:
+            assert r["r_star"] > 0
+
+
+def test_power_analysis_feasibility_positive(spark):
+    for r in e.q336_power_analysis(spark, SF).collect():
+        assert r["n_per_arm"] > 0 and r["days_needed"] > 0
+        assert 0.0 < r["p_control"] < r["p_target"] <= 1.0
