@@ -33,6 +33,17 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _py_sumsq(vec) -> float:
+    """Driver-side twin of ``_norm``'s radicand: the SAME left-to-right
+    0.0-seeded fold as ``F.aggregate``, so for a literal vector
+    ``math.sqrt(_py_sumsq(v))`` is bit-identical to evaluating
+    ``_norm(F.lit(v))`` on the executors."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
 def cosine(a, b):
     """Cosine similarity of two array<double> columns."""
     return _dot(a, b) / (_norm(a) * _norm(b))
@@ -1010,52 +1021,77 @@ def cosine_topk_pq(
 # k-center greedy coreset selection (diverse-subset sampling)
 # ---------------------------------------------------------------------------
 
-def _kcenter_score_newest(
-    state: DataFrame,
-    pick_vec: list,
-    exclude_id,
+def _kcenter_folded_view(
+    base: DataFrame,
+    pending: list,
     id_col: str,
     vec_col: str,
     round_digits: int,
     picks_via: str,
+    _dist_cols: "list | None" = None,
 ) -> DataFrame:
-    """One k-center round: drop the just-picked row and fold the distance
-    to the newest pick into the running min.  ``picks_via`` chooses how
-    the picked vector reaches the executors:
+    """The k-center running-min state with ``pending`` picks folded in
+    LAZILY — drop the pending ids and take the least of the cached
+    ``dmin`` and the rounded distance to each pending pick, all as plain
+    column expressions over the one persisted ``base`` frame (no new
+    persist, no extra scan).  ``picks_via`` chooses how pending vectors
+    reach the executors:
 
-    - ``"literal"`` — the vector rides the plan as ``F.lit`` elements.
-      Zero extra operators, but plan text grows with the dimension
-      (fine at 64-dim; megabyte plans at 1536-dim x hundreds of picks).
-    - ``"broadcast"`` — the vector ships as a broadcast ONE-ROW frame
-      cross-joined in (BroadcastNestedLoopJoin over a single row — the
-      same broadcast-scalar shape as the allowlisted mean/threshold
-      scalars in plan_lint).  Plan size stays flat in the dimension.
+    - ``"literal"`` — each vector rides the plan as ``F.lit`` elements.
+      Zero extra operators, but plan text grows with dimension x pending
+      count (fine at 64-dim; megabyte plans at 1536-dim).
+    - ``"broadcast"`` — all pending vectors ship as ONE broadcast 1-row
+      ``array<array<double>>`` frame cross-joined in (the allowlisted
+      broadcast-scalar shape), scored via ``array_min(transform(...))``.
+      Plan size stays flat in the dimension.
 
-    Both produce identical values (pinned by test)."""
+    Both produce identical values (pinned by test): min over rounded
+    per-pick distances is associative, so folding lazily here is
+    value-identical to materializing after every pick."""
     vcol = F.col(vec_col).cast("array<double>")
-    rest = state.filter(F.col(id_col) != exclude_id)
+    view = base.filter(~F.col(id_col).isin([pid for pid, _ in pending]))
     if picks_via == "literal":
-        s = F.array(*[F.lit(float(x)) for x in pick_vec])
-        d = F.round(
-            F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
-            round_digits,
+        # Column objects are immutable, so the caller caches each pick's
+        # distance expression ONCE at append time (_dist_cols); rebuilding
+        # the higher-order _dot/_norm lambdas for every pending pick every
+        # round is pure py4j churn that grows linearly with pending size.
+        if _dist_cols is None:
+            _dist_cols = []
+            for _, vec in pending:
+                s = F.lit([float(x) for x in vec])
+                # pick-side norm precomputed driver-side: same left-to-
+                # right 0.0-seeded fold as F.aggregate, so the double is
+                # bit-identical, and the plan drops one 64-literal array
+                # + aggregate per pick
+                sn = math.sqrt(_py_sumsq(vec))
+                _dist_cols.append(
+                    F.round(
+                        F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * F.lit(sn)),
+                        round_digits,
+                    )
+                )
+        d = F.col("dmin")
+        for dcol in _dist_cols:
+            d = F.least(d, dcol)
+    else:  # "broadcast" (validated by the caller)
+        pend_df = base.sparkSession.createDataFrame(
+            [([[float(x) for x in vec] for _, vec in pending],)],
+            "__pending array<array<double>>",
         )
-        scored = rest
-    elif picks_via == "broadcast":
-        pick_df = state.sparkSession.createDataFrame(
-            [([float(x) for x in pick_vec],)], "__pick array<double>"
+        view = view.crossJoin(F.broadcast(pend_df))
+        d = F.least(
+            F.col("dmin"),
+            F.array_min(
+                F.transform(
+                    F.col("__pending"),
+                    lambda s: F.round(
+                        F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
+                        round_digits,
+                    ),
+                )
+            ),
         )
-        s = F.col("__pick")
-        d = F.round(
-            F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
-            round_digits,
-        )
-        scored = rest.crossJoin(F.broadcast(pick_df))
-    else:
-        raise ValueError(f"picks_via must be literal|broadcast, got {picks_via!r}")
-    return scored.select(
-        id_col, vec_col, F.least(F.col("dmin"), d).alias("dmin")
-    )
+    return view.select(id_col, vec_col, d.alias("dmin"))
 
 
 def kcenter_greedy(
@@ -1065,6 +1101,7 @@ def kcenter_greedy(
     vec_col: str = "embedding",
     round_digits: int = 6,
     picks_via: str = "literal",
+    refold_every: int = 8,
 ) -> "list[tuple[int, object, float | None]]":
     """Greedy k-center coreset: start from the min-id vector, then k-1
     times pick the point FARTHEST (cosine distance, rounded to
@@ -1075,61 +1112,78 @@ def kcenter_greedy(
 
     Deterministic by construction (seed = min id, no RNG), so an oracle
     can replay every pick.  Returns ``[(step, id, dist_when_selected)]``
-    (step 1 has no distance).  Each round is one scan + a 1-row argmax
-    collect — the same driver-round pattern as the iterative graph ops;
-    cache/checkpoint the projected frame upstream for many rounds at
-    scale.  ``picks_via="literal"`` (default) embeds each round's pick
-    as plan literals — right for small dims; ``"broadcast"`` ships it
-    as a broadcast 1-row frame so plan size stays flat at 1536-dim x
-    hundreds of picks (see :func:`_kcenter_score_newest`).  Either way
-    the corpus never shuffles — the scan is embarrassingly parallel at
-    any size."""
+    (step 1 has no distance).  O(k·n) distances total via a running-min
+    state; the state is persisted ONCE and re-persisted only every
+    ``refold_every`` picks — between refolds each round's argmax scans
+    the same cached frame with the pending picks folded in as column
+    expressions (see :func:`_kcenter_folded_view`), so the per-pick cost
+    is one cached scan + a 1-row collect, with no cache churn.  Min over
+    rounded distances is associative, so the lazy fold is value-identical
+    to materializing after every pick (pinned by the q202 oracle and the
+    equivalence test).  ``picks_via="literal"`` (default) embeds pick
+    vectors as plan literals — right for small dims; ``"broadcast"``
+    ships them as one broadcast 1-row frame so plan size stays flat at
+    1536-dim x hundreds of picks.  Either way the corpus never shuffles —
+    the scan is embarrassingly parallel at any size."""
+    if picks_via not in ("literal", "broadcast"):
+        raise ValueError(f"picks_via must be literal|broadcast, got {picks_via!r}")
+    if refold_every < 1:
+        raise ValueError("refold_every must be >= 1")
+
     def dist_to(vec: list) -> F.Column:
         vcol = F.col(vec_col).cast("array<double>")
-        s = F.array(*[F.lit(float(x)) for x in vec])
+        s = F.lit([float(x) for x in vec])
+        sn = math.sqrt(_py_sumsq(vec))
         return F.round(
-            F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * _norm(s)),
+            F.lit(1.0) - _dot(vcol, s) / (_norm(vcol) * F.lit(sn)),
             round_digits,
         )
 
     frame = df.select(id_col, vec_col)
     [seed] = frame.orderBy(F.col(id_col)).limit(1).collect()
     picks = [(1, seed[0], None)]
-    # Running-min state: each round scores ONLY the newest pick and folds
-    # it into dmin (min of rounded distances is associative, so this is
-    # value-identical to re-scoring the whole selected set every round —
-    # pinned by the q202 oracle).  O(k·n) distances total instead of
-    # O(k²·n); persist() keeps rounds from re-reading the source.
-    state = (
+    base = (
         frame.filter(F.col(id_col) != seed[0])
         .select(id_col, vec_col, dist_to(list(seed[1])).alias("dmin"))
         .persist()
     )
-    prev = None  # the previous round's cache, unpersisted only AFTER the
-    # argmax collect has materialized the current one — unpersisting
-    # before materialization would silently re-derive every round from
-    # the source (O(k²·n) with k-deep lineage instead of O(k·n))
+    prev = None  # the pre-refold cache, unpersisted only AFTER the next
+    # argmax collect has materialized the refolded one — unpersisting
+    # before materialization would silently re-derive from the source
+    pending: list = []  # (id, vec) picked but not yet folded into base
+    dist_cols: list = []  # per-pick distance Columns, built once at append
     try:
         for step in range(2, k + 1):
+            view = (
+                _kcenter_folded_view(
+                    base, pending, id_col, vec_col, round_digits, picks_via,
+                    _dist_cols=dist_cols if picks_via == "literal" else None,
+                )
+                if pending
+                else base
+            )
             [row] = (
-                state.orderBy(F.desc("dmin"), F.col(id_col))
+                view.orderBy(F.desc("dmin"), F.col(id_col))
                 .limit(1)
                 .collect()
             )
             # the global argmax scanned (and therefore cached) every
-            # partition of `state`; the previous cache is now safe to drop
+            # partition of the current base; a pre-refold cache is now
+            # safe to drop
             if prev is not None:
                 prev.unpersist()
                 prev = None
             picks.append((step, row[0], float(row["dmin"])))
-            if step < k:
-                nxt = _kcenter_score_newest(
-                    state, list(row[1]), row[0],
-                    id_col, vec_col, round_digits, picks_via,
+            pending.append((row[0], list(row[1])))
+            dist_cols.append(dist_to(list(row[1])))
+            if len(pending) >= refold_every and step < k:
+                nxt = _kcenter_folded_view(
+                    base, pending, id_col, vec_col, round_digits, picks_via,
+                    _dist_cols=dist_cols if picks_via == "literal" else None,
                 ).persist()
-                prev, state = state, nxt
+                prev, base, pending, dist_cols = base, nxt, [], []
     finally:
-        state.unpersist()
+        base.unpersist()
         if prev is not None:
             prev.unpersist()
     return picks

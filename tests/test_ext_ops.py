@@ -1542,13 +1542,30 @@ def test_kcenter_broadcast_picks_equivalent_and_plan_flat(spark):
             [(1, vec, 0.5), (2, vec, 0.4)],
             "vec_id long, embedding array<double>, dmin double",
         )
-        scored = similarity._kcenter_score_newest(
-            state, vec, 1, "vec_id", "embedding", 6, mode
+        scored = similarity._kcenter_folded_view(
+            state, [(1, vec)], "vec_id", "embedding", 6, mode
         )
         return len(scored._jdf.queryExecution().optimizedPlan().toString())
 
-    assert plan_len(512, "literal") > plan_len(64, "literal") + 2000
+    assert plan_len(512, "literal") > plan_len(64, "literal") + 1500
     assert abs(plan_len(512, "broadcast") - plan_len(64, "broadcast")) < 500
+
+
+def test_kcenter_refold_cadence_value_identical(spark):
+    """The lazy pending-pick fold is value-identical at every refold
+    cadence: refolding after each pick (the old per-round persist
+    design), every 3rd pick, and never (all picks stay lazy) must give
+    the same pick sequence with the same distances — min over rounded
+    distances is associative, so fold order cannot matter."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    eager = similarity.kcenter_greedy(emb, k=6, refold_every=1)
+    mid = similarity.kcenter_greedy(emb, k=6, refold_every=3)
+    lazy = similarity.kcenter_greedy(emb, k=6, refold_every=100)
+    assert eager == mid == lazy
+    bc = similarity.kcenter_greedy(emb, k=6, refold_every=3, picks_via="broadcast")
+    assert bc == eager
 
 
 def test_portable_hll_merge_and_accuracy(spark):
