@@ -59,6 +59,33 @@ def check_query_index(qs) -> list[str]:
     return msgs
 
 
+def check_coverage_crosswalk(qs) -> list[str]:
+    """Every queries() name must resolve to a COVERAGE.md citation, so
+    the SURVEY §2 crosswalk can't silently rot as the surface grows.
+    A query counts as cited when its qNN number appears either literally
+    (``q216``) or inside a range token (``q235-q238`` / en-dash)."""
+    import re
+
+    cov_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COVERAGE.md")
+    if not os.path.exists(cov_path):
+        return ["COVERAGE.md missing"]
+    cov = open(cov_path).read()
+    cited = set(int(n) for n in re.findall(r"\bq(\d+)\b", cov))
+    for a, b in re.findall(r"\bq(\d+)\s*[–-]\s*q(\d+)\b", cov):
+        cited.update(range(int(a), int(b) + 1))
+    missing = [
+        k for k in qs
+        if int(re.match(r"q(\d+)", k).group(1)) not in cited
+    ]
+    if missing:
+        return [
+            "COVERAGE.md missing crosswalk rows for: "
+            f"{sorted(missing)[:8]}{'...' if len(missing) > 8 else ''}"
+        ]
+    return []
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,7 +105,7 @@ def main():
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    index_msgs = check_query_index(qs)
+    index_msgs = check_query_index(qs) + check_coverage_crosswalk(qs)
     for msg in index_msgs:
         print(f"FAIL  {msg}")
     unknown = only - set(qs)
