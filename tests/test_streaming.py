@@ -510,6 +510,69 @@ def test_foreach_batch_merge_upsert_bucket_pruned(spark, tmp_path):
     assert _rows(snap.select(*ev.columns)) == _rows(expected.select(*ev.columns))
 
 
+def test_merge_sink_unchanged_under_forced_epoch_replay(spark, tmp_path):
+    """The Structured Streaming recovery contract, exercised through the
+    ENGINE rather than by hand: after the stream finishes, the last
+    epoch's entry is deleted from the checkpoint's commit log and the
+    stream is restarted — the engine then re-fires that exact epoch's
+    batch (same batch_id, same offsets) into the foreachBatch MERGE
+    sink.  An at-least-once replay of an already-applied epoch must
+    leave the snapshot byte-identical (same winners, same rows)."""
+    import os
+
+    from pr2_transformation_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path / "lake"))
+    ev = _events_fixture(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") <= 3).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") > 3).coalesce(1).write.mode("append").parquet(src)
+
+    def start(ckpt_dir):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda batch, _bid: cat.merge_upsert(
+                    "p.d.replay_snapshot", batch, ["user_id"], "ts", num_buckets=8
+                )
+            )
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _finish(start(ckpt))
+    snap_path = cat.path_for("p.d.replay_snapshot")
+    before = sorted(_rows(spark.read.parquet(snap_path).drop("__bucket")))
+
+    # Force the replay: restart from a checkpoint copy whose newest commit
+    # is missing, so the query believes that epoch never committed and
+    # re-runs it from the still-present offset log.  (A copy, not an
+    # in-place delete: the session caches each checkpoint path's metadata
+    # log and treats an in-place mutation as a concurrent writer.)
+    import shutil
+
+    ckpt2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(ckpt, ckpt2)
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt2, "commits")) if f.isdigit()
+    )
+    assert len(commits) >= 2  # maxFilesPerTrigger=1 over 2 files
+    os.remove(os.path.join(ckpt2, "commits", commits[-1]))
+    crc = os.path.join(ckpt2, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # stale Hadoop checksum sidecar → spurious
+        os.remove(crc)  # FileAlreadyExists on the replayed commit write
+
+    _finish(start(ckpt2))
+    after = sorted(_rows(spark.read.parquet(snap_path).drop("__bucket")))
+    assert after == before
+
+
 def test_streaming_repetition_and_decontamination_gates(spark, tmp_path):
     """Round-5 corpus-hygiene gates running PER MICRO-BATCH: each
     arriving batch of docs is (1) repetition-profiled and gated at the
