@@ -295,3 +295,144 @@ def fellegi_sunter_profile_report(
             F.max("__w").alias("max_weight"),
         )
     )
+
+def fellegi_sunter_em(
+    df: DataFrame,
+    *,
+    id_col: str,
+    block_cols: list[str],
+    compare_cols: list[str],
+    iters: int = 3,
+    init_p: float = 0.5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    param_quant: int = 9,
+    out_quant: int = 6,
+) -> DataFrame:
+    """EM-estimated Fellegi–Sunter parameters (Winkler 1988) over blocked
+    pairs — the classical unsupervised alternative to the fixed m-probs
+    :func:`fellegi_sunter_pairs` takes and the frequency u-estimate it
+    computes.
+
+    Under conditional independence a pair's likelihood depends only on
+    its AGREEMENT PATTERN ``γ ∈ {0,1}^F``, so the sufficient statistic
+    for EM is the pattern histogram.  It is built fully distributed and
+    LINEAR in rows via the same closed-form profile pairing as
+    :func:`fellegi_sunter_profile_report` (rows → (block, profile)
+    counts → combinatorial profile pairs → pattern counts); only the
+    ≤ 2**F histogram rows — bounded by the FIELD count, never the data —
+    reach the driver, where ``iters`` textbook EM steps run:
+
+      E:  g(γ) = p·Π m_f^{γ_f}(1-m_f)^{1-γ_f} / (that + (1-p)·Π u_f ...)
+      M:  p  ← Σ n_γ·g / Σ n_γ
+          m_f ← Σ n_γ·g·γ_f / Σ n_γ·g ,  u_f ← Σ n_γ·(1-g)·γ_f / Σ n_γ·(1-g)
+
+    Every updated parameter quantizes to ``param_quant`` decimals per
+    iteration, so an oracle can replay the whole trajectory with unrolled
+    CTEs and stay synchronized (per-engine float-sum order drift cannot
+    compound across iterations).
+
+    Returns one row per compare field:
+    ``(field, m_em, u_em, w_agree, w_disagree, p_match)`` with the
+    log2 agreement/disagreement weights from the EM estimates, all
+    rounded to ``out_quant``.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    base = df.select(id_col, *block_cols, *compare_cols)
+    prof = base.groupBy(*block_cols, *compare_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in compare_cols]
+    )
+    a = prof.select(
+        *[F.col(c).alias(f"__bk_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        F.col("__n").alias("__na"),
+        key.alias("__ka"),
+    )
+    b = prof.select(
+        *[F.col(c).alias(f"__bk_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.col("__n").alias("__nb"),
+        key.alias("__kb"),
+    )
+    pp = a.join(b, [f"__bk_{c}" for c in block_cols]).filter(
+        F.col("__ka") <= F.col("__kb")
+    )
+    n_pairs = F.when(
+        F.col("__ka") == F.col("__kb"),
+        (F.col("__na") * (F.col("__na") - 1) / 2).cast("long"),
+    ).otherwise(F.col("__na") * F.col("__nb"))
+    flags = [
+        (
+            (F.col(f"__a_{f}") == F.col(f"__b_{f}"))
+            & F.col(f"__a_{f}").isNotNull()
+        )
+        .cast("int")
+        .alias(f"__g_{f}")
+        for f in compare_cols
+    ]
+    hist_rows = (
+        pp.select(*flags, n_pairs.alias("__np"))
+        .filter(F.col("__np") > 0)
+        .groupBy(*[f"__g_{f}" for f in compare_cols])
+        .agg(F.sum("__np").alias("__cnt"))
+        .collect()
+    )
+    # canonical order so the driver-side sums are reproducible run-to-run
+    pats = sorted(
+        (
+            tuple(int(r[f"__g_{f}"]) for f in compare_cols),
+            float(r["__cnt"]),
+        )
+        for r in hist_rows
+    )
+
+    p = float(init_p)
+    m = {f: float(init_m) for f in compare_cols}
+    u = {f: float(init_u) for f in compare_cols}
+    for _ in range(iters):
+        s_cnt = s_g = 0.0
+        s_g_f = {f: 0.0 for f in compare_cols}
+        s_v = 0.0
+        s_v_f = {f: 0.0 for f in compare_cols}
+        for gamma, cnt in pats:
+            pm = p
+            pu = 1.0 - p
+            for i, f in enumerate(compare_cols):
+                pm = pm * (m[f] if gamma[i] == 1 else 1.0 - m[f])
+                pu = pu * (u[f] if gamma[i] == 1 else 1.0 - u[f])
+            g = pm / (pm + pu)
+            s_cnt += cnt
+            s_g += cnt * g
+            s_v += cnt * (1.0 - g)
+            for i, f in enumerate(compare_cols):
+                if gamma[i] == 1:
+                    s_g_f[f] += cnt * g
+                    s_v_f[f] += cnt * (1.0 - g)
+        p = round(s_g / s_cnt, param_quant)
+        for f in compare_cols:
+            m[f] = round(s_g_f[f] / s_g, param_quant)
+            u[f] = round(s_v_f[f] / s_v, param_quant)
+
+    rows = [
+        (
+            f,
+            round(m[f], out_quant),
+            round(u[f], out_quant),
+            round(math.log2(m[f] / u[f]), out_quant),
+            round(math.log2((1.0 - m[f]) / (1.0 - u[f])), out_quant),
+            round(p, out_quant),
+        )
+        for f in compare_cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field string, m_em double, u_em double, w_agree double, "
+        "w_disagree double, p_match double",
+    )

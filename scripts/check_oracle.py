@@ -103,6 +103,13 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # Timezone-robustness mode (SPARK_GRAFT_TZ=America/New_York): start
+    # every query under a hostile ambient session zone.  Queries must be
+    # TZ-free or pin their own zone (the _events/_utc contract) — a query
+    # whose answer drifts with the ambient zone fails the value compare.
+    ambient_tz = os.environ.get("SPARK_GRAFT_TZ")
+    if ambient_tz:
+        con.execute(f"SET TimeZone='{ambient_tz}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     index_msgs = check_query_index(qs) + check_coverage_crosswalk(qs)
@@ -118,6 +125,10 @@ def main():
         if only and name not in only:
             continue
         try:
+            if ambient_tz:
+                # re-hostile the session for EVERY query: a prior query's
+                # _utc() pin must not shelter the next one
+                spark.conf.set("spark.sql.session.timeZone", ambient_tz)
             sdf = fn(spark, sf_dir)
             spark_rows = sdf.collect()
             spark_cols = sorted(sdf.columns)

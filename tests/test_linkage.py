@@ -153,3 +153,78 @@ def test_fellegi_sunter_profile_report_equals_pair_form(spark):
             assert brute[v][0] == closed[v][0], v
             assert abs(brute[v][1] - closed[v][1]) < 1e-9, v
             assert brute[v][2] == closed[v][2] and brute[v][3] == closed[v][3], v
+
+
+def test_fellegi_sunter_em_matches_bruteforce_reference(spark):
+    """The distributed pattern-histogram EM must equal a brute-force
+    reference: enumerate every blocked row pair in Python, histogram the
+    agreement patterns, run the same 3 textbook EM updates, and compare
+    parameters and derived log2 weights.  Plus sanity invariants: EM
+    separates the planted duplicate structure (m > u per field) and the
+    match proportion stays a probability."""
+    import itertools
+    import math
+
+    from pr2_transformation_spark.functions import linkage
+
+    # two blocks with planted near-duplicates: ids 2k/2k+1 agree on both
+    # fields, cross pairs mostly disagree
+    rows = []
+    for i in range(10):
+        blk = i % 2
+        rows.append((2 * i, blk, f"n{i}", str(i % 3)))
+        rows.append((2 * i + 1, blk, f"n{i}", str(i % 3)))
+    df = spark.createDataFrame(rows, "id long, blk int, x string, y string")
+
+    got = {
+        r["field"]: r
+        for r in linkage.fellegi_sunter_em(
+            df,
+            id_col="id",
+            block_cols=["blk"],
+            compare_cols=["x", "y"],
+            iters=3,
+        ).collect()
+    }
+
+    # brute-force reference
+    byblk = {}
+    for rid, blk, x, y in rows:
+        byblk.setdefault(blk, []).append((rid, x, y))
+    hist = {}
+    for blk, rs in byblk.items():
+        for (ia, xa, ya), (ib, xb, yb) in itertools.combinations(rs, 2):
+            gam = (int(xa == xb), int(ya == yb))
+            hist[gam] = hist.get(gam, 0.0) + 1.0
+    p, m, u = 0.5, [0.9, 0.9], [0.1, 0.1]
+    for _ in range(3):
+        s_cnt = s_g = s_v = 0.0
+        s_gf, s_vf = [0.0, 0.0], [0.0, 0.0]
+        for gam, cnt in sorted(hist.items()):
+            pm, pu = p, 1.0 - p
+            for j in range(2):
+                pm *= m[j] if gam[j] else 1.0 - m[j]
+                pu *= u[j] if gam[j] else 1.0 - u[j]
+            g = pm / (pm + pu)
+            s_cnt += cnt
+            s_g += cnt * g
+            s_v += cnt * (1.0 - g)
+            for j in range(2):
+                if gam[j]:
+                    s_gf[j] += cnt * g
+                    s_vf[j] += cnt * (1.0 - g)
+        p = round(s_g / s_cnt, 9)
+        for j in range(2):
+            m[j] = round(s_gf[j] / s_g, 9)
+            u[j] = round(s_vf[j] / s_v, 9)
+
+    for j, f in enumerate(["x", "y"]):
+        assert abs(got[f]["m_em"] - round(m[j], 6)) < 1e-9, f
+        assert abs(got[f]["u_em"] - round(u[j], 6)) < 1e-9, f
+        assert abs(
+            got[f]["w_agree"] - round(math.log2(m[j] / u[j]), 6)
+        ) < 1e-9, f
+        assert got[f]["m_em"] > got[f]["u_em"], f  # duplicates separated
+        assert got[f]["w_agree"] > 0 > got[f]["w_disagree"], f
+        assert 0.0 < got[f]["p_match"] < 1.0
+        assert abs(got[f]["p_match"] - round(p, 6)) < 1e-9
