@@ -149,3 +149,43 @@ def test_q55_moving_average_is_calendar_range_not_rows(spark, tmp_path):
     assert ma["2024-01-03"] == pytest.approx(20.0)  # mean(10,20,30)
     # day 10: days 4..10 in range -> only itself; ROWS would give 25.0
     assert ma["2024-01-10"] == pytest.approx(40.0)
+
+
+def test_dst_transition_invariance_under_hostile_session_tz(spark, tmp_path):
+    """Events crossing BOTH US DST transitions (spring-forward 2026-03-08
+    02:30 — a wall-clock time that does not exist in America/New_York —
+    and fall-back 2026-11-01 01:30, which exists twice).  The _events/
+    _utc contract pins the session to UTC inside every query, so results
+    must be (1) equal to the DuckDB oracle's naive-timestamp semantics
+    and (2) bit-identical whether the ambient session zone is UTC or a
+    DST zone set just before the query runs — the blind spot the
+    SPARK_GRAFT_TZ sweep gates repo-wide."""
+    sf_dir = str(tmp_path)
+    rows = []
+    stamps = [
+        dt.datetime(2026, 3, 8, 0, 30),
+        dt.datetime(2026, 3, 8, 1, 30),
+        dt.datetime(2026, 3, 8, 2, 30),   # nonexistent NY wall time
+        dt.datetime(2026, 3, 8, 3, 30),
+        dt.datetime(2026, 11, 1, 0, 30),
+        dt.datetime(2026, 11, 1, 1, 30),  # ambiguous NY wall time
+        dt.datetime(2026, 11, 1, 2, 30),
+    ]
+    for i, ts in enumerate(stamps):
+        rows.append((i, ts, 100 + i, "click" if i % 2 else "view", 2.0 + i))
+    _write_events(sf_dir, rows)
+
+    def run(name, ambient):
+        spark.conf.set("spark.sql.session.timeZone", ambient)
+        try:
+            got = _compare_with_oracle(spark, sf_dir, name, ["events"])
+            cols = sorted(got[0].asDict().keys()) if got else []
+            return sorted(tuple(_norm(r[c]) for c in cols) for r in got)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    for name in ["q13_events_tumbling", "q204_burst_detection"]:
+        utc = run(name, "UTC")
+        ny = run(name, "America/New_York")
+        assert utc == ny, f"{name}: ambient DST zone changed the answer"
+        assert utc, f"{name}: empty result on the DST fixture"
