@@ -27,10 +27,12 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   CONSTANT/FIXED/LPC subframes, Rice residuals, CRC-8/CRC-16/MD5),
   and the full G.711 companding pair (:func:`mulaw_encode` /
   :func:`alaw_encode` + decoders) beside IMA ADPCM,
-* STUBBED: formats whose bitstreams require spec probability/window
-  tables or motion machinery no pure-python reimplementation can
-  honestly carry (perceptual transform audio: mp3/vorbis; modern
-  interframe video: h264/vp9; lossy VP8-in-WebP).  The feature
+* STUBBED: formats whose bitstreams require motion machinery or
+  perceptual models no pure-python reimplementation can honestly carry
+  (perceptual transform audio: mp3/vorbis; modern interframe video:
+  h264/vp9).  Lossy VP8-in-WebP left this list in round 6: ``vp8.py``
+  carries the full RFC 6386 keyframe intra decoder, conformance-tested
+  bit-exact against libwebp.  The feature
   extractor's default decoder is a
   clearly-marked deterministic fake, and passing ``decoder=None`` raises
   ``NotImplementedError`` at the seam where a ``PIL``/``torchaudio``
@@ -2251,24 +2253,36 @@ def webp_decode(payload: bytes) -> dict:
                 "height": h,
                 "has_alpha": bool(alpha),
             }
-        if fourcc in (b"VP8 ", b"VP8X"):
-            raise ValueError("only lossless (VP8L) WebP is decodable here")
+        if fourcc == b"VP8 ":
+            # lossy VP8 keyframe — full RFC 6386 intra decode (round 6)
+            from . import vp8 as _vp8
+
+            return _vp8.vp8_decode(payload)
+        if fourcc == b"VP8X":
+            raise ValueError("extended (VP8X) WebP containers not supported")
         pos += 8 + size + (size & 1)
     raise ValueError("WebP without VP8L chunk")
 
 
 @_decode_errors
 def webp_pixels(payload: bytes):
-    """Decode a lossless WebP (VP8L) to ``(h, w, 4)`` uint8 RGBA — REAL
-    spec decode with zero codec libraries: canonical prefix codes, LZ77
+    """Decode a WebP to ``(h, w, 4)`` uint8 RGBA — REAL spec decode with
+    zero codec libraries.  Lossless (VP8L): canonical prefix codes, LZ77
     backward references + neighbor distance map, color cache, meta-prefix
     tiles, and all four inverse transforms (14 predictors, cross-color,
-    subtract-green, color-indexing with pixel bundling)."""
+    subtract-green, color-indexing with pixel bundling).  Lossy (VP8):
+    the full RFC 6386 keyframe intra decoder in ``vp8.py`` (conformance-
+    tested bit-exact against libwebp), converted from YUV 4:2:0 with the
+    documented point-sampled BT.601 formula."""
     import struct
 
     import numpy as np
 
     meta = webp_decode(payload)
+    if meta.get("format") == "webp-lossy":
+        from . import vp8 as _vp8
+
+        return _vp8.vp8_pixels(payload)
     pos = 12
     body = None
     while pos + 8 <= len(payload):
@@ -2810,7 +2824,7 @@ def decode_media(
         raise NotImplementedError(
             "media decoding requires a decoder callable (image_decode for "
             "BMP/PNG/GIF/JPEG, wav_decode for PCM audio, or a PIL/"
-            "torchaudio wrapper for webp/mp3/mp4 in environments that "
+            "torchaudio wrapper for mp3/mp4 in environments that "
             "ship codecs)"
         )
 
