@@ -1,0 +1,94 @@
+"""Minimal Delta-protocol source (sources/delta.py): log replay,
+time travel, history, vacuum semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pr2_transformation_spark.sources.delta import DeltaTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "tbl"))
+    assert t.write(_df(spark, 0, 5), mode="overwrite") == 0
+    assert t.write(_df(spark, 5, 8), mode="append") == 1
+    assert t.write(_df(spark, 100, 102), mode="overwrite") == 2
+
+    assert sorted(r["k"] for r in t.read(spark, version=0).collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r["k"] for r in t.read(spark, version=1).collect()) == list(range(8))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [100, 101]
+    assert t.versions() == [0, 1, 2]
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert [h["mode"] for h in hist] == ["overwrite", "append", "overwrite"]
+
+
+def test_log_layout_is_the_public_protocol(spark, tmp_path):
+    """The on-disk layout must be what any delta reader replays:
+    zero-padded json commits of newline-delimited actions with
+    protocol/metaData/add/remove/commitInfo keys."""
+    t = DeltaTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    t.write(_df(spark, 3, 4), mode="overwrite")
+    log = os.path.join(str(tmp_path / "tbl"), "_delta_log")
+    assert sorted(os.listdir(log)) == [
+        "00000000000000000000.json", "00000000000000000001.json",
+    ]
+    acts0 = [json.loads(x) for x in open(os.path.join(
+        log, "00000000000000000000.json")) if x.strip()]
+    kinds0 = [next(iter(a)) for a in acts0]
+    assert kinds0[0] == "protocol" and "metaData" in kinds0
+    assert any("add" in a for a in acts0) and kinds0[-1] == "commitInfo"
+    acts1 = [json.loads(x) for x in open(os.path.join(
+        log, "00000000000000000001.json")) if x.strip()]
+    # overwrite tombstones every previously-live file
+    removed = [a["remove"]["path"] for a in acts1 if "remove" in a]
+    added0 = [a["add"]["path"] for a in acts0 if "add" in a]
+    assert sorted(removed) == sorted(added0)
+    for a in acts1:
+        if "add" in a:
+            assert a["add"]["dataChange"] is True
+            assert a["add"]["size"] > 0
+
+
+def test_vacuum_respects_live_set_and_horizon(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 5), mode="overwrite", now_ms=1_000)
+    t.write(_df(spark, 50, 52), mode="overwrite", now_ms=2_000)
+
+    # horizon not reached: nothing deleted, v0 still readable
+    assert t.vacuum(retain_ms=10_000, now_ms=5_000) == []
+    assert t.read(spark, version=0).count() == 5
+
+    deleted = t.vacuum(retain_ms=10_000, now_ms=20_000)
+    assert deleted  # v0's tombstoned files are gone
+    for p in deleted:
+        assert not os.path.exists(os.path.join(str(tmp_path / "tbl"), p))
+    # latest snapshot untouched
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [50, 51]
+    # time travel to the vacuumed version now fails at scan time
+    with pytest.raises(Exception):
+        t.read(spark, version=0).collect()
+
+
+def test_errors(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="not a Delta table"):
+        t.read(spark)
+    t2 = DeltaTable(str(tmp_path / "tbl"))
+    t2.write(_df(spark, 0, 2), mode="overwrite")
+    with pytest.raises(ValueError, match="version 9"):
+        t2.read(spark, version=9)
+    with pytest.raises(ValueError, match="mode"):
+        t2.write(_df(spark, 0, 1), mode="merge")
