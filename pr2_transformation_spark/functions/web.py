@@ -138,3 +138,85 @@ def url_depth(url: Column) -> Column:
     return F.size(
         F.filter(F.split(url_path(url), "/"), lambda s: s != F.lit(""))
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl-permission evaluation at corpus scale
+# ---------------------------------------------------------------------------
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored regex usable verbatim in BOTH
+    Spark (Java regex) and DuckDB (RE2): ``*`` matches any run of
+    octets, a trailing ``$`` anchors the end, everything else is
+    literal.  Regex-special literals are escaped character-by-character
+    (the subset differs between engines only in constructs we never
+    emit)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.^$+?()[]{}|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
+def robots_decisions(
+    urls: DataFrame,
+    rules: "list[tuple[str, str]]",
+    path_col: str = "path",
+) -> DataFrame:
+    """Evaluate RFC 9309 group rules against every URL path.
+
+    ``rules`` is the parsed group for the crawling agent:
+    ``[("allow" | "disallow", pattern), ...]``.  Semantics per the RFC:
+    the rule with the LONGEST pattern (octet length) wins; on a tie
+    between allow and disallow, allow wins; a path matched by no rule is
+    allowed.  Empty patterns are ignored (they match everything at
+    length 0 and can never beat the no-match default).
+
+    Scale shape: the rule list broadcasts (a robots group is tens of
+    rows) and each path evaluates all rules in one projection — no
+    explode, no shuffle; the per-URL argmax is a single aggregation on
+    the URL key.  Returns ``urls`` columns + ``allowed`` (boolean) +
+    ``match_len`` (0 = no rule matched)."""
+    spark = urls.sparkSession
+    rows = [
+        (i, verb, pat, robots_pattern_regex(pat), len(pat))
+        for i, (verb, pat) in enumerate(rules)
+        if pat != ""
+        and verb in ("allow", "disallow")
+    ]
+    rules_df = spark.createDataFrame(
+        rows, "rule_id int, verb string, pattern string, rx string, plen int"
+    )
+    matched = (
+        urls.crossJoin(F.broadcast(rules_df))
+        .filter(F.expr(f"rlike({path_col}, rx)"))
+        .groupBy(*urls.columns)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("plen"),
+                    (F.col("verb") == "allow").cast("int").alias("is_allow"),
+                )
+            ).alias("best")
+        )
+        .select(
+            *urls.columns,
+            (F.col("best.is_allow") == 1).alias("allowed"),
+            F.col("best.plen").alias("match_len"),
+        )
+    )
+    return (
+        urls.join(matched.select(*urls.columns, "allowed", "match_len"),
+                  urls.columns, "left")
+        .select(
+            *urls.columns,
+            F.coalesce("allowed", F.lit(True)).alias("allowed"),
+            F.coalesce("match_len", F.lit(0)).alias("match_len"),
+        )
+    )

@@ -33,6 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 #: Queries whose plans legitimately contain an all-pairs operator, with why.
 CARTESIAN_ALLOWED = {
+    "q340_robots_txt_decisions": "every path evaluates the broadcast 11-row robots rule group (per-row regex join has no equi-key by nature)",
     "q20_ann_bruteforce": "exact brute-force baseline by contract (broadcast query side)",
     "q122_semantic_dedup": "crossJoin against the broadcast centroid frame only",
     "q35_ann_ivf": "centroid scoring is a broadcast cross of k centroids",

@@ -294,3 +294,34 @@ def test_read_warc_dir(spark, tmp_path):
     out = warc.read_warc_dir(spark, str(tmp_path)).orderBy("record_id").collect()
     assert [r["content"] for r in out] == [b"t0", b"t1", b"t2"]
     assert all(r["warc_id"].endswith("part-0.warc") for r in out)
+
+
+def test_robots_decisions_rfc9309_semantics(spark):
+    """Longest-match wins; allow beats disallow on exact length ties;
+    unmatched paths default to allowed; $ anchors; empty patterns are
+    ignored."""
+    from pr2_transformation_spark.functions import web
+
+    rules = [
+        ("disallow", "/a"),
+        ("allow", "/a/b"),
+        ("disallow", "/a/b/c"),
+        ("allow", "/t/ke*"),      # length 6 tie:
+        ("disallow", "/t/k*e"),   # allow must win on /t/keep
+        ("disallow", "/end$"),
+        ("allow", ""),            # ignored
+    ]
+    urls = spark.createDataFrame(
+        [(1, "/a/x"), (2, "/a/b/x"), (3, "/a/b/c/x"), (4, "/t/keep"),
+         (5, "/end"), (6, "/endless"), (7, "/other")],
+        "id long, path string",
+    )
+    got = {r["id"]: (r["allowed"], r["match_len"])
+           for r in web.robots_decisions(urls, rules, path_col="path").collect()}
+    assert got[1] == (False, 2)   # /a disallow
+    assert got[2] == (True, 4)    # /a/b allow overrides
+    assert got[3] == (False, 6)   # deeper disallow overrides again
+    assert got[4] == (True, 6)    # exact-length tie -> allow
+    assert got[5] == (False, 5)   # $ anchored match
+    assert got[6] == (True, 0)    # anchor prevents match -> default allow
+    assert got[7] == (True, 0)    # no rule
