@@ -2656,3 +2656,38 @@ def test_exponential_smoothing_closed_form_equals_recurrence(spark):
         assert abs(out[day][0] - s) < max(1e-6 * abs(s), 1e-4), day
         if i > 0:
             assert abs(out[day][1] - prev) < max(1e-6 * abs(prev), 1e-4), day
+
+
+def test_hamming_component_edges_preserve_components(spark):
+    """The contracted spanning edge set must yield EXACTLY the connected
+    components of the full all-pairs Hamming graph, including duplicate
+    multiplicity and near (not just exact) matches."""
+    from pr2_transformation_spark.functions import dedup
+    from pr2_transformation_spark.operators import graph
+
+    # hash families: 3 exact groups + one near pair (distance 2) + isolates
+    rows = [
+        (1, 0b1111000011110000), (2, 0b1111000011110000),
+        (3, 0b1111000011110000),                      # exact group A
+        (4, 0b1111000011110011),                      # near A (dist 2)
+        (5, 0b0000111100001111), (6, 0b0000111100001111),  # exact group B
+        (7, 0b1010101010101010),                      # isolate
+        (8, 0b0101010101010101),                      # isolate
+    ]
+    df = spark.createDataFrame(rows, "vid long, h long")
+
+    def comps(edges):
+        out = graph.dedup_clusters(
+            edges.select("id_a", "id_b"), df.select("vid"), "vid",
+            "id_a", "id_b",
+        )
+        m = {}
+        for r in out.collect():
+            m.setdefault(r[1], set()).add(r[0])
+        return sorted(frozenset(v) for v in m.values())
+
+    full = dedup.hamming_near_dup_pairs(df, "h", "vid", max_distance=2, bits=16, bands=3)
+    contracted = dedup.hamming_component_edges(df, "h", "vid", max_distance=2, bits=16, bands=3)
+    assert comps(contracted) == comps(full)
+    # the contraction is doing real work: fewer edges than pairs
+    assert contracted.count() < full.count()
