@@ -92,3 +92,21 @@ def test_errors(spark, tmp_path):
         t2.read(spark, version=9)
     with pytest.raises(ValueError, match="mode"):
         t2.write(_df(spark, 0, 1), mode="merge")
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """An append with an added column: the snapshot uses the LATEST
+    metaData schema and old files surface NULLs for the new column."""
+    from pyspark.sql import functions as F2
+
+    t = DeltaTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    t.write(
+        _df(spark, 3, 5).withColumn("tag", F2.lit("new")), mode="append"
+    )
+    got = t.read(spark)
+    assert set(got.columns) == {"k", "v", "tag"}
+    vals = {r["k"]: r["tag"] for r in got.collect()}
+    assert vals[0] is None and vals[4] == "new"
+    # time travel to v0 keeps the old 2-column schema
+    assert set(t.read(spark, version=0).columns) == {"k", "v"}
