@@ -266,6 +266,16 @@ BENCH_QUERIES = [
     "q334_bbit_minhash",
     "q335_good_turing",
     "q336_power_analysis",
+    "q337_fellegi_sunter_em",
+    "q338_vp8_roundtrip_checksums",
+    "q339_delta_log_time_travel",
+    "q340_robots_txt_decisions",
+    "q341_ridge_regression",
+    "q342_parquet_footer_pruning",
+    "q343_privacy_budget_composition",
+    "q344_tokenizer_fertility",
+    "q345_streaming_delta_sink",
+    "q346_bitext_margin_mining",
 ]
 
 
