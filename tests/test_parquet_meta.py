@@ -88,3 +88,24 @@ def test_bad_magic_rejected(tmp_path):
         f.write(b"\x00" * 64)
     with pytest.raises(ValueError, match="bad magic"):
         read_footer(p)
+
+
+def test_wide_schema_and_many_row_groups(tmp_path):
+    """>=15 schema elements and >=15 row groups exercise the thrift
+    compact long-list header (size nibble 15 + varint) and field-id
+    delta escapes; stats must still match pyarrow everywhere."""
+    path = str(tmp_path / "wide.parquet")
+    n = 2000
+    tbl = pa.table({f"c{i:02d}": pa.array([(x * (i + 1)) % 977 for x in range(n)],
+                                          pa.int64())
+                    for i in range(20)})
+    pq.write_table(tbl, path, row_group_size=100)  # 20 row groups
+    footer = read_footer(path)
+    ref = pq.ParquetFile(path).metadata
+    assert len(footer["row_groups"]) == ref.num_row_groups == 20
+    assert len(footer["schema"]) == 20
+    for g in (0, 7, 19):
+        for c in (0, 11, 19):
+            col = footer["row_groups"][g]["columns"][c]
+            st = ref.row_group(g).column(c).statistics
+            assert (col["min"], col["max"]) == (st.min, st.max)
