@@ -276,6 +276,9 @@ BENCH_QUERIES = [
     "q344_tokenizer_fertility",
     "q345_streaming_delta_sink",
     "q346_bitext_margin_mining",
+    "q347_seasonal_decomposition",
+    "q348_deletion_neighborhood_join",
+    "q349_mann_kendall_theil_sen",
 ]
 
 

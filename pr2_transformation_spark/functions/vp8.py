@@ -292,7 +292,9 @@ def inv_dct4x4(coeffs: list) -> list:
 # ---------------------------------------------------------------------------
 
 class _FrameHeader:
-    pass
+    """Mutable bag for the §9 frame-header fields (filled by
+    :func:`_parse_header`; attribute-per-field keeps call sites
+    readable without a 20-field constructor)."""
 
 
 def _clamp_q(i: int, hi: int = 127) -> int:
