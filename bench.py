@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "q347_seasonal_decomposition",
     "q348_deletion_neighborhood_join",
     "q349_mann_kendall_theil_sen",
+    "q350_local_outlier_factor",
+    "q351_conformal_intervals",
 ]
 
 
