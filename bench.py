@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "q349_mann_kendall_theil_sen",
     "q350_local_outlier_factor",
     "q351_conformal_intervals",
+    "q352_source_influence",
 ]
 
 
