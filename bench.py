@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "q350_local_outlier_factor",
     "q351_conformal_intervals",
     "q352_source_influence",
+    "q353_difference_in_differences",
+    "q354_poisson_bootstrap",
 ]
 
 
