@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "q352_source_influence",
     "q353_difference_in_differences",
     "q354_poisson_bootstrap",
+    "q355_simpsons_paradox_audit",
 ]
 
 
