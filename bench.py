@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "q353_difference_in_differences",
     "q354_poisson_bootstrap",
     "q355_simpsons_paradox_audit",
+    "q356_iceberg_time_travel",
 ]
 
 
