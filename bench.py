@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "q354_poisson_bootstrap",
     "q355_simpsons_paradox_audit",
     "q356_iceberg_time_travel",
+    "q357_chinchilla_feasibility",
 ]
 
 

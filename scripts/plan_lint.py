@@ -35,6 +35,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 CARTESIAN_ALLOWED = {
     "q340_robots_txt_decisions": "every path evaluates the broadcast 11-row robots rule group (per-row regex join has no equi-key by nature)",
     "q20_ann_bruteforce": "exact brute-force baseline by contract (broadcast query side)",
+    "q357_chinchilla_feasibility": "corpus token-count scalar (1 row) rides a broadcast cross onto the 4-row budget grid",
     "q355_simpsons_paradox_audit": "pooled-moment scalar (1 row) rides a broadcast cross onto the segment frame",
     "q353_difference_in_differences": "date-range anchor scalar (1 row) rides a broadcast cross (q214/q220 pattern)",
     "q352_source_influence": "10-moment totals (1 row) ride a broadcast cross onto the 7-row source frame",
