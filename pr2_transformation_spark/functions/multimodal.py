@@ -2258,8 +2258,8 @@ def webp_decode(payload: bytes) -> dict:
             from . import vp8 as _vp8
 
             return _vp8.vp8_decode(payload)
-        if fourcc == b"VP8X":
-            raise ValueError("extended (VP8X) WebP containers not supported")
+        # VP8X is just the extended-features envelope: keep walking to
+        # the inner VP8/VP8L chunk (alpha is handled by the vp8 module)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP without VP8L chunk")
 
@@ -2296,6 +2296,16 @@ def webp_pixels(payload: bytes):
     w = br.bits(14) + 1
     h = br.bits(14) + 1
     br.bits(4)  # alpha hint + version
+    return _vp8l_decode_headless(br, w, h)
+
+
+def _vp8l_decode_headless(br, w: int, h: int):
+    """Transforms loop + entropy-coded image + inverse transforms for a
+    VP8L stream whose dimensions are known EXTERNALLY — the shared core
+    of the VP8L chunk path (dims from the chunk header, above) and the
+    ALPH alpha-plane path (dims from VP8X; the alpha bitstream is
+    headless by spec).  Returns (h, w, 4) uint8 RGBA."""
+    import numpy as np
 
     transforms = []
     xsize = w

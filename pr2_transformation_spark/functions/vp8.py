@@ -983,14 +983,17 @@ def find_vp8_chunk(payload: bytes):
 
 
 def vp8_decode(payload: bytes) -> dict:
-    """Header-only decode of a lossy WebP: dimensions + filter/quant
-    summary (the webp_decode twin for 'VP8 ' chunks)."""
+    """Header-only decode of a lossy WebP (plain or VP8X-extended):
+    dimensions + alpha + filter/quant summary (the webp_decode twin for
+    'VP8 ' chunks)."""
+    parts = parse_container(payload)
     h = _parse_header(find_vp8_chunk(payload))
     return {
         "media_type": "image",
         "format": "webp-lossy",
         "width": h.width,
         "height": h.height,
+        "has_alpha": parts["alph"] is not None,
         "filter_level": h.filter_level,
         "y_ac_qi": h.y_ac_qi,
     }
@@ -1009,7 +1012,12 @@ def vp8_pixels(payload: bytes):
     sample) and converted with the BT.601 full-swing integer formula —
     a DETERMINISTIC documented conversion, deliberately simpler than
     libwebp's fancy upsampler; conformance against libwebp is asserted
-    on the YUV planes (the normative decoder output), not on RGB."""
+    on the YUV planes (the normative decoder output), not on RGB.
+    When the container carries an ALPH chunk (VP8X-extended still with
+    transparency), its alpha plane decodes EXACTLY (headless VP8L or
+    raw + row unfiltering) and conformance DOES hold bit-for-bit on the
+    alpha channel."""
+    parts = parse_container(payload)
     Y, U, V = vp8_decode_yuv(payload)
     h, w = Y.shape
     y = Y.astype(np.int32)
@@ -1020,7 +1028,11 @@ def vp8_pixels(payload: bytes):
     g = _clip255((c - 100 * u - 208 * v + 128) >> 8)
     b = _clip255((c + 516 * u + 128) >> 8)
     out = np.empty((h, w, 4), dtype=np.uint8)
-    out[..., 0], out[..., 1], out[..., 2], out[..., 3] = r, g, b, 255
+    out[..., 0], out[..., 1], out[..., 2] = r, g, b
+    if parts["alph"] is not None:
+        out[..., 3] = decode_alpha(parts["alph"], w, h)
+    else:
+        out[..., 3] = 255
     return out
 
 
@@ -1165,3 +1177,87 @@ def expected_dc_decode(levels: "np.ndarray", qindex: int = 40) -> "np.ndarray":
             res = (int(levels[r, c]) * dcq + 4) >> 3
             vals[r, c] = min(255, max(0, pred + res))
     return vals
+
+# ---------------------------------------------------------------------------
+# extended container: VP8X + ALPH (alpha plane) — still-WebP completion
+# ---------------------------------------------------------------------------
+
+def parse_container(payload: bytes) -> dict:
+    """RIFF walk returning every still-WebP piece: the 'VP8 ' body,
+    the optional ALPH body, and VP8X canvas dimensions when present."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    out = {"vp8": None, "alph": None, "vp8x": None}
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8 ":
+            out["vp8"] = body
+        elif fourcc == b"ALPH":
+            out["alph"] = body
+        elif fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("short VP8X chunk")
+            out["vp8x"] = {
+                "flags": body[0],
+                "has_alpha": bool(body[0] & 0x10),
+                "width": 1 + (body[4] | (body[5] << 8) | (body[6] << 16)),
+                "height": 1 + (body[7] | (body[8] << 8) | (body[9] << 16)),
+            }
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _unfilter_alpha(plane: "np.ndarray", method: int) -> "np.ndarray":
+    """Inverse of the container spec's alpha row filters: method 1
+    predicts left (top row: above-less, leftmost uses above), 2
+    predicts above (leftmost column fallback to left), 3 the gradient
+    clip(A + B - C); addition wraps modulo 256."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.zeros((h, w), dtype=np.int32)
+    p = plane.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif method == 1:  # horizontal
+                pred = out[y, x - 1] if x > 0 else out[y - 1, x]
+            elif method == 2:  # vertical
+                pred = out[y - 1, x] if y > 0 else out[y, x - 1]
+            else:  # gradient
+                a = out[y, x - 1] if x > 0 else (out[y - 1, x] if y > 0 else 0)
+                b = out[y - 1, x] if y > 0 else (out[y, x - 1] if x > 0 else 0)
+                c = out[y - 1, x - 1] if (x > 0 and y > 0) else 0
+                pred = min(255, max(0, a + b - c))
+            out[y, x] = (p[y, x] + pred) & 0xFF
+    return out
+
+
+def decode_alpha(alph: bytes, w: int, h: int) -> "np.ndarray":
+    """ALPH chunk -> (h, w) uint8 alpha plane.  Header byte:
+    rsv(2) | preprocessing(2) | filtering(2) | compression(2).
+    Compression 0 is the raw row-major plane; 1 is a HEADLESS VP8L
+    bitstream (dims from VP8X) carrying alpha in the green channel.
+    Row filtering is inverted afterwards; preprocessing (level
+    reduction) is an encode-side choice with no decode action."""
+    if not alph:
+        raise ValueError("empty ALPH chunk")
+    head = alph[0]
+    compression = head & 3
+    filtering = (head >> 2) & 3
+    if compression == 0:
+        if len(alph) - 1 < w * h:
+            raise ValueError("raw ALPH plane shorter than canvas")
+        plane = np.frombuffer(alph[1 : 1 + w * h], np.uint8).reshape(h, w)
+    elif compression == 1:
+        from .multimodal import _Vp8lBitReader, _vp8l_decode_headless
+
+        rgba = _vp8l_decode_headless(_Vp8lBitReader(alph[1:]), w, h)
+        plane = rgba[..., 1]  # alpha rides the green channel by spec
+    else:
+        raise ValueError(f"reserved ALPH compression method {compression}")
+    return _unfilter_alpha(plane, filtering).astype(np.uint8)

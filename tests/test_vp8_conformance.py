@@ -145,3 +145,79 @@ def test_multimodal_dispatch_and_rejects():
     bad[3] = 0xFF  # break the keyframe start code
     with pytest.raises(ValueError):
         vp8.decode_frame(bytes(bad))
+
+
+def test_alpha_channel_bit_exact_vs_libwebp():
+    """VP8X+ALPH stills (the transparency path: headless VP8L alpha
+    plane + row unfiltering) must reproduce libwebp's alpha channel
+    exactly — alpha is lossless, so this holds bit-for-bit even though
+    RGB conversion conventions differ."""
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    _LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+
+    for seed, (h, w), q in [(1, (24, 40), 75), (3, (33, 17), 90)]:
+        rng = np.random.default_rng(seed)
+        rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        rgba[..., 3] = (np.arange(w)[None, :] * 6
+                        + np.arange(h)[:, None] * 3) % 256
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = _LIB.WebPEncodeRGBA(rgba.tobytes(), w, h, w * 4,
+                                ctypes.c_float(q), ctypes.byref(out))
+        data = bytes(np.ctypeslib.as_array(out, (n,)))
+        _LIB.WebPFree(out)
+
+        ww, hh = ctypes.c_int(), ctypes.c_int()
+        p = _LIB.WebPDecodeRGBA(data, len(data), ctypes.byref(ww), ctypes.byref(hh))
+        ref = np.ctypeslib.as_array(p, (hh.value, ww.value, 4)).copy()
+        _LIB.WebPFree(p)
+
+        mine = vp8.vp8_pixels(data)
+        assert (mine[..., 3] == ref[..., 3]).all(), (h, w, q)
+        meta = multimodal.webp_decode(data)
+        assert meta["has_alpha"] and meta["width"] == w
+
+        # the YUV planes under the alpha still conform too
+        Yr, Ur, Vr = _ref_decode_yuv(data)
+        Ym, Um, Vm = vp8.vp8_decode_yuv(data)
+        assert (Ym == Yr).all() and (Um == Ur).all() and (Vm == Vr).all()
+
+
+def test_alpha_unfilter_conventions():
+    """Raw-compression ALPH with each filter method round-trips through
+    the documented edge conventions (top-left 0, first-row/-column
+    fallbacks, modulo-256 accumulation)."""
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    for method in (0, 1, 2, 3):
+        # forward-filter with the same conventions, then invert
+        h, w = plane.shape
+        filt = np.zeros_like(plane, dtype=np.int32)
+        out = plane.astype(np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif method == 0:
+                    pred = 0
+                elif method == 1:
+                    pred = out[y, x - 1] if x > 0 else out[y - 1, x]
+                elif method == 2:
+                    pred = out[y - 1, x] if y > 0 else out[y, x - 1]
+                else:
+                    a = out[y, x - 1] if x > 0 else (out[y - 1, x] if y > 0 else 0)
+                    b = out[y - 1, x] if y > 0 else (out[y, x - 1] if x > 0 else 0)
+                    c = out[y - 1, x - 1] if (x > 0 and y > 0) else 0
+                    pred = min(255, max(0, a + b - c))
+                filt[y, x] = (out[y, x] - pred) & 0xFF
+        head = bytes([method << 2])  # compression 0, filter=method
+        payload = head + filt.astype(np.uint8).tobytes()
+        got = vp8.decode_alpha(payload, w, h)
+        assert (got == plane).all(), method
