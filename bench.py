@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "q355_simpsons_paradox_audit",
     "q356_iceberg_time_travel",
     "q357_chinchilla_feasibility",
+    "q358_webp_animation_composite",
 ]
 
 

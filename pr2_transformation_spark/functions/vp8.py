@@ -1261,3 +1261,150 @@ def decode_alpha(alph: bytes, w: int, h: int) -> "np.ndarray":
     else:
         raise ValueError(f"reserved ALPH compression method {compression}")
     return _unfilter_alpha(plane, filtering).astype(np.uint8)
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF): demux, mux, compositing
+# ---------------------------------------------------------------------------
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def webp_anim_frames(payload: bytes) -> dict:
+    """Demux an animated WebP: ANIM parameters + per-ANMF frame records
+    ``{x, y, width, height, duration_ms, blend, dispose, payload}``
+    where ``payload`` is a standalone still WebP (the frame's ALPH/VP8/
+    VP8L chunks rewrapped) decodable by :func:`vp8_pixels` /
+    ``multimodal.webp_pixels``."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    canvas = None
+    anim = None
+    frames = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X":
+            canvas = {
+                "has_anim": bool(body[0] & 0x02),
+                "width": 1 + _u24(body, 4),
+                "height": 1 + _u24(body, 7),
+            }
+        elif fourcc == b"ANIM":
+            anim = {
+                "background_rgba": tuple(body[0:4]),  # B,G,R,A byte order
+                "loop_count": struct.unpack_from("<H", body, 4)[0],
+            }
+        elif fourcc == b"ANMF":
+            flags = body[15]
+            inner = body[16:]
+            riff = b"WEBP" + inner
+            frames.append({
+                "x": _u24(body, 0) * 2,
+                "y": _u24(body, 3) * 2,
+                "width": 1 + _u24(body, 6),
+                "height": 1 + _u24(body, 9),
+                "duration_ms": _u24(body, 12),
+                "blend": (flags & 0x02) == 0,   # bit1: 0 = alpha-blend
+                "dispose": bool(flags & 0x01),  # bit0: dispose to bg
+                "payload": b"RIFF" + struct.pack("<I", len(riff)) + riff,
+            })
+        pos += 8 + size + (size & 1)
+    if canvas is None or anim is None or not frames:
+        raise ValueError("not an animated WebP (VP8X+ANIM+ANMF required)")
+    return {"canvas": canvas, "anim": anim, "frames": frames}
+
+
+def webp_anim_encode(frames: list, canvas_w: int, canvas_h: int,
+                     background=(255, 255, 255, 255), loop_count: int = 0) -> bytes:
+    """Mux still-WebP payloads into an animated WebP.  Each frame:
+    ``{payload, x, y, duration_ms, blend, dispose}`` — offsets must be
+    even (the format stores them halved)."""
+    chunks = []
+    vp8x = bytes([0x12, 0, 0, 0]) + bytes([
+        (canvas_w - 1) & 0xFF, ((canvas_w - 1) >> 8) & 0xFF,
+        ((canvas_w - 1) >> 16) & 0xFF,
+        (canvas_h - 1) & 0xFF, ((canvas_h - 1) >> 8) & 0xFF,
+        ((canvas_h - 1) >> 16) & 0xFF,
+    ])
+    chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+    anim = bytes(background) + struct.pack("<H", loop_count) + b"\x00\x00"
+    chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+    for f in frames:
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        inner = f["payload"]
+        if inner[:4] != b"RIFF" or inner[8:12] != b"WEBP":
+            raise ValueError("frame payload must be a still WebP")
+        sub = inner[12:]  # the frame's chunk list
+        from .multimodal import webp_decode as _webp_decode
+
+        meta = _webp_decode(f["payload"])  # handles VP8 and VP8L frames
+        flags = (0 if f.get("blend", True) else 0x02) | (
+            0x01 if f.get("dispose", False) else 0
+        )
+        body = (
+            bytes([(x // 2) & 0xFF, ((x // 2) >> 8) & 0xFF, ((x // 2) >> 16) & 0xFF])
+            + bytes([(y // 2) & 0xFF, ((y // 2) >> 8) & 0xFF, ((y // 2) >> 16) & 0xFF])
+            + bytes([(meta["width"] - 1) & 0xFF, ((meta["width"] - 1) >> 8) & 0xFF,
+                     ((meta["width"] - 1) >> 16) & 0xFF])
+            + bytes([(meta["height"] - 1) & 0xFF, ((meta["height"] - 1) >> 8) & 0xFF,
+                     ((meta["height"] - 1) >> 16) & 0xFF])
+            + bytes([f.get("duration_ms", 100) & 0xFF,
+                     (f.get("duration_ms", 100) >> 8) & 0xFF,
+                     (f.get("duration_ms", 100) >> 16) & 0xFF])
+            + bytes([flags])
+            + sub
+        )
+        chunk = b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        chunks.append(chunk)
+    riff = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def find_vp8_chunk_safe(payload: bytes):
+    try:
+        return find_vp8_chunk(payload)
+    except ValueError:
+        return None
+
+
+def webp_anim_composite(payload: bytes) -> "list[np.ndarray]":
+    """Render every animation frame to the composited (canvas_h,
+    canvas_w, 4) RGBA canvas per the container spec: the canvas starts
+    fully transparent; each frame either ALPHA-BLENDS (src-over with
+    straight alpha, integer arithmetic) or REPLACES its rectangle; a
+    dispose-to-background frame clears its rectangle to the ANIM
+    background color after rendering."""
+    from .multimodal import webp_pixels
+
+    info = webp_anim_frames(payload)
+    W, H = info["canvas"]["width"], info["canvas"]["height"]
+    bgr = info["anim"]["background_rgba"]
+    background = np.array([bgr[2], bgr[1], bgr[0], bgr[3]], dtype=np.int32)
+    canvas = np.zeros((H, W, 4), dtype=np.int32)
+    out = []
+    for f in info["frames"]:
+        px = webp_pixels(f["payload"]).astype(np.int32)
+        x, y, fw, fh = f["x"], f["y"], f["width"], f["height"]
+        region = canvas[y : y + fh, x : x + fw]
+        if f["blend"]:
+            a = px[..., 3:4]
+            dst_a = region[..., 3:4]
+            out_a = a + dst_a * (255 - a) // 255
+            safe = np.maximum(out_a, 1)
+            rgb = (px[..., :3] * a
+                   + region[..., :3] * dst_a * (255 - a) // 255) // safe
+            region[..., :3] = np.where(out_a > 0, rgb, 0)
+            region[..., 3:4] = out_a
+        else:
+            region[...] = px
+        out.append(canvas.astype(np.uint8).copy())
+        if f["dispose"]:
+            canvas[y : y + fh, x : x + fw] = background
+    return out

@@ -11,6 +11,7 @@ probability table shape.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -90,3 +91,57 @@ def test_carry_propagation_through_ff_runs():
     r = BoolReader(w.finish())
     for bit, prob in pattern:
         assert r.get(prob) == bit
+
+
+def test_webp_animation_roundtrip_and_compositing():
+    """Mux/demux round trip plus the spec compositing rules: replace vs
+    alpha-blend, dispose-to-background, offsets, durations."""
+    import numpy as np
+
+    from pr2_transformation_spark.functions import multimodal, vp8
+
+    base = np.zeros((16, 16, 4), np.uint8)
+    base[..., 0] = 100
+    base[..., 3] = 255
+    half = np.zeros((8, 8, 4), np.uint8)
+    half[..., 1] = 200
+    half[..., 3] = 128  # semi-transparent for the blend case
+    f1 = multimodal.webp_encode(base)
+    f2 = multimodal.webp_encode(half)
+    anim = vp8.webp_anim_encode(
+        [
+            {"payload": f1, "x": 0, "y": 0, "duration_ms": 40,
+             "blend": False, "dispose": False},
+            {"payload": f2, "x": 8, "y": 0, "duration_ms": 70,
+             "blend": True, "dispose": True},
+        ],
+        canvas_w=16, canvas_h=16, background=(0, 0, 0, 0), loop_count=3,
+    )
+    info = vp8.webp_anim_frames(anim)
+    assert info["canvas"] == {"has_anim": True, "width": 16, "height": 16}
+    assert info["anim"]["loop_count"] == 3
+    assert [f["duration_ms"] for f in info["frames"]] == [40, 70]
+    assert [f["blend"] for f in info["frames"]] == [False, True]
+    assert [f["dispose"] for f in info["frames"]] == [False, True]
+    # each demuxed frame payload decodes standalone
+    for f in info["frames"]:
+        px = multimodal.webp_pixels(f["payload"])
+        assert px.shape == (f["height"], f["width"], 4)
+
+    frames = vp8.webp_anim_composite(anim)
+    assert len(frames) == 2
+    # frame 1: full replace
+    assert (frames[0][..., 0] == 100).all() and (frames[0][..., 3] == 255).all()
+    # frame 2: src-over blend of the half-alpha green patch on the red base
+    blended = frames[1][0, 8]
+    a = 128
+    exp_r = (100 * 255 * (255 - a) // 255) // 255
+    exp_g = (200 * a) // 255
+    assert abs(int(blended[0]) - exp_r) <= 1
+    assert abs(int(blended[1]) - exp_g) <= 1
+    assert (frames[1][:, :8] == frames[0][:, :8]).all()  # untouched half
+
+    with pytest.raises(ValueError, match="even"):
+        vp8.webp_anim_encode([{"payload": f1, "x": 1}], 16, 16)
+    with pytest.raises(ValueError, match="animated"):
+        vp8.webp_anim_frames(f1)
