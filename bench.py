@@ -288,6 +288,8 @@ BENCH_QUERIES = [
     "q356_iceberg_time_travel",
     "q357_chinchilla_feasibility",
     "q358_webp_animation_composite",
+    "q359_parquet_data_plane",
+    "q360_metadata_only_rollup",
 ]
 
 

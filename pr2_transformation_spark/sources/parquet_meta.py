@@ -173,7 +173,20 @@ def read_footer(path: str) -> dict:
         meta_len = struct.unpack("<I", tail[:4])[0]
         f.seek(-8 - meta_len, 2)
         buf = f.read(meta_len)
+    return _parse_footer(buf)
 
+
+def read_footer_bytes(data: bytes) -> dict:
+    """:func:`read_footer` over an in-memory file image (the
+    distributed data-plane reader gets whole files from a binaryFile
+    scan and never touches local disk)."""
+    if data[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (bad magic)")
+    meta_len = struct.unpack("<I", data[-8:-4])[0]
+    return _parse_footer(data[-8 - meta_len:-8])
+
+
+def _parse_footer(buf: bytes) -> dict:
     r = _Reader(buf)
     fmd = r.struct(keep=(1, 2, 3, 4, 6))
     schema = []
@@ -181,6 +194,9 @@ def read_footer(path: str) -> dict:
         schema.append({
             "name": el.get(4, b"").decode("utf-8"),
             "type": PHYSICAL_TYPES[el[1]] if 1 in el else None,
+            # 0=REQUIRED, 1=OPTIONAL, 2=REPEATED (SchemaElement field 3)
+            "repetition": el.get(3, 0),
+            "type_length": el.get(2),
         })
     groups = []
     for rg in fmd.get(4, []):
@@ -200,6 +216,7 @@ def read_footer(path: str) -> dict:
                 "num_values": md.get(5),
                 "total_compressed_size": md.get(7),
                 "data_page_offset": md.get(9),
+                "dictionary_page_offset": md.get(11),
                 "null_count": stats.get(3),
                 "min": _decode_stat(raw_min, ptype),
                 "max": _decode_stat(raw_max, ptype),
