@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "q358_webp_animation_composite",
     "q359_parquet_data_plane",
     "q360_metadata_only_rollup",
+    "q361_parquet_list_assembly",
 ]
 
 

@@ -262,18 +262,59 @@ def _read_page_header(buf: bytes, pos: int) -> tuple[dict, int]:
     return h, r.pos
 
 
-def read_column_chunk(buf: bytes, chunk: dict, schema_el: dict) -> list:
+def leaf_columns(schema: list[dict]) -> dict[str, dict]:
+    """Rebuild the flattened SchemaElement list (depth-first, root
+    excluded) into per-LEAF decode facts: dotted path, max definition /
+    repetition levels (optional +1, repeated +1 each to def; repeated
+    +1 to rep), the top-level column name, and — for the standard
+    3-level LIST shape — whether the outer group and the element are
+    optional."""
+    leaves: dict[str, dict] = {}
+    it = iter(schema)
+
+    def walk(parts: list[str], reps: list[int]):
+        el = next(it)
+        parts = parts + [el["name"]]
+        reps = reps + [el.get("repetition", 0)]
+        if el.get("num_children"):
+            for _ in range(el["num_children"]):
+                walk(parts, reps)
+            return
+        max_def = sum(1 for r in reps if r in (1, 2))
+        max_rep = sum(1 for r in reps if r == 2)
+        leaves[".".join(parts)] = {
+            "type": el["type"],
+            "type_length": el.get("type_length"),
+            "column": parts[0],
+            "max_def": max_def,
+            "max_rep": max_rep,
+            "reps": reps,
+        }
+
+    while True:
+        try:
+            walk([], [])
+        except StopIteration:
+            break
+    return leaves
+
+
+def read_column_chunk(buf: bytes, chunk: dict, leaf: dict):
     """Decode one column chunk (all its pages) from the file bytes.
 
     ``chunk`` is a column entry from :func:`parquet_meta.read_footer`;
-    ``schema_el`` the matching schema element.  Returns python values
-    with ``None`` for nulls, in row order."""
+    ``leaf`` the matching :func:`leaf_columns` entry.  For flat columns
+    (max_rep 0) returns python values with ``None`` for nulls, in row
+    order; for repeated leaves returns ``(defs, reps, values)`` with
+    values holding one entry per (rep, def) slot (None where the slot
+    carries no value) for the caller to assemble."""
     ptype = chunk["type"]
     codec = chunk["codec"]
-    if schema_el.get("repetition") == 2:
-        raise NotImplementedError("repeated (nested) columns")
-    max_def = 1 if schema_el.get("repetition") == 1 else 0
-    tlen = schema_el.get("type_length")
+    max_def = leaf["max_def"]
+    max_rep = leaf["max_rep"]
+    bw_def = max_def.bit_length()
+    bw_rep = max_rep.bit_length()
+    tlen = leaf.get("type_length")
 
     pos = chunk["data_page_offset"]
     if chunk.get("dictionary_page_offset") is not None:
@@ -281,6 +322,8 @@ def read_column_chunk(buf: bytes, chunk: dict, schema_el: dict) -> list:
 
     dictionary: list | None = None
     out: list = []
+    all_defs: list[int] = []
+    all_reps: list[int] = []
     remaining = chunk["num_values"]
     while remaining > 0:
         header, pos = _read_page_header(buf, pos)
@@ -306,37 +349,45 @@ def read_column_chunk(buf: bytes, chunk: dict, schema_el: dict) -> list:
             enc = dh.get(2, _ENC_PLAIN)
             raw = _decompress(body, codec, unc_size)
             p = 0
+            if max_rep:
+                if dh.get(4, _ENC_RLE) != _ENC_RLE:
+                    raise NotImplementedError("non-RLE repetition levels")
+                rl_len = int.from_bytes(raw[p:p + 4], "little")
+                p += 4
+                reps = rle_bp_hybrid(raw, p, p + rl_len, bw_rep, nvals)
+                p += rl_len
+            else:
+                reps = None
             if max_def:
                 if dh.get(3, _ENC_RLE) != _ENC_RLE:
                     raise NotImplementedError("non-RLE definition levels")
                 lvl_len = int.from_bytes(raw[p:p + 4], "little")
                 p += 4
-                defs = rle_bp_hybrid(raw, p, p + lvl_len, 1, nvals)
+                defs = rle_bp_hybrid(raw, p, p + lvl_len, bw_def, nvals)
                 p += lvl_len
             else:
-                defs = [1] * nvals
+                defs = [max_def] * nvals
         elif page_type == _PAGE_DATA_V2:
             dh = header.get(8, {})
             nvals = dh[1]
             enc = dh.get(4, _ENC_PLAIN)
             dl_len = dh.get(5, 0)
             rl_len = dh.get(6, 0)
-            if rl_len:
-                raise NotImplementedError("repetition levels (nested data)")
-            levels = body[:dl_len]
-            payload = body[dl_len:]
+            rep_buf = body[:rl_len]
+            levels = body[rl_len:rl_len + dl_len]
+            payload = body[rl_len + dl_len:]
             if dh.get(7, True):
-                payload = _decompress(payload, codec, unc_size - dl_len)
-            if max_def:
-                # v2 levels: hybrid runs with NO 4-byte length prefix
-                defs = rle_bp_hybrid(levels, 0, dl_len, 1, nvals)
-            else:
-                defs = [1] * nvals
+                payload = _decompress(payload, codec, unc_size - dl_len - rl_len)
+            # v2 levels: hybrid runs with NO 4-byte length prefix
+            reps = (rle_bp_hybrid(rep_buf, 0, rl_len, bw_rep, nvals)
+                    if max_rep else None)
+            defs = (rle_bp_hybrid(levels, 0, dl_len, bw_def, nvals)
+                    if max_def else [max_def] * nvals)
             raw, p = payload, 0
         else:
             raise NotImplementedError(f"page type {page_type}")
 
-        n_nonnull = sum(defs) if max_def else nvals
+        n_nonnull = sum(1 for d in defs if d == max_def) if max_def else nvals
         if enc == _ENC_PLAIN:
             vals, _ = _decode_plain(raw, p, ptype, n_nonnull, tlen)
         elif enc == _ENC_RLE and ptype == "BOOLEAN":
@@ -356,11 +407,42 @@ def read_column_chunk(buf: bytes, chunk: dict, schema_el: dict) -> list:
 
         if max_def:
             it = iter(vals)
-            out.extend(next(it) if d else None for d in defs)
+            out.extend(next(it) if d == max_def else None for d in defs)
         else:
             out.extend(vals)
+        if max_rep:
+            all_defs.extend(defs)
+            all_reps.extend(reps)
         remaining -= nvals
+    if max_rep:
+        return all_defs, all_reps, out
     return out
+
+
+def assemble_lists(defs: list[int], reps: list[int], vals: list,
+                   leaf: dict) -> list:
+    """Record assembly for the standard 3-level LIST shape
+    (``<outer> group / repeated group / element``, Dremel encoding):
+    rep 0 starts a new row; definition levels distinguish null list /
+    empty list / null element / value."""
+    reps_sig = leaf["reps"]
+    if len(reps_sig) != 3 or reps_sig[1] != 2 or leaf["max_rep"] != 1:
+        raise NotImplementedError(
+            f"nested shape {reps_sig} (only one-level LIST is supported)")
+    o_opt = 1 if reps_sig[0] == 1 else 0
+    max_def = leaf["max_def"]
+    rows: list = []
+    for d, r, v in zip(defs, reps, vals):
+        if r == 0:  # new record
+            if d < o_opt:
+                rows.append(None)       # null list
+                continue
+            rows.append([])
+            if d == o_opt:
+                continue                # empty list
+        cur = rows[-1]
+        cur.append(v if d == max_def else None)
+    return rows
 
 
 def read_parquet(path: str) -> tuple[list[str], dict[str, list]]:
@@ -375,15 +457,27 @@ def read_parquet(path: str) -> tuple[list[str], dict[str, list]]:
 def read_parquet_bytes(buf: bytes) -> tuple[list[str], dict[str, list]]:
     """:func:`read_parquet` over an in-memory file image."""
     footer = read_footer_bytes(buf)
-    schema = {el["name"]: el for el in footer["schema"]}
-    names = [el["name"] for el in footer["schema"]]
+    leaves = leaf_columns(footer["schema"])
+    names: list[str] = []
+    for leaf in leaves.values():
+        if leaf["column"] not in names:
+            names.append(leaf["column"])
+    if len(leaves) != len(names):
+        raise NotImplementedError(
+            "struct columns (several leaves under one column)")
     cols: dict[str, list] = {n: [] for n in names}
     for rg in footer["row_groups"]:
         for chunk in rg["columns"]:
-            name = chunk["path"]
-            if name not in schema:
-                raise NotImplementedError(f"nested column path {name!r}")
-            cols[name].extend(read_column_chunk(buf, chunk, schema[name]))
+            path = chunk["path"]
+            if path not in leaves:
+                raise NotImplementedError(f"unknown column path {path!r}")
+            leaf = leaves[path]
+            decoded = read_column_chunk(buf, chunk, leaf)
+            if leaf["max_rep"]:
+                decoded = assemble_lists(*decoded, leaf)
+            elif leaf["max_def"] > 1:
+                raise NotImplementedError("nested struct leaves")
+            cols[leaf["column"]].extend(decoded)
     n_rows = footer["num_rows"]
     for n, v in cols.items():
         if len(v) != n_rows:

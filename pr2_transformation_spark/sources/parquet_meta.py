@@ -197,6 +197,7 @@ def _parse_footer(buf: bytes) -> dict:
             # 0=REQUIRED, 1=OPTIONAL, 2=REPEATED (SchemaElement field 3)
             "repetition": el.get(3, 0),
             "type_length": el.get(2),
+            "num_children": el.get(5, 0),
         })
     groups = []
     for rg in fmd.get(4, []):

@@ -158,11 +158,54 @@ def test_real_testdata_files_roundtrip():
         assert got == exp.column(k).to_pylist()
 
 
-def test_nested_columns_raise():
-    import glob
+def test_embeddings_list_assembly_matches_pyarrow():
+    """The real driver file: repeated FLOAT leaf, dictionary pages,
+    repetition + multi-level definition levels."""
     import os
     sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
     path = os.path.join(sf, "embeddings.parquet")
+    names, cols = read_parquet(path)
+    exp = pq.read_table(path)
+    assert cols["vec_id"] == exp.column("vec_id").to_pylist()
+    for a, b in zip(exp.column("embedding").to_pylist(), cols["embedding"]):
+        assert len(a) == len(b)
+        assert all(abs(x - y) < 1e-7 for x, y in zip(a, b))
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize("codec", ["snappy", "none"])
+def test_list_null_empty_element_matrix(tmp_path, dpv, codec):
+    """Dremel assembly corners: null list vs empty list vs null element
+    vs value, across page versions, codecs, and row-group splits."""
+    data = [None, [], [1.5, None, 3.0], [7.0], None, [],
+            [None, None], [float(i) for i in range(40)]]
+    tbl = pa.table({
+        "k": pa.array(range(len(data)), pa.int64()),
+        "v": pa.array(data, pa.list_(pa.float64())),
+    })
+    path = str(tmp_path / "l.parquet")
+    pq.write_table(tbl, path, compression=codec, data_page_version=dpv,
+                   row_group_size=3)
+    _, cols = read_parquet(path)
+    assert cols["v"] == tbl.column("v").to_pylist()
+
+
+def test_string_lists_roundtrip(tmp_path):
+    data = [["a", None, "bb"], [], None, ["zzz"] * 9]
+    tbl = pa.table({"v": pa.array(data, pa.list_(pa.string()))})
+    path = str(tmp_path / "sl.parquet")
+    pq.write_table(tbl, path, compression="gzip")
+    _, cols = read_parquet(path)
+    got = [v if v is None else
+           [e if e is None else e.decode() for e in v] for v in cols["v"]]
+    assert got == data
+
+
+def test_deeper_nesting_raises(tmp_path):
+    tbl = pa.table({"v": pa.array([[[1]], [[2, 3]]],
+                                  pa.list_(pa.list_(pa.int64())))})
+    path = str(tmp_path / "nn.parquet")
+    pq.write_table(tbl, path)
     with pytest.raises(NotImplementedError):
         read_parquet(path)
 
