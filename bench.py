@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "q359_parquet_data_plane",
     "q360_metadata_only_rollup",
     "q361_parquet_list_assembly",
+    "q362_bucketed_colocated_join",
 ]
 
 

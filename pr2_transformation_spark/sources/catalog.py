@@ -186,6 +186,40 @@ class Catalog:
         )
         return path
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int,
+        sort_cols: Optional[list[str]] = None,
+    ) -> str:
+        """Hash-bucketed (+ optionally bucket-sorted) managed table — the
+        CO-LOCATED JOIN layout: two tables bucketed on the same keys with
+        the same bucket count join WITHOUT an Exchange (Spark's bucketing
+        hash is the same Murmur3 the shuffle would use, so the shuffle is
+        pre-paid once at write time and amortized over every later join
+        or aggregation on those keys — at 100 TB the difference between a
+        nightly pipeline and an hourly one for fact-to-fact joins too big
+        to broadcast).
+
+        ``repartition(num_buckets, *bucket_cols)`` first so each bucket
+        lands in EXACTLY one file per table: single-file buckets are what
+        lets the scan report a per-bucket sort order and elide the
+        sort-merge join's Sort as well.  Requires a catalog table
+        (bucket metadata lives in the session catalog, not in parquet).
+        """
+        writer = (
+            df.repartition(num_buckets, *bucket_cols)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+        return table
+
     # -- maintenance ------------------------------------------------------
     def export_jsonl(
         self,
