@@ -15,6 +15,8 @@ to overwrite-mode parquet (the Spark analogue of the reference's
 from __future__ import annotations
 
 import os
+import re
+import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,6 +211,17 @@ class Catalog:
         sort-merge join's Sort as well.  Requires a catalog table
         (bucket metadata lives in the session catalog, not in parquet).
         """
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # CTAS-overwrite semantics across sessions: a managed location
+        # left by a PREVIOUS session survives a fresh in-memory catalog
+        # (which has never heard of the table), so clear it explicitly
+        # or saveAsTable fails with LOCATION_ALREADY_EXISTS.
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(
+            re.sub(r"^file:/{0,2}", "/", warehouse).replace("//", "/"),
+            table.split(".")[-1].lower())
+        shutil.rmtree(loc, ignore_errors=True)
         writer = (
             df.repartition(num_buckets, *bucket_cols)
             .write.mode("overwrite")

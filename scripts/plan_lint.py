@@ -139,6 +139,7 @@ def main() -> None:
             plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — lint everything, report at end
             failures[name] = [f"plan build failed: {type(exc).__name__}: {exc}"[:160]]
+            print(f"LINT  {name}: {failures[name][0]}")
             continue
         findings = lint(name, plan)
         if findings:
