@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "q360_metadata_only_rollup",
     "q361_parquet_list_assembly",
     "q362_bucketed_colocated_join",
+    "q363_streaming_hll_graded",
 ]
 
 

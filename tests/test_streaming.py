@@ -624,3 +624,43 @@ def test_streaming_repetition_and_decontamination_gates(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(sink)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_streaming_hll_merge_equals_batch_build(spark, tmp_path):
+    """q363's contract: per-micro-batch HLL partials folded by max must
+    equal the one-shot batch register build (merge associativity), and
+    the stream must actually split into multiple micro-batches."""
+    from pr2_transformation_spark.functions import sketches as sk
+
+    src = str(tmp_path / "src")
+    ids = spark.range(0, 3000).select(
+        (F.col("id") % 700).cast("string").alias("user_id"))
+    ids.repartition(3).write.parquet(src)
+
+    state: dict[int, int] = {}
+    batch_ids: list[int] = []
+
+    def fold(batch_df, bid):
+        batch_ids.append(bid)
+        for r in sk.hll_register_table(batch_df, "user_id", p=8).collect():
+            b = int(r["bucket"])
+            state[b] = max(state.get(b, 0), int(r["rho_max"]))
+
+    q = (
+        spark.readStream.schema("user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(batch_ids) >= 2  # genuinely incremental
+    batch_regs = {
+        int(r["bucket"]): int(r["rho_max"])
+        for r in sk.hll_register_table(
+            spark.read.parquet(src), "user_id", p=8).collect()
+    }
+    assert state == batch_regs
