@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "q361_parquet_list_assembly",
     "q362_bucketed_colocated_join",
     "q363_streaming_hll_graded",
+    "q364_cusum_changepoint",
 ]
 
 
