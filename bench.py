@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "q362_bucketed_colocated_join",
     "q363_streaming_hll_graded",
     "q364_cusum_changepoint",
+    "q365_unigram_tokenizer",
 ]
 
 

@@ -155,3 +155,161 @@ def apply_bpe(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style), Viterbi hard-EM
+# ---------------------------------------------------------------------------
+#
+# Kudo 2018 (arXiv:1804.10959) trains the unigram LM by EM over piece
+# probabilities; the hard-EM (Viterbi) variant below keeps the whole
+# trajectory engine-portable: piece scores are QUANTIZED integer
+# log-probs (round(ln(cnt/total) * 1e6)), the per-word DP maximizes an
+# integer sum with a total deterministic tie order (score desc, fewer
+# pieces, lexicographic segmentation), and the M-step is plain weighted
+# counting — so a SQL oracle can replay every iteration exactly.
+#
+# Scale shape mirrors BPE above: training never iterates over the
+# corpus, only over the WORD-FREQUENCY table; the E-step ships the
+# (tiny, bounded) score table in a closure and segments distinct words
+# in Arrow-batched mapInPandas; the M-step is one explode + groupBy.
+
+#: DP caps — words longer than MAX_WORD_LEN are filtered out of
+#: training (they are Zipf-tail noise), pieces are 1..MAX_PIECE_LEN.
+MAX_WORD_LEN = 10
+MAX_PIECE_LEN = 4
+
+
+def unigram_viterbi(word: str, scores: dict) -> list[str] | None:
+    """Best segmentation of ``word`` under integer piece ``scores``.
+
+    Maximizes total score; ties prefer FEWER pieces, then the
+    lexicographically smallest '|'-joined segmentation — a total order,
+    so any engine replaying the same scores picks the same answer.
+    Returns None if the word cannot be segmented (a piece is missing).
+    """
+    best: list = [None] * (len(word) + 1)
+    best[0] = (0, 0, "")
+    for i in range(1, len(word) + 1):
+        cands = []
+        for length in range(1, min(MAX_PIECE_LEN, i) + 1):
+            prev = best[i - length]
+            if prev is None:
+                continue
+            piece = word[i - length:i]
+            s = scores.get(piece)
+            if s is None:
+                continue
+            seg = piece if not prev[2] else prev[2] + "|" + piece
+            cands.append((prev[0] + s, prev[1] + 1, seg))
+        if cands:
+            best[i] = min(cands, key=lambda c: (-c[0], c[1], c[2]))
+    final = best[len(word)]
+    return final[2].split("|") if final else None
+
+
+def quantize_scores(counts: dict) -> dict:
+    """counts -> integer log-prob scores: round(ln(cnt/total)*1e6)."""
+    import math
+    total = sum(counts.values())
+    return {p: round(math.log(c / total) * 1_000_000)
+            for p, c in counts.items()}
+
+
+def unigram_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training word-frequency table: lowercase [a-z]+ runs of length
+    1..MAX_WORD_LEN, weighted by corpus occurrences.  One shuffle."""
+    return (
+        df.select(F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"))
+        .filter(F.length("word").between(1, MAX_WORD_LEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def unigram_seed(words: DataFrame, num_multi: int = 200) -> DataFrame:
+    """Seed vocabulary: EVERY single character (guarantees
+    segmentability) plus the ``num_multi`` most frequent substrings of
+    length 2..MAX_PIECE_LEN (weighted, OVERLAPPING occurrences; ties
+    lexicographic).  Substring expansion is bounded by
+    MAX_WORD_LEN * MAX_PIECE_LEN slots per distinct word."""
+    subs = words.select(
+        F.explode(F.expr(
+            "flatten(transform(sequence(1, length(word)), s -> "
+            f"transform(sequence(1, {MAX_PIECE_LEN}), l -> "
+            "CASE WHEN s + l - 1 <= length(word) "
+            "THEN substring(word, s, l) END)))"
+        )).alias("piece"),
+        F.col("freq"),
+    ).filter(F.col("piece").isNotNull())
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(num_multi)
+    )
+    return chars.unionByName(multi)
+
+
+def unigram_segment(words: DataFrame, scores: dict) -> DataFrame:
+    """E-step: Viterbi-segment every distinct word under ``scores``
+    (closure-shipped dict, vocabulary-bounded).  Adds ``seg`` ('|'
+    joined) to the word table."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            segs = [
+                "|".join(unigram_viterbi(w, scores) or [])
+                for w in pdf["word"]
+            ]
+            out = pdf[["word", "freq"]].copy()
+            out["seg"] = segs
+            yield out
+
+    return words.mapInPandas(run, "word string, freq long, seg string")
+
+
+def unigram_train(words: DataFrame, iterations: int = 2,
+                  num_multi: int = 200,
+                  checkpoint: str | None = "local") -> DataFrame:
+    """Viterbi hard-EM: seed -> (score -> segment -> count) x N.
+    Returns the final E-step's weighted piece-usage table
+    ``(piece, cnt, n_words)``.  Each iteration collects only the
+    vocabulary-bounded count table (<= 26 + num_multi rows) — the
+    broadcast-model contract of q255's classifier.  The word table is
+    consumed by the seed build and every E-step, so it is checkpointed
+    once (``checkpoint_frame`` seam) instead of re-tokenizing the
+    corpus per action."""
+    from ..checkpointing import checkpoint_frame
+    words = checkpoint_frame(words, checkpoint)
+    seed = unigram_seed(words, num_multi=num_multi)
+    counts = {r["piece"]: int(r["cnt"]) for r in seed.collect()}
+    seed_chars = [p for p in counts if len(p) == 1]
+    usage = None
+    for _ in range(iterations):
+        segs = unigram_segment(words, quantize_scores(counts))
+        usage = (
+            segs.select(
+                "word", "freq",
+                F.explode(F.split("seg", r"\|")).alias("piece"))
+            .filter(F.col("piece") != "")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"),
+                 F.countDistinct("word").alias("n_words"))
+        )
+        rows = usage.collect()
+        # next-iteration model: used multi pieces survive; single chars
+        # always survive with add-one smoothing (SentencePiece keeps
+        # characters so every word stays segmentable)
+        counts = {r["piece"]: int(r["cnt"]) for r in rows
+                  if len(r["piece"]) > 1}
+        chars = {r["piece"]: int(r["cnt"]) + 1 for r in rows
+                 if len(r["piece"]) == 1}
+        for p in seed_chars:
+            chars.setdefault(p, 1)
+        counts.update(chars)
+    return usage
