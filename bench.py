@@ -295,6 +295,8 @@ BENCH_QUERIES = [
     "q363_streaming_hll_graded",
     "q364_cusum_changepoint",
     "q365_unigram_tokenizer",
+    "q366_soundex_blocking",
+    "q367_bloom_prefiltered_join",
 ]
 
 

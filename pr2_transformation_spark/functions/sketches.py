@@ -311,3 +311,38 @@ def bloom_contains(
         .groupBy(*out_cols)
         .agg((F.min(F.coalesce("__set", F.lit(0))) == 1).alias("maybe_present"))
     )
+
+
+def bloom_filter_rows(
+    bits: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 4,
+    m: int = 4096,
+    hasher: str = "md5",
+) -> DataFrame:
+    """MULTIPLICITY-PRESERVING bloom prefilter — the semi-join-pushdown
+    shape: keep every original row of ``df`` whose key might be in the
+    filter, drop the rest MAP-SIDE (``k`` broadcast hash joins against
+    the <= ``m``-row bit table; no shuffle of ``df``, no groupBy, so
+    duplicate fact rows keep their multiplicity — the property the
+    probe-verdict API :func:`bloom_contains` deliberately trades away
+    by emitting one row per distinct key row).  No false negatives:
+    a row survives unless some bit is provably unset."""
+    out = df
+    for i in range(k):
+        side = F.broadcast(
+            bits.select(F.col("bit").alias(f"__bit{i}"))
+            .withColumn(f"__hit{i}", F.lit(1))
+        )
+        out = out.join(
+            side,
+            _cms_bucket(F.col(key_col), i, m, hasher) == F.col(f"__bit{i}"),
+            "left",
+        ).drop(f"__bit{i}")
+    keep = None
+    for i in range(k):
+        cond = F.col(f"__hit{i}").isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    return out.filter(keep).drop(*[f"__hit{i}" for i in range(k)])
