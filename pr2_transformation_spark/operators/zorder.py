@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["z_value", "quantize", "zorder_frame"]
+__all__ = ["z_value", "quantize", "zorder_frame", "hilbert_frame"]
 
 
 def z_value(x: Column, y: Column, bits: int = 21) -> Column:
@@ -63,3 +63,71 @@ def zorder_frame(
     ``Catalog.write_sorted_shards(df, table, [z_col], n)`` to lay the data
     out along the curve."""
     return df.withColumn(z_col, z_value(F.col(x_col), F.col(y_col), bits))
+
+
+def hilbert_frame(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    h_col: str = "_h",
+) -> DataFrame:
+    """Attach the HILBERT-curve index of two non-negative integer columns
+    (each in ``[0, 2^bits)``) — the layout Delta Lake moved to after
+    Z-order because the Hilbert curve never makes the long diagonal jumps
+    Morton interleave does: consecutive curve positions are always
+    Manhattan-distance-1 neighbors, so equal curve ranges give tighter
+    bounding rectangles (better pruning at the same shard count).
+
+    Standard xy→d transform (per-bit reflect-and-rotate; Hilbert 1891,
+    the iterative form popularized by Warren's Hacker's Delight).  Built
+    as a ``withColumn`` chain — each of the ``bits`` steps references the
+    previous step's NAMED columns, so the Catalyst expression tree stays
+    linear in ``bits`` instead of exponential, and the whole transform is
+    JVM-side whole-stage-codegen (no UDF).  The XOR in the textbook
+    ``(3*rx) ^ ry`` is replaced by its 2-value CASE table so every engine
+    replays it with plain arithmetic."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    out = (
+        df.withColumn("__hx", F.col(x_col).cast("long"))
+        .withColumn("__hy", F.col(y_col).cast("long"))
+        .withColumn("__hd", F.lit(0).cast("long"))
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        out = (
+            out.withColumn(
+                "__rx",
+                F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0))
+            .withColumn(
+                "__ry",
+                F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0))
+        )
+        out = out.withColumn(
+            "__hd",
+            F.col("__hd") + F.lit(s) * F.lit(s) * F.when(
+                F.col("__rx") == 0, F.col("__ry")
+            ).otherwise(3 - F.col("__ry")),
+        )
+        nx = F.when(
+            F.col("__ry") == 0,
+            F.when(F.col("__rx") == 1,
+                   F.lit(s - 1) - F.col("__hy")).otherwise(F.col("__hy")),
+        ).otherwise(F.col("__hx"))
+        ny = F.when(
+            F.col("__ry") == 0,
+            F.when(F.col("__rx") == 1,
+                   F.lit(s - 1) - F.col("__hx")).otherwise(F.col("__hx")),
+        ).otherwise(F.col("__hy"))
+        out = (
+            out.withColumn("__nx", nx)
+            .withColumn("__ny", ny)
+            .withColumn("__hx", F.col("__nx"))
+            .withColumn("__hy", F.col("__ny"))
+            .drop("__nx", "__ny")
+        )
+    return (
+        out.withColumn(h_col, F.col("__hd"))
+        .drop("__hx", "__hy", "__hd", "__rx", "__ry")
+    )
