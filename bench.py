@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "q365_unigram_tokenizer",
     "q366_soundex_blocking",
     "q367_bloom_prefiltered_join",
+    "q368_hilbert_layout_audit",
 ]
 
 

@@ -2737,3 +2737,37 @@ def test_bloom_prefilter_reduces_without_false_negatives(spark):
     with contextlib.redirect_stdout(buf):
         flat.explain("formatted")
     assert "Exchange" not in buf.getvalue().replace("BroadcastExchange", "BCX")
+
+
+def test_hilbert_matches_reference_and_is_continuous(spark):
+    """hilbert_frame vs the textbook xy2d on the full 32x32 grid, plus
+    the property Z-order lacks: consecutive curve positions are always
+    Manhattan-distance-1 neighbors."""
+    from pr2_transformation_spark.operators.zorder import hilbert_frame
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 5
+    n = 1 << bits
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+    got = {(r["x"], r["y"]): r["_h"]
+           for r in hilbert_frame(grid, "x", "y", bits=bits).collect()}
+    assert got == {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    # continuity: walk the curve, every step moves exactly one cell
+    by_d = sorted(got, key=got.get)
+    assert all(
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1
+        for a, b in zip(by_d, by_d[1:]))
