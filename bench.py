@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "q366_soundex_blocking",
     "q367_bloom_prefiltered_join",
     "q368_hilbert_layout_audit",
+    "q369_dawid_skene",
 ]
 
 
