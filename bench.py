@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "q367_bloom_prefiltered_join",
     "q368_hilbert_layout_audit",
     "q369_dawid_skene",
+    "q370_delta_checkpoint",
 ]
 
 

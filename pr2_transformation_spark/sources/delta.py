@@ -20,9 +20,12 @@ protocol.  This module implements the core of it, pure-python + Spark:
 Scale shape: the log is O(commits + files) tiny JSON on the driver —
 the DATA path stays distributed parquet that Spark scans directly from
 the reconciled file list (predicate pushdown and column pruning reach
-the scan exactly as for any parquet read).  Checkpoint parquet files
-(an optimization for 10^5-commit logs) are intentionally out of scope
-and documented here rather than half-implemented.
+the scan exactly as for any parquet read).  CHECKPOINTS (the protocol
+move that keeps 10^5-commit logs readable) are implemented:
+``checkpoint()`` writes the reconciled ``%020d.checkpoint.parquet`` +
+``_last_checkpoint`` pointer, replay seeds from the newest covering
+checkpoint and applies only the JSON tail, and ``expire_log()`` is the
+log-cleanup counterpart that trades pre-checkpoint history for space.
 
 Reference parity: the reference repo's sink surface is CTAS overwrite
 into BigQuery (core/transformations.py:149); this extends the lake
@@ -47,6 +50,10 @@ def _log_dir(path: str) -> str:
 
 def _commit_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), "%020d.json" % version)
+
+
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), "%020d.checkpoint.parquet" % version)
 
 
 def _list_versions(path: str) -> list[int]:
@@ -82,8 +89,7 @@ class DeltaTable:
         ``now_ms`` pins the action timestamps (vacuum horizon tests)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        versions = _list_versions(self.path)
-        version = (versions[-1] + 1) if versions else 0
+        version = self._latest_version() + 1
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
@@ -141,21 +147,62 @@ class DeltaTable:
     def versions(self) -> list[int]:
         return _list_versions(self.path)
 
+    def _latest_version(self) -> int:
+        """Highest version the log knows about — JSON commits OR the
+        last checkpoint (JSON commits at or below a checkpoint may have
+        been expired away); -1 for a fresh directory."""
+        jsons = _list_versions(self.path)
+        ck = self._read_last_checkpoint()
+        return max(jsons[-1] if jsons else -1,
+                   ck["version"] if ck else -1)
+
+    def _read_last_checkpoint(self) -> "dict | None":
+        p = os.path.join(_log_dir(self.path), "_last_checkpoint")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _replay(self, version: "int | None" = None):
-        """Replay the action log through ``version`` (default: latest).
-        Returns (live file set, schemaString, tombstones {path: ts})."""
-        versions = _list_versions(self.path)
-        if not versions:
+        """Replay through ``version`` (default: latest), seeding from the
+        newest usable CHECKPOINT when one covers the range — the protocol
+        move that keeps 10^5-commit logs readable: load the reconciled
+        checkpoint parquet, then apply only the JSON tail.  Returns
+        (live files, schemaString, tombstones, metaData, protocol)."""
+        latest = self._latest_version()
+        if latest < 0:
             raise ValueError(f"not a Delta table (no _delta_log): {self.path}")
-        stop = versions[-1] if version is None else version
-        if stop not in versions:
-            raise ValueError(f"version {stop} not in log (have {versions})")
+        stop = latest if version is None else version
+        if not 0 <= stop <= latest:
+            raise ValueError(f"version {stop} not in log (latest {latest})")
         live: dict[str, dict] = {}
         tombstones: dict[str, int] = {}
-        schema = None
-        for v in versions:
-            if v > stop:
-                break
+        schema = meta = protocol = None
+        start = 0
+        ck = self._read_last_checkpoint()
+        if ck and stop >= ck["version"]:
+            import pyarrow.parquet as pq
+            for a in pq.read_table(
+                _checkpoint_path(self.path, ck["version"])
+            ).to_pylist():
+                if a.get("add"):
+                    live[a["add"]["path"]] = a["add"]
+                elif a.get("remove"):
+                    tombstones[a["remove"]["path"]] = a["remove"].get(
+                        "deletionTimestamp", 0)
+                elif a.get("metaData"):
+                    meta = a["metaData"]
+                    schema = meta["schemaString"]
+                elif a.get("protocol"):
+                    protocol = a["protocol"]
+            start = ck["version"] + 1
+        jsons = set(_list_versions(self.path))
+        for v in range(start, stop + 1):
+            if v not in jsons:
+                raise ValueError(
+                    f"commit {v} missing from _delta_log (pre-checkpoint "
+                    "history expired? time travel below the checkpoint "
+                    "needs the original JSON commits)")
             for a in _read_actions(self.path, v):
                 if "add" in a:
                     live[a["add"]["path"]] = a["add"]
@@ -166,11 +213,81 @@ class DeltaTable:
                         "deletionTimestamp", 0
                     )
                 elif "metaData" in a:
-                    schema = a["metaData"]["schemaString"]
-        return live, schema, tombstones
+                    meta = a["metaData"]
+                    schema = meta["schemaString"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+        return live, schema, tombstones, meta, protocol
+
+    def checkpoint(self) -> int:
+        """Write the Delta CHECKPOINT for the current snapshot:
+        ``%020d.checkpoint.parquet`` holding the RECONCILED action set
+        (protocol, metaData, live adds, remove tombstones) plus the
+        ``_last_checkpoint`` pointer readers consult first.  Field
+        subset note: this table layer is unpartitioned, so the
+        ``partitionValues``/``format``/``configuration`` maps are
+        omitted from the typed checkpoint rows; every field the replay
+        path consumes is present."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        live, schema, tombstones, meta, protocol = self._replay(None)
+        version = self._latest_version()
+        rows: list[dict] = [
+            {"protocol": protocol or {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}},
+            {"metaData": {"id": meta["id"],
+                          "schemaString": schema,
+                          "createdTime": meta.get("createdTime")}},
+        ]
+        for p in sorted(live):
+            a = live[p]
+            rows.append({"add": {
+                "path": p, "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": False}})
+        for p, ts in sorted(tombstones.items()):
+            rows.append({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": False}})
+        ck_schema = pa.schema([
+            ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                    ("minWriterVersion", pa.int32())])),
+            ("metaData", pa.struct([("id", pa.string()),
+                                    ("schemaString", pa.string()),
+                                    ("createdTime", pa.int64())])),
+            ("add", pa.struct([("path", pa.string()),
+                               ("size", pa.int64()),
+                               ("modificationTime", pa.int64()),
+                               ("dataChange", pa.bool_())])),
+            ("remove", pa.struct([("path", pa.string()),
+                                  ("deletionTimestamp", pa.int64()),
+                                  ("dataChange", pa.bool_())])),
+        ])
+        pq.write_table(pa.Table.from_pylist(rows, schema=ck_schema),
+                       _checkpoint_path(self.path, version))
+        tmp = os.path.join(_log_dir(self.path), "_last_checkpoint.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        os.rename(tmp, os.path.join(_log_dir(self.path), "_last_checkpoint"))
+        return version
+
+    def expire_log(self) -> list[int]:
+        """Protocol log cleanup: delete JSON commits AT OR BELOW the last
+        checkpoint (the checkpoint carries their reconciled effect).
+        Returns the expired versions.  Time travel below the checkpoint
+        fails afterwards with a clear error — the same history-for-space
+        trade as vacuum, on the metadata plane."""
+        ck = self._read_last_checkpoint()
+        if not ck:
+            return []
+        gone = []
+        for v in _list_versions(self.path):
+            if v <= ck["version"]:
+                os.remove(_commit_path(self.path, v))
+                gone.append(v)
+        return gone
 
     def _snapshot_files(self, version: "int | None" = None) -> list[str]:
-        live, _, _ = self._replay(version)
+        live = self._replay(version)[0]
         return sorted(live)
 
     # ---- read side -------------------------------------------------
@@ -182,7 +299,7 @@ class DeltaTable:
         file list, so pushdown/pruning work untouched."""
         from pyspark.sql.types import StructType
 
-        live, schema_json, _ = self._replay(version)
+        live, schema_json = self._replay(version)[:2]
         schema = StructType.fromJson(json.loads(schema_json))
         if not live:
             return spark.createDataFrame([], schema)
@@ -211,7 +328,7 @@ class DeltaTable:
         to versions whose files were vacuumed correctly fails at scan
         time (the Delta contract — vacuum trades history for space)."""
         now = int(now_ms if now_ms is not None else time.time() * 1000)
-        live, _, tombstones = self._replay(None)
+        live, _, tombstones = self._replay(None)[:3]
         deleted = []
         for path, ts in sorted(tombstones.items()):
             if path in live:

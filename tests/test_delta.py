@@ -110,3 +110,57 @@ def test_schema_evolution_append(spark, tmp_path):
     assert vals[0] is None and vals[4] == "new"
     # time travel to v0 keeps the old 2-column schema
     assert set(t.read(spark, version=0).columns) == {"k", "v"}
+
+
+def test_checkpoint_replay_and_log_expiry(spark, tmp_path):
+    """checkpoint(): replay seeds from the reconciled parquet + JSON
+    tail; expire_log() removes covered commits; time travel below the
+    checkpoint fails with a clear error; writes continue after expiry."""
+    import os
+
+    import pytest as _pytest
+
+    t = DeltaTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    t.write(df.filter("k % 5 = 0"), mode="overwrite", now_ms=1000)
+    t.write(df.filter("k % 5 = 1"), mode="append", now_ms=2000)
+    t.write(df.filter("k % 5 = 2"), mode="append", now_ms=3000)
+    v = t.checkpoint()
+    assert v == 2
+    lc = os.path.join(t.path, "_delta_log", "_last_checkpoint")
+    assert os.path.exists(lc)
+    t.write(df.filter("k % 5 = 3"), mode="append", now_ms=4000)
+
+    # pre-expiry: both replay routes agree
+    keys = sorted(r["k"] for r in t.read(spark).collect())
+    assert keys == sorted(k for k in range(100) if k % 5 <= 3)
+
+    gone = t.expire_log()
+    assert gone == [0, 1, 2]
+    # latest still reconstructs from checkpoint + tail
+    assert sorted(r["k"] for r in t.read(spark).collect()) == keys
+    # version at the checkpoint itself works (pure checkpoint read)
+    v2 = sorted(r["k"] for r in t.read(spark, version=2).collect())
+    assert v2 == sorted(k for k in range(100) if k % 5 <= 2)
+    # below the checkpoint: expired
+    with _pytest.raises(ValueError, match="missing from _delta_log"):
+        t.read(spark, version=1)
+    # version numbering survives expiry
+    assert t.write(df.filter("k % 5 = 4"), mode="overwrite",
+                   now_ms=5000) == 4
+    assert sorted(r["k"] for r in t.read(spark).collect()) == sorted(
+        k for k in range(100) if k % 5 == 4)
+
+
+def test_checkpoint_preserves_tombstones_for_vacuum(spark, tmp_path):
+    """Remove tombstones survive the checkpoint round trip so a
+    post-expiry vacuum still finds them."""
+    t = DeltaTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t.write(df.filter("k < 25"), mode="overwrite", now_ms=1000)
+    t.write(df.filter("k >= 25"), mode="overwrite", now_ms=2000)  # tombstones v0
+    t.checkpoint()
+    t.expire_log()
+    deleted = t.vacuum(retain_ms=10_000, now_ms=1_000_000)
+    assert deleted  # v0 files found via checkpoint tombstones and removed
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(25, 50))
