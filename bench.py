@@ -300,6 +300,8 @@ BENCH_QUERIES = [
     "q368_hilbert_layout_audit",
     "q369_dawid_skene",
     "q370_delta_checkpoint",
+    "q371_event_trigram_mining",
+    "q372_oneway_anova",
 ]
 
 
