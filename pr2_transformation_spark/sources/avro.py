@@ -216,11 +216,14 @@ def _write_value(out: bytearray, schema, value) -> None:
 def avro_write(rows: list, schema: dict, codec: str = "null",
                block_rows: int = 1000) -> bytes:
     """Serialize dict rows to a complete Avro Object Container File.
-    ``codec``: ``null`` or ``deflate`` (raw zlib per the spec).  The sync
-    marker derives deterministically from the schema so identical inputs
+    ``codec``: ``null``, ``deflate`` (raw zlib per the spec) or
+    ``snappy`` (raw snappy block + 4-byte BIG-ENDIAN CRC32 of the
+    uncompressed data, per the spec; the block codec is the in-repo
+    from-scratch `parquet_data.snappy_compress`).  The sync marker
+    derives deterministically from the schema so identical inputs
     produce identical bytes."""
-    if codec not in ("null", "deflate"):
-        raise ValueError("codec must be 'null' or 'deflate'")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError("codec must be 'null', 'deflate' or 'snappy'")
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
     import hashlib
 
@@ -242,6 +245,10 @@ def avro_write(rows: list, schema: dict, codec: str = "null",
         payload = bytes(body)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate, no zlib wrap
+        elif codec == "snappy":
+            from .parquet_data import snappy_compress
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            payload = snappy_compress(payload) + crc.to_bytes(4, "big")
         _write_long(out, len(chunk))
         _write_long(out, len(payload))
         out.extend(payload)
@@ -251,8 +258,8 @@ def avro_write(rows: list, schema: dict, codec: str = "null",
 
 def avro_read(payload: bytes):
     """Parse a complete Avro OCF: returns ``(schema dict, rows list)``.
-    Verifies magic and every block's sync marker; supports ``null`` and
-    ``deflate`` codecs."""
+    Verifies magic and every block's sync marker; supports ``null``,
+    ``deflate`` and ``snappy`` (with CRC32 verification) codecs."""
     if len(payload) < 4 or payload[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
     r = _Reader(payload, 4)
@@ -269,7 +276,7 @@ def avro_read(payload: bytes):
             meta[k] = r.read_bytes()
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = r.read(16)
     rows = []
@@ -279,6 +286,12 @@ def avro_read(payload: bytes):
         body = r.read(size)
         if codec == "deflate":
             body = zlib.decompress(body, -15)
+        elif codec == "snappy":
+            from .parquet_data import snappy_decompress
+            crc = int.from_bytes(body[-4:], "big")
+            body = snappy_decompress(body[:-4])
+            if zlib.crc32(body) & 0xFFFFFFFF != crc:
+                raise ValueError("avro snappy block CRC mismatch")
         br = _Reader(body)
         for _ in range(count):
             rows.append(_read_value(br, schema))
@@ -425,6 +438,12 @@ def _avro_decode_range(path: str, start: int, end: int, schema, codec: str,
         body = r.read(bsize)
         if codec == "deflate":
             body = zlib.decompress(body, -15)
+        elif codec == "snappy":
+            from .parquet_data import snappy_decompress
+            crc = int.from_bytes(body[-4:], "big")
+            body = snappy_decompress(body[:-4])
+            if zlib.crc32(body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"{path}: avro snappy block CRC mismatch")
         br = _Reader(body)
         for _ in range(count):
             rows.append(_read_value(br, schema))

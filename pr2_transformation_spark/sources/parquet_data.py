@@ -109,6 +109,73 @@ def snappy_decompress(buf: bytes) -> bytes:
     return bytes(out)
 
 
+def snappy_compress(raw: bytes) -> bytes:
+    """Raw Snappy block ENCODE — greedy hash-chain LZ with the standard
+    tag grammar (the write-side twin of :func:`snappy_decompress`).
+    Emits literals plus 2-byte-offset copies (tag 10); matches are
+    found via a 4-byte rolling hash table and capped at 64 bytes per
+    copy element as the format requires.  Any conformant decoder
+    (including pyarrow's C++ snappy) accepts the output — pinned in
+    tests both directions."""
+    out = bytearray()
+    n = len(raw)
+    # preamble: uncompressed length varint
+    v = n
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+
+    def emit_literal(start: int, end: int) -> None:
+        nonlocal out
+        while start < end:
+            ln = min(end - start, 1 << 16)
+            l1 = ln - 1
+            if l1 < 60:
+                out.append(l1 << 2)
+            elif l1 < 256:
+                out.append(60 << 2)
+                out.append(l1)
+            else:
+                out.append(61 << 2)
+                out += l1.to_bytes(2, "little")
+            out += raw[start:start + ln]
+            start += ln
+
+    table: dict[int, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = raw[i:i + 4]
+        h = hash(key)
+        cand = table.get(h)
+        table[h] = i
+        if (cand is not None and i - cand <= 0xFFFF
+                and raw[cand:cand + 4] == key):
+            # extend the match
+            m = 4
+            while i + m < n and m < 1 << 16 and raw[cand + m] == raw[i + m]:
+                m += 1
+            emit_literal(lit_start, i)
+            off = i - cand
+            rem = m
+            while rem > 0:
+                ln = min(rem, 64)
+                if ln < 4:  # tail shorter than a legal copy: literal it
+                    break
+                out.append(((ln - 1) << 2) | 2)
+                out += off.to_bytes(2, "little")
+                rem -= ln
+            i += m - rem
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
 def lz4_block_decompress(buf: bytes, expected: int | None = None) -> bytes:
     """Raw LZ4 block decode (lz4 block-format spec; parquet LZ4_RAW).
 

@@ -52,7 +52,7 @@ def test_avro_rejects_corruption_and_unsupported():
     with pytest.raises(ValueError):
         av.avro_read(b"NotAvro" + bytes(20))
     with pytest.raises(ValueError):
-        av.avro_write(ROWS, SCHEMA, codec="snappy")
+        av.avro_write(ROWS, SCHEMA, codec="zstandard")
     with pytest.raises(ValueError):
         av.avro_schema_to_spark({"type": "record", "name": "x", "fields": [
             {"name": "m", "type": {"type": "map", "values": "int"}}]})
@@ -267,3 +267,24 @@ def test_avro_streaming_source_picks_up_new_files(spark, tmp_path):
         assert ids == [0, 1, 2, 100, 101, 102]  # exactly once, no dupes
     finally:
         stream.stop()
+
+
+def test_snappy_codec_roundtrip_and_crc():
+    """Avro snappy codec: raw snappy block + big-endian CRC32 of the
+    uncompressed data; corrupting the CRC or the body is detected."""
+    import pytest as _pytest
+
+    from pr2_transformation_spark.sources.avro import avro_read, avro_write
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"}]}
+    rows = [{"k": i, "s": "value-%d" % (i % 7)} for i in range(500)]
+    blob = avro_write(rows, schema, codec="snappy", block_rows=128)
+    got_schema, got = avro_read(blob)
+    assert got == rows
+    # flip one byte inside the first block body -> CRC (or decode) trips
+    bad = bytearray(blob)
+    bad[len(blob) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        avro_read(bytes(bad))

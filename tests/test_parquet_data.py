@@ -228,3 +228,21 @@ def test_distributed_read_matches_spark_reader(spark, tmp_path):
     a = sorted(tuple(r) for r in mine.collect())
     b = sorted(tuple(r) for r in native.select("k", "s", "v").collect())
     assert a == b
+
+
+def test_snappy_compress_roundtrips_both_decoders():
+    """The from-scratch snappy ENCODER against both the in-repo decoder
+    and pyarrow's independent C++ snappy."""
+    import random
+    rng = random.Random(5)
+    from pr2_transformation_spark.sources.parquet_data import snappy_compress
+    for trial in range(30):
+        n = rng.randint(0, 8000)
+        raw = (b"pattern-%d " % (trial % 3)) * (n // 10) + bytes(
+            rng.randint(0, 255) for _ in range(n % 97))
+        c = snappy_compress(raw)
+        assert snappy_decompress(c) == raw
+        assert pa.decompress(c, decompressed_size=len(raw),
+                             codec="snappy", asbytes=True) == raw
+    big = b"the quick brown fox jumps over the lazy dog " * 3000
+    assert len(snappy_compress(big)) < len(big) // 10  # actually compresses
