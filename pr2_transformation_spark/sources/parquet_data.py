@@ -17,11 +17,12 @@ group file and reads it back DISTRIBUTED (binaryFile scan -> Arrow
 `sources/avro.py`), while the DuckDB oracle reads the SAME file through
 its own independent C++ parquet implementation.
 
-Scope (honest seam): flat schemas (no repeated/nested groups),
-data page v1 + v2, PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY
-encodings, UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs.  Anything
-else raises with the exact feature named — same contract as the
-codec seams in `functions/multimodal.py`.
+Scope (honest seam): flat schemas plus one-level LISTs (Dremel
+repetition-level assembly), data page v1 + v2, PLAIN /
+PLAIN_DICTIONARY / RLE_DICTIONARY encodings, UNCOMPRESSED / SNAPPY /
+GZIP / LZ4_RAW / ZSTD codecs (ZSTD via the from-scratch RFC 8878
+decoder in `zstd.py`).  Anything else raises with the exact feature
+named — same contract as the codec seams in `functions/multimodal.py`.
 
 Specs: https://github.com/apache/parquet-format (PageHeader,
 Encodings.md, Compression.md), https://github.com/google/snappy
@@ -44,6 +45,7 @@ _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_BIT_PACKED = 0, 2, 3, 4
 _ENC_RLE_DICT = 8
 _CODEC_NONE, _CODEC_SNAPPY, _CODEC_GZIP = 0, 1, 2
 _CODEC_LZ4_RAW = 7
+_CODEC_ZSTD = 6
 _CODEC_NAMES = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
                 4: "BROTLI", 5: "LZ4_HADOOP", 6: "ZSTD", 7: "LZ4_RAW"}
 
@@ -235,9 +237,12 @@ def _decompress(body: bytes, codec: int, uncompressed_size: int) -> bytes:
         return zlib.decompress(body, 16 + zlib.MAX_WBITS)
     if codec == _CODEC_LZ4_RAW:
         return lz4_block_decompress(body, uncompressed_size)
+    if codec == _CODEC_ZSTD:
+        from .zstd import zstd_decompress
+        return zstd_decompress(body, uncompressed_size)
     raise NotImplementedError(
-        f"parquet codec {_CODEC_NAMES.get(codec, codec)} not supported "
-        "by the from-scratch reader (UNCOMPRESSED/SNAPPY/GZIP/LZ4_RAW are)")
+        f"parquet codec {_CODEC_NAMES.get(codec, codec)} not supported by "
+        "the from-scratch reader (UNCOMPRESSED/SNAPPY/GZIP/LZ4_RAW/ZSTD are)")
 
 
 # ----------------------------------------------------- level/index decode

@@ -59,7 +59,7 @@ def _assert_matches(tbl, path):
             assert got == exp, name
 
 
-@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "lz4"])
+@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "lz4", "zstd"])
 @pytest.mark.parametrize("dpv", ["1.0", "2.0"])
 @pytest.mark.parametrize("use_dict", [True, False])
 def test_codec_pageversion_encoding_matrix(tmp_path, codec, dpv, use_dict):

@@ -1,0 +1,90 @@
+"""From-scratch Zstandard decoder (sources/zstd.py) vs pyarrow's bundled
+libzstd: frame/block/FSE/Huffman/sequence conformance across content
+shapes, sizes and compression levels, plus the parquet integration."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pr2_transformation_spark.sources.parquet_data import read_parquet
+from pr2_transformation_spark.sources.zstd import zstd_decompress
+
+
+def _gen(rng, kind, n):
+    if kind == "random":
+        return bytes(rng.randint(0, 255) for _ in range(n))
+    if kind == "binary_alphabet":
+        return bytes(rng.choice(b"ab") for _ in range(n))
+    if kind == "records":
+        return b"".join(b"rec-%06d|field-%d|" % (i, i % 13)
+                        for i in range(n // 20 + 1))[:n]
+    if kind == "runs":
+        return (b"X" * 1000 + bytes(rng.randint(0, 255)
+                                    for _ in range(50))) * (n // 1050 + 1)
+    return bytes(min(255, max(0, int(128 + 50 * (rng.random() - 0.5))))
+                 for _ in range(n))
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+@pytest.mark.parametrize(
+    "kind", ["random", "binary_alphabet", "records", "runs", "gaussian"])
+def test_conformance_vs_libzstd(level, kind):
+    """Every (level, shape) pair exercises a different mix of block
+    types, literal modes (raw/RLE/huffman direct + FSE weights, 1- and
+    4-stream) and sequence-table modes (predefined/RLE/FSE/repeat)."""
+    rng = random.Random(hash((level, kind)) & 0xFFFF)
+    codec = pa.Codec("zstd", compression_level=level)
+    for n in [0, 10, 300, 5000, 70000, 400000]:
+        raw = _gen(rng, kind, n)
+        comp = codec.compress(raw, asbytes=True)
+        assert zstd_decompress(comp, len(raw)) == raw
+
+
+def test_multi_block_cross_block_matches():
+    """> 128 KiB forces multiple blocks; matches reach back across block
+    boundaries into the shared window."""
+    raw = (b"the quick brown fox jumps over the lazy dog! " * 9000)
+    comp = pa.Codec("zstd", compression_level=3).compress(raw, asbytes=True)
+    assert zstd_decompress(comp, len(raw)) == raw
+
+
+def test_frame_content_size_mismatch_rejected():
+    raw = b"payload " * 50
+    comp = bytearray(pa.compress(raw, codec="zstd", asbytes=True))
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(comp), len(raw) + 1)
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00\x01\x02\x03rest")
+
+
+def test_skippable_frame_is_skipped():
+    raw = b"real payload " * 20
+    comp = pa.compress(raw, codec="zstd", asbytes=True)
+    skippable = (0x184D2A50).to_bytes(4, "little") + (5).to_bytes(4, "little") + b"JUNK!"
+    assert zstd_decompress(skippable + comp, len(raw)) == raw
+
+
+def test_parquet_zstd_end_to_end(tmp_path):
+    """The integration the decoder exists for: zstd parquet pages read
+    by the from-scratch data plane, dictionary + nulls + both page
+    versions."""
+    t = pa.table({
+        "k": list(range(6000)),
+        "s": ["val-%d" % (i % 91) for i in range(6000)],
+        "f": [None if i % 9 == 0 else i / 7 for i in range(6000)],
+    })
+    for dpv in ["1.0", "2.0"]:
+        path = str(tmp_path / f"z{dpv}.parquet")
+        pq.write_table(t, path, compression="zstd", row_group_size=1300,
+                       data_page_version=dpv)
+        names, cols = read_parquet(path)
+        assert cols["k"] == t.column("k").to_pylist()
+        assert [v.decode() for v in cols["s"]] == t.column("s").to_pylist()
+        assert cols["f"] == t.column("f").to_pylist()
