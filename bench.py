@@ -302,6 +302,8 @@ BENCH_QUERIES = [
     "q370_delta_checkpoint",
     "q371_event_trigram_mining",
     "q372_oneway_anova",
+    "q373_ordered_target_encoding",
+    "q374_chi2_token_selection",
 ]
 
 
