@@ -211,19 +211,71 @@ def _write_value(out: bytearray, schema, value) -> None:
     raise ValueError(f"unsupported avro schema node {schema!r}")
 
 
+# ---------------------------------------------------------------- codecs
+
+#: the Avro 1.11 spec's complete codec set
+AVRO_CODECS = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")
+
+
+def _codec_encode(payload: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        return zlib.compress(payload)[2:-4]  # raw deflate, no zlib wrap
+    if codec == "snappy":
+        from .parquet_data import snappy_compress
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        return snappy_compress(payload) + crc.to_bytes(4, "big")
+    if codec == "bzip2":
+        import bz2
+        return bz2.compress(payload)
+    if codec == "xz":
+        import lzma
+        return lzma.compress(payload, format=lzma.FORMAT_XZ)
+    if codec == "zstandard":
+        from .zstd import zstd_compress_raw
+        return zstd_compress_raw(payload)
+    raise ValueError(f"unsupported avro codec {codec!r}")
+
+
+def _codec_decode(body: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return body
+    if codec == "deflate":
+        return zlib.decompress(body, -15)
+    if codec == "snappy":
+        from .parquet_data import snappy_decompress
+        crc = int.from_bytes(body[-4:], "big")
+        out = snappy_decompress(body[:-4])
+        if zlib.crc32(out) & 0xFFFFFFFF != crc:
+            raise ValueError("avro snappy block CRC mismatch")
+        return out
+    if codec == "bzip2":
+        import bz2
+        return bz2.decompress(body)
+    if codec == "xz":
+        import lzma
+        return lzma.decompress(body)
+    if codec == "zstandard":
+        from .zstd import zstd_decompress
+        return zstd_decompress(body)
+    raise ValueError(f"unsupported avro codec {codec!r}")
+
+
 # -------------------------------------------------------------- container
 
 def avro_write(rows: list, schema: dict, codec: str = "null",
                block_rows: int = 1000) -> bytes:
     """Serialize dict rows to a complete Avro Object Container File.
-    ``codec``: ``null``, ``deflate`` (raw zlib per the spec) or
-    ``snappy`` (raw snappy block + 4-byte BIG-ENDIAN CRC32 of the
-    uncompressed data, per the spec; the block codec is the in-repo
-    from-scratch `parquet_data.snappy_compress`).  The sync marker
-    derives deterministically from the schema so identical inputs
-    produce identical bytes."""
-    if codec not in ("null", "deflate", "snappy"):
-        raise ValueError("codec must be 'null', 'deflate' or 'snappy'")
+    ``codec``: the spec's full set — ``null``, ``deflate`` (raw zlib),
+    ``snappy`` (from-scratch block codec + big-endian CRC32),
+    ``bzip2`` / ``xz`` (stdlib), and ``zstandard`` (written as
+    spec-legal RAW-block frames via `zstd.zstd_compress_raw`, read by
+    the full from-scratch RFC 8878 decoder — so libzstd-written files
+    ingest too).  The sync marker derives deterministically from the
+    schema so identical inputs produce identical bytes."""
+    if codec not in AVRO_CODECS:
+        raise ValueError(f"codec must be one of {sorted(AVRO_CODECS)}")
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
     import hashlib
 
@@ -243,12 +295,7 @@ def avro_write(rows: list, schema: dict, codec: str = "null",
         for row in chunk:
             _write_value(body, schema, row)
         payload = bytes(body)
-        if codec == "deflate":
-            payload = zlib.compress(payload)[2:-4]  # raw deflate, no zlib wrap
-        elif codec == "snappy":
-            from .parquet_data import snappy_compress
-            crc = zlib.crc32(payload) & 0xFFFFFFFF
-            payload = snappy_compress(payload) + crc.to_bytes(4, "big")
+        payload = _codec_encode(payload, codec)
         _write_long(out, len(chunk))
         _write_long(out, len(payload))
         out.extend(payload)
@@ -258,8 +305,8 @@ def avro_write(rows: list, schema: dict, codec: str = "null",
 
 def avro_read(payload: bytes):
     """Parse a complete Avro OCF: returns ``(schema dict, rows list)``.
-    Verifies magic and every block's sync marker; supports ``null``,
-    ``deflate`` and ``snappy`` (with CRC32 verification) codecs."""
+    Verifies magic and every block's sync marker; supports the spec's
+    full codec set (snappy with CRC32 verification)."""
     if len(payload) < 4 or payload[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
     r = _Reader(payload, 4)
@@ -276,7 +323,7 @@ def avro_read(payload: bytes):
             meta[k] = r.read_bytes()
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in AVRO_CODECS:
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = r.read(16)
     rows = []
@@ -284,14 +331,7 @@ def avro_read(payload: bytes):
         count = r.read_long()
         size = r.read_long()
         body = r.read(size)
-        if codec == "deflate":
-            body = zlib.decompress(body, -15)
-        elif codec == "snappy":
-            from .parquet_data import snappy_decompress
-            crc = int.from_bytes(body[-4:], "big")
-            body = snappy_decompress(body[:-4])
-            if zlib.crc32(body) & 0xFFFFFFFF != crc:
-                raise ValueError("avro snappy block CRC mismatch")
+        body = _codec_decode(body, codec)
         br = _Reader(body)
         for _ in range(count):
             rows.append(_read_value(br, schema))
@@ -436,14 +476,7 @@ def _avro_decode_range(path: str, start: int, end: int, schema, codec: str,
         count = r.read_long()
         bsize = r.read_long()
         body = r.read(bsize)
-        if codec == "deflate":
-            body = zlib.decompress(body, -15)
-        elif codec == "snappy":
-            from .parquet_data import snappy_decompress
-            crc = int.from_bytes(body[-4:], "big")
-            body = snappy_decompress(body[:-4])
-            if zlib.crc32(body) & 0xFFFFFFFF != crc:
-                raise ValueError(f"{path}: avro snappy block CRC mismatch")
+        body = _codec_decode(body, codec)
         br = _Reader(body)
         for _ in range(count):
             rows.append(_read_value(br, schema))

@@ -121,9 +121,8 @@ def fse_read_ncount(buf: bytes, pos: int, max_symbol: int):
             previous0 = False
             continue
         maxv = (2 * threshold - 1) - remaining
-        low_mask = threshold - 1
         val = br.read(nb_bits - 1)
-        if (val & low_mask) < maxv if False else val < maxv:
+        if val < maxv:
             # small value: nb_bits - 1 bits suffice
             count = val
         else:
@@ -584,4 +583,37 @@ def zstd_decompress(buf: bytes, expected: int | None = None) -> bytes:
                 f"({len(out) - frame_start} != {content_size})")
     if expected is not None and len(out) != expected:
         raise ValueError(f"zstd: expected {expected} bytes, got {len(out)}")
+    return bytes(out)
+
+
+def zstd_compress_raw(raw: bytes) -> bytes:
+    """Minimal VALID zstd ENCODER: one frame of RAW (stored) blocks —
+    spec-legal output every conformant decoder (libzstd included)
+    accepts, the write-side counterpart that lets sinks emit
+    ``zstandard`` containers without a compression engine (same move
+    as a stored-block gzip).  Single-segment frame with explicit
+    content size; blocks capped at the 2^21-1 block-size limit."""
+    out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
+    n = len(raw)
+    # frame header: single_segment=1, fcs_flag by size
+    if n <= 255:
+        out.append((0 << 6) | (1 << 5))
+        out.append(n)
+    elif n <= 65535 + 256:
+        out.append((1 << 6) | (1 << 5))
+        out += (n - 256).to_bytes(2, "little")
+    else:
+        out.append((2 << 6) | (1 << 5))
+        out += n.to_bytes(4, "little")
+    max_block = (1 << 21) - 1
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, type=raw, size=0
+        return bytes(out)
+    pos = 0
+    while pos < n:
+        chunk = raw[pos:pos + max_block]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        out += (last | (0 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
+        out += chunk
     return bytes(out)
