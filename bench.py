@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "q372_oneway_anova",
     "q373_ordered_target_encoding",
     "q374_chi2_token_selection",
+    "q375_markov_text_synthesis",
 ]
 
 
