@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "q373_ordered_target_encoding",
     "q374_chi2_token_selection",
     "q375_markov_text_synthesis",
+    "q376_t_closeness",
 ]
 
 
