@@ -105,6 +105,7 @@ CARTESIAN_ALLOWED = {
     "q332_bayesian_average": "global-prior scalar (1 row) rides a broadcast cross onto the brand frame",
     "q335_good_turing": "corpus-total and unseen-mass scalars (1 row each) ride broadcast crosses onto the count-of-counts frame",
     "q374_chi2_token_selection": "corpus-total scalar (1 row: n, n_pos) rides a broadcast cross onto the vocabulary-bounded token-count frame",
+    "q376_t_closeness": "10-row global decile distribution rides a broadcast cross onto the bounded quasi-identifier group frame (fixed grid expansion)",
     "q336_power_analysis": "distinct-days scalar (1 row) rides a broadcast cross onto the per-type frame",
     "q333_dedup_threshold_curve": "8-row threshold dim + 1-row corpus total ride broadcast crosses onto the scored pairs",
     "q325_entropy_rate": "grand-total scalar (1 row) rides broadcast crosses onto the category-squared transition frame",
