@@ -12,11 +12,12 @@ interleaved sequence state machines (literal length / offset / match
 length) over a BACKWARD bitstream, repeat-offset history, and sequence
 execution against the sliding window.
 
-Scope (honest seam): single-segment and windowed frames, dictionaries
-absent (parquet/avro never use them), content checksum skipped (xxh64
-verification not required for correctness of the payload itself —
-callers needing tamper evidence use the container CRCs).  Skippable
-frames are handled.
+Scope (honest seam): single-segment and windowed frames; dictionaries
+absent (parquet/avro never use them).  Content checksums ARE verified
+when present (low 32 bits of XXH64(payload, 0) via the from-scratch
+`functions/xxhash.py`); skippable frames are handled.  The write side
+(`zstd_compress_raw`) emits spec-legal RAW-block frames any decoder
+accepts.
 
 Test strategy mirrors the other codecs: conformance against pyarrow's
 bundled libzstd across content shapes and levels (tests drive both
@@ -576,7 +577,15 @@ def zstd_decompress(buf: bytes, expected: int | None = None) -> bytes:
             if last:
                 break
         if checksum:
-            pos += 4  # xxh64 low bytes — not verified (documented seam)
+            # content checksum: low 32 bits of XXH64(decoded, seed 0)
+            from ..functions.xxhash import xxh64
+            stored = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != stored:
+                raise ValueError(
+                    f"zstd: content checksum mismatch "
+                    f"({got:#010x} != {stored:#010x})")
         if content_size is not None and len(out) - frame_start != content_size:
             raise ValueError(
                 f"zstd: frame content size mismatch "

@@ -88,3 +88,40 @@ def test_parquet_zstd_end_to_end(tmp_path):
         assert cols["k"] == t.column("k").to_pylist()
         assert [v.decode() for v in cols["s"]] == t.column("s").to_pylist()
         assert cols["f"] == t.column("f").to_pylist()
+
+
+def test_xxh64_spark_conformance(spark):
+    """functions/xxhash.py vs the JVM: Spark's xxhash64 expression is
+    XXH64(bytes, seed 42)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.functions.xxhash import xxh64
+
+    rng = random.Random(3)
+    blobs = [bytes(rng.randint(0, 255) for _ in range(n))
+             for n in [0, 1, 3, 4, 7, 8, 15, 16, 31, 32, 33, 63, 100, 4096]]
+    df = spark.createDataFrame(list(enumerate(blobs)), ["i", "b"])
+    got = {r["i"]: r["h"] % (1 << 64)
+           for r in df.select("i", F.xxhash64("b").alias("h")).collect()}
+    assert got == {i: xxh64(b, 42) for i, b in enumerate(blobs)}
+
+
+def test_content_checksum_verified():
+    """A checksummed frame decodes; a corrupted checksum trips."""
+    from pr2_transformation_spark.functions.xxhash import xxh64
+    from pr2_transformation_spark.sources.zstd import zstd_compress_raw
+
+    raw = b"checksummed payload " * 40
+    f = bytearray(zstd_compress_raw(raw))
+    f[4] |= 1 << 2  # content-checksum flag
+    f += (xxh64(raw) & 0xFFFFFFFF).to_bytes(4, "little")
+    # libzstd accepts the crafted frame too
+    assert pa.decompress(bytes(f), decompressed_size=len(raw),
+                         codec="zstd", asbytes=True) == raw
+    assert zstd_decompress(bytes(f), len(raw)) == raw
+    bad = bytearray(f)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(bad), len(raw))
