@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "q374_chi2_token_selection",
     "q375_markov_text_synthesis",
     "q376_t_closeness",
+    "q377_streaming_stream_join_graded",
 ]
 
 
