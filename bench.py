@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "q375_markov_text_synthesis",
     "q376_t_closeness",
     "q377_streaming_stream_join_graded",
+    "q378_iceberg_positional_deletes",
 ]
 
 

@@ -28,9 +28,12 @@ file list, so predicate pushdown and column pruning are untouched.
 Graded q356 mirrors q339 — commits + time travel + history with the
 DuckDB oracle replaying the snapshot set algebra.
 
-Out of scope, documented rather than half-built: format-version 2
-delete files (merge-on-read), partition specs beyond unpartitioned,
-and Avro-encoded column stats in manifests.
+Format-version 2 POSITIONAL DELETES are implemented
+(``delete_where``): (file_path, pos) tombstones in a delete parquet
+referenced by a content=1 manifest, merged on read via a broadcast
+anti-join against the scan's ``_metadata.row_index``.  Out of scope,
+documented rather than half-built: equality deletes, partition specs
+beyond unpartitioned, and Avro-encoded column stats in manifests.
 """
 
 from __future__ import annotations
@@ -74,6 +77,7 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},  # v2: 0 data / 1 deletes
         {"name": "added_snapshot_id", "type": "long"},
         {"name": "added_data_files_count", "type": "int"},
         {"name": "existing_data_files_count", "type": "int"},
@@ -197,11 +201,13 @@ class IcebergTable:
             _, prev_rows = avro_read(
                 open(os.path.join(self.path, prev["manifest-list"]), "rb").read()
             )
-            prev_entries = list(prev_rows)
+            prev_entries = [{**r, "content": r.get("content", 0)}
+                            for r in prev_rows]
         entries = prev_entries + [{
             "manifest_path": f"metadata/{manifest_name}",
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": 0,
+            "content": 0,
             "added_snapshot_id": snap_id,
             "added_data_files_count": len(added),
             "existing_data_files_count": 0,
@@ -242,6 +248,33 @@ class IcebergTable:
         )
         files = []
         for m in manifests:
+            if m.get("content", 0) != 0:
+                continue  # delete manifests feed _delete_files
+            _, rows = avro_read(
+                open(os.path.join(self.path, m["manifest_path"]), "rb").read()
+            )
+            files.extend(
+                r["data_file"]["file_path"] for r in rows if r["status"] != 2
+            )
+        return sorted(files)
+
+    def _delete_files(self, snapshot_id: "int | None" = None) -> list[str]:
+        """v2 positional-delete parquet files referenced by the
+        snapshot's content=1 manifests."""
+        meta = self._load_metadata()
+        sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        snap = next(
+            (s for s in meta["snapshots"] if s["snapshot-id"] == sid), None
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {sid} not in log")
+        _, manifests = avro_read(
+            open(os.path.join(self.path, snap["manifest-list"]), "rb").read()
+        )
+        files = []
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
             _, rows = avro_read(
                 open(os.path.join(self.path, m["manifest_path"]), "rb").read()
             )
@@ -256,7 +289,122 @@ class IcebergTable:
         if not files:
             raise ValueError("empty snapshot")
         spark.catalog.refreshByPath(self.path)
-        return spark.read.parquet(*[os.path.join(self.path, p) for p in files])
+        base = spark.read.parquet(
+            *[os.path.join(self.path, p) for p in files])
+        dels = self._delete_files(snapshot_id)
+        if not dels:
+            return base
+        # MERGE-ON-READ: anti-join (file, original row position) against
+        # the positional delete set.  Positions come from the scan's
+        # _metadata.row_index, which is the immutable within-file
+        # ordinal the delete files were written against; the delete set
+        # broadcasts (it is the small side by construction).
+        from pyspark.sql import functions as F
+        del_df = spark.read.parquet(
+            *[os.path.join(self.path, p) for p in dels])
+        cols = base.columns
+        with_id = base.select(
+            "*",
+            F.concat(
+                F.lit("data/"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).alias("__rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        kept = with_id.join(
+            F.broadcast(del_df),
+            (F.col("__rel") == F.col("file_path"))
+            & (F.col("__pos") == F.col("pos")),
+            "left_anti",
+        )
+        return kept.select(*cols)
+
+    def delete_where(self, spark: SparkSession, predicate: str,
+                     now_ms: "int | None" = None) -> int:
+        """Format-version-2 POSITIONAL DELETE commit: rows of the
+        current snapshot matching ``predicate`` are tombstoned as
+        (file_path, pos) pairs in a delete parquet file, referenced by
+        a content=1 manifest — data files are never rewritten (the
+        merge-on-read trade: cheap deletes, a broadcast anti-join at
+        read time).  Returns the new snapshot id."""
+        ts = int(now_ms if now_ms is not None else time.time() * 1000)
+        from pyspark.sql import functions as F
+        meta = self._load_metadata()
+        files = self._data_files()
+        base = spark.read.parquet(
+            *[os.path.join(self.path, p) for p in files])
+        hits = (
+            base.filter(predicate)
+            .select(
+                F.concat(
+                    F.lit("data/"),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1),
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .orderBy("file_path", "pos")  # spec: delete files are sorted
+        )
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        n_del = 0
+        del_name = f"delete-{uuid.uuid4().hex[:12]}.parquet"
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(staging, f),
+                          os.path.join(self.data_dir, del_name))
+        shutil.rmtree(staging, ignore_errors=True)
+        import pyarrow.parquet as pq
+        n_del = pq.read_metadata(
+            os.path.join(self.data_dir, del_name)).num_rows
+
+        snap_id = len(meta["snapshots"]) + 1
+        manifest_name = f"m-{uuid.uuid4().hex[:12]}.avro"
+        manifest_path = os.path.join(self.meta_dir, manifest_name)
+        with open(manifest_path, "wb") as f:
+            f.write(avro_write([{
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": f"data/{del_name}",
+                    "file_format": "PARQUET",
+                    "record_count": n_del,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(self.data_dir, del_name)),
+                },
+            }], MANIFEST_SCHEMA))
+        prev = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        _, prev_rows = avro_read(
+            open(os.path.join(self.path, prev["manifest-list"]), "rb").read())
+        entries = [{**r, "content": r.get("content", 0)} for r in prev_rows]
+        entries.append({
+            "manifest_path": f"metadata/{manifest_name}",
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": 0,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_del,
+        })
+        list_name = f"snap-{snap_id}.avro"
+        with open(os.path.join(self.meta_dir, list_name), "wb") as f:
+            f.write(avro_write(entries, MANIFEST_LIST_SCHEMA))
+        meta["format-version"] = 2  # delete files are a v2 feature
+        meta["snapshots"].append({
+            "snapshot-id": snap_id,
+            "timestamp-ms": ts,
+            "manifest-list": f"metadata/{list_name}",
+            "summary": {"operation": "delete"},
+        })
+        meta["current-snapshot-id"] = snap_id
+        meta["last-updated-ms"] = ts
+        meta["snapshot-log"].append(
+            {"snapshot-id": snap_id, "timestamp-ms": ts})
+        self._write_metadata(meta)
+        return snap_id
 
     def snapshots(self) -> list[dict]:
         meta = self._load_metadata()

@@ -71,3 +71,31 @@ def test_errors(spark, tmp_path):
     t = IcebergTable(str(tmp_path / "tbl"))
     with pytest.raises(ValueError, match="mode"):
         t.write(_df(spark, 0, 1), mode="merge")
+
+
+def test_positional_deletes_merge_on_read(spark, tmp_path):
+    """v2 delete_where: tombstoned rows vanish from the new snapshot,
+    prior snapshots are untouched, deletes compose, appends after a
+    delete keep the tombstones, and format-version bumps to 2."""
+    t = IcebergTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    s1 = t.write(df.filter("k < 60"), mode="overwrite", now_ms=1000)
+    s2 = t.write(df.filter("k >= 60"), mode="append", now_ms=2000)
+    s3 = t.delete_where(spark, "k % 10 = 3", now_ms=3000)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(100) if k % 10 != 3]
+    # time travel: the pre-delete snapshot still has every row
+    assert len(t.read(spark, snapshot_id=s2).collect()) == 100
+    # a second delete composes with the first
+    t.delete_where(spark, "k % 10 = 7", now_ms=4000)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(100) if k % 10 not in (3, 7)]
+    # append after deletes: tombstones still apply to the old files
+    t.write(df.filter("k < 5").select((F.col("k") + 1000).alias("k")),
+            mode="append", now_ms=5000)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(100) if k % 10 not in (3, 7)] + [
+        1000, 1001, 1002, 1003, 1004]
+    meta = t._load_metadata()
+    assert meta["format-version"] == 2
+    assert t._delete_files()  # content=1 manifests present
