@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "q376_t_closeness",
     "q377_streaming_stream_join_graded",
     "q378_iceberg_positional_deletes",
+    "q379_warc_gz_random_access",
 ]
 
 

@@ -57,6 +57,62 @@ def build_warc(records: Iterable[tuple[str, str, str, bytes]]) -> bytes:
     return bytes(out)
 
 
+def build_warc_gz(records: Iterable[tuple[str, str, str, bytes]]) -> bytes:
+    """``.warc.gz`` — one gzip MEMBER per record, the Common Crawl
+    layout: every member boundary is an independent resume/split point,
+    which is what makes a 100 TB crawl archive range-readable (a CDX
+    index maps records to byte offsets; a reader seeks and inflates one
+    member without touching the rest).  Deterministic members (mtime 0,
+    no filename)."""
+    import gzip
+    import io
+
+    out = bytearray()
+    for rec in records:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(build_warc([rec]))
+        out += buf.getvalue()
+    return bytes(out)
+
+
+def scan_warc_gz_members(blob: bytes) -> list[tuple[int, int]]:
+    """Member index of a ``.warc.gz``: [(offset, end), ...] — the
+    in-memory CDX.  Boundaries are found the lossless way (each
+    member's DEFLATE stream is walked with ``zlib.decompressobj`` and
+    ``unused_data`` marks the next member), not by magic-byte guessing
+    which false-positives inside compressed payloads."""
+    import zlib
+
+    members = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        d.decompress(blob[pos:])
+        if not d.eof:
+            raise ValueError("warc.gz: truncated gzip member")
+        end = n - len(d.unused_data)
+        members.append((pos, end))
+        pos = end
+    return members
+
+
+def read_warc_gz_member(blob: bytes, offset: int, end: int) -> dict:
+    """Random access: inflate ONE member and parse its single record."""
+    import zlib
+
+    raw = zlib.decompress(blob[offset:end], 16 + zlib.MAX_WBITS)
+    [rec] = parse_warc(raw)
+    return rec
+
+
+def parse_warc_gz(blob: bytes) -> list[dict]:
+    """Parse a whole ``.warc.gz`` (all members)."""
+    return [read_warc_gz_member(blob, a, b)
+            for a, b in scan_warc_gz_members(blob)]
+
+
 def parse_warc(blob: bytes) -> list[dict]:
     """Walk a WARC blob into a list of record dicts.
 

@@ -325,3 +325,30 @@ def test_robots_decisions_rfc9309_semantics(spark):
     assert got[5] == (False, 5)   # $ anchored match
     assert got[6] == (True, 0)    # anchor prevents match -> default allow
     assert got[7] == (True, 0)    # no rule
+
+
+def test_warc_gz_members_and_random_access():
+    """Per-record gzip members: lossless member index, true random
+    access, whole-file parse, and plain-gzip compatibility."""
+    import gzip
+
+    from pr2_transformation_spark.sources import warc
+
+    recs = [("response", f"https://x/{i}", f"id-{i}",
+             b"payload %d " % i * (i + 1)) for i in range(25)]
+    gz = warc.build_warc_gz(recs)
+    members = warc.scan_warc_gz_members(gz)
+    assert len(members) == 25
+    assert members[0][0] == 0 and members[-1][1] == len(gz)
+    assert all(a[1] == b[0] for a, b in zip(members, members[1:]))
+    r = warc.read_warc_gz_member(gz, *members[17])
+    assert r["record_id"] == "id-17"
+    assert r["content"] == b"payload 17 " * 18
+    assert [x["record_id"] for x in warc.parse_warc_gz(gz)] == [
+        f"id-{i}" for i in range(25)]
+    # a standard gzip reader sees the concatenation of all records
+    assert gzip.decompress(gz) == warc.build_warc(recs)
+    # truncation is loud, not a short read
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="truncated"):
+        warc.scan_warc_gz_members(gz[:-3])
