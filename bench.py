@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "q377_streaming_stream_join_graded",
     "q378_iceberg_positional_deletes",
     "q379_warc_gz_random_access",
+    "q380_iceberg_equality_deletes",
 ]
 
 

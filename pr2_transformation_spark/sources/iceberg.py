@@ -28,12 +28,14 @@ file list, so predicate pushdown and column pruning are untouched.
 Graded q356 mirrors q339 — commits + time travel + history with the
 DuckDB oracle replaying the snapshot set algebra.
 
-Format-version 2 POSITIONAL DELETES are implemented
-(``delete_where``): (file_path, pos) tombstones in a delete parquet
-referenced by a content=1 manifest, merged on read via a broadcast
-anti-join against the scan's ``_metadata.row_index``.  Out of scope,
-documented rather than half-built: equality deletes, partition specs
-beyond unpartitioned, and Avro-encoded column stats in manifests.
+Format-version 2 DELETES are implemented: POSITIONAL
+(``delete_where`` — (file_path, pos) tombstones merged on read via a
+broadcast anti-join against ``_metadata.row_index``) and EQUALITY
+(``delete_where_equality`` — column-tuple tombstones scoped by
+sequence: they apply only to data files OLDER than the delete, so
+later appends matching the values survive, per the spec).  Out of
+scope, documented rather than half-built: partition specs beyond
+unpartitioned and Avro-encoded column stats in manifests.
 """
 
 from __future__ import annotations
@@ -64,6 +66,12 @@ MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # v2: 0 data / 1 position deletes / 2 equality deletes
+                    {"name": "content", "type": "int"},
+                    # simplification of the spec's equality_ids field-id
+                    # list: comma-joined column NAMES (unpartitioned flat
+                    # schemas make names unambiguous here)
+                    {"name": "equality_cols", "type": "string"},
                 ],
             },
         },
@@ -158,6 +166,8 @@ class IcebergTable:
                     "file_format": "PARQUET",
                     "record_count": 0,  # per-file counts live in parquet
                     "file_size_in_bytes": os.path.getsize(dst),
+                    "content": 0,
+                    "equality_cols": "",
                 },
             })
         shutil.rmtree(staging)
@@ -258,9 +268,49 @@ class IcebergTable:
             )
         return sorted(files)
 
+    def _delete_entries(self, snapshot_id: "int | None" = None) -> list[dict]:
+        """v2 delete files referenced by the snapshot's content=1
+        manifests: [{"path", "content" (1 pos / 2 eq), "seq"
+        (added_snapshot_id — the sequence surrogate equality deletes
+        scope on), "cols"}...]."""
+        meta = self._load_metadata()
+        sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        snap = next(
+            (s for s in meta["snapshots"] if s["snapshot-id"] == sid), None
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {sid} not in log")
+        _, manifests = avro_read(
+            open(os.path.join(self.path, snap["manifest-list"]), "rb").read()
+        )
+        out = []
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            _, rows = avro_read(
+                open(os.path.join(self.path, m["manifest_path"]), "rb").read()
+            )
+            for r in rows:
+                if r["status"] == 2:
+                    continue
+                df_ = r["data_file"]
+                out.append({
+                    "path": df_["file_path"],
+                    "content": df_.get("content", 1),
+                    "seq": m["added_snapshot_id"],
+                    "cols": [c for c in df_.get("equality_cols", "").split(",")
+                             if c],
+                })
+        return sorted(out, key=lambda d: d["path"])
+
     def _delete_files(self, snapshot_id: "int | None" = None) -> list[str]:
-        """v2 positional-delete parquet files referenced by the
-        snapshot's content=1 manifests."""
+        """Positional-delete file paths (back-compat helper)."""
+        return [d["path"] for d in self._delete_entries(snapshot_id)
+                if d["content"] == 1]
+
+    def _data_files_with_seq(self, snapshot_id: "int | None" = None):
+        """[(file_path, added_snapshot_id)] for the snapshot's data files
+        — the per-file sequence equality deletes are scoped against."""
         meta = self._load_metadata()
         sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
         snap = next(
@@ -273,13 +323,14 @@ class IcebergTable:
         )
         files = []
         for m in manifests:
-            if m.get("content", 0) != 1:
+            if m.get("content", 0) != 0:
                 continue
             _, rows = avro_read(
                 open(os.path.join(self.path, m["manifest_path"]), "rb").read()
             )
             files.extend(
-                r["data_file"]["file_path"] for r in rows if r["status"] != 2
+                (r["data_file"]["file_path"], m["added_snapshot_id"])
+                for r in rows if r["status"] != 2
             )
         return sorted(files)
 
@@ -291,33 +342,127 @@ class IcebergTable:
         spark.catalog.refreshByPath(self.path)
         base = spark.read.parquet(
             *[os.path.join(self.path, p) for p in files])
-        dels = self._delete_files(snapshot_id)
+        dels = self._delete_entries(snapshot_id)
         if not dels:
             return base
-        # MERGE-ON-READ: anti-join (file, original row position) against
-        # the positional delete set.  Positions come from the scan's
-        # _metadata.row_index, which is the immutable within-file
-        # ordinal the delete files were written against; the delete set
-        # broadcasts (it is the small side by construction).
+        # MERGE-ON-READ.  Positional deletes anti-join on (file,
+        # original row position) — _metadata.row_index is the immutable
+        # within-file ordinal the delete files were written against;
+        # path scoping makes them naturally sequence-safe.  EQUALITY
+        # deletes anti-join on their column tuple, but only against
+        # data files OLDER than the delete (seq = added_snapshot_id):
+        # rows appended after the delete survive even if they match —
+        # the spec semantics q380 grades.
         from pyspark.sql import functions as F
-        del_df = spark.read.parquet(
-            *[os.path.join(self.path, p) for p in dels])
         cols = base.columns
-        with_id = base.select(
+        seq_by_file = dict(self._data_files_with_seq(snapshot_id))
+        seq_expr = F.lit(None).cast("long")
+        for p, seq in seq_by_file.items():
+            seq_expr = F.when(
+                F.col("__rel") == p, F.lit(seq)).otherwise(seq_expr)
+        out = base.select(
             "*",
             F.concat(
                 F.lit("data/"),
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             ).alias("__rel"),
             F.col("_metadata.row_index").alias("__pos"),
-        )
-        kept = with_id.join(
-            F.broadcast(del_df),
-            (F.col("__rel") == F.col("file_path"))
-            & (F.col("__pos") == F.col("pos")),
-            "left_anti",
-        )
-        return kept.select(*cols)
+        ).withColumn("__seq", seq_expr)
+        for d in dels:
+            del_df = spark.read.parquet(os.path.join(self.path, d["path"]))
+            if d["content"] == 1:  # positional
+                out = out.join(
+                    F.broadcast(del_df),
+                    (F.col("__rel") == F.col("file_path"))
+                    & (F.col("__pos") == F.col("pos")),
+                    "left_anti",
+                )
+            else:  # equality, sequence-scoped
+                eq = None
+                for c in d["cols"]:
+                    cond = out[c].eqNullSafe(del_df[c])
+                    eq = cond if eq is None else (eq & cond)
+                out = out.join(
+                    F.broadcast(del_df),
+                    eq & (F.col("__seq") < F.lit(d["seq"])),
+                    "left_anti",
+                )
+        return out.select(*cols)
+
+    def delete_where_equality(self, spark: SparkSession, predicate: str,
+                              columns: list[str],
+                              now_ms: "int | None" = None) -> int:
+        """EQUALITY DELETE commit (v2 content=2): the DISTINCT
+        ``columns`` tuples of current rows matching ``predicate`` are
+        written as an equality-delete parquet.  At read time the tuples
+        anti-join ONLY against data files older than this commit —
+        later appends matching the values survive (the spec's
+        sequence-number scoping).  Returns the new snapshot id."""
+        ts = int(now_ms if now_ms is not None else time.time() * 1000)
+        from pyspark.sql import functions as F  # noqa: F401
+        meta = self._load_metadata()
+        vals = self.read(spark).filter(predicate).select(*columns).distinct()
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        vals.coalesce(1).write.mode("overwrite").parquet(staging)
+        del_name = f"eq-delete-{uuid.uuid4().hex[:12]}.parquet"
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(staging, f),
+                          os.path.join(self.data_dir, del_name))
+        shutil.rmtree(staging, ignore_errors=True)
+        import pyarrow.parquet as pq
+        n_del = pq.read_metadata(
+            os.path.join(self.data_dir, del_name)).num_rows
+
+        snap_id = len(meta["snapshots"]) + 1
+        manifest_name = f"m-{uuid.uuid4().hex[:12]}.avro"
+        manifest_path = os.path.join(self.meta_dir, manifest_name)
+        with open(manifest_path, "wb") as f:
+            f.write(avro_write([{
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": f"data/{del_name}",
+                    "file_format": "PARQUET",
+                    "record_count": n_del,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(self.data_dir, del_name)),
+                    "content": 2,
+                    "equality_cols": ",".join(columns),
+                },
+            }], MANIFEST_SCHEMA))
+        prev = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        _, prev_rows = avro_read(
+            open(os.path.join(self.path, prev["manifest-list"]), "rb").read())
+        entries = [{**r, "content": r.get("content", 0)} for r in prev_rows]
+        entries.append({
+            "manifest_path": f"metadata/{manifest_name}",
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": 0,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_del,
+        })
+        list_name = f"snap-{snap_id}.avro"
+        with open(os.path.join(self.meta_dir, list_name), "wb") as f:
+            f.write(avro_write(entries, MANIFEST_LIST_SCHEMA))
+        meta["format-version"] = 2
+        meta["snapshots"].append({
+            "snapshot-id": snap_id,
+            "timestamp-ms": ts,
+            "manifest-list": f"metadata/{list_name}",
+            "summary": {"operation": "delete"},
+        })
+        meta["current-snapshot-id"] = snap_id
+        meta["last-updated-ms"] = ts
+        meta["snapshot-log"].append(
+            {"snapshot-id": snap_id, "timestamp-ms": ts})
+        self._write_metadata(meta)
+        return snap_id
 
     def delete_where(self, spark: SparkSession, predicate: str,
                      now_ms: "int | None" = None) -> int:
@@ -371,6 +516,8 @@ class IcebergTable:
                     "record_count": n_del,
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(self.data_dir, del_name)),
+                    "content": 1,
+                    "equality_cols": "",
                 },
             }], MANIFEST_SCHEMA))
         prev = next(s for s in meta["snapshots"]

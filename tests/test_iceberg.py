@@ -99,3 +99,30 @@ def test_positional_deletes_merge_on_read(spark, tmp_path):
     meta = t._load_metadata()
     assert meta["format-version"] == 2
     assert t._delete_files()  # content=1 manifests present
+
+
+def test_equality_deletes_sequence_scoped(spark, tmp_path):
+    """Equality deletes tombstone by column value but ONLY against data
+    files older than the delete: later appends matching the values
+    survive — the spec's sequence semantics."""
+    t = IcebergTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 40).select(F.col("id").alias("k"),
+                                   (F.col("id") % 4).alias("g"))
+    t.write(df, mode="overwrite", now_ms=1000)
+    t.delete_where_equality(spark, "g = 1", ["g"], now_ms=2000)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(40) if k % 4 != 1]
+    # append rows with the SAME deleted value g=1: they must survive
+    t.write(spark.range(100, 104).select(
+        F.col("id").alias("k"), F.lit(1).alias("g")),
+        mode="append", now_ms=3000)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(40) if k % 4 != 1] + [100, 101, 102, 103]
+    # composes with a positional delete
+    t.delete_where(spark, "k = 102", now_ms=4000)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(40) if k % 4 != 1] + [100, 101, 103]
+    # a second equality delete catches the survivors it postdates
+    t.delete_where_equality(spark, "g = 1", ["g"], now_ms=5000)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [k for k in range(40) if k % 4 != 1]
