@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "q378_iceberg_positional_deletes",
     "q379_warc_gz_random_access",
     "q380_iceberg_equality_deletes",
+    "q381_quantile_normalization",
 ]
 
 
