@@ -74,3 +74,55 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     h = (h * _P3) & _M
     h ^= h >> 32
     return h
+
+
+_P32_1 = 0x9E3779B1
+_P32_2 = 0x85EBCA77
+_P32_3 = 0xC2B2AE3D
+_P32_4 = 0x27D4EB2F
+_P32_5 = 0x165667B1
+_M32 = (1 << 32) - 1
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _round32(acc: int, lane: int) -> int:
+    return (_rotl32((acc + lane * _P32_2) & _M32, 13) * _P32_1) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 of ``data`` — unsigned 32-bit (LZ4 frame checksums)."""
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        a1 = (seed + _P32_1 + _P32_2) & _M32
+        a2 = (seed + _P32_2) & _M32
+        a3 = seed & _M32
+        a4 = (seed - _P32_1) & _M32
+        while pos + 16 <= n:
+            a1 = _round32(a1, int.from_bytes(data[pos:pos + 4], "little"))
+            a2 = _round32(a2, int.from_bytes(data[pos + 4:pos + 8], "little"))
+            a3 = _round32(a3, int.from_bytes(data[pos + 8:pos + 12], "little"))
+            a4 = _round32(a4, int.from_bytes(data[pos + 12:pos + 16], "little"))
+            pos += 16
+        h = (_rotl32(a1, 1) + _rotl32(a2, 7)
+             + _rotl32(a3, 12) + _rotl32(a4, 18)) & _M32
+    else:
+        h = (seed + _P32_5) & _M32
+    h = (h + n) & _M32
+    while pos + 4 <= n:
+        h = (h + int.from_bytes(data[pos:pos + 4], "little") * _P32_3) & _M32
+        h = (_rotl32(h, 17) * _P32_4) & _M32
+        pos += 4
+    while pos < n:
+        h = (h + data[pos] * _P32_5) & _M32
+        h = (_rotl32(h, 11) * _P32_1) & _M32
+        pos += 1
+    h ^= h >> 15
+    h = (h * _P32_2) & _M32
+    h ^= h >> 13
+    h = (h * _P32_3) & _M32
+    h ^= h >> 16
+    return h

@@ -186,8 +186,18 @@ def lz4_block_decompress(buf: bytes, expected: int | None = None) -> bytes:
     bytes), literals, 2-byte little-endian match offset, match copy
     (overlap-safe).  The final sequence has no match part.
     """
-    pos = 0
     out = bytearray()
+    _lz4_decode_into(buf, out)
+    if expected is not None and len(out) != expected:
+        raise ValueError(f"lz4: expected {expected} bytes, got {len(out)}")
+    return bytes(out)
+
+
+def _lz4_decode_into(buf: bytes, out: bytearray) -> None:
+    """Decode one raw block APPENDING to ``out`` — matches may reach
+    into bytes already present (the LZ4-frame linked-blocks mode, where
+    each block's window includes its predecessors)."""
+    pos = 0
     end = len(buf)
     while pos < end:
         token = buf[pos]
@@ -223,9 +233,6 @@ def lz4_block_decompress(buf: bytes, expected: int | None = None) -> bytes:
         else:
             for i in range(mlen):
                 out.append(out[start + i])
-    if expected is not None and len(out) != expected:
-        raise ValueError(f"lz4: expected {expected} bytes, got {len(out)}")
-    return bytes(out)
 
 
 def _decompress(body: bytes, codec: int, uncompressed_size: int) -> bytes:
@@ -586,3 +593,69 @@ def read_parquet_distributed(spark, path_glob: str, spark_schema: str,
         .select("content")
     )
     return blobs.mapInPandas(decode, spark_schema)
+
+
+def lz4_frame_decompress(buf: bytes, expected: int | None = None) -> bytes:
+    """LZ4 FRAME decode (lz4_Frame_format.md) — the container around the
+    raw blocks :func:`lz4_block_decompress` handles: magic 0x184D2204,
+    FLG/BD descriptor (version, block-independence, block/content
+    checksums, content size) with its xxh32-verified header checksum,
+    data blocks whose high size bit marks stored-uncompressed payloads,
+    optional per-block xxh32, and the optional content xxh32 — all
+    verified via the from-scratch `functions/xxhash.py`."""
+    from ..functions.xxhash import xxh32
+
+    if int.from_bytes(buf[0:4], "little") != 0x184D2204:
+        raise ValueError("lz4 frame: bad magic")
+    flg = buf[4]
+    version = flg >> 6
+    if version != 1:
+        raise ValueError(f"lz4 frame: unsupported version {version}")
+    b_indep = (flg >> 5) & 1
+    b_checksum = (flg >> 4) & 1
+    c_size_flag = (flg >> 3) & 1
+    c_checksum = (flg >> 2) & 1
+    dict_id = flg & 1
+    pos = 6  # FLG + BD
+    content_size = None
+    if c_size_flag:
+        content_size = int.from_bytes(buf[pos:pos + 8], "little")
+        pos += 8
+    if dict_id:
+        pos += 4
+    hc = buf[pos]
+    pos += 1
+    # header checksum: (xxh32(descriptor) >> 8) & 0xFF
+    if ((xxh32(buf[4:pos - 1]) >> 8) & 0xFF) != hc:
+        raise ValueError("lz4 frame: header checksum mismatch")
+    out = bytearray()
+    while True:
+        bsize = int.from_bytes(buf[pos:pos + 4], "little")
+        pos += 4
+        if bsize == 0:  # EndMark
+            break
+        stored = bsize >> 31
+        bsize &= 0x7FFFFFFF
+        block = buf[pos:pos + bsize]
+        pos += bsize
+        if b_checksum:
+            bc = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+            if xxh32(block) != bc:
+                raise ValueError("lz4 frame: block checksum mismatch")
+        if stored:
+            out += block
+        elif b_indep:
+            out += lz4_block_decompress(block)
+        else:  # linked blocks share the frame window
+            _lz4_decode_into(block, out)
+    if c_checksum:
+        cc = int.from_bytes(buf[pos:pos + 4], "little")
+        pos += 4
+        if xxh32(bytes(out)) != cc:
+            raise ValueError("lz4 frame: content checksum mismatch")
+    if content_size is not None and len(out) != content_size:
+        raise ValueError("lz4 frame: content size mismatch")
+    if expected is not None and len(out) != expected:
+        raise ValueError(f"lz4 frame: expected {expected}, got {len(out)}")
+    return bytes(out)

@@ -246,3 +246,28 @@ def test_snappy_compress_roundtrips_both_decoders():
                              codec="snappy", asbytes=True) == raw
     big = b"the quick brown fox jumps over the lazy dog " * 3000
     assert len(snappy_compress(big)) < len(big) // 10  # actually compresses
+
+
+def test_lz4_frame_conformance_and_checksums():
+    """LZ4 FRAME decode vs pyarrow's frame compressor (linked blocks),
+    plus xxh32 header/content checksum verification."""
+    import random
+
+    from pr2_transformation_spark.functions.xxhash import xxh32
+    from pr2_transformation_spark.sources.parquet_data import (
+        lz4_frame_decompress,
+    )
+
+    rng = random.Random(4)
+    for trial in range(12):
+        n = rng.randint(0, 500000)
+        raw = (b"body %d " % trial) * (n // 8)
+        comp = pa.compress(raw, codec="lz4", asbytes=True)
+        assert lz4_frame_decompress(comp, len(raw)) == raw
+    # xxh32 known property: frame header checksum byte validates
+    comp = bytearray(pa.compress(b"x" * 100, codec="lz4", asbytes=True))
+    comp[4] ^= 0x01  # flip a descriptor bit -> header checksum must trip
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(comp))
+    # xxh32 self-check vectors (public reference values)
+    assert xxh32(b"") == 0x02CC5D05
