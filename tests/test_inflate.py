@@ -1,0 +1,82 @@
+"""From-scratch DEFLATE/zlib/gzip decoder (sources/inflate.py) vs the
+stdlib zlib across block types, levels, and container wrappers."""
+
+from __future__ import annotations
+
+import gzip
+import random
+import zlib
+
+import pytest
+
+from pr2_transformation_spark.sources.inflate import (
+    gunzip,
+    inflate,
+    zlib_decompress,
+)
+
+
+@pytest.mark.parametrize("level", [0, 1, 6, 9])
+@pytest.mark.parametrize("kind", ["random", "text", "ternary", "zeros"])
+def test_inflate_matches_zlib(level, kind):
+    """level 0 = stored blocks, 1 = mostly fixed Huffman, 6/9 = dynamic
+    Huffman with long matches — all three block types covered."""
+    rng = random.Random(hash((level, kind)) & 0xFFFF)
+    for n in [0, 1, 100, 5000, 120000]:
+        if kind == "random":
+            raw = bytes(rng.randint(0, 255) for _ in range(n))
+        elif kind == "text":
+            raw = (b"deflate dynamic huffman " * (n // 24 + 1))[:n]
+        elif kind == "ternary":
+            raw = bytes(rng.choice(b"abc") for _ in range(n))
+        else:
+            raw = b"\x00" * n
+        assert zlib_decompress(zlib.compress(raw, level)) == raw
+        c = zlib.compressobj(level, wbits=-15)
+        s = c.compress(raw) + c.flush()
+        got, end = inflate(s)
+        assert got == raw and end == len(s)
+
+
+def test_gzip_wrappers_and_multimember():
+    raw = b"gzip payload " * 500
+    assert gunzip(gzip.compress(raw)) == raw
+    members = gzip.compress(b"one") + gzip.compress(b"two")
+    assert gunzip(members) == b"onetwo"
+    # warc.gz members decode through the from-scratch path too
+    from pr2_transformation_spark.sources import warc
+    gz = warc.build_warc_gz([("response", "u", "id-0", b"payload")])
+    assert gunzip(gz) == warc.build_warc([("response", "u", "id-0", b"payload")])
+
+
+def test_corruption_trips():
+    raw = b"check me " * 100
+    z = bytearray(zlib.compress(raw))
+    z[-2] ^= 0xFF
+    with pytest.raises(ValueError, match="Adler"):
+        zlib_decompress(bytes(z))
+    g = bytearray(gzip.compress(raw))
+    g[len(g) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        gunzip(bytes(g))
+
+
+def test_parquet_gzip_page_through_from_scratch_inflate(tmp_path):
+    """A gzip parquet page body decodes identically via stdlib zlib and
+    the from-scratch gunzip — the conformance-twin claim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources import parquet_data as P
+    from pr2_transformation_spark.sources.parquet_meta import read_footer
+
+    path = str(tmp_path / "g.parquet")
+    pq.write_table(pa.table({"v": list(range(4000))}), path,
+                   compression="gzip", use_dictionary=False,
+                   row_group_size=4000)
+    footer = read_footer(path)
+    chunk = footer["row_groups"][0]["columns"][0]
+    buf = open(path, "rb").read()
+    header, pos = P._read_page_header(buf, chunk["data_page_offset"])
+    body = buf[pos:pos + header[3]]
+    assert gunzip(body) == zlib.decompress(body, 16 + zlib.MAX_WBITS)
