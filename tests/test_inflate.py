@@ -80,3 +80,18 @@ def test_parquet_gzip_page_through_from_scratch_inflate(tmp_path):
     header, pos = P._read_page_header(buf, chunk["data_page_offset"])
     body = buf[pos:pos + header[3]]
     assert gunzip(body) == zlib.decompress(body, 16 + zlib.MAX_WBITS)
+
+
+def test_property_random_roundtrips():
+    """Hypothesis: arbitrary bytes at arbitrary levels round-trip through
+    the from-scratch inflate/zlib/gzip paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=4000), st.integers(min_value=0, max_value=9))
+    def roundtrip(raw, level):
+        assert zlib_decompress(zlib.compress(raw, level)) == raw
+        assert gunzip(gzip.compress(raw, compresslevel=level)) == raw
+
+    roundtrip()

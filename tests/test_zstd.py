@@ -125,3 +125,19 @@ def test_content_checksum_verified():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="checksum"):
         zstd_decompress(bytes(bad), len(raw))
+
+
+def test_property_random_roundtrips():
+    """Hypothesis: arbitrary bytes at arbitrary levels decode bit-exact
+    against libzstd's compressor."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=4000), st.sampled_from([1, 3, 9, 19]))
+    def roundtrip(raw, level):
+        comp = pa.Codec("zstd", compression_level=level).compress(
+            raw, asbytes=True)
+        assert zstd_decompress(comp, len(raw)) == raw
+
+    roundtrip()
