@@ -30,8 +30,10 @@ class _MsbBits:
     def read(self, n: int) -> int:
         out = 0
         for _ in range(n):
-            byte = self.buf[self.bitpos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            pos = self.bitpos >> 3
+            if pos >= len(self.buf):
+                raise ValueError("bzip2: truncated stream")
+            out = (out << 1) | ((self.buf[pos] >> (7 - (self.bitpos & 7))) & 1)
             self.bitpos += 1
         return out
 
@@ -87,7 +89,10 @@ class _Huff:
         while ln < len(self.limit) - 1 and vec > self.limit[ln]:
             vec = (vec << 1) | bits.read(1)
             ln += 1
-        return self.perm[vec - self.base[ln]]
+        idx = vec - self.base[ln]
+        if not 0 <= idx < len(self.perm):
+            raise ValueError("bzip2: invalid Huffman code (corrupt stream)")
+        return self.perm[idx]
 
 
 def bz2_decompress(buf: bytes, expected: int | None = None) -> bytes:
