@@ -229,3 +229,115 @@ def gunzip(buf: bytes) -> bytes:
             raise ValueError("gzip: ISIZE mismatch")
         out += payload
     return bytes(out)
+
+
+# ------------------------------------------------------------- encoder
+
+_FIXED_LIT_CODE = {}
+for _s in range(144):
+    _FIXED_LIT_CODE[_s] = (0x30 + _s, 8)
+for _s in range(144, 256):
+    _FIXED_LIT_CODE[_s] = (0x190 + (_s - 144), 9)
+for _s in range(256, 280):
+    _FIXED_LIT_CODE[_s] = (_s - 256, 7)
+for _s in range(280, 288):
+    _FIXED_LIT_CODE[_s] = (0xC0 + (_s - 280), 8)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        """LSB-first bit packing (deflate's order)."""
+        self.acc |= value << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, n: int) -> None:
+        """Huffman codes go MSB-first: reverse before packing."""
+        rev = 0
+        for _ in range(n):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.write(rev, n)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def deflate_fixed(raw: bytes) -> bytes:
+    """DEFLATE ENCODE — one fixed-Huffman block with greedy hash-match
+    LZ77 (the write-side twin of :func:`inflate`, same shape as
+    `parquet_data.snappy_compress`): any conformant inflater, stdlib
+    zlib included, accepts the output."""
+    w = _BitWriter()
+    w.write(1, 1)  # BFINAL
+    w.write(1, 2)  # BTYPE = fixed huffman
+
+    def emit_len(length: int) -> None:
+        for i in range(len(_LEN_BASE) - 1, -1, -1):
+            if length >= _LEN_BASE[i]:
+                code, n = _FIXED_LIT_CODE[257 + i]
+                w.write_code(code, n)
+                w.write(length - _LEN_BASE[i], _LEN_EXTRA[i])
+                return
+
+    def emit_dist(dist: int) -> None:
+        for i in range(len(_DIST_BASE) - 1, -1, -1):
+            if dist >= _DIST_BASE[i]:
+                w.write_code(i, 5)
+                w.write(dist - _DIST_BASE[i], _DIST_EXTRA[i])
+                return
+
+    table: dict[int, int] = {}
+    n = len(raw)
+    i = 0
+    while i < n:
+        if i + 3 <= n:
+            key = hash(raw[i:i + 3])
+            cand = table.get(key)
+            table[key] = i
+            if (cand is not None and i - cand <= 32768
+                    and raw[cand:cand + 3] == raw[i:i + 3]):
+                m = 3
+                while (i + m < n and m < 258
+                       and raw[cand + m] == raw[i + m]):
+                    m += 1
+                emit_len(m)
+                emit_dist(i - cand)
+                i += m
+                continue
+        code, bits_n = _FIXED_LIT_CODE[raw[i]]
+        w.write_code(code, bits_n)
+        i += 1
+    code, bits_n = _FIXED_LIT_CODE[256]
+    w.write_code(code, bits_n)
+    return w.finish()
+
+
+def zlib_compress(raw: bytes) -> bytes:
+    """RFC 1950 wrapper around :func:`deflate_fixed` (CMF 0x78, a valid
+    FLG, trailing Adler-32)."""
+    flg = 31 - (0x78 * 256) % 31
+    return bytes([0x78, flg]) + deflate_fixed(raw) + _adler32(raw).to_bytes(4, "big")
+
+
+def gzip_compress(raw: bytes) -> bytes:
+    """RFC 1952 member around :func:`deflate_fixed` (mtime 0, CRC32 +
+    ISIZE trailer) — deterministic bytes for a given input."""
+    import binascii
+
+    return (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+            + deflate_fixed(raw)
+            + (binascii.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "little")
+            + (len(raw) % (1 << 32)).to_bytes(4, "little"))

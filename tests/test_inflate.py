@@ -95,3 +95,29 @@ def test_property_random_roundtrips():
         assert gunzip(gzip.compress(raw, compresslevel=level)) == raw
 
     roundtrip()
+
+
+def test_deflate_encoder_both_directions():
+    """deflate_fixed / zlib_compress / gzip_compress are accepted by
+    stdlib zlib AND the in-repo inflater, with real compression."""
+    import random
+
+    from pr2_transformation_spark.sources.inflate import (
+        deflate_fixed,
+        gzip_compress,
+        zlib_compress,
+    )
+
+    rng = random.Random(13)
+    for trial in range(12):
+        n = rng.randint(0, 50000)
+        raw = ((b"encoder " * (n // 8 + 1))[:n] if trial % 2
+               else bytes(rng.randint(0, 255) for _ in range(n)))
+        assert zlib.decompress(deflate_fixed(raw), -15) == raw
+        assert inflate(deflate_fixed(raw))[0] == raw
+        assert zlib.decompress(zlib_compress(raw)) == raw
+        assert gzip.decompress(gzip_compress(raw)) == raw
+        assert zlib_decompress(zlib_compress(raw)) == raw
+        assert gunzip(gzip_compress(raw)) == raw
+    big = b"the quick brown fox " * 3000
+    assert len(deflate_fixed(big)) < len(big) // 20
