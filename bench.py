@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "q379_warc_gz_random_access",
     "q380_iceberg_equality_deletes",
     "q381_quantile_normalization",
+    "q382_rank_biased_overlap",
 ]
 
 
