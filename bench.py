@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "q380_iceberg_equality_deletes",
     "q381_quantile_normalization",
     "q382_rank_biased_overlap",
+    "q383_cube_grouping_sets",
+    "q384_set_algebra",
 ]
 
 
