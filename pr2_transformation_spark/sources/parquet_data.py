@@ -19,7 +19,8 @@ its own independent C++ parquet implementation.
 
 Scope (honest seam): flat schemas plus one-level LISTs (Dremel
 repetition-level assembly), data page v1 + v2, PLAIN /
-PLAIN_DICTIONARY / RLE_DICTIONARY encodings, UNCOMPRESSED / SNAPPY /
+PLAIN_DICTIONARY / RLE_DICTIONARY / DELTA_BINARY_PACKED /
+BYTE_STREAM_SPLIT encodings, UNCOMPRESSED / SNAPPY /
 GZIP / LZ4_RAW / ZSTD codecs (ZSTD via the from-scratch RFC 8878
 decoder in `zstd.py`).  Anything else raises with the exact feature
 named — same contract as the codec seams in `functions/multimodal.py`.
@@ -43,6 +44,8 @@ from .parquet_meta import _Reader, read_footer_bytes
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_BIT_PACKED = 0, 2, 3, 4
 _ENC_RLE_DICT = 8
+_ENC_DELTA_BINARY = 5
+_ENC_BYTE_STREAM_SPLIT = 9
 _CODEC_NONE, _CODEC_SNAPPY, _CODEC_GZIP = 0, 1, 2
 _CODEC_LZ4_RAW = 7
 _CODEC_ZSTD = 6
@@ -330,6 +333,61 @@ def _decode_plain(buf: bytes, pos: int, ptype: str, count: int,
     raise NotImplementedError(f"PLAIN decode for physical type {ptype}")
 
 
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def decode_delta_binary_packed(buf: bytes, pos: int,
+                               count: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (Encodings.md): header (block size, miniblocks
+    per block, total count, zigzag first value), then per block a zigzag
+    min-delta + per-miniblock bit widths + LSB-packed deltas."""
+    block_size, pos = _uvarint(buf, pos)
+    n_mini, pos = _uvarint(buf, pos)
+    total, pos = _uvarint(buf, pos)
+    zz, pos = _uvarint(buf, pos)
+    first = (zz >> 1) ^ -(zz & 1)
+    values = [first]
+    per_mini = block_size // n_mini
+    while len(values) < total:
+        zz, pos = _uvarint(buf, pos)
+        min_delta = (zz >> 1) ^ -(zz & 1)
+        widths = buf[pos:pos + n_mini]
+        pos += n_mini
+        for m in range(n_mini):
+            bw = widths[m]
+            nbytes = per_mini * bw // 8
+            if len(values) >= total:
+                # trailing miniblocks: their bytes are still present
+                pos += nbytes
+                continue
+            acc = int.from_bytes(buf[pos:pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << bw) - 1
+            for i in range(per_mini):
+                if len(values) >= total:
+                    break
+                d = (acc >> (i * bw)) & mask if bw else 0
+                values.append(values[-1] + min_delta + d)
+    return values[:count], pos
+
+
+def decode_byte_stream_split(buf: bytes, pos: int, count: int,
+                             width: int) -> list[bytes]:
+    """BYTE_STREAM_SPLIT: the page body holds byte-plane i of every
+    value contiguously; reassemble per-value byte strings."""
+    planes = [buf[pos + i * count: pos + (i + 1) * count]
+              for i in range(width)]
+    return [bytes(planes[i][j] for i in range(width)) for j in range(count)]
+
+
 # ----------------------------------------------------------- page reader
 
 _PAGE_HEADER_KEEP = (1, 2, 3, 5, 7, 8)
@@ -469,6 +527,15 @@ def read_column_chunk(buf: bytes, chunk: dict, leaf: dict):
         n_nonnull = sum(1 for d in defs if d == max_def) if max_def else nvals
         if enc == _ENC_PLAIN:
             vals, _ = _decode_plain(raw, p, ptype, n_nonnull, tlen)
+        elif enc == _ENC_DELTA_BINARY and ptype in ("INT32", "INT64"):
+            vals, _ = decode_delta_binary_packed(raw, p, n_nonnull)
+        elif enc == _ENC_BYTE_STREAM_SPLIT and ptype in (
+                "FLOAT", "DOUBLE", "INT32", "INT64"):
+            width = {"FLOAT": 4, "INT32": 4, "DOUBLE": 8, "INT64": 8}[ptype]
+            packed = decode_byte_stream_split(raw, p, n_nonnull, width)
+            fmt = {"FLOAT": "<f", "DOUBLE": "<d",
+                   "INT32": "<i", "INT64": "<q"}[ptype]
+            vals = [struct.unpack(fmt, b)[0] for b in packed]
         elif enc == _ENC_RLE and ptype == "BOOLEAN":
             # RLE-encoded booleans: 4-byte length prefix + hybrid runs, bw=1
             rl = int.from_bytes(raw[p:p + 4], "little")

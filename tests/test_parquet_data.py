@@ -271,3 +271,34 @@ def test_lz4_frame_conformance_and_checksums():
         lz4_frame_decompress(bytes(comp))
     # xxh32 self-check vectors (public reference values)
     assert xxh32(b"") == 0x02CC5D05
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+def test_delta_binary_packed_and_byte_stream_split(tmp_path, dpv):
+    """The two modern non-dictionary encodings: delta-packed ints
+    (incl. negative deltas and nulls) and byte-plane-split floats."""
+    import random
+    from pr2_transformation_spark.sources.parquet_data import (
+        decode_delta_binary_packed,
+    )
+
+    rng = random.Random(17)
+    n = 9000
+    t = pa.table({
+        "i": pa.array([rng.randint(-10**12, 10**12) for _ in range(n)],
+                      pa.int64()),
+        "i32": pa.array([rng.randint(-10**6, 10**6)
+                         if rng.random() > .1 else None
+                         for _ in range(n)], pa.int32()),
+        "f": pa.array([rng.gauss(0, 1) for _ in range(n)], pa.float64()),
+    })
+    path = str(tmp_path / "enc.parquet")
+    pq.write_table(t, path, use_dictionary=False, compression="zstd",
+                   row_group_size=2500, data_page_version=dpv,
+                   column_encoding={"i": "DELTA_BINARY_PACKED",
+                                    "i32": "DELTA_BINARY_PACKED",
+                                    "f": "BYTE_STREAM_SPLIT"})
+    names, cols = read_parquet(path)
+    assert cols["i"] == t.column("i").to_pylist()
+    assert cols["i32"] == t.column("i32").to_pylist()
+    assert cols["f"] == t.column("f").to_pylist()
