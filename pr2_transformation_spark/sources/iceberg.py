@@ -95,6 +95,13 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
+_ICEBERG_TO_SPARK = {
+    "long": "bigint", "int": "int", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "timestamptz": "timestamp",
+}
+
+
 def _spark_type_to_iceberg(dt: str) -> str:
     return {
         "long": "long", "bigint": "long", "int": "int", "integer": "int",
@@ -340,7 +347,16 @@ class IcebergTable:
         if not files:
             raise ValueError("empty snapshot")
         spark.catalog.refreshByPath(self.path)
-        base = spark.read.parquet(
+        # pin the TABLE schema (stored at commit time) instead of letting
+        # the scan infer from one arbitrary file — heterogeneous physical
+        # types across snapshots (e.g. an int32 literal appended onto a
+        # long column) would otherwise fail conversion read-order-
+        # dependently
+        meta = self._load_metadata()
+        ddl = ", ".join(
+            f"{f['name']} {_ICEBERG_TO_SPARK.get(f['type'], 'string')}"
+            for f in meta["schema"]["fields"])
+        base = spark.read.schema(ddl).parquet(
             *[os.path.join(self.path, p) for p in files])
         dels = self._delete_entries(snapshot_id)
         if not dels:

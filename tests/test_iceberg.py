@@ -114,7 +114,7 @@ def test_equality_deletes_sequence_scoped(spark, tmp_path):
     assert got == [k for k in range(40) if k % 4 != 1]
     # append rows with the SAME deleted value g=1: they must survive
     t.write(spark.range(100, 104).select(
-        F.col("id").alias("k"), F.lit(1).alias("g")),
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("g")),
         mode="append", now_ms=3000)
     got = sorted(r["k"] for r in t.read(spark).collect())
     assert got == [k for k in range(40) if k % 4 != 1] + [100, 101, 102, 103]
