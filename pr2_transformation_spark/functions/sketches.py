@@ -330,19 +330,26 @@ def bloom_filter_rows(
     probe-verdict API :func:`bloom_contains` deliberately trades away
     by emitting one row per distinct key row).  No false negatives:
     a row survives unless some bit is provably unset."""
+    # uniquify helper names against df's schema — a fact table may itself
+    # carry __bit0/__hit0 columns, which would make the join ambiguous
+    sfx = ""
+    while any(f"__{n}{i}{sfx}" in df.columns
+              for n in ("bit", "hit") for i in range(k)):
+        sfx += "_"
     out = df
     for i in range(k):
+        bit_c, hit_c = f"__bit{i}{sfx}", f"__hit{i}{sfx}"
         side = F.broadcast(
-            bits.select(F.col("bit").alias(f"__bit{i}"))
-            .withColumn(f"__hit{i}", F.lit(1))
+            bits.select(F.col("bit").alias(bit_c))
+            .withColumn(hit_c, F.lit(1))
         )
         out = out.join(
             side,
-            _cms_bucket(F.col(key_col), i, m, hasher) == F.col(f"__bit{i}"),
+            _cms_bucket(F.col(key_col), i, m, hasher) == F.col(bit_c),
             "left",
-        ).drop(f"__bit{i}")
+        ).drop(bit_c)
     keep = None
     for i in range(k):
-        cond = F.col(f"__hit{i}").isNotNull()
+        cond = F.col(f"__hit{i}{sfx}").isNotNull()
         keep = cond if keep is None else (keep & cond)
-    return out.filter(keep).drop(*[f"__hit{i}" for i in range(k)])
+    return out.filter(keep).drop(*[f"__hit{i}{sfx}" for i in range(k)])

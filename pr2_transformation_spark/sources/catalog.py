@@ -218,9 +218,22 @@ class Catalog:
         # or saveAsTable fails with LOCATION_ALREADY_EXISTS.
         warehouse = self.spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(
-            re.sub(r"^file:/{0,2}", "/", warehouse).replace("//", "/"),
-            table.split(".")[-1].lower())
+        wroot = re.sub(r"^file:/{0,2}", "/", warehouse).replace("//", "/")
+        # The managed location of db.tbl is <warehouse>/db.db/tbl, NOT
+        # <warehouse>/tbl — rmtree'ing the bare name would delete the
+        # DEFAULT database's same-named table while leaving the stale
+        # qualified location behind.  Build the exact path for the parsed
+        # identifier and refuse anything that escapes the warehouse root.
+        parts = [p.lower() for p in table.split(".")]
+        if len(parts) == 1:
+            loc = os.path.join(wroot, parts[0])
+        elif len(parts) == 2:
+            loc = os.path.join(wroot, parts[0] + ".db", parts[1])
+        else:
+            raise ValueError(f"expected [db.]table, got {table!r}")
+        if not os.path.abspath(loc).startswith(
+                os.path.abspath(wroot) + os.sep):
+            raise ValueError(f"refusing to clear {loc!r} outside warehouse")
         shutil.rmtree(loc, ignore_errors=True)
         writer = (
             df.repartition(num_buckets, *bucket_cols)

@@ -102,12 +102,29 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+def _iceberg_type_to_spark(t: str) -> str:
+    # The pinned read schema round-trips through this map; a silent
+    # 'string' fallback would CORRUPT the pinned schema for types the
+    # seam doesn't carry yet (decimal, timestamp_ntz, binary, ...), so
+    # unmapped types fail loudly instead.
+    if t not in _ICEBERG_TO_SPARK:
+        raise NotImplementedError(
+            f"Iceberg type {t!r} is outside this table format seam "
+            f"(supported: {sorted(_ICEBERG_TO_SPARK)})")
+    return _ICEBERG_TO_SPARK[t]
+
+
 def _spark_type_to_iceberg(dt: str) -> str:
-    return {
+    m = {
         "long": "long", "bigint": "long", "int": "int", "integer": "int",
         "double": "double", "float": "float", "string": "string",
         "boolean": "boolean", "date": "date", "timestamp": "timestamptz",
-    }.get(dt, "string")
+    }
+    if dt not in m:
+        raise NotImplementedError(
+            f"Spark type {dt!r} is outside this table format seam "
+            f"(supported: {sorted(m)})")
+    return m[dt]
 
 
 class IcebergTable:
@@ -354,7 +371,7 @@ class IcebergTable:
         # dependently
         meta = self._load_metadata()
         ddl = ", ".join(
-            f"{f['name']} {_ICEBERG_TO_SPARK.get(f['type'], 'string')}"
+            f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
             for f in meta["schema"]["fields"])
         base = spark.read.schema(ddl).parquet(
             *[os.path.join(self.path, p) for p in files])
@@ -371,36 +388,52 @@ class IcebergTable:
         # the spec semantics q380 grades.
         from pyspark.sql import functions as F
         cols = base.columns
+        # Helper/join columns must not collide with user columns (a table
+        # may itself carry file_path/pos or __-prefixed names): uniquify
+        # the helper names against the table schema and RENAME the delete
+        # frame's columns before joining, so every join reference binds
+        # to exactly one side.
+        sfx = ""
+        while any(f"__ice_{n}{sfx}" in cols for n in ("rel", "pos", "seq")):
+            sfx += "_"
+        c_rel, c_pos, c_seq = (f"__ice_rel{sfx}", f"__ice_pos{sfx}",
+                               f"__ice_seq{sfx}")
         seq_by_file = dict(self._data_files_with_seq(snapshot_id))
         seq_expr = F.lit(None).cast("long")
         for p, seq in seq_by_file.items():
             seq_expr = F.when(
-                F.col("__rel") == p, F.lit(seq)).otherwise(seq_expr)
+                F.col(c_rel) == p, F.lit(seq)).otherwise(seq_expr)
         out = base.select(
             "*",
             F.concat(
                 F.lit("data/"),
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            ).alias("__rel"),
-            F.col("_metadata.row_index").alias("__pos"),
-        ).withColumn("__seq", seq_expr)
+            ).alias(c_rel),
+            F.col("_metadata.row_index").alias(c_pos),
+        ).withColumn(c_seq, seq_expr)
         for d in dels:
             del_df = spark.read.parquet(os.path.join(self.path, d["path"]))
             if d["content"] == 1:  # positional
+                del_df = del_df.select(
+                    F.col("file_path").alias(c_rel + "_d"),
+                    F.col("pos").alias(c_pos + "_d"))
                 out = out.join(
                     F.broadcast(del_df),
-                    (F.col("__rel") == F.col("file_path"))
-                    & (F.col("__pos") == F.col("pos")),
+                    (F.col(c_rel) == F.col(c_rel + "_d"))
+                    & (F.col(c_pos) == F.col(c_pos + "_d")),
                     "left_anti",
                 )
             else:  # equality, sequence-scoped
+                ren = {c: f"{c}__ice_d{sfx}" for c in d["cols"]}
+                del_df = del_df.select(
+                    *[F.col(c).alias(a) for c, a in ren.items()])
                 eq = None
                 for c in d["cols"]:
-                    cond = out[c].eqNullSafe(del_df[c])
+                    cond = out[c].eqNullSafe(F.col(ren[c]))
                     eq = cond if eq is None else (eq & cond)
                 out = out.join(
                     F.broadcast(del_df),
-                    eq & (F.col("__seq") < F.lit(d["seq"])),
+                    eq & (F.col(c_seq) < F.lit(d["seq"])),
                     "left_anti",
                 )
         return out.select(*cols)

@@ -304,7 +304,10 @@ def deflate_fixed(raw: bytes) -> bytes:
     i = 0
     while i < n:
         if i + 3 <= n:
-            key = hash(raw[i:i + 3])
+            # deterministic key (not salted hash()): output bytes must be
+            # identical across processes for the writer's determinism
+            # contract
+            key = int.from_bytes(raw[i:i + 3], "little")
             cand = table.get(key)
             table[key] = i
             if (cand is not None and i - cand <= 32768

@@ -149,12 +149,16 @@ def snappy_compress(raw: bytes) -> bytes:
             out += raw[start:start + ln]
             start += ln
 
+    # key the match table by the raw 4-byte window itself (NOT Python
+    # hash(), which is SipHash-salted per process — salted collisions
+    # would make the emitted bytes differ across runs, breaking the
+    # deterministic-output contract the writers advertise)
     table: dict[int, int] = {}
     i = 0
     lit_start = 0
     while i + 4 <= n:
         key = raw[i:i + 4]
-        h = hash(key)
+        h = int.from_bytes(key, "little")
         cand = table.get(h)
         table[h] = i
         if (cand is not None and i - cand <= 0xFFFF
