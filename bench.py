@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "q382_rank_biased_overlap",
     "q383_cube_grouping_sets",
     "q384_set_algebra",
+    "q385_streaming_epoch_replay_graded",
 ]
 
 
