@@ -1142,11 +1142,21 @@ def kcenter_greedy(
     frame = df.select(id_col, vec_col)
     [seed] = frame.orderBy(F.col(id_col)).limit(1).collect()
     picks = [(1, seed[0], None)]
+    # Persist the running-min state only when a refold will actually
+    # happen (k-1 picks > refold_every): for small k the lazy fold
+    # carries every pick as column expressions anyway, so the persist
+    # would materialize (and at corpus scale, spill) the whole frame to
+    # save at most refold_every re-evaluated pick distances — strictly
+    # more I/O than the O(k^2/2) extra distance arithmetic it avoids.
+    # Values are identical either way (min over rounded distances is
+    # associative; pinned by the q202 oracle and the equivalence test).
+    use_persist = (k - 1) > refold_every
     base = (
         frame.filter(F.col(id_col) != seed[0])
         .select(id_col, vec_col, dist_to(list(seed[1])).alias("dmin"))
-        .persist()
     )
+    if use_persist:
+        base = base.persist()
     prev = None  # the pre-refold cache, unpersisted only AFTER the next
     # argmax collect has materialized the refolded one — unpersisting
     # before materialization would silently re-derive from the source
@@ -1176,14 +1186,15 @@ def kcenter_greedy(
             picks.append((step, row[0], float(row["dmin"])))
             pending.append((row[0], list(row[1])))
             dist_cols.append(dist_to(list(row[1])))
-            if len(pending) >= refold_every and step < k:
+            if use_persist and len(pending) >= refold_every and step < k:
                 nxt = _kcenter_folded_view(
                     base, pending, id_col, vec_col, round_digits, picks_via,
                     _dist_cols=dist_cols if picks_via == "literal" else None,
                 ).persist()
                 prev, base, pending, dist_cols = base, nxt, [], []
     finally:
-        base.unpersist()
+        if use_persist:
+            base.unpersist()
         if prev is not None:
             prev.unpersist()
     return picks
