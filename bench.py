@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "q383_cube_grouping_sets",
     "q384_set_algebra",
     "q385_streaming_epoch_replay_graded",
+    "q386_delta_data_skipping",
 ]
 
 

@@ -72,6 +72,105 @@ def _read_actions(path: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _stats_may_match(add: dict, col: str, op: str, val) -> bool:
+    """False only when the add entry's stats PROVE no row of the file can
+    satisfy ``col <op> val`` — the no-false-negatives contract data
+    skipping lives by.  Missing stats (or an unknown op) keep the file."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    s = json.loads(raw) if isinstance(raw, str) else raw
+    mn = s.get("minValues", {}).get(col)
+    mx = s.get("maxValues", {}).get(col)
+    if mn is None or mx is None:
+        # a file whose every value is NULL can't match any comparison
+        n = s.get("nullCount", {}).get(col)
+        return not (n is not None and n == s.get("numRecords"))
+    try:
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+    except TypeError:
+        return True  # incomparable literal type: keep the file
+    return True
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when an overwrite lost the optimistic-commit race to a
+    concurrent data-changing commit it had not read (the Delta
+    WriteSerializable conflict).  Blind appends never raise this — they
+    rebase onto the winner and retry."""
+
+
+def _file_stats(local_path: str) -> "dict | None":
+    """Per-file column statistics from the parquet FOOTER only (zero
+    data pages read): numRecords + min/max/nullCount per leaf column
+    with JSON-representable stats — the ``add.stats`` payload Delta
+    data skipping runs on.  Columns whose chunks lack stats (or carry
+    non-primitive values) are simply omitted; skipping stays
+    conservative for them."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    try:
+        md = pq.ParquetFile(local_path).metadata
+    except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+        return None
+
+    def _plain(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    skip: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in skip:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                skip.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mn, mx = _plain(st.min), _plain(st.max)
+            if mn is None or mx is None:
+                skip.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": {k: v for k, v in nulls.items() if k not in skip},
+    }
+
+
 class DeltaTable:
     """A directory speaking the core Delta protocol."""
 
@@ -81,66 +180,122 @@ class DeltaTable:
     # ---- write side ------------------------------------------------
 
     def write(self, df: DataFrame, mode: str = "append",
-              now_ms: "int | None" = None) -> int:
+              now_ms: "int | None" = None, max_retries: int = 10) -> int:
         """Commit ``df`` as the next version; returns the version id.
 
         ``mode="append"`` adds files; ``mode="overwrite"`` adds files
         and tombstones every file live in the previous snapshot.
-        ``now_ms`` pins the action timestamps (vacuum horizon tests)."""
+        ``now_ms`` pins the action timestamps (vacuum horizon tests).
+
+        OPTIMISTIC CONCURRENCY (the protocol's mutual-exclusion rule):
+        the commit file is published with an atomic create-exclusive —
+        two writers racing for version v cannot both win.  The loser
+        re-reads the winner's commits and applies the conflict rules:
+
+        * a blind APPEND read nothing, so it REBASES onto the new head
+          and retries (up to ``max_retries`` times) — its files are
+          disjoint by construction, the snapshot stays consistent;
+        * an OVERWRITE computed its remove-set against the snapshot it
+          read; any intervening data-changing commit invalidates that
+          read, so it raises :class:`ConcurrentWriteError` (retrying
+          would silently drop the winner's rows).  Staged data files
+          from the failed attempt stay unreferenced by the log —
+          invisible to readers, reclaimable by ``vacuum``.
+
+        Per-file column stats (min/max/nullCount off the parquet footer,
+        no data pages read) ride each ``add.stats`` for data skipping."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        version = self._latest_version() + 1
+        read_version = self._latest_version()
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         os.makedirs(_log_dir(self.path), exist_ok=True)
+        batch = uuid.uuid4().hex[:12]
         added = []
         for f in sorted(os.listdir(staging)):
             if not f.endswith(".parquet"):
                 continue
-            name = f"part-{version:05d}-{f}"
+            name = f"part-{batch}-{f}"
             os.rename(os.path.join(staging, f), os.path.join(self.path, name))
             added.append(name)
         shutil.rmtree(staging)
+        stats = {name: _file_stats(os.path.join(self.path, name))
+                 for name in added}
 
-        actions = []
-        if version == 0:
-            actions.append({"protocol": {"minReaderVersion": 1,
-                                         "minWriterVersion": 2}})
-        actions.append({
-            "metaData": {
-                "id": uuid.uuid4().hex,
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
-                "partitionColumns": [],
-                "configuration": {},
-                "createdTime": ts,
-            }
-        })
-        if mode == "overwrite" and version > 0:
-            for live in self._snapshot_files(version - 1):
-                actions.append({"remove": {
-                    "path": live, "deletionTimestamp": ts, "dataChange": True,
-                }})
-        for name in added:
-            actions.append({"add": {
-                "path": name,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(self.path, name)),
-                "modificationTime": ts,
-                "dataChange": True,
+        for _attempt in range(max_retries + 1):
+            version = self._latest_version() + 1
+            actions = []
+            if version == 0:
+                actions.append({"protocol": {"minReaderVersion": 1,
+                                             "minWriterVersion": 2}})
+            actions.append({
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": ts,
+                }
+            })
+            if mode == "overwrite" and version > 0:
+                for live in self._snapshot_files(version - 1):
+                    actions.append({"remove": {
+                        "path": live, "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }})
+            for name in added:
+                add = {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(self.path, name)),
+                    "modificationTime": ts,
+                    "dataChange": True,
+                }
+                if stats[name] is not None:
+                    add["stats"] = json.dumps(stats[name])
+                actions.append({"add": add})
+            actions.append({"commitInfo": {
+                "timestamp": ts,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode},
             }})
-        actions.append({"commitInfo": {
-            "timestamp": ts,
-            "operation": "WRITE",
-            "operationParameters": {"mode": mode},
-        }})
-        tmp = _commit_path(self.path, version) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
-        os.rename(tmp, _commit_path(self.path, version))  # atomic publish
-        return version
+            tmp = _commit_path(self.path, version) + f".{batch}.tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            try:
+                # link+unlink = atomic CREATE-EXCLUSIVE publish: exactly
+                # one writer can mint version v (os.rename would silently
+                # clobber the winner's commit)
+                os.link(tmp, _commit_path(self.path, version))
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                os.unlink(tmp)
+                if mode == "overwrite" and self._data_changed_since(
+                        read_version):
+                    raise ConcurrentWriteError(
+                        f"overwrite read version {read_version} but a "
+                        f"concurrent data-changing commit won version "
+                        f"{version}; retrying would drop its rows") from None
+                # blind append: rebase onto the new head and retry
+        raise ConcurrentWriteError(
+            f"gave up after {max_retries} rebase attempts "
+            f"(contended table at {self.path})")
+
+    def _data_changed_since(self, read_version: int) -> bool:
+        """True if any commit AFTER ``read_version`` carries a
+        data-changing add/remove — the overwrite conflict test."""
+        for v in _list_versions(self.path):
+            if v <= read_version:
+                continue
+            for a in _read_actions(self.path, v):
+                body = a.get("add") or a.get("remove")
+                if body and body.get("dataChange", True):
+                    return True
+        return False
 
     # ---- log replay ------------------------------------------------
 
@@ -244,6 +399,7 @@ class DeltaTable:
             rows.append({"add": {
                 "path": p, "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
+                "stats": a.get("stats"),
                 "dataChange": False}})
         for p, ts in sorted(tombstones.items()):
             rows.append({"remove": {
@@ -257,6 +413,7 @@ class DeltaTable:
             ("add", pa.struct([("path", pa.string()),
                                ("size", pa.int64()),
                                ("modificationTime", pa.int64()),
+                               ("stats", pa.string()),
                                ("dataChange", pa.bool_())])),
             ("remove", pa.struct([("path", pa.string()),
                                   ("deletionTimestamp", pa.int64()),
@@ -293,19 +450,46 @@ class DeltaTable:
     # ---- read side -------------------------------------------------
 
     def read(self, spark: SparkSession,
-             version: "int | None" = None) -> DataFrame:
+             version: "int | None" = None,
+             skipping: "list[tuple] | None" = None) -> DataFrame:
         """The table snapshot at ``version`` (default latest) as a
         DataFrame — a plain distributed parquet scan over the reconciled
-        file list, so pushdown/pruning work untouched."""
+        file list, so pushdown/pruning work untouched.
+
+        ``skipping`` is an optional conjunction of ``(col, op, value)``
+        predicates (op in ``= < <= > >=``) evaluated against each add
+        entry's footer stats BEFORE the scan is planned: files whose
+        min/max prove no row can match are never even listed to Spark —
+        the Delta data-skipping move that turns a point lookup on a
+        100 TB table into an O(matching files) scan.  Files without
+        stats are kept (conservative); the predicate still has to be
+        applied to the returned frame — skipping only DROPS provably
+        irrelevant files, it does not filter rows."""
         from pyspark.sql.types import StructType
 
         live, schema_json = self._replay(version)[:2]
         schema = StructType.fromJson(json.loads(schema_json))
-        if not live:
+        keep = sorted(live)
+        if skipping:
+            keep = [p for p in keep
+                    if all(_stats_may_match(live[p], c, op, v)
+                           for c, op, v in skipping)]
+        if not keep:
             return spark.createDataFrame([], schema)
         spark.catalog.refreshByPath(self.path)
-        paths = [os.path.join(self.path, p) for p in sorted(live)]
+        paths = [os.path.join(self.path, p) for p in keep]
         return spark.read.schema(schema).parquet(*paths)
+
+    def files_matching(self, skipping: "list[tuple]",
+                       version: "int | None" = None) -> "tuple[int, int]":
+        """(files kept, files total) for a skipping conjunction — the
+        observable a pruning audit grades without scanning any data."""
+        live = self._replay(version)[0]
+        kept = sum(
+            1 for p in live
+            if all(_stats_may_match(live[p], c, op, v)
+                   for c, op, v in skipping))
+        return kept, len(live)
 
     def history(self) -> list[dict]:
         """Commit summaries, newest first (the DESCRIBE HISTORY shape)."""

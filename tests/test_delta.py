@@ -164,3 +164,107 @@ def test_checkpoint_preserves_tombstones_for_vacuum(spark, tmp_path):
     deleted = t.vacuum(retain_ms=10_000, now_ms=1_000_000)
     assert deleted  # v0 files found via checkpoint tombstones and removed
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(25, 50))
+
+
+def test_two_writer_conflict_append_rebases_overwrite_raises(spark, tmp_path):
+    """Optimistic concurrency: version files are minted create-exclusive,
+    so a racing writer CANNOT clobber the winner's commit.  Simulate the
+    race by pre-creating the version the writer is about to claim: a
+    blind append must rebase onto the new head and retry (both commits
+    land, snapshot = union); an overwrite that read a now-stale snapshot
+    must raise ConcurrentWriteError and leave the log consistent."""
+    from pr2_transformation_spark.sources.delta import (
+        ConcurrentWriteError,
+        _commit_path,
+    )
+
+    t = DeltaTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 5), mode="overwrite")  # version 0
+
+    # Interleave a competing commit between the appender's snapshot read
+    # and its publish: patch _latest_version to return the stale head
+    # once, while a real version-1 commit (another appender's) exists.
+    t2 = DeltaTable(t.path)
+    t2.write(_df(spark, 100, 103), mode="append")  # version 1 (the winner)
+    real_latest = DeltaTable._latest_version
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_latest(self)
+
+    DeltaTable._latest_version = stale_once
+    try:
+        v = t.write(_df(spark, 5, 8), mode="append")
+    finally:
+        DeltaTable._latest_version = real_latest
+    assert v == 2  # rebased past the winner
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 102]
+    # both commit files intact — nothing was clobbered
+    assert t.versions() == [0, 1, 2]
+    assert os.path.getsize(_commit_path(t.path, 1)) > 0
+
+    # overwrite racing a data-changing commit must refuse
+    t3 = DeltaTable(t.path)
+    calls["n"] = 0
+
+    def stale_then_real(self):
+        calls["n"] += 1
+        return 2 if calls["n"] <= 2 else real_latest(self)
+
+    DeltaTable._latest_version = stale_then_real
+    try:
+        t3.write(_df(spark, 200, 203), mode="append")  # winner -> version 3
+        DeltaTable._latest_version = real_latest
+        calls["n"] = 0
+        DeltaTable._latest_version = stale_then_real
+        with pytest.raises(ConcurrentWriteError):
+            t.write(_df(spark, 300, 303), mode="overwrite")
+    finally:
+        DeltaTable._latest_version = real_latest
+    # loser's staged files are unreferenced; snapshot stays consistent
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 102, 200, 201, 202]
+
+
+def test_add_stats_and_data_skipping(spark, tmp_path):
+    """Per-file footer stats ride add.stats; a skipping read prunes files
+    whose min/max prove no match, keeps stats-less files, and survives a
+    checkpoint + log expiry round trip."""
+    t = DeltaTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 10).coalesce(1), mode="overwrite")
+    t.write(_df(spark, 10, 20).coalesce(1), mode="append")
+    t.write(_df(spark, 20, 30).coalesce(1), mode="append")
+
+    # stats present and correct in the raw log
+    acts = [json.loads(line) for line in open(
+        os.path.join(t.path, "_delta_log",
+                     "%020d.json" % 1)) if line.strip()]
+    [add] = [a["add"] for a in acts if "add" in a]
+    st = json.loads(add["stats"])
+    assert st["numRecords"] == 10
+    assert st["minValues"]["k"] == 10 and st["maxValues"]["k"] == 19
+
+    kept, total = t.files_matching([("k", "<=", 5)])
+    assert (kept, total) == (1, 3)
+    got = t.read(spark, skipping=[("k", "<=", 5)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(10))
+    # skipping drops provably-irrelevant FILES; the caller still filters
+    # rows (each predicate of a conjunction prunes independently)
+    part = t.read(spark, skipping=[("k", ">", 5), ("k", "<", 3)])
+    assert part.count() == 10  # only file0 survives both per-file tests
+    assert part.filter("k > 5 and k < 3").count() == 0
+    # a predicate no file can satisfy -> zero files, schema intact
+    empty = t.read(spark, skipping=[("k", ">", 1000)])
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # equality in the middle file only
+    assert t.files_matching([("k", "=", 15)]) == (1, 3)
+
+    # skipping survives checkpoint + expiry (stats live in the checkpoint)
+    t.checkpoint()
+    t.expire_log()
+    assert t.files_matching([("k", ">=", 25)]) == (1, 3)
+    assert sorted(
+        r["k"] for r in t.read(spark, skipping=[("k", ">=", 25)]).collect()
+    ) == list(range(20, 30))
