@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "q384_set_algebra",
     "q385_streaming_epoch_replay_graded",
     "q386_delta_data_skipping",
+    "q387_ann_ivfpq",
 ]
 
 

@@ -1017,6 +1017,225 @@ def cosine_topk_pq(
     )
 
 
+def train_ivfpq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> "tuple[list[list[float]], list[list[list[float]]]]":
+    """Joint IVF-PQ training on ONE bounded driver sample: coarse
+    centroids first (spherical Lloyd's, same recipe as
+    :func:`train_ivf_centroids`), then per-subspace codebooks over the
+    RESIDUALS to each sample vector's nearest centroid — the
+    billion-scale layout of Jegou et al. 2011 / FAISS ``IVFx,PQy``:
+    residuals are far smaller in norm than raw vectors, so the same
+    m x k code budget quantizes them with much lower error than raw-PQ
+    (q199's layout).  Returns ``(centroids, codebooks)`` as plain nested
+    lists — closure constants, never a shuffle."""
+    import numpy as np
+
+    sample = [
+        r[0]
+        for r in df.select(vec_col).limit(sample_rows).collect()
+        if r[0] is not None
+    ]
+    x = np.asarray(sample, dtype="float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                         replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    resid = x - cents[np.argmax(x @ cents.T, axis=1)]
+    sub = dim // m
+    books = []
+    for j in range(m):
+        xs = resid[:, j * sub: (j + 1) * sub]
+        cb = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cb)):
+                members = xs[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb.tolist())
+    return cents.tolist(), books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``(id, __cell, code)`` — nearest coarse
+    cell plus the PQ code of the RESIDUAL to that cell's centroid.  One
+    Arrow-batched pass (numpy matmuls per batch, no shuffle, no per-row
+    Python); the output is what a production layout persists partitioned
+    by ``__cell`` so later query batches prune cells at the source."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype="float64")
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype="float64")
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            cell = np.argmax(x @ cents.T, axis=1)
+            r = x - cents[cell]
+            codes = np.empty((len(x), m), dtype="int64")
+            for j in range(m):
+                rs = r[:, j * sub: (j + 1) * sub]
+                d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (rs @ books[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "__cell": cell.astype("int64"),
+                "code": list(codes),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, __cell long, code array<long>"
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int = 4,
+    rerank: "int | None" = None,
+    max_query_rows: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k with RESIDUAL encoding — the
+    standard billion-scale composition (FAISS ``IVFx,PQy``) of the two
+    halves this module already grades separately (IVF cells q35, raw-PQ
+    ADC q199):
+
+    * score(q, x) ~= q.c_cell  +  sum_j LUT[j][code_j]  where the LUT is
+      built from q against the SHARED residual codebooks — one table
+      gather per subspace instead of a full-dim dot product, and the
+      cell term is a single indexed lookup;
+    * each query probes only its ``n_probe`` best cells, and the encoded
+      scan is FILTERED to the union of all probed cells BEFORE scoring —
+      with the encoded corpus persisted partitioned by ``__cell`` (see
+      :func:`ivfpq_encode`) that filter is partition pruning, so a query
+      batch touches n_probe/n_centroids of a 100 TB corpus;
+    * ``rerank=R`` re-scores only the top-R shortlist at full precision
+      (broadcast semi-join against the corpus scan, exactly q199's
+      two-stage shape) — final recall == shortlist recall.
+
+    Exact within-shortlist, approximate overall; recall floors are
+    pinned self-verifyingly (q387) like every ANN entry here."""
+    import numpy as np
+    import pandas as pd
+
+    centroids, codebooks = train_ivfpq(
+        corpus, vec_col, n_centroids=n_centroids, m=m, k=n_codes, seed=seed)
+    cents = np.asarray(centroids, dtype="float64")
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    sub = books[0].shape[1]
+
+    qrows = _collect_query_rows(queries, query_id_col, vec_col, max_query_rows)
+    qids = np.asarray([r[0] for r in qrows])
+    qm = np.asarray([r[1] for r in qrows], dtype="float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    qc = qm @ cents.T                       # (nq, n_cells) cell terms
+    probes = np.argsort(-qc, axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_mask = np.zeros_like(qc, dtype=bool)
+    np.put_along_axis(probe_mask, probes, True, axis=1)
+    luts = np.stack(
+        [qm[:, j * sub: (j + 1) * sub] @ books[j].T for j in range(len(books))],
+        axis=1,
+    )                                        # (nq, m, n_codes)
+
+    encoded = ivfpq_encode(
+        corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col)
+    # cell pruning: only cells some query probes are scanned at all —
+    # partition pruning when the encoded corpus is persisted by __cell
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    encoded = encoded.filter(F.col("__cell").isin(probed_cells))
+
+    shortlist = rerank if rerank is not None else k
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def score_partition(batches, _n=shortlist):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray(list(pdf["code"]), dtype="int64")
+            cells = pdf["__cell"].to_numpy()
+            n = len(codes)
+            sims = qc[:, cells].copy()       # (nq, n) cell terms
+            for j in range(len(books)):
+                sims += luts[:, j, :][:, codes[:, j]]
+            sims[~probe_mask[:, cells]] = -np.inf
+            ids = pdf[id_col].to_numpy()
+            top = min(_n, n)
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            scores = np.take_along_axis(sims, idx, axis=1)
+            keep = np.isfinite(scores)
+            yield pd.DataFrame({
+                query_id_col: np.repeat(qids, top)[keep.ravel()],
+                id_col: ids[idx].ravel()[keep.ravel()],
+                "score": np.round(scores.ravel()[keep.ravel()],
+                                  round_digits) + 0.0,
+            })
+
+    cand = encoded.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    if rerank is None:
+        return cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k)
+    short = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= rerank)
+    qdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    exact = (
+        corpus.select(id_col, F.col(vec_col).alias("__cv"))
+        .join(F.broadcast(short.select(query_id_col, id_col)), id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (F.round(
+                cosine(F.col("__qv").cast("array<double>"),
+                       F.col("__cv").cast("array<double>")),
+                round_digits,
+            ) + F.lit(0.0)).alias("score"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
 # ---------------------------------------------------------------------------
 # k-center greedy coreset selection (diverse-subset sampling)
 # ---------------------------------------------------------------------------

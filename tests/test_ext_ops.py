@@ -2771,3 +2771,66 @@ def test_hilbert_matches_reference_and_is_continuous(spark):
     assert all(
         abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1
         for a, b in zip(by_d, by_d[1:]))
+
+
+def test_ivfpq_full_probe_rerank_matches_bruteforce(spark):
+    """With every cell probed and a rerank shortlist covering the whole
+    corpus, IVF-PQ's two-stage result is the exact top-k: the shortlist
+    can't miss, and the re-rank is full-precision."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = similarity.cosine_topk_ivfpq(
+        corpus, queries, k=3, n_centroids=3, n_probe=3,
+        m=2, n_codes=8, rerank=60,
+    )
+    exact = similarity.cosine_topk_bruteforce_pandas(corpus, queries, k=3)
+    a = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert a == e
+
+
+def test_ivfpq_encode_deterministic_and_residual_shaped(spark):
+    """Encoding is deterministic across partitionings, every vector gets
+    its argmax-dot cell, and codes index the residual codebooks."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    cents, books = similarity.train_ivfpq(
+        emb, n_centroids=3, m=2, k=4, sample_rows=60)
+    assert len(books) == 2 and all(len(b) <= 4 for b in books)
+    one = {r["vec_id"]: (r["__cell"], tuple(r["code"]))
+           for r in similarity.ivfpq_encode(emb, cents, books).collect()}
+    two = {r["vec_id"]: (r["__cell"], tuple(r["code"]))
+           for r in similarity.ivfpq_encode(
+               emb.repartition(7), cents, books).collect()}
+    assert one == two
+    assert all(0 <= c < 3 for c, _ in one.values())
+    assert all(all(0 <= x < 4 for x in code) for _, code in one.values())
+
+
+def test_ivfpq_scan_filters_to_probed_cells(spark):
+    """The encoded scan is filtered to the union of probed cells BEFORE
+    scoring — the partition-pruning shape: with 1 probe over separated
+    clusters each query only ever sees its own cell's ids."""
+    from pr2_transformation_spark.functions import similarity
+
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = similarity.cosine_topk_ivfpq(
+        corpus, queries, k=5, n_centroids=3, n_probe=1, m=2, n_codes=8)
+    cents, books = similarity.train_ivfpq(
+        corpus, n_centroids=3, m=2, k=8, sample_rows=4096)
+    cell_of = {r["vec_id"]: r["__cell"] for r in
+               similarity.ivfpq_encode(corpus, cents, books).collect()}
+    qcell = {r["vec_id"]: r["__cell"] for r in similarity.ivfpq_encode(
+        emb.filter(F.col("vec_id") < 3), cents, books).collect()}
+    for r in out.collect():
+        assert cell_of[r["vec_id"]] == qcell[r["query_id"]]
