@@ -317,6 +317,7 @@ BENCH_QUERIES = [
     "q385_streaming_epoch_replay_graded",
     "q386_delta_data_skipping",
     "q387_ann_ivfpq",
+    "q388_parquet_writer_roundtrip",
 ]
 
 

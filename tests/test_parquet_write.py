@@ -1,0 +1,157 @@
+"""From-scratch parquet writer (sources/parquet_write.py): thrift
+compact footer + v1 pages validated against THREE independent readers
+(pyarrow, DuckDB, Spark) and this repo's own reader, all codecs."""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+
+from pr2_transformation_spark.sources.parquet_data import read_parquet_bytes
+from pr2_transformation_spark.sources.parquet_meta import read_footer_bytes
+from pr2_transformation_spark.sources.parquet_write import (
+    rle_bp_encode,
+    write_parquet,
+    write_parquet_bytes,
+    write_parquet_distributed,
+)
+
+COLS = [
+    ("k", "INT64", [1, 2, None, 4, 5, 6, 7, 8, 9, 10]),
+    ("i", "INT32", [-3, 0, 7, None, 2, 2, 2, 2, 2, 2]),
+    ("x", "DOUBLE", [0.5, None, 2.25, 3.5, -1.0, 0.0, 9.9, 1.1, 2.2, 3.3]),
+    ("f", "FLOAT", [0.5, 1.5, None, 3.5, -1.0, 0.0, 9.5, 1.25, 2.5, 3.75]),
+    ("b", "BOOLEAN",
+     [True, False, None, True, True, False, True, False, True, False]),
+    ("s", "BYTE_ARRAY",
+     ["aa", "bb", None, "aa", "cc", "aa", "bb", "aa", "aa", "aa"]),
+]
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd"])
+@pytest.mark.parametrize("rg", [None, 4])
+def test_roundtrip_pyarrow_duckdb_own_reader(codec, rg, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    data = write_parquet_bytes(COLS, codec=codec, row_group_rows=rg)
+    t = pq.read_table(io.BytesIO(data))
+    for n, _, vals in COLS:
+        assert t.column(n).to_pylist() == vals, (codec, n)
+    fn = str(tmp_path / "t.parquet")
+    open(fn, "wb").write(data)
+    r = duckdb.sql(
+        f"SELECT count(*), sum(k), min(s), sum(x) "
+        f"FROM read_parquet('{fn}')").fetchone()
+    assert r[0] == 10 and r[1] == 52 and r[2] == "aa"
+    assert abs(r[3] - 21.75) < 1e-12
+    names, got = read_parquet_bytes(data)
+    assert names == [c[0] for c in COLS]
+    for n, _, vals in COLS:
+        want = [v.encode() if isinstance(v, str) else v for v in vals]
+        assert got[n] == want, (codec, n)
+
+
+def test_deterministic_bytes_and_footer_stats():
+    assert write_parquet_bytes(COLS, codec="snappy") == \
+        write_parquet_bytes(COLS, codec="snappy")
+    f = read_footer_bytes(write_parquet_bytes(COLS, row_group_rows=4))
+    assert f["num_rows"] == 10 and len(f["row_groups"]) == 3
+    c0 = f["row_groups"][0]["columns"][0]
+    assert (c0["min"], c0["max"], c0["null_count"]) == (1, 4, 1)
+    cs = f["row_groups"][0]["columns"][5]
+    assert (cs["min"], cs["max"]) == ("aa", "bb")  # rows 0-3 of COLS
+
+
+def test_dictionary_page_emitted_and_smaller():
+    """A low-cardinality string column must go through the dictionary
+    path (dictionary_page_offset set, PLAIN_DICTIONARY in encodings)."""
+    vals = [f"v{i % 3}" for i in range(3000)]
+    data = write_parquet_bytes([("s", "BYTE_ARRAY", vals)], codec="none")
+    f = read_footer_bytes(data)
+    assert f["row_groups"][0]["columns"][0]["dictionary_page_offset"] \
+        is not None
+    plain = write_parquet_bytes([("s", "BYTE_ARRAY", vals)], codec="none",
+                                use_dictionary=False)
+    assert read_footer_bytes(plain)["row_groups"][0]["columns"][0][
+        "dictionary_page_offset"] is None
+    assert len(data) < len(plain) / 3
+    import pyarrow.parquet as pq
+    assert pq.read_table(io.BytesIO(data)).column("s").to_pylist() == vals
+
+
+def test_all_null_empty_string_and_edge_shapes():
+    import pyarrow.parquet as pq
+
+    edge = [("a", "INT64", [None] * 20),
+            ("s", "BYTE_ARRAY", [""] * 20),
+            ("d", "DOUBLE", [float(i) for i in range(20)])]
+    t = pq.read_table(io.BytesIO(write_parquet_bytes(edge)))
+    assert t.column("a").to_pylist() == [None] * 20
+    assert t.column("s").to_pylist() == [""] * 20
+    one = pq.read_table(io.BytesIO(
+        write_parquet_bytes([("k", "INT32", [7])], codec="gzip")))
+    assert one.column("k").to_pylist() == [7]
+
+
+def test_rle_bp_encode_roundtrips_against_own_decoder():
+    from pr2_transformation_spark.sources.parquet_data import rle_bp_hybrid
+
+    cases = [
+        ([1] * 100, 1),
+        ([0, 1] * 50, 1),
+        ([0] * 9 + [1, 0, 1, 1, 0] + [1] * 20, 1),
+        (list(range(8)) * 5, 3),
+        ([5] * 3, 3),
+        ([], 2),
+    ]
+    for vals, bw in cases:
+        enc = rle_bp_encode(vals, bw)
+        assert rle_bp_hybrid(enc, 0, len(enc), bw, len(vals)) == vals
+
+
+def test_seam_errors_are_loud():
+    with pytest.raises(NotImplementedError):
+        write_parquet_bytes([("k", "INT96", [1])])
+    with pytest.raises(NotImplementedError):
+        write_parquet_bytes([("k", "INT64", [1])], codec="brotli")
+    with pytest.raises(ValueError):
+        write_parquet_bytes([("a", "INT64", [1]), ("b", "INT64", [1, 2])])
+
+
+def test_spark_reads_engine_written_files(spark, tmp_path):
+    """Spark's vectorized reader (a third independent implementation)
+    accepts engine-written files, including the distributed sink shape
+    where every partition serializes its own file with this writer."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    fn = str(tmp_path / "one.parquet")
+    write_parquet(fn, COLS, codec="snappy")
+    got = spark.read.parquet(fn)
+    assert got.count() == 10
+    assert sorted(r["k"] for r in got.collect() if r["k"] is not None) == \
+        [1, 2, 4, 5, 6, 7, 8, 9, 10]
+    assert {r["s"] for r in got.collect()} == {"aa", "bb", "cc", None}
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("m"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 3).cast("string")))
+        .alias("s"),
+        (F.col("id") * 0.25).alias("x"),
+    ).repartition(4)
+    out = str(tmp_path / "dist")
+    n_files = write_parquet_distributed(df, out, codec="zstd")
+    assert n_files == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("k")).collect()[0][0] == 499500
+    assert back.filter(F.col("s").isNull()).count() == 200
+    created = {pq.ParquetFile(os.path.join(out, p)).metadata.created_by
+               for p in os.listdir(out) if p.endswith(".parquet")}
+    assert created == {"pr2-transformation-spark parquet_write"}
