@@ -39,6 +39,23 @@ split by what this environment can honestly do (no PIL/torchaudio/libav):
   wrapper would plug into the same callable signature the real decoders
   use.
 
+  CONFORMANCE ADJUDICATION (round 7): full mp3 decode and VP8
+  INTERFRAME decode stay on this seam deliberately.  Every codec in
+  this repo is pinned against an independent implementation or spec
+  test vectors (libwebp for VP8 intra, stdlib zlib/bz2/lzma for the
+  compression suite, pyarrow/DuckDB for parquet); this host carries NO
+  mp3 reference (no mpg123/mad/ffmpeg/avcodec, no ISO dist10 vectors,
+  no network) and NO VP8 interframe reference (libwebp decodes still
+  images only; libvpx absent).  An mp3 decoder needs the 32 ISO
+  11172-3 Huffman tables and an interframe decoder the libvpx
+  mode-context/MV probability tables — spec data that cannot be
+  re-derived, only transcribed, and a transcription with no validator
+  would be silently non-conformant while its own round-trip tests
+  passed (encoder and decoder would share every typo).  Shipping that
+  would *weaken* the repo's standard, so the seam stays explicit until
+  a reference implementation or the spec tables are available to pin
+  against.
+
 Scale notes: binary payloads dominate row size, so `maxPartitionBytes`-driven
 splits keep tasks balanced; the mapInPandas batch size is rows-per-Arrow-batch
 (`spark.sql.execution.arrow.maxRecordsPerBatch`) — tune it down for large

@@ -200,6 +200,72 @@ def lz4_block_decompress(buf: bytes, expected: int | None = None) -> bytes:
     return bytes(out)
 
 
+def lz4_block_compress(raw: bytes) -> bytes:
+    """Raw LZ4 block ENCODE (lz4 block-format spec) — the write-side
+    twin of :func:`lz4_block_decompress` and the parquet LZ4_RAW codec's
+    compressor: greedy hash-table LZ77 emitting [token | literal-length
+    extensions | literals | 2-byte LE offset | match-length extensions]
+    sequences.  Spec end-of-block rules honored: the final sequence is
+    literals-only, the last 5 bytes are always literals, and no match
+    starts within the last 12 bytes.  Deterministic (match table keyed
+    by raw window bytes, not salted hash()); conformance-pinned against
+    liblz4 in tests."""
+    n = len(raw)
+    out = bytearray()
+
+    def emit(lit_start: int, lit_end: int, off: int, mlen: int) -> None:
+        lit = lit_end - lit_start
+        tok_lit = 15 if lit >= 15 else lit
+        if mlen:
+            m = mlen - 4
+            tok_m = 15 if m >= 15 else m
+        else:
+            tok_m = 0
+        out.append((tok_lit << 4) | tok_m)
+        if lit >= 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(raw[lit_start:lit_end])
+        if mlen:
+            out.extend(off.to_bytes(2, "little"))
+            if mlen - 4 >= 15:
+                rem = mlen - 4 - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    if n < 13:  # too short for any legal match
+        emit(0, n, 0, 0)
+        return bytes(out)
+
+    table: dict[int, int] = {}
+    lit_start = 0
+    i = 0
+    match_limit = n - 12  # no match may start in the last 12 bytes
+    while i < match_limit:
+        key = int.from_bytes(raw[i:i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if (cand is not None and i - cand <= 0xFFFF
+                and raw[cand:cand + 4] == raw[i:i + 4]):
+            mlen = 4
+            # matches must end >= 5 literals before the block end
+            mmax = n - 5 - i
+            while mlen < mmax and raw[cand + mlen] == raw[i + mlen]:
+                mlen += 1
+            emit(lit_start, i, i - cand, mlen)
+            i += mlen
+            lit_start = i
+        else:
+            i += 1
+    emit(lit_start, n, 0, 0)
+    return bytes(out)
+
+
 def _lz4_decode_into(buf: bytes, out: bytearray) -> None:
     """Decode one raw block APPENDING to ``out`` — matches may reach
     into bytes already present (the LZ4-frame linked-blocks mode, where

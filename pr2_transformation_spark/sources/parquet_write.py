@@ -34,7 +34,7 @@ from __future__ import annotations
 import struct
 
 from .inflate import gzip_compress
-from .parquet_data import snappy_compress
+from .parquet_data import lz4_block_compress, snappy_compress
 from .zstd import zstd_compress_raw
 
 # thrift compact type codes (write side)
@@ -43,7 +43,8 @@ _CT_DOUBLE, _CT_BINARY, _CT_LIST, _CT_STRUCT = 7, 8, 9, 12
 
 _PHYS = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
          "BYTE_ARRAY": 6}
-_CODECS = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6}
+_CODECS = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6,
+           "lz4_raw": 7}
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _PAGE_DATA, _PAGE_DICT = 0, 2
 _CONVERTED_UTF8 = 0
@@ -233,6 +234,8 @@ def _compress(raw: bytes, codec: str) -> bytes:
         return gzip_compress(raw)
     if codec == "zstd":
         return zstd_compress_raw(raw)
+    if codec == "lz4_raw":
+        return lz4_block_compress(raw)
     raise NotImplementedError(
         f"codec {codec!r} is outside this writer seam "
         f"(supported: {sorted(_CODECS)})")

@@ -30,7 +30,7 @@ COLS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd"])
+@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd", "lz4_raw"])
 @pytest.mark.parametrize("rg", [None, 4])
 def test_roundtrip_pyarrow_duckdb_own_reader(codec, rg, tmp_path):
     import duckdb
@@ -155,3 +155,44 @@ def test_spark_reads_engine_written_files(spark, tmp_path):
     created = {pq.ParquetFile(os.path.join(out, p)).metadata.created_by
                for p in os.listdir(out) if p.endswith(".parquet")}
     assert created == {"pr2-transformation-spark parquet_write"}
+
+
+def test_lz4_block_compress_conformance_against_liblz4():
+    """Bidirectional conformance with the reference implementation:
+    liblz4 decodes our blocks byte-exactly, and our decoder decodes
+    liblz4's output.  Skipped when the system library is absent."""
+    import ctypes
+    import ctypes.util
+    import random
+
+    from pr2_transformation_spark.sources.parquet_data import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    name = ctypes.util.find_library("lz4") or "liblz4.so.1"
+    try:
+        lz4 = ctypes.CDLL(name)
+    except OSError:
+        pytest.skip("no liblz4 on this host")
+    lz4.LZ4_decompress_safe.restype = ctypes.c_int
+    lz4.LZ4_compress_default.restype = ctypes.c_int
+
+    rnd = random.Random(7)
+    cases = [
+        b"", b"a", b"hello world " * 200,
+        bytes(rnd.randrange(256) for _ in range(10000)),
+        bytes(rnd.choice(b"abcd") for _ in range(50000)),
+        b"x" * 100000, bytes(range(256)) * 10,
+    ]
+    for c in cases:
+        enc = lz4_block_compress(c)
+        assert lz4_block_decompress(enc, len(c)) == c
+        dst = ctypes.create_string_buffer(len(c) + 16)
+        r = lz4.LZ4_decompress_safe(enc, dst, len(enc), len(dst))
+        assert r == len(c) and dst.raw[:r] == c
+        bound = len(c) + len(c) // 255 + 64
+        dst2 = ctypes.create_string_buffer(bound)
+        r2 = lz4.LZ4_compress_default(bytes(c), dst2, len(c), bound)
+        assert r2 > 0
+        assert lz4_block_decompress(dst2.raw[:r2], len(c)) == c
