@@ -233,8 +233,8 @@ def _codec_encode(payload: bytes, codec: str) -> bytes:
         import lzma
         return lzma.compress(payload, format=lzma.FORMAT_XZ)
     if codec == "zstandard":
-        from .zstd import zstd_compress_raw
-        return zstd_compress_raw(payload)
+        from .zstd import zstd_compress
+        return zstd_compress(payload)
     raise ValueError(f"unsupported avro codec {codec!r}")
 
 
@@ -269,10 +269,10 @@ def avro_write(rows: list, schema: dict, codec: str = "null",
     """Serialize dict rows to a complete Avro Object Container File.
     ``codec``: the spec's full set — ``null``, ``deflate`` (raw zlib),
     ``snappy`` (from-scratch block codec + big-endian CRC32),
-    ``bzip2`` / ``xz`` (stdlib), and ``zstandard`` (written as
-    spec-legal RAW-block frames via `zstd.zstd_compress_raw`, read by
-    the full from-scratch RFC 8878 decoder — so libzstd-written files
-    ingest too).  The sync marker derives deterministically from the
+    ``bzip2`` / ``xz`` (stdlib), and ``zstandard`` (written by the
+    from-scratch predefined-FSE LZ encoder `zstd.zstd_compress`, read
+    by the full from-scratch RFC 8878 decoder — so libzstd-written
+    files ingest too).  The sync marker derives deterministically from the
     schema so identical inputs produce identical bytes."""
     if codec not in AVRO_CODECS:
         raise ValueError(f"codec must be one of {sorted(AVRO_CODECS)}")

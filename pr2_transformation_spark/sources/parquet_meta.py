@@ -215,6 +215,7 @@ def _parse_footer(buf: bytes) -> dict:
                 "type": PHYSICAL_TYPES[ptype] if ptype is not None else None,
                 "codec": md.get(4),
                 "num_values": md.get(5),
+                "total_uncompressed_size": md.get(6),
                 "total_compressed_size": md.get(7),
                 "data_page_offset": md.get(9),
                 "dictionary_page_offset": md.get(11),

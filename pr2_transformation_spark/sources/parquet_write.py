@@ -4,7 +4,7 @@ item 3: Thrift Compact Protocol serialization, v1 data pages, PLAIN +
 dictionary encodings, RLE/bit-packed definition levels, per-chunk
 statistics, and compression through the IN-REPO codecs
 (``parquet_data.snappy_compress``, ``inflate.gzip_compress``,
-``zstd.zstd_compress_raw``) — the format layer now runs BOTH directions
+``zstd.zstd_compress``) — the format layer now runs BOTH directions
 library-free, the way the compression suite already does.
 
 Output is validated against INDEPENDENT readers (pyarrow, DuckDB,
@@ -35,7 +35,7 @@ import struct
 
 from .inflate import gzip_compress
 from .parquet_data import lz4_block_compress, snappy_compress
-from .zstd import zstd_compress_raw
+from .zstd import zstd_compress
 
 # thrift compact type codes (write side)
 _CT_TRUE, _CT_FALSE, _CT_BYTE, _CT_I16, _CT_I32, _CT_I64 = 1, 2, 3, 4, 5, 6
@@ -233,7 +233,7 @@ def _compress(raw: bytes, codec: str) -> bytes:
     if codec == "gzip":
         return gzip_compress(raw)
     if codec == "zstd":
-        return zstd_compress_raw(raw)
+        return zstd_compress(raw)
     if codec == "lz4_raw":
         return lz4_block_compress(raw)
     raise NotImplementedError(

@@ -141,3 +141,78 @@ def test_property_random_roundtrips():
         assert zstd_decompress(comp, len(raw)) == raw
 
     roundtrip()
+
+
+# ------------------------------------------------- compressor (round 7)
+
+
+@pytest.mark.parametrize(
+    "kind", ["random", "binary_alphabet", "records", "runs", "gaussian"])
+@pytest.mark.parametrize("n", [0, 1, 17, 4095, 50_000, 300_000])
+def test_compressor_conformance_vs_libzstd(kind, n):
+    """zstd_compress output must decode byte-exact through libzstd (the
+    INDEPENDENT reference — a shared encoder/decoder typo cannot pass
+    this) and through the from-scratch decoder."""
+    from pr2_transformation_spark.sources.zstd import zstd_compress
+
+    rng = random.Random(hash((kind, n)) & 0xFFFF)
+    raw = _gen(rng, kind, n)[:n]
+    z = zstd_compress(raw)
+    assert zstd_decompress(z) == raw
+    got = pa.Codec("zstd").decompress(z, decompressed_size=len(raw))
+    assert got.to_pybytes() == raw
+
+
+def test_compressor_deterministic_and_compresses():
+    from pr2_transformation_spark.sources.zstd import zstd_compress
+
+    raw = open("/root/repo/SURVEY.md", "rb").read()
+    z1 = zstd_compress(raw)
+    z2 = zstd_compress(raw)
+    assert z1 == z2  # no salted hashes anywhere
+    assert len(z1) < len(raw) * 0.7  # real compression, not stored blocks
+
+
+def test_compressor_checksum_flag_and_corruption():
+    from pr2_transformation_spark.sources.zstd import zstd_compress
+
+    raw = b"abcabcabcabc" * 100
+    z = bytearray(zstd_compress(raw, checksum=True))
+    z[-1] ^= 0xFF  # flip checksum byte
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(z))
+    assert zstd_decompress(zstd_compress(raw, checksum=False)) == raw
+
+
+def test_compressor_multiblock_cross_block_matches():
+    """> 128 KB inputs split into several blocks; matches may reach back
+    into earlier blocks (the window is the whole frame)."""
+    from pr2_transformation_spark.sources.zstd import zstd_compress
+
+    unit = b"the quick brown fox jumps over the lazy dog %d. "
+    raw = b"".join(unit % (i % 97) for i in range(12_000))  # ~560 KB
+    z = zstd_compress(raw)
+    assert len(z) < len(raw) // 4
+    assert zstd_decompress(z) == raw
+    assert pa.Codec("zstd").decompress(
+        z, decompressed_size=len(raw)).to_pybytes() == raw
+
+
+def test_parquet_writer_zstd_codec_via_real_encoder(tmp_path):
+    """parquet_write's zstd codec now routes through zstd_compress;
+    pyarrow must read the file and see compressed pages."""
+    from pr2_transformation_spark.sources.parquet_write import (
+        write_parquet_bytes)
+
+    rows = {"s": [f"value-{i % 50}-padding-padding" for i in range(2000)],
+            "i": list(range(2000))}
+    path = tmp_path / "z.parquet"
+    data = write_parquet_bytes(
+        [("s", "BYTE_ARRAY", rows["s"]), ("i", "INT64", rows["i"])],
+        codec="zstd")
+    path.write_bytes(data)
+    t = pq.read_table(path)
+    assert t.column("s").to_pylist() == rows["s"]
+    assert t.column("i").to_pylist() == rows["i"]
+    meta = pq.ParquetFile(path).metadata.row_group(0)
+    assert meta.column(0).compression == "ZSTD"
