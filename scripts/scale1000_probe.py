@@ -103,7 +103,8 @@ for scale, dirname in SCALES:
     cust = spark.read.parquet(f"{SRC}/customer.parquet")
     crep = cust.select(F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r"), "*")
     cblown = crep.select(
-        (F.col("c_custkey") + F.col("r") * 7_000_000).alias("c_custkey"),
+        (F.col("c_custkey").cast("long")
+         + F.col("r").cast("long") * 7_000_000).alias("c_custkey"),
         *[c for c in cust.columns if c != "c_custkey"],
     )
     cblown.repartition(32).write.mode("overwrite").parquet(f"{dirname}/customer.parquet")
