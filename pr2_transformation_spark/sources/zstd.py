@@ -803,7 +803,7 @@ def _compress_block(raw: bytes, start: int, end: int,
         return None
     lit_parts.append(raw[lit_start:end])
     lits = b"".join(lit_parts)
-    body = bytearray(_raw_literals_section(lits))
+    body = bytearray(_literals_section(lits))
     n = len(seqs)
     if n < 128:
         body.append(n)
@@ -863,3 +863,321 @@ def zstd_compress(raw: bytes, checksum: bool = True) -> bytes:
         from ..functions.xxhash import xxh64
         out += (xxh64(raw) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
+
+
+# ------------------------------------------- Huffman literals (encode)
+
+
+def _huffman_lengths(freqs: dict, max_len: int = 11) -> "dict | None":
+    """Canonical Huffman code lengths, length-limited to ``max_len``
+    with Kraft EQUALITY (the spec's weights must complete a power of
+    two).  Returns {symbol: nbits} or None when degenerate."""
+    import heapq
+    if len(freqs) < 2:
+        return None
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    uid = len(heap)
+    lengths = {s: 0 for s in freqs}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, uid, g1 + g2))
+        uid += 1
+    # clamp to max_len, then repair the Kraft sum to exact equality
+    scale = 1 << max_len
+    for s in lengths:
+        if lengths[s] > max_len:
+            lengths[s] = max_len
+    total = sum(scale >> lengths[s] for s in lengths)
+    # too heavy: push the least-frequent still-shortenable symbols down
+    by_freq = sorted(lengths, key=lambda s: (freqs[s], s))
+    while total > scale:
+        for s in by_freq:
+            if lengths[s] < max_len:
+                total -= scale >> (lengths[s] + 1)
+                lengths[s] += 1
+                break
+        else:
+            return None
+    # too light: pull the most frequent symbols up while it still fits
+    while total < scale:
+        for s in reversed(by_freq):
+            gain = scale >> lengths[s]
+            if lengths[s] > 1 and total + gain <= scale:
+                total += gain
+                lengths[s] -= 1
+                break
+        else:
+            # fill the gap with deepest symbols (gain 1 per step at
+            # max_len); guaranteed to terminate since gap < scale
+            for s in by_freq:
+                gain = scale >> lengths[s]
+                if total + gain <= scale and lengths[s] >= 1:
+                    total += gain
+                    lengths[s] -= 1
+                    break
+            else:
+                return None
+    return lengths
+
+
+def _huffman_encode_literals(lits: bytes) -> "tuple | None":
+    """Build a spec-canonical Huffman table over ``lits``.  Returns
+    (table_header_bytes, {sym: (code, nbits)}) or None when the direct
+    4-bit weight form can't express the table (> 129 present symbols)
+    or the alphabet is degenerate."""
+    freqs: dict = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    lengths = _huffman_lengths(freqs)
+    if not lengths:
+        return None
+    max_bits = max(lengths.values())
+    weights = {s: max_bits + 1 - n for s, n in lengths.items()}
+    # weights are emitted for symbols 0..last_present-1; the LAST
+    # present symbol's weight is implied.  Any hole (absent symbol
+    # below the last) costs a zero weight in the header.
+    last = max(weights)
+    listed = [weights.get(s, 0) for s in range(last)]
+    header = None
+    if len(listed) > 100:  # FSE form usually wins from here
+        header = _fse_weights_header(listed)
+    if header is None and len(listed) <= 128:
+        header = bytearray([127 + len(listed)])
+        for i in range(0, len(listed), 2):
+            hi = listed[i] << 4
+            lo = listed[i + 1] if i + 1 < len(listed) else 0
+            header.append(hi | lo)
+    if header is None:
+        header = _fse_weights_header(listed)
+    if header is None:
+        return None
+    # canonical code assignment must mirror the decoder: ascending
+    # (weight, symbol), codes from 0, span 2^(max_bits - nbits)
+    entries = sorted((w, s) for s, w in weights.items())
+    codes = {}
+    code = 0
+    for w, s in entries:
+        nb = max_bits + 1 - w
+        span = 1 << (max_bits - nb)
+        codes[s] = (code >> (max_bits - nb), nb)
+        code += span
+    return bytes(header), codes
+
+
+def _huff_stream(chunk: bytes, codes: dict) -> bytes:
+    w = _BackWriter()
+    for b in chunk:
+        c, nb = codes[b]
+        w.write(c, nb)
+    return w.getvalue()
+
+
+def _literals_section(lits: bytes) -> bytes:
+    """Choose the cheapest legal literals form: RLE, Huffman-compressed
+    (1- or 4-stream), or raw."""
+    size = len(lits)
+    if size >= 2 and lits.count(lits[0]) == size:  # RLE literals
+        if size < 32:
+            return bytes([(size << 3) | 1]) + lits[:1]
+        if size < 4096:
+            return bytes([((size & 0xF) << 4) | (1 << 2) | 1,
+                          size >> 4]) + lits[:1]
+        return bytes([((size & 0xF) << 4) | (3 << 2) | 1,
+                      (size >> 4) & 0xFF, size >> 12]) + lits[:1]
+    if size >= 64:
+        built = _huffman_encode_literals(lits)
+        if built is not None:
+            table, codes = built
+            if size <= 1023:
+                body = table + _huff_stream(lits, codes)
+                comp = len(body)
+                if comp < size and comp <= 1023:
+                    h = 2 | (0 << 2) | (size << 4) | (comp << 14)
+                    return h.to_bytes(3, "little") + body
+            else:
+                per = (size + 3) // 4
+                cuts = [0, per, 2 * per, 3 * per, size]
+                streams = [_huff_stream(lits[cuts[i]:cuts[i + 1]], codes)
+                           for i in range(4)]
+                jump = b"".join(len(s).to_bytes(2, "little")
+                                for s in streams[:3])
+                body = table + jump + b"".join(streams)
+                comp = len(body)
+                if (comp < size and comp <= 16383 and size <= 16383
+                        and all(len(s) <= 0xFFFF for s in streams[:3])):
+                    h = 2 | (2 << 2) | (size << 4) | (comp << 18)
+                    return h.to_bytes(4, "little") + body
+                if (comp < size and comp <= 262143
+                        and all(len(s) <= 0xFFFF for s in streams[:3])):
+                    h = 2 | (3 << 2) | (size << 4) | (comp << 22)
+                    return h.to_bytes(5, "little") + body
+    return _raw_literals_section(lits)
+
+
+# ------------------------------------- FSE-compressed Huffman weights
+
+
+def _fse_normalize(freqs: dict, max_sym: int, log: int) -> "list | None":
+    """Normalize counts to sum 2^log with the spec's -1 'less than one'
+    convention.  Returns norm list indexed 0..max_sym or None when
+    degenerate (single symbol)."""
+    total = sum(freqs.values())
+    if total == 0 or len(freqs) < 2:
+        return None
+    scale = 1 << log
+    norm = [0] * (max_sym + 1)
+    assigned = 0
+    for s in range(max_sym + 1):
+        c = freqs.get(s, 0)
+        if c == 0:
+            continue
+        n = (c * scale) // total
+        if n == 0:
+            norm[s] = -1
+            assigned += 1
+        else:
+            norm[s] = n
+            assigned += n
+    # drift repair on the most frequent symbol
+    big = max(freqs, key=lambda s: freqs[s])
+    norm[big] += scale - assigned
+    if norm[big] <= 0:
+        return None
+    return norm
+
+
+def _fse_write_ncount(norm: list, log: int) -> bytes:
+    """Serialize an FSE table description (mirror of
+    `fse_read_ncount`): 4-bit accuracy, variable-bit counts with the
+    threshold trick, 2-bit zero-run repeats."""
+    bits = []  # (value, nbits) forward little-endian
+
+    def put(v, n):
+        bits.append((v, n))
+
+    put(log - 5, 4)
+    table_size = 1 << log
+    remaining = table_size + 1
+    threshold = table_size
+    nb_bits = log + 1
+    i = 0
+    n_sym = len(norm)
+    while remaining > 1 and i < n_sym:
+        c = norm[i]
+        v = c + 1
+        maxv = (2 * threshold - 1) - remaining
+        if v >= threshold:
+            put(v + maxv, nb_bits)
+        elif v < maxv:
+            put(v, nb_bits - 1)
+        else:
+            put(v, nb_bits)
+        remaining -= -c if c < 0 else c
+        i += 1
+        if c == 0:
+            # zero-repeat codes for the following zeros
+            while True:
+                run = 0
+                while run < 3 and i < n_sym and norm[i] == 0 \
+                        and remaining > 1:
+                    run += 1
+                    i += 1
+                put(run, 2)
+                if run != 3:
+                    break
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("zstd: ncount normalization drift")
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for v, n in bits:
+        acc |= (v & ((1 << n) - 1)) << nacc
+        nacc += n
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _fse_two_state_encode(symbols: list, norm: list, log: int) -> bytes:
+    """Encode ``symbols`` for the decoder's two-state interleaved
+    weight loop: machine A carries even indices, machine B odd; the
+    update after symbols[-2] is deliberately unwritten so the decoder
+    overdraws there and emits symbols[-1] from the other machine.
+    Returns the backward bitstream, or raises when the overdraw cell
+    constraint can't be met."""
+    cells, maps = _build_encode_side(norm, log)
+    m = len(symbols)
+    if m < 2:
+        raise ValueError("zstd: two-state stream needs >= 2 symbols")
+    table = fse_build_table(norm, log)
+    even = symbols[0::2]   # machine A
+    odd = symbols[1::2]    # machine B
+    last_machine = maps  # silence lints
+
+    def choose_states(seq, final_nb_positive):
+        """Backward pass over one machine's symbols; returns (init
+        state, transition fields in forward order)."""
+        st = None
+        trans = []
+        for k in range(len(seq) - 1, -1, -1):
+            sym = seq[k]
+            if st is None:
+                options = cells[sym]
+                if final_nb_positive:
+                    options = [c for c in options if table[c][1] > 0]
+                    if not options:
+                        raise ValueError("zstd: no nb>0 final cell")
+                st = options[0]
+            else:
+                cell, nb, base = maps[sym][st]
+                trans.append((st - base, nb))
+                st = cell
+        trans.reverse()
+        return st, trans
+
+    # the machine of symbols[m-2] suffers the overdraw on its final
+    # cell's nb; that cell must demand > 0 bits
+    a_final_overdraws = (m - 2) % 2 == 0
+    init_a, trans_a = choose_states(even, a_final_overdraws)
+    init_b, trans_b = choose_states(odd, not a_final_overdraws)
+    w = _BackWriter()
+    w.write(init_a, log)
+    w.write(init_b, log)
+    # updates are read alternating A,B after symbols 0..m-3
+    for k in range(m - 2):
+        machine_trans = trans_a if k % 2 == 0 else trans_b
+        val, nb = machine_trans[k // 2]
+        w.write(val, nb)
+    return w.getvalue()
+
+
+def _fse_weights_header(listed: list) -> "bytes | None":
+    """FSE-compressed Huffman weight table: header byte (< 128 = byte
+    size of description + stream), ncount, two-state stream."""
+    freqs: dict = {}
+    for v in listed:
+        freqs[v] = freqs.get(v, 0) + 1
+    log = 6  # the spec cap for weight tables
+    norm = _fse_normalize(freqs, max(freqs), log)
+    if norm is None:
+        return None
+    try:
+        desc = _fse_write_ncount(norm, log)
+        stream = _fse_two_state_encode(listed, norm, log)
+    except ValueError:
+        return None
+    body = desc + stream
+    if len(body) >= 128 or len(body) >= len(listed) // 2 + 1:
+        return None
+    return bytes([len(body)]) + body

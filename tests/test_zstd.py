@@ -216,3 +216,49 @@ def test_parquet_writer_zstd_codec_via_real_encoder(tmp_path):
     assert t.column("i").to_pylist() == rows["i"]
     meta = pq.ParquetFile(path).metadata.row_group(0)
     assert meta.column(0).compression == "ZSTD"
+
+
+def test_compressor_huffman_and_fse_weight_paths():
+    """Force every literals form: RLE literals, direct-weight Huffman
+    (small alphabet), FSE-weight Huffman (UTF-8ish > 128 symbols), and
+    raw (incompressible) — each must decode through libzstd AND the
+    from-scratch decoder."""
+    from pr2_transformation_spark.sources.zstd import zstd_compress
+
+    rng = random.Random(99)
+    shapes = {
+        "rle_lits": bytes([66] * 5000),
+        "direct_weights": bytes(
+            rng.choice(b"abcdefgh") for _ in range(8000)),
+        "fse_weights": ("το ελληνικό κείμενο εδώ επαναλαμβάνεται "
+                        "συχνά με σπάνιες λέξεις ").encode() * 300
+        + bytes(rng.randrange(256) for _ in range(400)),
+        "skewed": bytes((0 if rng.random() < 0.9
+                         else rng.randrange(256)) for _ in range(20000)),
+        "all_bytes": bytes(range(256)) * 50,
+    }
+    for name, raw in shapes.items():
+        z = zstd_compress(raw)
+        assert zstd_decompress(z) == raw, name
+        got = pa.Codec("zstd").decompress(z, decompressed_size=len(raw))
+        assert got.to_pybytes() == raw, name
+
+
+def test_compressor_property_random_vs_libzstd():
+    """Randomized shapes: alphabet size x length x skew sweep, every
+    frame decoded by libzstd."""
+    from pr2_transformation_spark.sources.zstd import zstd_compress
+
+    rng = random.Random(1234)
+    for trial in range(40):
+        alpha = rng.choice([1, 2, 3, 17, 120, 200, 256])
+        n = rng.choice([0, 1, 5, 63, 64, 1023, 1024, 5000, 20000])
+        if rng.random() < 0.5:
+            raw = bytes(rng.randrange(alpha) for _ in range(n))
+        else:  # repetitive with noise
+            unit = bytes(rng.randrange(alpha) for _ in range(17))
+            raw = (unit * (n // 17 + 1))[:n]
+        z = zstd_compress(raw)
+        assert zstd_decompress(z) == raw, (trial, alpha, n)
+        got = pa.Codec("zstd").decompress(z, decompressed_size=len(raw))
+        assert got.to_pybytes() == raw, (trial, alpha, n)
