@@ -775,18 +775,31 @@ def _compress_block(raw: bytes, start: int, end: int,
     lit_start = start
     i = start
     limit = end - 4
-    while i <= limit:
-        key = raw[i:i + 4]
+
+    def find(pos):
+        key = raw[pos:pos + 4]
         h = int.from_bytes(key, "little")
         cand = table.get(h)
-        table[h] = i
-        if (cand is not None and i - cand <= _MAX_OFFSET
-                and raw[cand:cand + 4] == key
-                and i - lit_start <= _MAX_LL):
-            m = 4
-            mmax = min(end - i, _MAX_ML)
-            while m < mmax and raw[cand + m] == raw[i + m]:
-                m += 1
+        table[h] = pos
+        if (cand is None or pos - cand > _MAX_OFFSET
+                or raw[cand:cand + 4] != key):
+            return 0, 0
+        m = 4
+        mmax = min(end - pos, _MAX_ML)
+        while m < mmax and raw[cand + m] == raw[pos + m]:
+            m += 1
+        return m, cand
+
+    while i <= limit:
+        m, cand = find(i)
+        if m >= 4 and i - lit_start <= _MAX_LL:
+            # one-step lazy: a strictly better match one byte later is
+            # worth the extra literal (the standard greedy refinement)
+            if i + 1 <= limit:
+                m2, cand2 = find(i + 1)
+                if m2 > m + 1:
+                    i += 1
+                    m, cand = m2, cand2
             lit_parts.append(raw[lit_start:i])
             seqs.append((i - lit_start, (i - cand) + 3, m))
             # index a couple of positions inside the match so runs
