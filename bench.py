@@ -318,6 +318,9 @@ BENCH_QUERIES = [
     "q386_delta_data_skipping",
     "q387_ann_ivfpq",
     "q388_parquet_writer_roundtrip",
+    "q389_zstd_encoder_roundtrip",
+    "q390_orc_data_plane",
+    "q391_orc_writer_roundtrip",
 ]
 
 

