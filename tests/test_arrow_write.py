@@ -1,0 +1,102 @@
+"""From-scratch Arrow IPC writer (sources/arrow_write.py): engine-built
+flatbuffers and bodies must be read by pyarrow (the C++ reference) and
+the repo's own reader, plain and zstd-compressed."""
+
+from __future__ import annotations
+
+import datetime
+import io
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+import pytest
+
+from pr2_transformation_spark.sources.arrow_ipc import read_arrow_bytes
+from pr2_transformation_spark.sources.arrow_write import (
+    write_arrow_bytes,
+    write_arrow_distributed,
+)
+
+
+def _cols(n=5000):
+    return [
+        ("id", "int64", list(range(n))),
+        ("i32", "int32", [i % 1000 - 500 for i in range(n)]),
+        ("s", "utf8", [f"val-{i % 77}" for i in range(n)]),
+        ("b", "binary", [bytes([i % 256, 1, 2]) for i in range(n)]),
+        ("f", "float32", [float(i % 50) for i in range(n)]),
+        ("d", "float64", [i * 0.25 for i in range(n)]),
+        ("flag", "bool", [i % 3 == 0 for i in range(n)]),
+        ("opt", "int64", [None if i % 5 == 0 else i for i in range(n)]),
+        ("opt_s", "utf8", [None if i % 11 == 0 else f"o{i}"
+                           for i in range(n)]),
+        ("dt", "date32", [datetime.date(2020, 1, 1)
+                          + datetime.timedelta(days=i % 900)
+                          for i in range(n)]),
+    ]
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_pyarrow_and_own_reader(comp):
+    cols = _cols()
+    buf = write_arrow_bytes(cols, batch_rows=1300, compression=comp)
+    names, data = read_arrow_bytes(buf)
+    t = ipc.open_file(io.BytesIO(buf)).read_all()
+    assert t.num_rows == 5000
+    for n, k, v in cols:
+        assert data[n] == v, (comp, "own", n)
+        assert t.column(n).to_pylist() == v, (comp, "pyarrow", n)
+    # schema round-trips typed
+    assert t.schema.field("dt").type == pa.date32()
+    assert t.schema.field("f").type == pa.float32()
+
+
+def test_deterministic_and_empty_and_single():
+    cols = _cols(200)
+    assert write_arrow_bytes(cols) == write_arrow_bytes(cols)
+    e = write_arrow_bytes([("a", "int64", []), ("s", "utf8", [])])
+    assert ipc.open_file(io.BytesIO(e)).read_all().num_rows == 0
+    assert read_arrow_bytes(e)[1] == {"a": [], "s": []}
+    one = write_arrow_bytes([("a", "int64", [9])])
+    assert ipc.open_file(io.BytesIO(one)).read_all().column(
+        "a").to_pylist() == [9]
+
+
+def test_all_null_column():
+    buf = write_arrow_bytes([("a", "int64", [None] * 64),
+                             ("s", "utf8", ["x"] * 64)])
+    t = ipc.open_file(io.BytesIO(buf)).read_all()
+    assert t.column("a").null_count == 64
+    assert read_arrow_bytes(buf)[1]["a"] == [None] * 64
+
+
+def test_multibatch_blocks():
+    buf = write_arrow_bytes([("a", "int64", list(range(10_000)))],
+                            batch_rows=1000)
+    f = ipc.open_file(io.BytesIO(buf))
+    assert f.num_record_batches == 10
+    assert f.read_all().column("a").to_pylist() == list(range(10_000))
+
+
+def test_unsupported_kind_raises():
+    with pytest.raises(NotImplementedError, match="seam"):
+        write_arrow_bytes([("a", "decimal", [1])])
+    with pytest.raises(NotImplementedError, match="compression"):
+        write_arrow_bytes([("a", "int64", [1])], compression="lz4")
+
+
+def test_distributed_sink_pyarrow_reads_back(spark, tmp_path):
+    import glob
+
+    src = spark.range(12000).selectExpr(
+        "id", "concat('t-', id % 19) as t",
+        "case when id % 6 = 0 then null else cast(id * 0.5 as double) end "
+        "as sc")
+    n = write_arrow_distributed(
+        src.repartition(3), str(tmp_path / "dist"), compression="zstd")
+    assert n == 3
+    total = 0
+    for p in glob.glob(str(tmp_path / "dist") + "/*.arrow"):
+        t = ipc.open_file(p).read_all()
+        total += t.num_rows
+    assert total == 12000
