@@ -22,8 +22,10 @@ uncompressed-length prefix with the -1 stored-as-is escape.
 
 Scope (honest seam): flat schemas of bool / int8-64 (signed+unsigned) /
 float32/64 / utf8 / binary / date32/64 / timestamp; dictionary-encoded
-columns, nested types (List/Struct/Map) and the streaming variant's
-inline schema raise ``NotImplementedError`` naming the piece.
+columns and nested types (List/Struct/Map) raise
+``NotImplementedError`` naming the piece.  Both the FILE format (footer
+Block index) and the STREAM format (inline schema message, EOS marker)
+are handled — `read_arrow_bytes` / `read_arrow_stream_bytes`.
 
 Conformance: every file read in tests is WRITTEN by pyarrow (the C++
 reference implementation) across codecs and shapes; the graded query
@@ -366,3 +368,36 @@ def read_arrow_distributed(spark, path_glob: str, spark_schema: str,
         .select("content")
     )
     return blobs.mapInPandas(decode, spark_schema)
+
+
+def read_arrow_stream_bytes(buf: bytes,
+                            columns: "list[str] | None" = None):
+    """Decode the Arrow IPC STREAM format (schema message inline, no
+    footer, optional end-of-stream marker) — the wire shape of
+    ``ipc.new_stream`` / Flight payloads."""
+    pos = 0
+    meta, body_start = _read_message(buf, pos, 0)
+    if meta.u8(1) != 1:
+        raise ValueError("arrow_ipc: stream must start with a Schema")
+    fields = _parse_schema(meta.table(2))
+    names = [f["name"] for f in fields]
+    want = set(columns) if columns is not None else set(names)
+    data: dict = {n: [] for n in names if n in want}
+    pos = body_start
+    while pos + 8 <= len(buf):
+        if _u32(buf, pos) != 0xFFFFFFFF:
+            break
+        mlen = _u32(buf, pos + 4)
+        if mlen == 0:  # end-of-stream
+            break
+        meta, body_start = _read_message(buf, pos, 0)
+        if meta.u8(1) != 3:
+            raise NotImplementedError(
+                "arrow_ipc: non-RecordBatch stream message")
+        body_len = meta.i64(3)
+        batch = _decode_batch(
+            meta, buf[body_start:body_start + body_len], fields)
+        for n in data:
+            data[n].extend(batch[n])
+        pos = body_start + body_len
+    return [n for n in names if n in data], data

@@ -434,3 +434,15 @@ def write_arrow_distributed(df, out_dir: str,
     from pyspark.sql import functions as F
     [row] = out.agg(F.sum("files").alias("n")).collect()
     return int(row["n"] or 0)
+
+
+def write_arrow_stream_bytes(columns: "list[tuple[str, str, list]]",
+                             batch_rows: int = 65536,
+                             compression: "str | None" = None) -> bytes:
+    """Arrow IPC STREAM format: schema message + batches + EOS marker,
+    no footer (the ``ipc.new_stream`` wire shape)."""
+    file_img = write_arrow_bytes(columns, batch_rows=batch_rows,
+                                 compression=compression)
+    # the stream IS the file minus magic prefix, footer and trailer
+    flen = struct.unpack("<i", file_img[-10:-6])[0]
+    return file_img[8:len(file_img) - 10 - flen]

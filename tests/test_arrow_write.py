@@ -100,3 +100,36 @@ def test_distributed_sink_pyarrow_reads_back(spark, tmp_path):
         t = ipc.open_file(p).read_all()
         total += t.num_rows
     assert total == 12000
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_stream_format_both_directions(comp):
+    """Arrow IPC STREAM format: engine-written streams open via
+    pyarrow's open_stream; pyarrow-written streams decode via the
+    from-scratch stream reader."""
+    from pr2_transformation_spark.sources.arrow_ipc import (
+        read_arrow_stream_bytes,
+    )
+    from pr2_transformation_spark.sources.arrow_write import (
+        write_arrow_stream_bytes,
+    )
+
+    cols = [("id", "int64", list(range(3000))),
+            ("s", "utf8", [f"x{i % 9}" for i in range(3000)]),
+            ("opt", "float64", [None if i % 4 == 0 else i * 0.5
+                                for i in range(3000)])]
+    buf = write_arrow_stream_bytes(cols, batch_rows=700, compression=comp)
+    t = ipc.open_stream(io.BytesIO(buf)).read_all()
+    assert t.num_rows == 3000
+    assert t.column("id").to_pylist() == cols[0][2]
+    names, data = read_arrow_stream_bytes(buf)
+    assert data["opt"] == cols[2][2]
+    bio = io.BytesIO()
+    w = ipc.new_stream(
+        bio, t.schema,
+        options=ipc.IpcWriteOptions(compression="zstd" if comp else None))
+    for b in t.to_batches(max_chunksize=900):
+        w.write_batch(b)
+    w.close()
+    n2, d2 = read_arrow_stream_bytes(bio.getvalue())
+    assert d2["id"] == cols[0][2]
