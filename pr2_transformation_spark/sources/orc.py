@@ -421,18 +421,26 @@ def _parse_types(footer: dict):
     if not kinds or kinds[0] != "struct":
         raise NotImplementedError("orc: root type must be a struct")
     for cid in subtypes[0]:
-        if kinds[cid] in ("list", "map", "struct", "union", "decimal"):
+        k = kinds[cid]
+        if k in ("struct", "union", "decimal"):
             raise NotImplementedError(
-                f"orc: column type {kinds[cid]!r} is outside this reader "
-                f"seam (flat schemas only)")
-    return kinds, root_fields, subtypes[0]
+                f"orc: column type {k!r} is outside this reader seam")
+        if k in ("list", "map"):
+            # one nesting level: children must be primitive
+            for child in subtypes[cid]:
+                if kinds[child] in ("list", "map", "struct", "union",
+                                    "decimal"):
+                    raise NotImplementedError(
+                        f"orc: nested {kinds[child]!r} inside {k!r} is "
+                        f"outside this reader seam (one level)")
+    return kinds, root_fields, subtypes[0], subtypes
 
 
 def read_orc_bytes(buf: bytes, columns: "list[str] | None" = None):
     """Decode a complete ORC file image.  Returns (names, columns dict
     name -> list of python values, None for NULL)."""
     footer, compression = _read_tail(buf)
-    kinds, names, col_ids = _parse_types(footer)
+    kinds, names, col_ids, subtypes = _parse_types(footer)
     want = set(columns) if columns is not None else set(names)
     data: dict[str, list] = {n: [] for n in names if n in want}
 
@@ -473,7 +481,8 @@ def read_orc_bytes(buf: bytes, columns: "list[str] | None" = None):
                 continue
             data[name].extend(_read_column(
                 kinds[cid], encodings.get(cid, (_DIRECT, 0)),
-                stream_bytes, cid, num_rows))
+                stream_bytes, cid, num_rows,
+                kinds=kinds, subtypes=subtypes, encodings=encodings))
     return [n for n in names if n in data], data
 
 
@@ -488,7 +497,8 @@ def _weave_nulls(present: "list[bool] | None", vals: list, num_rows: int):
 
 
 def _read_column(kind: str, encoding, stream_bytes, cid: int,
-                 num_rows: int) -> list:
+                 num_rows: int, kinds=None, subtypes=None,
+                 encodings=None) -> list:
     enc_kind = encoding[0]
     rle_ints = _rle_v2 if enc_kind in (_DIRECT_V2, _DICTIONARY_V2) \
         else _rle_v1
@@ -551,6 +561,33 @@ def _read_column(kind: str, encoding, stream_bytes, cid: int,
             vals.append(_dt.datetime(1970, 1, 1)
                         + _dt.timedelta(seconds=base)
                         + _dt.timedelta(microseconds=nanos // 1000))
+    elif kind in ("list", "map"):
+        lens = rle_ints(stream_bytes(cid, _LENGTH), False)[:n_present]
+        total = sum(lens)
+
+        def _child(child_cid: int) -> list:
+            return _read_column(
+                kinds[child_cid],
+                encodings.get(child_cid, (_DIRECT, 0)),
+                stream_bytes, child_cid, total,
+                kinds=kinds, subtypes=subtypes, encodings=encodings)
+
+        if kind == "list":
+            elems = _child(subtypes[cid][0])
+            vals = []
+            off = 0
+            for ln in lens:
+                vals.append(elems[off:off + ln])
+                off += ln
+        else:
+            keys = _child(subtypes[cid][0])
+            mvals = _child(subtypes[cid][1])
+            vals = []
+            off = 0
+            for ln in lens:
+                vals.append(dict(zip(keys[off:off + ln],
+                                     mvals[off:off + ln])))
+                off += ln
     else:
         raise NotImplementedError(
             f"orc: column kind {kind!r} is outside this reader seam")
@@ -568,7 +605,7 @@ def orc_metadata(path: str) -> dict:
     with open(path, "rb") as f:
         buf = f.read()
     footer, compression = _read_tail(buf)
-    kinds, names, col_ids = _parse_types(footer)
+    kinds, names, col_ids, _subtypes = _parse_types(footer)
     stripes = []
     for sraw in footer.get(3, []):
         s = _pb_decode(sraw)

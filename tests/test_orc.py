@@ -172,8 +172,28 @@ def test_distributed_reader(spark, tmp_path):
     assert nulls == 2500
 
 
+def test_list_and_map_columns(spark, tmp_path):
+    """One nesting level: LIST and MAP of primitives (LENGTH streams +
+    recursive child columns), nullable lists included."""
+    df = spark.range(2000).selectExpr(
+        "id",
+        "array(id, id + 1, id * 2) as arr",
+        "case when id % 7 = 0 then null "
+        "else array(concat('s', id)) end as sarr",
+        "map(concat('k', id % 5), id, 'fixed', id * 2) as m")
+    f = _spark_write(spark, df, str(tmp_path / "lm"), "zstd")
+    names, cols = read_orc(f)
+    rows = df.collect()
+    assert cols["arr"] == [[r["id"], r["id"] + 1, r["id"] * 2]
+                           for r in rows]
+    assert cols["sarr"][:8] == [None if i % 7 == 0 else [f"s{i}"]
+                                for i in range(8)]
+    assert cols["m"][3] == {"k3": 3, "fixed": 6}
+
+
 def test_unsupported_nested_raises(spark, tmp_path):
-    df = spark.range(10).selectExpr("id", "array(id, id + 1) as arr")
+    df = spark.range(10).selectExpr(
+        "id", "array(array(id)) as deep")
     f = _spark_write(spark, df, str(tmp_path / "nested"), "zstd")
     with pytest.raises(NotImplementedError, match="list"):
         read_orc(f)
