@@ -1,0 +1,145 @@
+"""From-scratch SQLite file reader (sources/sqlite_reader.py) vs the
+stdlib sqlite3 module (the C reference library): b-tree walks, varint
+records, serial types, overflow chains, page sizes, rowid aliases."""
+
+from __future__ import annotations
+
+import random
+import sqlite3
+
+import pytest
+
+from pr2_transformation_spark.sources.sqlite_reader import (
+    read_sqlite_bytes,
+    read_sqlite_distributed,
+    sqlite_tables,
+)
+
+
+def _build(path, page_size=4096, rows=5000, big=False):
+    con = sqlite3.connect(path)
+    con.execute(f"PRAGMA page_size={page_size}")
+    con.execute(
+        "CREATE TABLE docs (id INTEGER PRIMARY KEY, name TEXT, "
+        "score REAL, flag INTEGER, payload BLOB, note TEXT)")
+    rng = random.Random(3)
+    data = [(i + 1, f"name-{i % 97}",
+             i * 0.5 if i % 5 else None, i % 2,
+             bytes(rng.randrange(256)
+                   for _ in range(9000 if big else 40))
+             if i % 3 == 0 else None,
+             "x" * 2000 if (big and i % 50 == 0) else f"note{i}")
+            for i in range(rows)]
+    con.executemany("INSERT INTO docs VALUES (?,?,?,?,?,?)", data)
+    con.execute("CREATE INDEX idx_name ON docs(name)")
+    con.commit()
+    con.close()
+
+
+@pytest.mark.parametrize("page_size,rows,big", [
+    (4096, 5000, False),   # multi-level interior b-tree
+    (512, 2000, False),    # minimum page size
+    (4096, 800, True),     # overflow-page chains
+    (65536, 1000, False),  # the page_size=1 encoding
+])
+def test_vs_stdlib(tmp_path, page_size, rows, big):
+    path = str(tmp_path / "t.db")
+    _build(path, page_size, rows, big)
+    buf = open(path, "rb").read()
+    names, cols = read_sqlite_bytes(buf, "docs")
+    assert names == ["id", "name", "score", "flag", "payload", "note"]
+    con = sqlite3.connect(path)
+    exp = list(con.execute("SELECT * FROM docs ORDER BY id"))
+    con.close()
+    got = list(zip(*[cols[n] for n in names]))
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert tuple(bytes(x) if isinstance(x, (bytes, bytearray)) else x
+                     for x in g) == e
+
+
+def test_tables_and_indexes_skipped(tmp_path):
+    path = str(tmp_path / "t.db")
+    _build(path, rows=50)
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE empty_t (a TEXT, b INTEGER)")
+    con.commit()
+    con.close()
+    buf = open(path, "rb").read()
+    tables = sqlite_tables(buf)
+    assert set(tables) == {"docs", "empty_t"}
+    assert tables["docs"] == ["id", "name", "score", "flag", "payload",
+                              "note"]
+    names, cols = read_sqlite_bytes(buf, "empty_t")
+    assert cols == {"a": [], "b": []}
+
+
+def test_alter_table_short_records(tmp_path):
+    """Rows inserted before ALTER TABLE ADD COLUMN have short records;
+    the new column must read as NULL for them (the reference library's
+    behavior)."""
+    path = str(tmp_path / "t.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE t (a INTEGER)")
+    con.execute("INSERT INTO t VALUES (1)")
+    con.execute("ALTER TABLE t ADD COLUMN b TEXT")
+    con.execute("INSERT INTO t VALUES (2, 'x')")
+    con.commit()
+    con.close()
+    names, cols = read_sqlite_bytes(open(path, "rb").read(), "t")
+    assert cols["b"] == [None, "x"]
+
+
+def test_quoted_identifiers_and_constraints(tmp_path):
+    path = str(tmp_path / "t.db")
+    con = sqlite3.connect(path)
+    con.execute('CREATE TABLE q ("weird name" TEXT, [br] INTEGER, '
+                "`bt` REAL, PRIMARY KEY (`bt`), "
+                "CHECK (br > -1000))")
+    con.execute("INSERT INTO q VALUES ('v', 3, 1.5)")
+    con.commit()
+    con.close()
+    names, cols = read_sqlite_bytes(open(path, "rb").read(), "q")
+    assert names == ["weird name", "br", "bt"]
+    assert cols["weird name"] == ["v"]
+
+
+def test_without_rowid_seam(tmp_path):
+    path = str(tmp_path / "t.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER) "
+                "WITHOUT ROWID")
+    con.execute("INSERT INTO w VALUES ('a', 1)")
+    con.commit()
+    con.close()
+    with pytest.raises(NotImplementedError, match="WITHOUT ROWID"):
+        read_sqlite_bytes(open(path, "rb").read(), "w")
+
+
+def test_missing_table_and_bad_magic(tmp_path):
+    path = str(tmp_path / "t.db")
+    _build(path, rows=5)
+    with pytest.raises(KeyError, match="no table"):
+        read_sqlite_bytes(open(path, "rb").read(), "nope")
+    with pytest.raises(ValueError, match="magic"):
+        read_sqlite_bytes(b"not a database at all" * 10, "t")
+
+
+def test_distributed_reader(spark, tmp_path):
+    d = tmp_path / "dbs"
+    d.mkdir()
+    for part in range(3):
+        con = sqlite3.connect(str(d / f"p{part}.db"))
+        con.execute("CREATE TABLE ev (id INTEGER PRIMARY KEY, "
+                    "tag TEXT, val REAL)")
+        con.executemany(
+            "INSERT INTO ev VALUES (?,?,?)",
+            [(part * 1000 + i + 1, f"t{i % 7}",
+              None if i % 4 == 0 else i * 0.5) for i in range(1000)])
+        con.commit()
+        con.close()
+    out = read_sqlite_distributed(
+        spark, str(d), "ev", "id long, tag string, val double")
+    rows = out.collect()
+    assert len(rows) == 3000
+    assert sum(1 for r in rows if r["val"] is None) == 750
