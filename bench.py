@@ -321,6 +321,10 @@ BENCH_QUERIES = [
     "q389_zstd_encoder_roundtrip",
     "q390_orc_data_plane",
     "q391_orc_writer_roundtrip",
+    "q392_arrow_ipc_data_plane",
+    "q393_arrow_writer_roundtrip",
+    "q394_sqlite_data_plane",
+    "q395_zip_corpus_ingest",
 ]
 
 

@@ -1,0 +1,98 @@
+"""From-scratch ZIP reader (sources/zip_archive.py) vs the stdlib
+zipfile module: central directory, local headers, stored + deflate
+members through the in-repo inflate, ZIP64, comments, CRC checks."""
+
+from __future__ import annotations
+
+import io
+import random
+import zipfile
+
+import pytest
+
+from pr2_transformation_spark.sources.zip_archive import (
+    read_zip_bytes,
+    read_zip_distributed,
+    zip_entries,
+    zip_extract,
+)
+
+
+def _archive(members, comment=b"", stored=()):
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+        for n, c in members.items():
+            z.writestr(n, c,
+                       compress_type=zipfile.ZIP_STORED if n in stored
+                       else zipfile.ZIP_DEFLATED)
+        if comment:
+            z.comment = comment
+    return bio.getvalue()
+
+
+def test_mixed_methods_and_dirs():
+    rng = random.Random(4)
+    members = {f"dir/file{i}.txt": (f"content {i} " * (i * 7 + 1)).encode()
+               for i in range(40)}
+    members["raw.bin"] = bytes(rng.randrange(256) for _ in range(10000))
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+        for n, c in members.items():
+            z.writestr(n, c,
+                       compress_type=zipfile.ZIP_STORED
+                       if n.endswith(".bin") else zipfile.ZIP_DEFLATED)
+        z.mkdir("emptydir")
+    assert dict(read_zip_bytes(bio.getvalue())) == members
+
+
+def test_zip64_offsets():
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+        with z.open("big.txt", "w", force_zip64=True) as f:
+            f.write(b"A" * 100000)
+        z.writestr("small.txt", "hello")
+    got = dict(read_zip_bytes(bio.getvalue()))
+    assert got["big.txt"] == b"A" * 100000
+    assert got["small.txt"] == b"hello"
+
+
+def test_comment_and_filter():
+    buf = _archive({"a.json": b"{}", "b.txt": b"t"},
+                   comment=b"trailing comment " * 100)
+    assert dict(read_zip_bytes(
+        buf, lambda n: n.endswith(".json"))) == {"a.json": b"{}"}
+
+
+def test_crc_verified():
+    buf = bytearray(_archive({"x.txt": b"payload " * 50}))
+    entry = zip_entries(bytes(buf))[0]
+    # corrupt one compressed byte
+    pos = entry["offset"] + 30 + len("x.txt") + 5
+    buf[pos] ^= 0xFF
+    with pytest.raises(ValueError):
+        zip_extract(bytes(buf), entry)
+
+
+def test_unsupported_method_raises():
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_BZIP2) as z:
+        z.writestr("c.txt", "compressed with bzip2")
+    with pytest.raises(NotImplementedError, match="method"):
+        read_zip_bytes(bio.getvalue())
+
+
+def test_not_a_zip():
+    with pytest.raises(ValueError, match="end-of-central"):
+        read_zip_bytes(b"definitely not a zip file")
+
+
+def test_distributed_reader(spark, tmp_path):
+    for part in range(3):
+        members = {f"doc{part}_{i}.txt": f"text {part} {i}".encode()
+                   for i in range(50)}
+        (tmp_path / f"a{part}.zip").write_bytes(_archive(members))
+    out = read_zip_distributed(spark, str(tmp_path), suffix=".txt")
+    rows = out.collect()
+    assert len(rows) == 150
+    sample = next(r for r in rows if r["member"] == "doc1_7.txt")
+    assert bytes(sample["payload"]) == b"text 1 7"
