@@ -215,6 +215,73 @@ def _plain_encode(vals: list, ptype: str) -> bytes:
         f"(supported: {sorted(_PHYS)})")
 
 
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_varint(v: int) -> bytes:
+    return _uvarint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+
+def delta_binary_packed_encode(vals: "list[int]") -> bytes:
+    """DELTA_BINARY_PACKED ENCODER (Encodings.md twin of
+    ``parquet_data.decode_delta_binary_packed``): blocks of 128 deltas
+    in 4 miniblocks of 32, per-block zigzag min-delta, per-miniblock
+    bit widths, LSB-first packing; trailing empty miniblocks carry
+    width 0 and no bytes."""
+    out = bytearray()
+    block, n_mini, per_mini = 128, 4, 32
+    out += _uvarint(block) + _uvarint(n_mini) + _uvarint(len(vals))
+    if not vals:
+        out += _zigzag_varint(0)
+        return bytes(out)
+    out += _zigzag_varint(vals[0])
+    deltas = [b - a for a, b in zip(vals, vals[1:])]
+    for bstart in range(0, len(deltas), block):
+        chunk = deltas[bstart:bstart + block]
+        mind = min(chunk)
+        out += _zigzag_varint(mind)
+        adj = [d - mind for d in chunk]
+        widths = []
+        bodies = []
+        for m in range(n_mini):
+            part = adj[m * per_mini:(m + 1) * per_mini]
+            if not part:
+                widths.append(0)
+                bodies.append(b"")
+                continue
+            bw = max(v.bit_length() for v in part) if any(part) else 0
+            widths.append(bw)
+            if bw == 0:
+                bodies.append(b"")
+                continue
+            part = part + [0] * (per_mini - len(part))
+            acc = 0
+            for i, v in enumerate(part):
+                acc |= v << (i * bw)
+            bodies.append(acc.to_bytes(per_mini * bw // 8, "little"))
+        out += bytes(widths)
+        for b in bodies:
+            out += b
+    return bytes(out)
+
+
+def byte_stream_split_encode(raw_plain: bytes, width: int) -> bytes:
+    """BYTE_STREAM_SPLIT ENCODER: scatter each value's byte i into
+    plane i (the decoder's exact inverse)."""
+    count = len(raw_plain) // width
+    return bytes(raw_plain[j * width + i]
+                 for i in range(width) for j in range(count))
+
+
 def _stat_bytes(v, ptype: str) -> bytes:
     """A single value's statistics encoding (plain value bytes; BYTE_ARRAY
     stats carry the bytes WITHOUT the length prefix)."""
@@ -272,9 +339,12 @@ def _page_header(page_type: int, unc: int, comp: int, *,
 
 
 def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
-                 codec: str, use_dictionary: bool) -> dict:
+                 codec: str, use_dictionary: bool,
+                 encoding_override: "str | None" = None) -> dict:
     """Serialize one column chunk (dict page? + one v1 data page) into
-    ``body_out``; returns the ColumnMetaData ingredients."""
+    ``body_out``; returns the ColumnMetaData ingredients.
+    ``encoding_override``: "delta" (DELTA_BINARY_PACKED, INT32/INT64)
+    or "byte_stream_split" (FLOAT/DOUBLE) replaces PLAIN/dictionary."""
     nvals = len(vals)
     nonnull = [v for v in vals if v is not None]
     null_count = nvals - len(nonnull)
@@ -301,6 +371,20 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
 
     # BOOLEAN never dictionary-encodes (PLAIN is already 1 bit/value and
     # mainstream readers reject bool dictionaries)
+    if encoding_override == "delta":
+        if ptype not in ("INT32", "INT64"):
+            raise NotImplementedError(
+                f"delta encoding needs INT32/INT64, got {ptype}")
+        use_dictionary = False
+    elif encoding_override == "byte_stream_split":
+        if ptype not in ("FLOAT", "DOUBLE"):
+            raise NotImplementedError(
+                f"byte_stream_split needs FLOAT/DOUBLE, got {ptype}")
+        use_dictionary = False
+    elif encoding_override is not None:
+        raise NotImplementedError(
+            f"encoding override {encoding_override!r} "
+            f"(delta / byte_stream_split)")
     use_dict = (use_dictionary and ptype != "BOOLEAN" and nonnull
                 and len(distinct) <= 0xFFFF
                 and len(distinct) * 2 <= len(nonnull))
@@ -322,6 +406,16 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
             [idx[v] for v in nonnull], bw)
         encoding = _ENC_PLAIN_DICT
         encodings = [_ENC_RLE, _ENC_PLAIN, _ENC_PLAIN_DICT]
+    elif encoding_override == "delta":
+        payload = delta_binary_packed_encode([int(v) for v in nonnull])
+        encoding = 5  # DELTA_BINARY_PACKED
+        encodings = [_ENC_RLE, 5]
+    elif encoding_override == "byte_stream_split":
+        width = 4 if ptype == "FLOAT" else 8
+        payload = byte_stream_split_encode(
+            _plain_encode(nonnull, ptype), width)
+        encoding = 9  # BYTE_STREAM_SPLIT
+        encodings = [_ENC_RLE, 9]
     else:
         payload = _plain_encode(nonnull, ptype)
         encoding = _ENC_PLAIN
@@ -356,6 +450,7 @@ def write_parquet_bytes(
     row_group_rows: "int | None" = None,
     use_dictionary: bool = True,
     created_by: str = "pr2-transformation-spark parquet_write",
+    column_encodings: "dict | None" = None,
 ) -> bytes:
     """Serialize ``[(name, physical_type, values)...]`` (equal-length
     value lists, ``None`` = NULL, every column OPTIONAL) into a complete
@@ -385,7 +480,8 @@ def write_parquet_bytes(
         for name, ptype, vals in columns:
             chunks.append(_write_chunk(
                 body, name, ptype, vals[lo:lo + rows_here], codec,
-                use_dictionary))
+                use_dictionary,
+                (column_encodings or {}).get(name)))
         groups.append((rows_here, chunks))
 
     # FileMetaData
