@@ -21,8 +21,10 @@ BodyCompression header rides the IN-REPO codecs: LZ4 FRAME
 uncompressed-length prefix with the -1 stored-as-is escape.
 
 Scope (honest seam): flat schemas of bool / int8-64 (signed+unsigned) /
-float32/64 / utf8 / binary / date32/64 / timestamp; dictionary-encoded
-columns and nested types (List/Struct/Map) raise
+float32/64 / utf8 / binary / date32/64 / timestamp, plus
+DICTIONARY-ENCODED columns (DictionaryBatch messages from the footer
+block index or inline stream, id-keyed value arrays, any index width);
+nested types (List/Struct/Map) and delta dictionaries raise
 ``NotImplementedError`` naming the piece.  Both the FILE format (footer
 Block index) and the STREAM format (inline schema message, EOS marker)
 are handled — `read_arrow_bytes` / `read_arrow_stream_bytes`.
@@ -144,10 +146,7 @@ def _parse_field(f: _Table) -> dict:
     name = f.string(0)
     ttype = f.u8(2)
     t = f.table(3)
-    if f.table(4) is not None:
-        raise NotImplementedError(
-            f"arrow_ipc: column {name!r} is dictionary-encoded — outside "
-            f"this reader seam")
+    dict_enc = f.table(4)  # DictionaryEncoding {id, indexType, isOrdered}
     if ttype == _T_INT:
         bw = t.i32(0, 0)
         signed = bool(t.u8(1, 0))
@@ -177,7 +176,14 @@ def _parse_field(f: _Table) -> dict:
     if children:
         raise NotImplementedError(
             f"arrow_ipc: nested column {name!r} outside seam")
-    return {"name": name, "kind": kind, "nullable": bool(f.u8(1, 1))}
+    out = {"name": name, "kind": kind, "nullable": bool(f.u8(1, 1))}
+    if dict_enc is not None:
+        idx_t = dict_enc.table(1)
+        bw = idx_t.i32(0, 32) if idx_t is not None else 32
+        signed = bool(idx_t.u8(1, 1)) if idx_t is not None else True
+        out["dict_id"] = dict_enc.i64(0, 0)
+        out["index_kind"] = f"{'int' if signed else 'uint'}{bw}"
+    return out
 
 
 def _parse_schema(s: _Table) -> list:
@@ -216,8 +222,10 @@ def _decompress_body_buffer(raw: bytes, codec: int) -> bytes:
     raise NotImplementedError(f"arrow_ipc: compression codec {codec}")
 
 
-def _decode_batch(meta: _Table, body: bytes, fields: list) -> dict:
-    """RecordBatch flatbuffer + body bytes -> {name: [values]}."""
+def _decode_batch(meta: _Table, body: bytes, fields: list,
+                  dicts: "dict | None" = None) -> dict:
+    """RecordBatch flatbuffer + body bytes -> {name: [values]};
+    ``dicts`` maps dictionary id -> value list for encoded columns."""
     rb = meta.table(2)  # Message.header (union value)
     if meta.u8(1) != 3:
         raise ValueError("arrow_ipc: expected a RecordBatch message")
@@ -244,6 +252,8 @@ def _decode_batch(meta: _Table, body: bytes, fields: list) -> dict:
     for fi, field in enumerate(fields):
         length, null_count = nodes[fi]
         kind = field["kind"]
+        if "dict_id" in field and dicts is not None:
+            kind = field["index_kind"]  # the batch carries indices
         validity_raw = get_buf(bi)
         bi += 1
         valid = _bitmap(validity_raw, length) if null_count else None
@@ -277,6 +287,9 @@ def _decode_batch(meta: _Table, body: bytes, fields: list) -> dict:
                 vals = [v.decode("utf-8") for v in vals]
         else:
             raise NotImplementedError(f"arrow_ipc: kind {kind!r}")
+        if "dict_id" in field and dicts is not None:
+            dvals = dicts[field["dict_id"]]
+            vals = [dvals[i] for i in vals]
         if valid is not None:
             vals = [v if ok else None for v, ok in zip(vals, valid)]
         out[field["name"]] = vals
@@ -308,10 +321,31 @@ def read_arrow_bytes(buf: bytes, columns: "list[str] | None" = None):
     footer = _Table(fb, _u32(fb, 0))
     schema = footer.table(1)
     fields = _parse_schema(schema)
-    _, n_dicts = footer.vector(2)
-    if n_dicts:
-        raise NotImplementedError(
-            "arrow_ipc: dictionary batches are outside this reader seam")
+    # dictionary batches: each carries one RecordBatch whose single
+    # column is the dictionary's VALUE array
+    dicts: dict = {}
+    dblocks_start, n_dicts = footer.vector(2)
+    for i in range(n_dicts):
+        base = dblocks_start + 24 * i
+        off = _i64(fb, base)
+        meta, body_start = _read_message(buf, off, 0)
+        if meta.u8(1) != 2:
+            raise ValueError("arrow_ipc: expected a DictionaryBatch")
+        db = meta.table(2)
+        if db.u8(2, 0):
+            raise NotImplementedError(
+                "arrow_ipc: delta dictionary batches outside seam")
+        did = db.i64(0, 0)
+        value_kind = next(f["kind"] for f in fields
+                          if f.get("dict_id") == did)
+        rb_fields = [{"name": "values", "kind": value_kind,
+                      "nullable": True}]
+        # wrap the inner RecordBatch table as a pseudo-message: reuse
+        # the batch decoder by aliasing header fields
+        inner = _PseudoMessage(db.table(1))
+        batch = _decode_batch(inner, buf[body_start:body_start
+                                         + meta.i64(3)], rb_fields)
+        dicts[did] = batch["values"]
     blocks_start, n_blocks = footer.vector(3)
     names = [f["name"] for f in fields]
     want = set(columns) if columns is not None else set(names)
@@ -322,10 +356,29 @@ def read_arrow_bytes(buf: bytes, columns: "list[str] | None" = None):
         meta_len = _i32(fb, base + 8)
         meta, body_start = _read_message(buf, off, meta_len - 8)
         batch = _decode_batch(
-            meta, buf[body_start:body_start + meta.i64(3)], fields)
+            meta, buf[body_start:body_start + meta.i64(3)], fields,
+            dicts)
         for n in data:
             data[n].extend(batch[n])
     return [n for n in names if n in data], data
+
+
+class _PseudoMessage:
+    """Adapts a bare RecordBatch flatbuffer table to the (header_type,
+    header, bodyLength) surface `_decode_batch` reads from a Message."""
+
+    def __init__(self, rb: _Table):
+        self._rb = rb
+
+    def u8(self, fid: int, default: int = 0) -> int:
+        return 3 if fid == 1 else default  # header_type: RecordBatch
+
+    def table(self, fid: int):
+        return self._rb if fid == 2 else None
+
+    @property
+    def buf(self):
+        return self._rb.buf
 
 
 def read_arrow(path: str, columns: "list[str] | None" = None):
@@ -383,6 +436,7 @@ def read_arrow_stream_bytes(buf: bytes,
     names = [f["name"] for f in fields]
     want = set(columns) if columns is not None else set(names)
     data: dict = {n: [] for n in names if n in want}
+    dicts: dict = {}
     pos = body_start
     while pos + 8 <= len(buf):
         if _u32(buf, pos) != 0xFFFFFFFF:
@@ -391,13 +445,27 @@ def read_arrow_stream_bytes(buf: bytes,
         if mlen == 0:  # end-of-stream
             break
         meta, body_start = _read_message(buf, pos, 0)
-        if meta.u8(1) != 3:
-            raise NotImplementedError(
-                "arrow_ipc: non-RecordBatch stream message")
         body_len = meta.i64(3)
-        batch = _decode_batch(
-            meta, buf[body_start:body_start + body_len], fields)
-        for n in data:
-            data[n].extend(batch[n])
+        mtype = meta.u8(1)
+        if mtype == 2:  # DictionaryBatch
+            db = meta.table(2)
+            did = db.i64(0, 0)
+            value_kind = next(f["kind"] for f in fields
+                              if f.get("dict_id") == did)
+            inner = _PseudoMessage(db.table(1))
+            batch = _decode_batch(
+                inner, buf[body_start:body_start + body_len],
+                [{"name": "values", "kind": value_kind,
+                  "nullable": True}])
+            dicts[did] = batch["values"]
+        elif mtype == 3:
+            batch = _decode_batch(
+                meta, buf[body_start:body_start + body_len], fields,
+                dicts)
+            for n in data:
+                data[n].extend(batch[n])
+        else:
+            raise NotImplementedError(
+                f"arrow_ipc: stream message type {mtype}")
         pos = body_start + body_len
     return [n for n in names if n in data], data

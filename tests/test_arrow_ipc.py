@@ -110,11 +110,6 @@ def test_unsupported_seams(tmp_path):
     _write(t, path)
     with pytest.raises(NotImplementedError, match="list"):
         read_arrow(path)
-    t = pa.table({"dct": pa.array(["a", "b", "a"]).dictionary_encode()})
-    path2 = str(tmp_path / "d.arrow")
-    _write(t, path2)
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        read_arrow(path2)
 
 
 def test_bad_magic():
@@ -140,3 +135,42 @@ def test_distributed_reader(spark, tmp_path):
     assert len(rows) == 8000
     assert sorted(r["id"] for r in rows) == list(range(8000))
     assert sum(1 for r in rows if r["score"] is None) == 2000
+
+
+@pytest.mark.parametrize("codec", [None, "zstd"])
+def test_dictionary_encoded_columns(tmp_path, codec):
+    """DictionaryBatch messages (file footer block index AND inline
+    stream messages): indices mapped through the id-keyed value arrays,
+    nullable included."""
+    import io
+
+    from pr2_transformation_spark.sources.arrow_ipc import (
+        read_arrow_bytes,
+        read_arrow_stream_bytes,
+    )
+
+    t = pa.table({
+        "id": pa.array(range(4000), pa.int64()),
+        "cat": pa.array([f"cat-{i % 12}"
+                         for i in range(4000)]).dictionary_encode(),
+        "opt_cat": pa.array([None if i % 9 == 0 else f"o{i % 5}"
+                             for i in range(4000)],
+                            pa.string()).dictionary_encode(),
+    })
+    bio = io.BytesIO()
+    w = ipc.new_file(bio, t.schema,
+                     options=ipc.IpcWriteOptions(compression=codec))
+    for b in t.to_batches(max_chunksize=900):
+        w.write_batch(b)
+    w.close()
+    names, cols = read_arrow_bytes(bio.getvalue())
+    assert cols["cat"] == t.column("cat").to_pylist()
+    assert cols["opt_cat"] == t.column("opt_cat").to_pylist()
+    sio = io.BytesIO()
+    w = ipc.new_stream(sio, t.schema,
+                       options=ipc.IpcWriteOptions(compression=codec))
+    for b in t.to_batches(max_chunksize=500):
+        w.write_batch(b)
+    w.close()
+    _, scols = read_arrow_stream_bytes(sio.getvalue())
+    assert scols["cat"] == t.column("cat").to_pylist()
