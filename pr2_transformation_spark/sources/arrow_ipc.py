@@ -24,8 +24,9 @@ Scope (honest seam): flat schemas of bool / int8-64 (signed+unsigned) /
 float32/64 / utf8 / binary / date32/64 / timestamp, plus
 DICTIONARY-ENCODED columns (DictionaryBatch messages from the footer
 block index or inline stream, id-keyed value arrays, any index width);
-nested types (List/Struct/Map) and delta dictionaries raise
-``NotImplementedError`` naming the piece.  Both the FILE format (footer
+List<primitive> vectors (offsets buffer + depth-first child node);
+deeper nesting (list-of-list, Struct, Map) and delta dictionaries
+raise ``NotImplementedError`` naming the piece.  Both the FILE format (footer
 Block index) and the STREAM format (inline schema message, EOS marker)
 are handled — `read_arrow_bytes` / `read_arrow_stream_bytes`.
 
@@ -167,6 +168,18 @@ def _parse_field(f: _Table) -> dict:
     elif ttype == _T_TIMESTAMP:
         unit = t.i16(0, 0)
         kind = f"timestamp{('s', 'ms', 'us', 'ns')[unit]}"
+    elif ttype == 12:  # List
+        child_fields = f.vector_tables(5)
+        child = _parse_field(child_fields[0])
+        if child["kind"] == "list" or "child" in child:
+            raise NotImplementedError(
+                "arrow_ipc: nested list-of-list outside seam")
+        out = {"name": name, "kind": "list", "child": child,
+               "nullable": bool(f.u8(1, 1))}
+        if dict_enc is not None:
+            raise NotImplementedError(
+                "arrow_ipc: dictionary-encoded list outside seam")
+        return out
     else:
         raise NotImplementedError(
             f"arrow_ipc: column {name!r} type "
@@ -248,52 +261,67 @@ def _decode_batch(meta: _Table, body: bytes, fields: list,
             else raw
 
     out: dict = {}
-    bi = 0
-    for fi, field in enumerate(fields):
-        length, null_count = nodes[fi]
-        kind = field["kind"]
-        if "dict_id" in field and dicts is not None:
-            kind = field["index_kind"]  # the batch carries indices
-        validity_raw = get_buf(bi)
-        bi += 1
-        valid = _bitmap(validity_raw, length) if null_count else None
-        if kind in _FIXED:
-            fmt, width = _FIXED[kind]
-            data = get_buf(bi)
-            bi += 1
-            vals = list(struct.unpack_from(f"<{length}{fmt}", data, 0))
-            if kind == "date32":
-                import datetime as _dt
-                epoch = _dt.date(1970, 1, 1)
-                vals = [epoch + _dt.timedelta(days=v) for v in vals]
-            elif kind.startswith("timestamp"):
-                import datetime as _dt
-                div = {"timestamps": 1, "timestampms": 10 ** 3,
-                       "timestampus": 10 ** 6, "timestampns": 10 ** 9}[kind]
-                vals = [_dt.datetime(1970, 1, 1) + _dt.timedelta(
-                    microseconds=v * 10 ** 6 // div) for v in vals]
-        elif kind == "bool":
-            data = get_buf(bi)
-            bi += 1
-            vals = _bitmap(data, length)
-        elif kind in ("utf8", "binary"):
-            offs = get_buf(bi)
-            bi += 1
-            data = get_buf(bi)
-            bi += 1
-            cuts = struct.unpack_from(f"<{length + 1}i", offs, 0)
-            vals = [data[cuts[i]:cuts[i + 1]] for i in range(length)]
-            if kind == "utf8":
-                vals = [v.decode("utf-8") for v in vals]
-        else:
-            raise NotImplementedError(f"arrow_ipc: kind {kind!r}")
-        if "dict_id" in field and dicts is not None:
-            dvals = dicts[field["dict_id"]]
-            vals = [dvals[i] for i in vals]
-        if valid is not None:
-            vals = [v if ok else None for v, ok in zip(vals, valid)]
-        out[field["name"]] = vals
+    cur = {"ni": 0, "bi": 0}
+    for field in fields:
+        out[field["name"]] = _decode_vector(field, nodes, get_buf, cur,
+                                            dicts)
     return out
+
+
+def _decode_vector(field: dict, nodes: list, get_buf, cur: dict,
+                   dicts: "dict | None") -> list:
+    """One vector (and, depth-first, its children) from the node and
+    buffer cursors in ``cur``."""
+    length, null_count = nodes[cur["ni"]]
+    cur["ni"] += 1
+
+    def bi():
+        b = get_buf(cur["bi"])
+        cur["bi"] += 1
+        return b
+
+    kind = field["kind"]
+    if "dict_id" in field and dicts is not None:
+        kind = field["index_kind"]  # the batch carries indices
+    validity_raw = bi()
+    valid = _bitmap(validity_raw, length) if null_count else None
+    if kind == "list":
+        offs = bi()
+        cuts = struct.unpack_from(f"<{length + 1}i", offs, 0)
+        elems = _decode_vector(field["child"], nodes, get_buf, cur,
+                               dicts)
+        vals = [elems[cuts[i]:cuts[i + 1]] for i in range(length)]
+    elif kind in _FIXED:
+        fmt, width = _FIXED[kind]
+        data = bi()
+        vals = list(struct.unpack_from(f"<{length}{fmt}", data, 0))
+        if kind == "date32":
+            import datetime as _dt
+            epoch = _dt.date(1970, 1, 1)
+            vals = [epoch + _dt.timedelta(days=v) for v in vals]
+        elif kind.startswith("timestamp"):
+            import datetime as _dt
+            div = {"timestamps": 1, "timestampms": 10 ** 3,
+                   "timestampus": 10 ** 6, "timestampns": 10 ** 9}[kind]
+            vals = [_dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=v * 10 ** 6 // div) for v in vals]
+    elif kind == "bool":
+        vals = _bitmap(bi(), length)
+    elif kind in ("utf8", "binary"):
+        offs = bi()
+        data = bi()
+        cuts = struct.unpack_from(f"<{length + 1}i", offs, 0)
+        vals = [data[cuts[i]:cuts[i + 1]] for i in range(length)]
+        if kind == "utf8":
+            vals = [v.decode("utf-8") for v in vals]
+    else:
+        raise NotImplementedError(f"arrow_ipc: kind {kind!r}")
+    if "dict_id" in field and dicts is not None:
+        dvals = dicts[field["dict_id"]]
+        vals = [dvals[i] for i in vals]
+    if valid is not None:
+        vals = [v if ok else None for v, ok in zip(vals, valid)]
+    return vals
 
 
 # --------------------------------------------------------- file layer

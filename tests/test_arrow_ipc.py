@@ -104,8 +104,27 @@ def test_metadata_only(tmp_path):
     assert ("ts", "timestampus") in meta["schema"]
 
 
+def test_list_columns(tmp_path):
+    """List<primitive> vectors: offsets buffer + depth-first child
+    node, nullable lists, dictionary columns alongside."""
+    t = pa.table({
+        "l": pa.array([[i, i + 1] if i % 3 else None
+                       for i in range(3000)], pa.list_(pa.int64())),
+        "ls": pa.array([[f"s{i % 4}"] * (i % 3) for i in range(3000)],
+                       pa.list_(pa.string())),
+        "cat": pa.array([f"c{i % 6}"
+                         for i in range(3000)]).dictionary_encode(),
+    })
+    path = str(tmp_path / "l.arrow")
+    _write(t, path, codec="zstd", chunk=700)
+    names, cols = read_arrow(path)
+    for n in t.column_names:
+        assert cols[n] == t.column(n).to_pylist(), n
+
+
 def test_unsupported_seams(tmp_path):
-    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    t = pa.table({"ll": pa.array([[[1]], [[2, 3]]],
+                                 pa.list_(pa.list_(pa.int64())))})
     path = str(tmp_path / "n.arrow")
     _write(t, path)
     with pytest.raises(NotImplementedError, match="list"):
