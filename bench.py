@@ -325,6 +325,7 @@ BENCH_QUERIES = [
     "q393_arrow_writer_roundtrip",
     "q394_sqlite_data_plane",
     "q395_zip_corpus_ingest",
+    "q396_format_triangle_consistency",
 ]
 
 
