@@ -10,12 +10,12 @@ binaries — this is the ``binaryFile`` -> ``mapInPandas`` decode shape
 the Avro/ORC/Arrow/parquet pillars already use, with one task per
 database file.
 
-Scope (honest seam): ordinary rowid table b-trees (the default for
-every ``CREATE TABLE`` without WITHOUT ROWID), TEXT encoding UTF-8,
-serial types NULL/int(1-9)/float/TEXT/BLOB incl. overflow chains;
-WITHOUT ROWID tables, non-UTF8 encodings, and WAL-mode side files
-raise ``NotImplementedError`` naming the piece.  Indexes are ignored
-(they are access paths, not data).
+Scope (honest seam): rowid table b-trees AND WITHOUT ROWID tables
+(index b-trees whose interior cells carry rows, PK-first record order
+mapped back to declared order), TEXT encoding UTF-8, serial types
+NULL/int(1-9)/float/TEXT/BLOB incl. overflow chains; non-UTF8
+encodings and WAL-mode side files raise ``NotImplementedError``.
+Secondary indexes are ignored (access paths, not data).
 
 Conformance: every file read in tests is WRITTEN by the stdlib
 ``sqlite3`` module (the C reference library) across schema shapes,
@@ -156,9 +156,76 @@ def _walk_table(db: _Db, root: int, out: list) -> None:
     elif ptype in (2, 10):  # index pages: access paths, skip
         return
     else:
-        raise NotImplementedError(
-            f"sqlite: page type {ptype} (WITHOUT ROWID / corrupt) "
-            f"outside seam")
+        raise NotImplementedError(f"sqlite: page type {ptype}")
+
+
+def _walk_index(db: _Db, root: int, out: list) -> None:
+    """Index b-tree walk (WITHOUT ROWID tables live here): interior
+    cells CARRY rows too, in key order — left subtree, cell, ...,
+    rightmost subtree."""
+    page, hoff = db.page(root)
+    ptype = page[hoff]
+    n_cells = struct.unpack_from(">H", page, hoff + 3)[0]
+    max_local = (db.usable - 12) * 64 // 255 - 23
+    min_local = (db.usable - 12) * 32 // 255 - 23
+    if ptype == 2:  # interior index page
+        ptr_start = hoff + 12
+        for i in range(n_cells):
+            cpos = struct.unpack_from(">H", page, ptr_start + 2 * i)[0]
+            child = struct.unpack_from(">I", page, cpos)[0]
+            _walk_index(db, child, out)
+            total, p = _varint(page, cpos + 4)
+            payload, _ = _payload(db, page, p, total, max_local,
+                                  min_local)
+            out.append(_record(payload))
+        right = struct.unpack_from(">I", page, hoff + 8)[0]
+        _walk_index(db, right, out)
+    elif ptype == 10:  # leaf index page
+        ptr_start = hoff + 8
+        for i in range(n_cells):
+            cpos = struct.unpack_from(">H", page, ptr_start + 2 * i)[0]
+            total, p = _varint(page, cpos)
+            payload, _ = _payload(db, page, p, total, max_local,
+                                  min_local)
+            out.append(_record(payload))
+    else:
+        raise NotImplementedError(f"sqlite: index page type {ptype}")
+
+
+def _primary_key_columns(sql: str, names: "list[str]") -> "list[str]":
+    """PK columns in declaration order — inline ("col ... PRIMARY KEY")
+    or table-level ("PRIMARY KEY (a, b)")."""
+    inner = sql[sql.index("(") + 1:sql.rindex(")")]
+    depth = 0
+    cur: list = []
+    parts: list = []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    for p in parts:
+        p = p.strip()
+        if p.lower().startswith("primary"):
+            cols = p[p.index("(") + 1:p.rindex(")")]
+            out = []
+            for c in cols.split(","):
+                c = c.strip().split()[0].strip('"`[]')
+                out.append(c)
+            return out
+    for name in names:
+        for p in parts:
+            p = p.strip()
+            for quoted in (f'"{name}"', f"`{name}`", f"[{name}]", name):
+                if p.startswith(quoted) and "primary" in p.lower():
+                    return [name]
+    return []
 
 
 def _master_tables(db: _Db) -> dict:
@@ -241,7 +308,23 @@ def read_sqlite_bytes(payload: bytes, table: str,
     names = _columns_from_sql(sql)
     low = sql.lower()
     if "without rowid" in low.rsplit(")", 1)[-1]:
-        raise NotImplementedError("sqlite: WITHOUT ROWID outside seam")
+        # WITHOUT ROWID: rows live in an index b-tree with PK columns
+        # FIRST in the record, remaining columns in declared order
+        pk = _primary_key_columns(sql, names)
+        if not pk:
+            raise ValueError("sqlite: WITHOUT ROWID table without PK")
+        key_order = pk + [n for n in names if n not in pk]
+        recs: list = []
+        _walk_index(db, root, recs)
+        want = columns if columns is not None else names
+        data = {n: [] for n in want}
+        for rec in recs:
+            if len(rec) < len(names):
+                rec = rec + [None] * (len(names) - len(rec))
+            by_name = dict(zip(key_order, rec))
+            for n in want:
+                data[n].append(by_name[n])
+        return [n for n in names if n in data], data
     # the rowid-alias column (INTEGER PRIMARY KEY) stores NULL in the
     # record; find it so we can substitute the rowid
     # the rowid-alias column ("<col> INTEGER PRIMARY KEY") stores NULL

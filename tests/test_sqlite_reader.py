@@ -104,16 +104,29 @@ def test_quoted_identifiers_and_constraints(tmp_path):
     assert cols["weird name"] == ["v"]
 
 
-def test_without_rowid_seam(tmp_path):
-    path = str(tmp_path / "t.db")
+@pytest.mark.parametrize("ddl,rows,order", [
+    ("CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER, t TEXT) "
+     "WITHOUT ROWID",
+     [(f"key{i:04d}", i, f"t{i}") for i in range(3000)], "k"),
+    ("CREATE TABLE w (a INTEGER, v REAL, b TEXT, PRIMARY KEY (b, a)) "
+     "WITHOUT ROWID",
+     [(i, i * 0.5, f"g{i % 9}") for i in range(2000)], "b, a"),
+])
+def test_without_rowid_tables(tmp_path, ddl, rows, order):
+    """WITHOUT ROWID: rows live in index b-trees (interior cells carry
+    rows), records store PK columns first — 512-byte pages force
+    multi-level trees."""
+    path = str(tmp_path / "w.db")
     con = sqlite3.connect(path)
-    con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER) "
-                "WITHOUT ROWID")
-    con.execute("INSERT INTO w VALUES ('a', 1)")
+    con.execute("PRAGMA page_size=512")
+    con.execute(ddl)
+    con.executemany(
+        f"INSERT INTO w VALUES ({','.join('?' * len(rows[0]))})", rows)
     con.commit()
+    names, cols = read_sqlite_bytes(open(path, "rb").read(), "w")
+    exp = list(con.execute(f"SELECT * FROM w ORDER BY {order}"))
     con.close()
-    with pytest.raises(NotImplementedError, match="WITHOUT ROWID"):
-        read_sqlite_bytes(open(path, "rb").read(), "w")
+    assert list(zip(*[cols[n] for n in names])) == exp
 
 
 def test_missing_table_and_bad_magic(tmp_path):
