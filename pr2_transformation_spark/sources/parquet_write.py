@@ -340,15 +340,26 @@ def _page_header(page_type: int, unc: int, comp: int, *,
 
 def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
                  codec: str, use_dictionary: bool,
-                 encoding_override: "str | None" = None) -> dict:
+                 encoding_override: "str | None" = None,
+                 pre_levels: "tuple | None" = None) -> dict:
     """Serialize one column chunk (dict page? + one v1 data page) into
     ``body_out``; returns the ColumnMetaData ingredients.
     ``encoding_override``: "delta" (DELTA_BINARY_PACKED, INT32/INT64)
-    or "byte_stream_split" (FLOAT/DOUBLE) replaces PLAIN/dictionary."""
-    nvals = len(vals)
-    nonnull = [v for v in vals if v is not None]
-    null_count = nvals - len(nonnull)
-    defs = rle_bp_encode([0 if v is None else 1 for v in vals], 1)
+    or "byte_stream_split" (FLOAT/DOUBLE) replaces PLAIN/dictionary.
+    ``pre_levels``: (def_levels, max_def) for NESTED columns — vals
+    must then hold only the defined (max-level) values."""
+    if pre_levels is not None:
+        def_levels, max_def = pre_levels
+        nvals = len(def_levels)
+        nonnull = list(vals)
+        null_count = nvals - len(nonnull)
+        bw = max(1, (max_def).bit_length())
+        defs = rle_bp_encode(def_levels, bw)
+    else:
+        nvals = len(vals)
+        nonnull = [v for v in vals if v is not None]
+        null_count = nvals - len(nonnull)
+        defs = rle_bp_encode([0 if v is None else 1 for v in vals], 1)
 
     # min/max (None when no non-null values); BYTE_ARRAY compares as
     # unsigned bytes per the UTF8 logical order
@@ -601,3 +612,114 @@ def write_parquet_distributed(df, out_dir: str, codec: str = "snappy",
     from pyspark.sql import functions as F
     [row] = out.agg(F.sum("files").alias("n")).collect()
     return int(row["n"] or 0)
+
+
+def write_parquet_nested_bytes(
+    fields: list,
+    codec: str = "snappy",
+    created_by: str = "pr2-transformation-spark parquet_write",
+) -> bytes:
+    """ONE-LEVEL OPTIONAL-STRUCT parquet writer (the Delta-checkpoint
+    shape): ``fields`` mixes flat columns ``(name, ptype, values)``
+    with optional groups ``(group_name, [(leaf, ptype, values)...])``
+    where a group row is NULL when every leaf value is None in that
+    row's position AND the group's presence list says so — concretely,
+    pass leaf values aligned per row and a leading ``("__present__",
+    [bool...])`` pseudo-leaf is NOT needed: a group counts as present
+    on a row when ANY leaf is non-None.  Definition levels: 0 = group
+    null, 1 = leaf null within a present group, 2 = value.  Deeper
+    nesting and repetition stay on the read-side seam."""
+    if codec not in _CODECS:
+        raise NotImplementedError(f"codec {codec!r}")
+    # normalize to leaf specs: (path parts, ptype, def_levels, values)
+    nrows = None
+    leaves = []
+    schema_elems = []  # (name, ptype|None, num_children)
+    for spec in fields:
+        if len(spec) == 3 and isinstance(spec[1], str):
+            name, ptype, vals = spec
+            if nrows is None:
+                nrows = len(vals)
+            schema_elems.append((name, ptype, None))
+            leaves.append(([name], ptype,
+                           [0 if v is None else 1 for v in vals],
+                           [v for v in vals if v is not None], 1))
+        else:
+            gname, leaf_specs = spec
+            if nrows is None:
+                nrows = len(leaf_specs[0][2])
+            present = [any(ls[2][i] is not None for ls in leaf_specs)
+                       for i in range(nrows)]
+            schema_elems.append((gname, None, len(leaf_specs)))
+            for lname, ptype, vals in leaf_specs:
+                defs = [2 if vals[i] is not None
+                        else (1 if present[i] else 0)
+                        for i in range(nrows)]
+                schema_elems.append((lname, ptype, None))
+                leaves.append(([gname, lname], ptype, defs,
+                               [v for v in vals if v is not None], 2))
+    body = bytearray(b"PAR1")
+    chunks = []
+    for path, ptype, defs, nonnull, max_def in leaves:
+        c = _write_chunk(body, ".".join(path), ptype, nonnull, codec,
+                         False, None, (defs, max_def))
+        c["path_parts"] = path
+        chunks.append(c)
+
+    w = _TWriter()
+    w.field_i32(1, 1)
+    w.begin_list(2, _CT_STRUCT, len(schema_elems) + 1)
+    w._last_fid.append(0)
+    w.field_string(4, "schema")
+    w.field_i32(5, sum(1 for e in schema_elems
+                       if True) - sum(e[2] or 0 for e in schema_elems))
+    w.out.append(0)
+    w._last_fid.pop()
+    for name, ptype, n_children in schema_elems:
+        w._last_fid.append(0)
+        if n_children is None:
+            w.field_i32(1, _PHYS[ptype])
+            w.field_i32(3, 1)  # OPTIONAL
+            w.field_string(4, name)
+            if ptype == "BYTE_ARRAY":
+                w.field_i32(6, _CONVERTED_UTF8)
+        else:
+            w.field_i32(3, 1)  # OPTIONAL group
+            w.field_string(4, name)
+            w.field_i32(5, n_children)
+        w.out.append(0)
+        w._last_fid.pop()
+    w.field_i64(3, nrows or 0)
+    w.begin_list(4, _CT_STRUCT, 1)
+    w._last_fid.append(0)  # RowGroup
+    w.begin_list(1, _CT_STRUCT, len(chunks))
+    for c in chunks:
+        w._last_fid.append(0)
+        w.field_i64(2, c["start_offset"])
+        w.begin_struct(3)
+        w.field_i32(1, _PHYS[c["ptype"]])
+        w.begin_list(2, _CT_I32, len(c["encodings"]))
+        for e in c["encodings"]:
+            w.zigzag(e)
+        w.begin_list(3, _CT_BINARY, len(c["path_parts"]))
+        for part in c["path_parts"]:
+            nb = part.encode("utf-8")
+            w.varint(len(nb))
+            w.out += nb
+        w.field_i32(4, _CODECS[codec])
+        w.field_i64(5, c["num_values"])
+        w.field_i64(6, c["total_uncompressed_size"])
+        w.field_i64(7, c["total_compressed_size"])
+        w.field_i64(9, c["data_page_offset"])
+        if c["dictionary_page_offset"] is not None:
+            w.field_i64(11, c["dictionary_page_offset"])
+        w.end_struct()
+        w.out.append(0)
+        w._last_fid.pop()
+    w.field_i64(2, sum(c["total_uncompressed_size"] for c in chunks))
+    w.field_i64(3, nrows or 0)
+    w.out.append(0)
+    w._last_fid.pop()
+    w.field_string(6, created_by)
+    footer = w.stop()
+    return bytes(body) + footer + struct.pack("<I", len(footer)) + b"PAR1"

@@ -274,3 +274,77 @@ def test_delta_encoding_edge_shapes():
             column_encodings={"v": "delta"})
         assert pq.read_table(io.BytesIO(buf)).column(
             "v").to_pylist() == vals
+
+
+def test_nested_struct_write(tmp_path):
+    """One-level optional-struct writer (write_parquet_nested_bytes —
+    the Delta-checkpoint shape): group-null vs leaf-null definition
+    levels, read back by pyarrow AND DuckDB (struct reads are the
+    own-reader's declared seam)."""
+    import io
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources.parquet_write import (
+        write_parquet_nested_bytes,
+    )
+
+    n = 2000
+    buf = write_parquet_nested_bytes([
+        ("version", "INT64", list(range(n))),
+        ("add", [
+            ("path", "BYTE_ARRAY",
+             [f"part-{i}.parquet" if i % 3 else None for i in range(n)]),
+            ("size", "INT64", [i * 100 if i % 3 else None
+                               for i in range(n)]),
+            ("dataChange", "BOOLEAN", [bool(i % 2) if i % 3 else None
+                                       for i in range(n)]),
+        ]),
+        ("remove", [
+            ("path", "BYTE_ARRAY",
+             [f"old-{i}.parquet" if i % 3 == 0 and i % 6 else None
+              for i in range(n)]),
+            ("deletionTimestamp", "INT64",
+             [i if i % 3 == 0 and i % 6 else None for i in range(n)]),
+        ]),
+    ], codec="zstd")
+    t = pq.read_table(io.BytesIO(buf))
+    assert t.column("version").to_pylist() == list(range(n))
+    adds = t.column("add").to_pylist()
+    assert adds[0] is None
+    assert adds[1] == {"path": "part-1.parquet", "size": 100,
+                       "dataChange": True}
+    rems = t.column("remove").to_pylist()
+    assert rems[3] == {"path": "old-3.parquet", "deletionTimestamp": 3}
+    assert rems[1] is None and rems[6] is None
+    path = str(tmp_path / "nested.parquet")
+    open(path, "wb").write(buf)
+    r = duckdb.sql(
+        f"SELECT count(*), count(add.path), count(remove.path), "
+        f"sum(add.size) FROM read_parquet('{path}')").fetchall()
+    assert r[0][:3] == (n, 1333, 333)
+
+
+def test_delta_checkpoint_rides_own_writer(spark, tmp_path):
+    """The Delta checkpoint parquet is now serialized by the
+    from-scratch nested writer; pyarrow (the replay path's reader)
+    and the created_by stamp prove it."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources.delta import DeltaTable
+
+    dt = DeltaTable(str(tmp_path / "t"))
+    dt.write(spark.range(5).selectExpr("id", "concat('v', id) as v"),
+             mode="overwrite")
+    dt.write(spark.range(5, 9).selectExpr("id", "concat('v', id) as v"),
+             mode="append")
+    dt.checkpoint()
+    [ck] = glob.glob(str(tmp_path / "t/_delta_log/*.checkpoint.parquet"))
+    meta = pq.ParquetFile(ck).metadata
+    assert b"pr2-transformation-spark" in meta.created_by.encode() \
+        or "pr2-transformation-spark" in meta.created_by
+    adds = pq.read_table(ck).column("add").to_pylist()
+    assert sum(1 for a in adds if a is not None) >= 2
