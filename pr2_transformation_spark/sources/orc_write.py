@@ -18,11 +18,13 @@ from the public ORCv1 spec (https://orc.apache.org/specification/ORCv1/):
   LZ4 (`parquet_data.lz4_block_compress`) and Zstandard
   (`zstd.zstd_compress` — the round-7 predefined-FSE encoder).
 
-Scope (honest seam): flat root-STRUCT schemas of boolean / int / long /
-float / double / string / binary / date; row indexes disabled
+Scope (honest seam): root-STRUCT schemas of boolean / int / long /
+float / double / string / binary / date, plus ONE nesting level —
+``list<primitive>`` and ``map<primitive,primitive>`` columns (parent
+LENGTH stream + pre-order child column ids); row indexes disabled
 (``rowIndexStride=0``, a spec-sanctioned writer choice); dictionary
-encoding left to the read side (DIRECT_V2 is always legal).  Nested
-types and timestamps raise with the missing piece named.
+encoding left to the read side (DIRECT_V2 is always legal).  Deeper
+nesting and timestamps raise with the missing piece named.
 
 Determinism: no timestamps, no salted hashes — identical inputs
 produce identical bytes (pinned in tests).
@@ -303,6 +305,59 @@ def _column_streams(kind: str, values: list) -> "list[tuple[int, bytes]]":
     return streams
 
 
+
+def _parse_kind(kind: str):
+    """'long' -> ("long",); 'list<string>' -> ("list", "string");
+    'map<string,long>' -> ("map", "string", "long")."""
+    if kind.startswith("list<") and kind.endswith(">"):
+        return ("list", kind[5:-1].strip())
+    if kind.startswith("map<") and kind.endswith(">"):
+        k, v = kind[4:-1].split(",", 1)
+        return ("map", k.strip(), v.strip())
+    return (kind,)
+
+
+def _nested_streams(parsed, values: list) -> "list[tuple]":
+    """Streams for one (possibly nested) column as a list of
+    (rel_column_offset, stream_kind, raw bytes): 0 = the column itself,
+    1.. = its children in pre-order."""
+    if len(parsed) == 1:
+        return [(0, k, raw) for k, raw in _column_streams(parsed[0],
+                                                          values)]
+    streams: list = []
+    present = [v is not None for v in values]
+    if not all(present):
+        streams.append((0, _PRESENT, _bool_rle_encode(present)))
+    nn = [v for v in values if v is not None]
+    streams.append((0, _LENGTH, _rle_v2_encode([len(v) for v in nn],
+                                               False)))
+    if parsed[0] == "list":
+        elems: list = []
+        for v in nn:
+            elems.extend(v)
+        for k, raw in _column_streams(parsed[1], elems):
+            streams.append((1, k, raw))
+    else:  # map
+        keys: list = []
+        vals: list = []
+        for v in nn:
+            for kk, vv in v.items():
+                keys.append(kk)
+                vals.append(vv)
+        for k, raw in _column_streams(parsed[1], keys):
+            streams.append((1, k, raw))
+        for k, raw in _column_streams(parsed[2], vals):
+            streams.append((2, k, raw))
+    return streams
+
+
+def _enc_for(kind: str) -> dict:
+    return ({1: _DIRECT_V2} if kind in
+            ("int", "long", "short", "string", "binary", "date",
+             "list", "map")
+            else {1: _DIRECT})
+
+
 def write_orc_bytes(columns: "list[tuple[str, str, list]]",
                     compression: str = "zlib",
                     stripe_rows: int = 100_000) -> bytes:
@@ -314,12 +369,22 @@ def write_orc_bytes(columns: "list[tuple[str, str, list]]",
         raise NotImplementedError(
             f"orc_write: unknown compression {compression!r}")
     n_rows = len(columns[0][2])
+    parsed_cols = []
     for name, kind, vals in columns:
         if len(vals) != n_rows:
             raise ValueError(f"orc_write: column {name!r} length mismatch")
-        if kind not in _KIND_IDS:
-            raise NotImplementedError(
-                f"orc_write: kind {kind!r} is outside this writer seam")
+        parsed = _parse_kind(kind)
+        for leaf in parsed[1:] if len(parsed) > 1 else parsed:
+            if leaf not in _KIND_IDS:
+                raise NotImplementedError(
+                    f"orc_write: kind {leaf!r} is outside this writer seam")
+        parsed_cols.append(parsed)
+    # pre-order column ids: root=0, each field's id then its children
+    col_ids = []
+    next_id = 1
+    for parsed in parsed_cols:
+        col_ids.append(next_id)
+        next_id += len(parsed) if len(parsed) > 1 else 1
 
     out = bytearray(b"ORC")
     stripe_infos = []
@@ -328,21 +393,22 @@ def write_orc_bytes(columns: "list[tuple[str, str, list]]",
         if n_rows == 0:
             rows = 0
         stream_meta = []  # (kind, column_id, framed bytes)
-        for ci, (name, kind, vals) in enumerate(columns):
-            for skind, raw in _column_streams(kind, vals[start:start + rows]):
+        for parsed, base_id, (name, kind, vals) in zip(
+                parsed_cols, col_ids, columns):
+            for rel, skind, raw in _nested_streams(
+                    parsed, vals[start:start + rows]):
                 stream_meta.append(
-                    (skind, ci + 1, _frame_stream(raw, compression)))
+                    (skind, base_id + rel,
+                     _frame_stream(raw, compression)))
         offset = len(out)
         data_len = 0
         for _, _, framed in stream_meta:
             out += framed
             data_len += len(framed)
         encodings = [{1: _DIRECT}]  # root struct
-        for name, kind, _ in columns:
-            encodings.append(
-                {1: _DIRECT_V2} if kind in
-                ("int", "long", "short", "string", "binary", "date")
-                else {1: _DIRECT})
+        for parsed in parsed_cols:
+            for leaf in parsed:
+                encodings.append(_enc_for(leaf))
         sfooter = _pb({
             1: [{1: k, 2: c, 3: len(f)} for k, c, f in stream_meta],
             2: encodings,
@@ -355,10 +421,19 @@ def write_orc_bytes(columns: "list[tuple[str, str, list]]",
         if n_rows == 0:
             break
 
-    types = [{1: 12, 2: ("packed", list(range(1, len(columns) + 1))),
+    types = [{1: 12, 2: ("packed", col_ids),
               3: [name for name, _, _ in columns]}]
-    for _, kind, _ in columns:
-        types.append({1: _KIND_IDS[kind]})
+    for parsed, base_id in zip(parsed_cols, col_ids):
+        if len(parsed) == 1:
+            types.append({1: _KIND_IDS[parsed[0]]})
+        elif parsed[0] == "list":
+            types.append({1: 10, 2: ("packed", [base_id + 1])})
+            types.append({1: _KIND_IDS[parsed[1]]})
+        else:  # map
+            types.append({1: 11, 2: ("packed",
+                                     [base_id + 1, base_id + 2])})
+            types.append({1: _KIND_IDS[parsed[1]]})
+            types.append({1: _KIND_IDS[parsed[2]]})
     content_len = len(out) - 3
     footer = _pb({
         1: 3,                    # headerLength (the magic)

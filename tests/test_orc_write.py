@@ -131,3 +131,32 @@ def test_distributed_sink_spark_reads_back(spark, tmp_path):
     back = spark.read.orc(str(tmp_path / "dist"))
     assert back.count() == 20000
     assert back.filter("sc is null").count() == 4000
+
+
+@pytest.mark.parametrize("comp", ["zstd", "zlib"])
+def test_list_and_map_write(spark, tmp_path, comp):
+    """list<primitive> / map<primitive,primitive> columns: parent
+    LENGTH streams + pre-order child ids, decoded by all three
+    readers (own, pyarrow libORC, Spark Java)."""
+    cols = [
+        ("id", "long", list(range(3000))),
+        ("arr", "list<long>", [[i, i + 1, i * 2] if i % 4 else None
+                               for i in range(3000)]),
+        ("sarr", "list<string>", [[f"s{i % 5}"] * (i % 3)
+                                  for i in range(3000)]),
+        ("m", "map<string,long>", [{f"k{i % 4}": i, "fixed": i * 2}
+                                   for i in range(3000)]),
+    ]
+    buf = write_orc_bytes(cols, compression=comp, stripe_rows=800)
+    names, data = read_orc_bytes(buf)
+    for n, k, v in cols:
+        assert data[n] == v, (comp, n)
+    t = po.ORCFile(io.BytesIO(buf)).read()
+    assert t.column("arr").to_pylist() == cols[1][2]
+    assert dict(t.column("m").to_pylist()[5]) == cols[3][2][5]
+    d = tmp_path / comp
+    d.mkdir()
+    (d / "x.orc").write_bytes(buf)
+    rows = sorted(spark.read.orc(str(d)).collect(), key=lambda r: r["id"])
+    assert [r["arr"] for r in rows] == cols[1][2]
+    assert [dict(r["m"]) for r in rows] == cols[3][2]
