@@ -192,24 +192,55 @@ def _walk_index(db: _Db, root: int, out: list) -> None:
         raise NotImplementedError(f"sqlite: index page type {ptype}")
 
 
-def _primary_key_columns(sql: str, names: "list[str]") -> "list[str]":
-    """PK columns in declaration order — inline ("col ... PRIMARY KEY")
-    or table-level ("PRIMARY KEY (a, b)")."""
+def _split_defs(sql: str) -> "list[str]":
+    """Split the CREATE TABLE body on depth-0 commas, tracking quoted
+    string literals ('...'), quoted identifiers ("..."/`...`/[...]) and
+    parenthesis depth, so a comma inside e.g. DEFAULT 'a,b' or a quoted
+    column name does not split a definition."""
     inner = sql[sql.index("(") + 1:sql.rindex(")")]
     depth = 0
+    quote = ""          # active quote char: ' " ` or [ (closes with ])
     cur: list = []
     parts: list = []
-    for ch in inner:
-        if ch == "(":
+    i = 0
+    while i < len(inner):
+        ch = inner[i]
+        if quote:
+            cur.append(ch)
+            close = "]" if quote == "[" else quote
+            if ch == close:
+                # SQL doubles the quote char to escape it ('' "" ``)
+                if (close != "]" and i + 1 < len(inner)
+                        and inner[i + 1] == close):
+                    cur.append(inner[i + 1])
+                    i += 2
+                    continue
+                quote = ""
+            i += 1
+            continue
+        if ch in "'\"`[":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
             depth += 1
+            cur.append(ch)
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+            cur.append(ch)
+        elif ch == "," and depth == 0:
             parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
+        i += 1
     parts.append("".join(cur))
+    return parts
+
+
+def _primary_key_columns(sql: str, names: "list[str]") -> "list[str]":
+    """PK columns in declaration order — inline ("col ... PRIMARY KEY")
+    or table-level ("PRIMARY KEY (a, b)")."""
+    parts = _split_defs(sql)
     for p in parts:
         p = p.strip()
         if p.lower().startswith("primary"):
@@ -228,6 +259,63 @@ def _primary_key_columns(sql: str, names: "list[str]") -> "list[str]":
     return []
 
 
+def _coldef_tail(piece: str, name: str) -> "str | None":
+    """The definition tail after a column's (possibly quoted) name, or
+    None if this piece doesn't define that column."""
+    piece = piece.strip()
+    for quoted in (f'"{name}"', f"`{name}`", f"[{name}]", name):
+        if piece.startswith(quoted):
+            rest = piece[len(quoted):]
+            # bare-name match must end at a word boundary
+            if quoted == name and rest and (rest[0].isalnum()
+                                            or rest[0] == "_"):
+                continue
+            return rest.strip()
+    return None
+
+
+def _rowid_alias_index(sql: str, names: "list[str]") -> "int | None":
+    """Index of the rowid-alias column, per SQLite's rules
+    (https://www.sqlite.org/lang_createtable.html#rowid): a column
+    whose declared type is exactly INTEGER and that is the table's
+    PRIMARY KEY — either inline ("x INTEGER PRIMARY KEY", unless
+    declared DESC) or via a single-column table-level
+    "PRIMARY KEY(x)" (where DESC still aliases — SQLite quirk)."""
+    parts = _split_defs(sql)
+
+    def declared_integer(name: str) -> bool:
+        for piece in parts:
+            rest = _coldef_tail(piece, name)
+            if rest is None:
+                continue
+            words = rest.lower().split()
+            return bool(words) and words[0] == "integer"
+        return False
+
+    import re as _re
+    for i, name in enumerate(names):
+        for piece in parts:
+            rest = _coldef_tail(piece, name)
+            if rest is None:
+                continue
+            low = rest.lower()
+            if (low.split() and low.split()[0] == "integer"
+                    and _re.search(r"primary\s+key", low)
+                    and not _re.search(r"primary\s+key\s+desc", low)):
+                return i
+    # table-level single-column PK on an INTEGER column is also a
+    # rowid alias (even with DESC)
+    for piece in parts:
+        p = piece.strip()
+        if p.lower().startswith("primary"):
+            cols = p[p.index("(") + 1:p.rindex(")")]
+            pk = [c.strip().split()[0].strip('"`[]')
+                  for c in cols.split(",")]
+            if len(pk) == 1 and pk[0] in names and declared_integer(pk[0]):
+                return names.index(pk[0])
+    return None
+
+
 def _master_tables(db: _Db) -> dict:
     """sqlite_master (root page 1): {table_name: (rootpage, sql)}."""
     rows: list = []
@@ -244,22 +332,8 @@ def _columns_from_sql(sql: str) -> "list[str]":
     """Column names from CREATE TABLE sql — the format stores no other
     column metadata.  Handles quoted identifiers and skips trailing
     table constraints."""
-    inner = sql[sql.index("(") + 1:sql.rindex(")")]
     cols = []
-    depth = 0
-    cur = []
-    parts = []
-    for ch in inner:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    parts.append("".join(cur))
+    parts = _split_defs(sql)
     constraint_heads = ("primary", "unique", "check", "foreign",
                         "constraint")
 
@@ -325,25 +399,7 @@ def read_sqlite_bytes(payload: bytes, table: str,
             for n in want:
                 data[n].append(by_name[n])
         return [n for n in names if n in data], data
-    # the rowid-alias column (INTEGER PRIMARY KEY) stores NULL in the
-    # record; find it so we can substitute the rowid
-    # the rowid-alias column ("<col> INTEGER PRIMARY KEY") stores NULL
-    # in records; detect it by matching each column's definition tail
-    alias_idx = None
-    inner = sql[sql.index("(") + 1:sql.rindex(")")]
-    for i, name in enumerate(names):
-        for piece in inner.split(","):
-            piece = piece.strip()
-            if not piece:
-                continue
-            rest = None
-            for quoted in (f'"{name}"', f"`{name}`", f"[{name}]", name):
-                if piece.startswith(quoted):
-                    rest = piece[len(quoted):].strip()
-                    break
-            if (rest and rest.lower().startswith("integer")
-                    and "primary" in rest.lower()):
-                alias_idx = i
+    alias_idx = _rowid_alias_index(sql, names)
     rows: list = []
     _walk_table(db, root, rows)
     want = columns if columns is not None else names

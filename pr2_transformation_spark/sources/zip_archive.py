@@ -35,12 +35,21 @@ _LFH = b"PK\x03\x04"
 
 def _find_eocd(buf: bytes) -> int:
     """End-of-central-directory record: last 22+ bytes, possibly
-    followed by a comment up to 64 KB."""
+    followed by a comment up to 64 KB.  Comments may themselves
+    contain the EOCD magic, so scan candidates backwards and accept
+    only one whose comment-length field reaches exactly to the end of
+    the archive (the rule InfoZIP and zipfile use)."""
     tail = buf[-(65536 + 22):]
+    base = len(buf) - len(tail)
     idx = tail.rfind(_EOCD)
-    if idx < 0:
-        raise ValueError("zip: no end-of-central-directory record")
-    return len(buf) - len(tail) + idx
+    while idx >= 0:
+        pos = base + idx
+        if pos + 22 <= len(buf):
+            comment_len = struct.unpack_from("<H", buf, pos + 20)[0]
+            if pos + 22 + comment_len == len(buf):
+                return pos
+        idx = tail.rfind(_EOCD, 0, idx)
+    raise ValueError("zip: no end-of-central-directory record")
 
 
 def zip_entries(buf: bytes) -> "list[dict]":

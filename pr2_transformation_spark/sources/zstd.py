@@ -850,9 +850,13 @@ def zstd_compress(raw: bytes, checksum: bool = True) -> bytes:
     elif n <= 65535 + 256:
         out.append((1 << 6) | (1 << 5) | cs_bit)
         out += (n - 256).to_bytes(2, "little")
-    else:
+    elif n <= 0xFFFFFFFF:
         out.append((2 << 6) | (1 << 5) | cs_bit)
         out += n.to_bytes(4, "little")
+    else:
+        # FCS code 3: 8-byte little-endian content size (inputs > 4 GiB)
+        out.append((3 << 6) | (1 << 5) | cs_bit)
+        out += n.to_bytes(8, "little")
     if n == 0:
         out += (1).to_bytes(3, "little")  # last, raw, size 0
     else:

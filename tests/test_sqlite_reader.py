@@ -156,3 +156,83 @@ def test_distributed_reader(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 3000
     assert sum(1 for r in rows if r["val"] is None) == 750
+
+
+def _pin(tmp_path, ddl, inserts, table="t", order="1"):
+    """Build a db with sqlite3, read it back with both readers."""
+    path = str(tmp_path / "pin.db")
+    con = sqlite3.connect(path)
+    con.execute(ddl)
+    for stmt in inserts:
+        con.execute(stmt)
+    con.commit()
+    exp = list(con.execute(f"SELECT * FROM {table} ORDER BY {order}"))
+    con.close()
+    buf = open(path, "rb").read()
+    names, cols = read_sqlite_bytes(buf, table)
+    got = sorted(zip(*[cols[n] for n in names]),
+                 key=lambda r: tuple((v is None, v) for v in r))
+    exp_sorted = sorted(exp, key=lambda r: tuple((v is None, v) for v in r))
+    assert got == exp_sorted
+    return names
+
+
+def test_table_level_integer_pk_is_rowid_alias(tmp_path):
+    # ADVICE round 7: 'PRIMARY KEY(a)' on a single INTEGER column is a
+    # rowid alias — values come from the rowid, records store NULL
+    names = _pin(
+        tmp_path,
+        "CREATE TABLE t (a INTEGER, b TEXT, PRIMARY KEY(a))",
+        ["INSERT INTO t VALUES (1,'x')", "INSERT INTO t VALUES (2,'y')",
+         "INSERT INTO t VALUES (3,'z')"])
+    assert names == ["a", "b"]
+
+
+def test_table_level_integer_pk_desc_still_aliases(tmp_path):
+    # SQLite quirk: table-level PRIMARY KEY(a DESC) DOES alias rowid
+    _pin(tmp_path,
+         "CREATE TABLE t (a INTEGER, b TEXT, PRIMARY KEY(a DESC))",
+         ["INSERT INTO t VALUES (7,'x')", "INSERT INTO t VALUES (9,'y')"])
+
+
+def test_inline_integer_pk_desc_is_not_alias(tmp_path):
+    # inline 'INTEGER PRIMARY KEY DESC' is NOT a rowid alias: values
+    # are stored in the record itself
+    _pin(tmp_path,
+         "CREATE TABLE t (a INTEGER PRIMARY KEY DESC, b TEXT)",
+         ["INSERT INTO t VALUES (5,'x')", "INSERT INTO t VALUES (2,'y')"])
+
+
+def test_int_pk_is_not_alias(tmp_path):
+    # declared type INT (not INTEGER) never aliases the rowid
+    _pin(tmp_path,
+         "CREATE TABLE t (a INT PRIMARY KEY, b TEXT)",
+         ["INSERT INTO t VALUES (4,'x')", "INSERT INTO t VALUES (6,'y')"])
+
+
+def test_comma_inside_default_literal(tmp_path):
+    # ADVICE round 7: comma inside DEFAULT 'a,b' must not split the
+    # column definition and misalign later columns
+    names = _pin(
+        tmp_path,
+        "CREATE TABLE t (a INTEGER PRIMARY KEY, "
+        "b TEXT DEFAULT 'x,y', c TEXT DEFAULT 'p''q,r', d REAL)",
+        ["INSERT INTO t(a,d) VALUES (1, 1.5)",
+         "INSERT INTO t VALUES (2, 'bb', 'cc', 2.5)"])
+    assert names == ["a", "b", "c", "d"]
+
+
+def test_comma_inside_quoted_identifier(tmp_path):
+    names = _pin(
+        tmp_path,
+        'CREATE TABLE t (a INTEGER PRIMARY KEY, "weird,name" TEXT, c TEXT)',
+        ["INSERT INTO t VALUES (1, 'w', 'c1')"])
+    assert names == ["a", "weird,name", "c"]
+
+
+def test_check_constraint_with_string_comma(tmp_path):
+    _pin(tmp_path,
+         "CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT, "
+         "CHECK (b IN ('x,y', 'z')))",
+         ["INSERT INTO t VALUES (1, 'x,y')",
+          "INSERT INTO t VALUES (2, 'z')"])

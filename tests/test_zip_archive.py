@@ -96,3 +96,22 @@ def test_distributed_reader(spark, tmp_path):
     assert len(rows) == 150
     sample = next(r for r in rows if r["member"] == "doc1_7.txt")
     assert bytes(sample["payload"]) == b"text 1 7"
+
+
+def test_comment_containing_eocd_magic():
+    # ADVICE round 7: a comment containing PK\x05\x06 must not be
+    # mistaken for the EOCD record
+    buf = _archive({"a.txt": b"alpha", "b.txt": b"beta"},
+                   comment=b"evil " + b"PK\x05\x06" + b" more text here")
+    assert dict(read_zip_bytes(buf)) == {"a.txt": b"alpha",
+                                         "b.txt": b"beta"}
+    # (stdlib zipfile's simpler scan is itself fooled by this comment
+    # and raises BadZipFile — the validated backward scan does better)
+    with pytest.raises(zipfile.BadZipFile):
+        zipfile.ZipFile(io.BytesIO(buf))
+
+
+def test_comment_with_many_fake_eocds():
+    fake = (b"PK\x05\x06" + b"\xff" * 18) * 5
+    buf = _archive({"x.bin": b"\x00" * 1000}, comment=fake)
+    assert dict(read_zip_bytes(buf)) == {"x.bin": b"\x00" * 1000}
