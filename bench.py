@@ -330,21 +330,32 @@ BENCH_QUERIES = [
 
 
 def _load_prior_record(repo_dir: str) -> dict[str, float]:
-    """Per-query seconds from the newest committed BENCH_full_r*.json —
-    the comparison base for the solo re-time pass."""
-    recs = [
+    """Per-query comparison base for the solo re-time pass.
+
+    Round-7 VERDICT item 3: comparing only against the NEWEST
+    BENCH_full_r*.json lets a regression escape — a mid-round run
+    writes the current round's record, and later runs then compare
+    against that (already-regressed) number instead of the previous
+    round's published record (q369 escaped round 7 exactly this way).
+    The base is therefore the per-query MINIMUM across the newest TWO
+    full records, which always covers both the previous round's
+    published record and any mid-round re-run of the current round."""
+    recs = sorted(
         (int(m.group(1)), p)
         for p in glob.glob(os.path.join(repo_dir, "BENCH_full_r*.json"))
         if (m := re.match(r"BENCH_full_r(\d+)\.json$", os.path.basename(p)))
-    ]
-    if not recs:
-        return {}
-    try:
-        with open(max(recs)[1]) as f:
-            return {k: float(v)
-                    for k, v in json.load(f).get("queries", {}).items()}
-    except (OSError, ValueError):
-        return {}
+    )
+    base: dict[str, float] = {}
+    for _, path in recs[-2:]:
+        try:
+            with open(path) as f:
+                for k, v in json.load(f).get("queries", {}).items():
+                    v = float(v)
+                    if k not in base or v < base[k]:
+                        base[k] = v
+        except (OSError, ValueError):
+            continue
+    return base
 
 
 def main() -> None:
