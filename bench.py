@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "q394_sqlite_data_plane",
     "q395_zip_corpus_ingest",
     "q396_format_triangle_consistency",
+    "q397_iceberg_data_skipping",
 ]
 
 

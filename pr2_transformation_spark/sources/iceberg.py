@@ -33,9 +33,22 @@ Format-version 2 DELETES are implemented: POSITIONAL
 broadcast anti-join against ``_metadata.row_index``) and EQUALITY
 (``delete_where_equality`` — column-tuple tombstones scoped by
 sequence: they apply only to data files OLDER than the delete, so
-later appends matching the values survive, per the spec).  Out of
-scope, documented rather than half-built: partition specs beyond
-unpartitioned and Avro-encoded column stats in manifests.
+later appends matching the values survive, per the spec).
+
+Round 8 closes the Delta/Iceberg asymmetry round 7 opened:
+
+* MANIFEST COLUMN STATS — per-file lower/upper bounds + null counts
+  (parquet footer only, zero data pages) ride every data_file entry
+  as JSON-by-column-name (the seam's simplification of the spec's
+  field-id-keyed binary maps), and ``read(skipping=...)`` /
+  ``files_matching`` prune scans from those bounds ALONE;
+* OPTIMISTIC CONCURRENCY — metadata versions publish create-exclusive
+  (the catalog-swap analogue); a losing blind append rebases and
+  retries, a losing overwrite/delete raises
+  :class:`ConcurrentCommitError` (delta.py:193's conflict rules).
+
+Out of scope, documented rather than half-built: partition specs
+beyond unpartitioned.
 """
 
 from __future__ import annotations
@@ -72,6 +85,16 @@ MANIFEST_SCHEMA = {
                     # list: comma-joined column NAMES (unpartitioned flat
                     # schemas make names unambiguous here)
                     {"name": "equality_cols", "type": "string"},
+                    # column stats for scan pruning — the spec stores
+                    # lower_bounds/upper_bounds/null_value_counts as
+                    # maps keyed by field id with binary single-value
+                    # serialization; this seam stores JSON maps keyed
+                    # by column NAME ("" = no stats, conservative).
+                    # Round-8: closes the Delta/Iceberg asymmetry
+                    # (delta.py add.stats has had skipping since r7).
+                    {"name": "lower_bounds_json", "type": "string"},
+                    {"name": "upper_bounds_json", "type": "string"},
+                    {"name": "null_counts_json", "type": "string"},
                 ],
             },
         },
@@ -127,6 +150,49 @@ def _spark_type_to_iceberg(dt: str) -> str:
     return m[dt]
 
 
+def _bounds_may_match(entry: dict, col: str, op: str, val) -> bool:
+    """False only when the manifest entry's lower/upper bounds PROVE no
+    row of the data file can satisfy ``col <op> val`` — the
+    no-false-negatives contract data skipping lives by (delta.py's
+    ``_stats_may_match`` twin, fed from manifest JSON bounds instead of
+    add.stats).  Missing bounds (pre-round-8 manifests, failed footer
+    probes, unknown ops) keep the file."""
+    lo_raw = entry.get("lower_bounds_json") or ""
+    hi_raw = entry.get("upper_bounds_json") or ""
+    if not lo_raw or not hi_raw:
+        return True
+    lo = json.loads(lo_raw).get(col)
+    hi = json.loads(hi_raw).get(col)
+    if lo is None or hi is None:
+        # a file whose every value is NULL can't match any comparison
+        nulls = json.loads(entry.get("null_counts_json") or "{}").get(col)
+        rc = entry.get("record_count") or 0
+        return not (nulls is not None and rc and nulls == rc)
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True  # incomparable literal type: keep the file
+    return True
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit lost the optimistic race to a concurrent
+    commit it had not read (the CommitFailedException analogue of the
+    Iceberg catalog's atomic metadata swap).  Blind appends never
+    raise this — they rebase onto the winner and retry; overwrites and
+    deletes computed their file/tombstone sets against the snapshot
+    they read, so retrying would silently drop the winner's rows."""
+
+
 class IcebergTable:
     """A directory speaking the Iceberg v1 metadata layout."""
 
@@ -138,10 +204,21 @@ class IcebergTable:
     # ---- metadata plumbing ----------------------------------------
 
     def _current_version(self) -> int:
+        # max(version-hint, highest vN.metadata.json on disk): the hint
+        # is advisory (written after the atomic publish), so a racing
+        # writer must see the winner's metadata file even before the
+        # winner refreshes the hint
+        v = 0
         hint = os.path.join(self.meta_dir, "version-hint.text")
-        if not os.path.exists(hint):
-            return 0
-        return int(open(hint).read().strip())
+        if os.path.exists(hint):
+            v = int(open(hint).read().strip())
+        if os.path.isdir(self.meta_dir):
+            import re as _re
+            for f in os.listdir(self.meta_dir):
+                m = _re.match(r"v(\d+)\.metadata\.json$", f)
+                if m:
+                    v = max(v, int(m.group(1)))
+        return v
 
     def _load_metadata(self) -> dict:
         v = self._current_version()
@@ -149,124 +226,193 @@ class IcebergTable:
             raise ValueError(f"not an Iceberg table (no version hint): {self.path}")
         return json.load(open(os.path.join(self.meta_dir, f"v{v}.metadata.json")))
 
-    def _write_metadata(self, meta: dict) -> int:
-        v = self._current_version() + 1
-        tmp = os.path.join(self.meta_dir, f".v{v}.json.tmp")
+    def _publish_metadata(self, meta: dict, version: int) -> int:
+        """Atomic create-exclusive publish of ``v{version}.metadata.json``
+        — the optimistic-concurrency commit point (the catalog swap in
+        a real Iceberg deployment).  Raises FileExistsError if another
+        writer minted this version first; the hint file is refreshed
+        only after winning."""
+        tmp = os.path.join(self.meta_dir,
+                           f".v{version}-{uuid.uuid4().hex[:8]}.json.tmp")
         json.dump(meta, open(tmp, "w"), indent=1)
-        os.rename(tmp, os.path.join(self.meta_dir, f"v{v}.metadata.json"))
+        final = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        try:
+            os.link(tmp, final)  # exactly one writer can mint version v
+        finally:
+            os.unlink(tmp)
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as f:
-            f.write(str(v))
-        return v
+            f.write(str(version))
+        return version
+
+    def _write_metadata(self, meta: dict) -> int:
+        return self._publish_metadata(meta, self._current_version() + 1)
 
     # ---- write side ------------------------------------------------
 
     def write(self, df: DataFrame, mode: str = "append",
-              now_ms: "int | None" = None) -> int:
+              now_ms: "int | None" = None, max_retries: int = 10) -> int:
         """Commit ``df`` as a new snapshot; returns the snapshot id
         (deterministic: 1-based commit ordinal when ``now_ms`` pins
         time).  ``overwrite`` starts the snapshot's manifest list from
-        scratch; ``append`` carries the previous list forward."""
+        scratch; ``append`` carries the previous list forward.
+
+        Per-file column stats (min/max/null-count off the parquet
+        FOOTER, zero data pages read) ride each manifest entry as
+        lower_bounds/upper_bounds/null_counts — the payload
+        ``files_matching`` / ``read(skipping=...)`` prune scans from.
+
+        OPTIMISTIC CONCURRENCY (round-8, mirroring delta.py): the
+        metadata file is published create-exclusive, so two writers
+        racing for table version v cannot both win.  The loser applies
+        the conflict rules: a blind APPEND read nothing — it rebases
+        onto the winner's snapshot and retries; an OVERWRITE computed
+        its replacement against the snapshot it read, so it raises
+        :class:`ConcurrentCommitError`.  Data/manifest files staged by
+        a failed attempt stay unreferenced — invisible to readers."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
+        read_version = self._current_version()
+
+        from .delta import _file_stats  # shared parquet-footer stats probe
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         added = []
-        counted = df.count()
+        counted = 0
+        count_missing = False
         for f in sorted(os.listdir(staging)):
             if not f.endswith(".parquet"):
                 continue
             name = f"part-{uuid.uuid4().hex[:12]}-{f}"
             dst = os.path.join(self.data_dir, name)
             os.rename(os.path.join(staging, f), dst)
+            stats = _file_stats(dst)
+            if stats is None:
+                count_missing = True
+            else:
+                counted += stats["numRecords"]
             added.append({
                 "status": 1,
                 "snapshot_id": 0,  # patched below once the id is known
                 "data_file": {
                     "file_path": f"data/{name}",
                     "file_format": "PARQUET",
-                    "record_count": 0,  # per-file counts live in parquet
+                    "record_count": 0 if stats is None
+                    else stats["numRecords"],
                     "file_size_in_bytes": os.path.getsize(dst),
                     "content": 0,
                     "equality_cols": "",
+                    "lower_bounds_json": "" if stats is None
+                    else json.dumps(stats["minValues"]),
+                    "upper_bounds_json": "" if stats is None
+                    else json.dumps(stats["maxValues"]),
+                    "null_counts_json": "" if stats is None
+                    else json.dumps(stats["nullCount"]),
                 },
             })
         shutil.rmtree(staging)
+        if count_missing:  # footer probe failed somewhere: one real count
+            counted = df.count()
 
-        try:
-            meta = self._load_metadata()
-        except ValueError:
-            meta = {
-                "format-version": 1,
-                "table-uuid": uuid.uuid4().hex,
-                "location": self.path,
-                "last-updated-ms": ts,
-                "last-column-id": len(df.schema.fields),
-                "schema": {
-                    "type": "struct",
-                    "fields": [
-                        {"id": i + 1, "name": fld.name, "required": False,
-                         "type": _spark_type_to_iceberg(fld.dataType.simpleString())}
-                        for i, fld in enumerate(df.schema.fields)
-                    ],
-                },
-                "partition-spec": [],
-                "properties": {},
-                "current-snapshot-id": -1,
-                "snapshots": [],
-                "snapshot-log": [],
-            }
-        snap_id = len(meta["snapshots"]) + 1
-        for e in added:
-            e["snapshot_id"] = snap_id
+        for _attempt in range(max_retries + 1):
+            # publish MUST target (version loaded)+1 — recomputing the
+            # version at publish time would let a commit that raced in
+            # between be silently built over (lost update)
+            base_version = self._current_version()
+            if base_version > 0:
+                meta = json.load(open(os.path.join(
+                    self.meta_dir, f"v{base_version}.metadata.json")))
+            else:
+                meta = {
+                    "format-version": 1,
+                    "table-uuid": uuid.uuid4().hex,
+                    "location": self.path,
+                    "last-updated-ms": ts,
+                    "last-column-id": len(df.schema.fields),
+                    "schema": {
+                        "type": "struct",
+                        "fields": [
+                            {"id": i + 1, "name": fld.name, "required": False,
+                             "type": _spark_type_to_iceberg(
+                                 fld.dataType.simpleString())}
+                            for i, fld in enumerate(df.schema.fields)
+                        ],
+                    },
+                    "partition-spec": [],
+                    "properties": {},
+                    "current-snapshot-id": -1,
+                    "snapshots": [],
+                    "snapshot-log": [],
+                }
+            snap_id = len(meta["snapshots"]) + 1
+            for e in added:
+                e["snapshot_id"] = snap_id
 
-        manifest_name = f"m-{uuid.uuid4().hex[:12]}.avro"
-        manifest_path = os.path.join(self.meta_dir, manifest_name)
-        with open(manifest_path, "wb") as f:
-            f.write(avro_write(added, MANIFEST_SCHEMA))
+            manifest_name = f"m-{uuid.uuid4().hex[:12]}.avro"
+            manifest_path = os.path.join(self.meta_dir, manifest_name)
+            with open(manifest_path, "wb") as f:
+                f.write(avro_write(added, MANIFEST_SCHEMA))
 
-        prev_entries = []
-        if mode == "append" and meta["current-snapshot-id"] != -1:
-            prev = next(s for s in meta["snapshots"]
-                        if s["snapshot-id"] == meta["current-snapshot-id"])
-            _, prev_rows = avro_read(
-                open(os.path.join(self.path, prev["manifest-list"]), "rb").read()
-            )
-            prev_entries = [{**r, "content": r.get("content", 0)}
-                            for r in prev_rows]
-        entries = prev_entries + [{
-            "manifest_path": f"metadata/{manifest_name}",
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": 0,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": len(added),
-            "existing_data_files_count": 0,
-            "deleted_data_files_count": 0,
-            "added_rows_count": counted,
-        }]
-        list_name = f"snap-{snap_id}.avro"
-        with open(os.path.join(self.meta_dir, list_name), "wb") as f:
-            f.write(avro_write(entries, MANIFEST_LIST_SCHEMA))
+            prev_entries = []
+            if mode == "append" and meta["current-snapshot-id"] != -1:
+                prev = next(s for s in meta["snapshots"]
+                            if s["snapshot-id"] == meta["current-snapshot-id"])
+                _, prev_rows = avro_read(
+                    open(os.path.join(self.path, prev["manifest-list"]),
+                         "rb").read()
+                )
+                prev_entries = [{**r, "content": r.get("content", 0)}
+                                for r in prev_rows]
+            entries = prev_entries + [{
+                "manifest_path": f"metadata/{manifest_name}",
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(added),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": counted,
+            }]
+            # uuid suffix: a retry (or a racing loser) must never clobber
+            # the winner's manifest list for the same ordinal
+            list_name = f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+            with open(os.path.join(self.meta_dir, list_name), "wb") as f:
+                f.write(avro_write(entries, MANIFEST_LIST_SCHEMA))
 
-        meta["snapshots"].append({
-            "snapshot-id": snap_id,
-            "timestamp-ms": ts,
-            "manifest-list": f"metadata/{list_name}",
-            "summary": {"operation": mode},
-        })
-        meta["current-snapshot-id"] = snap_id
-        meta["last-updated-ms"] = ts
-        meta["snapshot-log"].append({"snapshot-id": snap_id, "timestamp-ms": ts})
-        self._write_metadata(meta)
-        return snap_id
+            meta["snapshots"].append({
+                "snapshot-id": snap_id,
+                "timestamp-ms": ts,
+                "manifest-list": f"metadata/{list_name}",
+                "summary": {"operation": mode},
+            })
+            meta["current-snapshot-id"] = snap_id
+            meta["last-updated-ms"] = ts
+            meta["snapshot-log"].append(
+                {"snapshot-id": snap_id, "timestamp-ms": ts})
+            try:
+                self._publish_metadata(meta, base_version + 1)
+                return snap_id
+            except FileExistsError:
+                if mode == "overwrite":
+                    raise ConcurrentCommitError(
+                        f"overwrite read table version {read_version} but "
+                        f"a concurrent commit won; retrying would drop its "
+                        f"rows ({self.path})") from None
+                # blind append: rebase onto the new head and retry
+        raise ConcurrentCommitError(
+            f"gave up after {max_retries} rebase attempts "
+            f"(contended table at {self.path})")
 
     # ---- read side -------------------------------------------------
 
-    def _data_files(self, snapshot_id: "int | None" = None) -> list[str]:
+    def _data_file_entries(self,
+                           snapshot_id: "int | None" = None) -> list[dict]:
+        """Full manifest data_file entries (path, record_count, bounds)
+        for the snapshot's live content=0 files, sorted by path."""
         meta = self._load_metadata()
         sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
         snap = next(
@@ -280,17 +426,31 @@ class IcebergTable:
         _, manifests = avro_read(
             open(os.path.join(self.path, snap["manifest-list"]), "rb").read()
         )
-        files = []
+        entries = []
         for m in manifests:
             if m.get("content", 0) != 0:
                 continue  # delete manifests feed _delete_files
             _, rows = avro_read(
                 open(os.path.join(self.path, m["manifest_path"]), "rb").read()
             )
-            files.extend(
-                r["data_file"]["file_path"] for r in rows if r["status"] != 2
+            entries.extend(
+                r["data_file"] for r in rows if r["status"] != 2
             )
-        return sorted(files)
+        return sorted(entries, key=lambda d: d["file_path"])
+
+    def _data_files(self, snapshot_id: "int | None" = None) -> list[str]:
+        return [e["file_path"] for e in self._data_file_entries(snapshot_id)]
+
+    def files_matching(self, skipping: "list[tuple]",
+                       snapshot_id: "int | None" = None) -> "tuple[int, int]":
+        """(files kept, files total) for a skipping conjunction,
+        computed from MANIFEST bounds alone — no parquet footer or data
+        page is touched (the observable a pruning audit grades)."""
+        entries = self._data_file_entries(snapshot_id)
+        kept = sum(
+            1 for e in entries
+            if all(_bounds_may_match(e, c, op, v) for c, op, v in skipping))
+        return kept, len(entries)
 
     def _delete_entries(self, snapshot_id: "int | None" = None) -> list[dict]:
         """v2 delete files referenced by the snapshot's content=1
@@ -359,9 +519,32 @@ class IcebergTable:
         return sorted(files)
 
     def read(self, spark: SparkSession,
-             snapshot_id: "int | None" = None) -> DataFrame:
-        files = self._data_files(snapshot_id)
+             snapshot_id: "int | None" = None,
+             skipping: "list[tuple] | None" = None) -> DataFrame:
+        """The snapshot as a DataFrame — a distributed parquet scan over
+        the reconciled file list (pushdown/pruning untouched).
+
+        ``skipping`` is an optional conjunction of ``(col, op, value)``
+        predicates (op in ``= < <= > >=``) evaluated against each
+        manifest entry's lower/upper bounds BEFORE the scan is planned:
+        files whose bounds prove no row can match are never listed to
+        Spark.  Files without bounds are kept (conservative); the
+        predicate must still be applied to the returned frame —
+        skipping only DROPS provably irrelevant files."""
+        entries = self._data_file_entries(snapshot_id)
+        if skipping:
+            entries = [e for e in entries
+                       if all(_bounds_may_match(e, c, op, v)
+                              for c, op, v in skipping)]
+        files = [e["file_path"] for e in entries]
         if not files:
+            if skipping:
+                # every file provably irrelevant: empty frame, pinned schema
+                meta = self._load_metadata()
+                ddl = ", ".join(
+                    f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
+                    for f in meta["schema"]["fields"])
+                return spark.createDataFrame([], ddl)
             raise ValueError("empty snapshot")
         spark.catalog.refreshByPath(self.path)
         # pin the TABLE schema (stored at commit time) instead of letting
@@ -449,6 +632,7 @@ class IcebergTable:
         sequence-number scoping).  Returns the new snapshot id."""
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
         from pyspark.sql import functions as F  # noqa: F401
+        read_version = self._current_version()
         meta = self._load_metadata()
         vals = self.read(spark).filter(predicate).select(*columns).distinct()
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
@@ -478,6 +662,9 @@ class IcebergTable:
                         os.path.join(self.data_dir, del_name)),
                     "content": 2,
                     "equality_cols": ",".join(columns),
+                    "lower_bounds_json": "",
+                    "upper_bounds_json": "",
+                    "null_counts_json": "",
                 },
             }], MANIFEST_SCHEMA))
         prev = next(s for s in meta["snapshots"]
@@ -496,7 +683,7 @@ class IcebergTable:
             "deleted_data_files_count": 0,
             "added_rows_count": n_del,
         })
-        list_name = f"snap-{snap_id}.avro"
+        list_name = f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
         with open(os.path.join(self.meta_dir, list_name), "wb") as f:
             f.write(avro_write(entries, MANIFEST_LIST_SCHEMA))
         meta["format-version"] = 2
@@ -510,7 +697,13 @@ class IcebergTable:
         meta["last-updated-ms"] = ts
         meta["snapshot-log"].append(
             {"snapshot-id": snap_id, "timestamp-ms": ts})
-        self._write_metadata(meta)
+        try:
+            self._publish_metadata(meta, read_version + 1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"delete read table version {read_version} but a "
+                f"concurrent commit won; its rows/files were not seen by "
+                f"this tombstone set ({self.path})") from None
         return snap_id
 
     def delete_where(self, spark: SparkSession, predicate: str,
@@ -523,6 +716,7 @@ class IcebergTable:
         read time).  Returns the new snapshot id."""
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
         from pyspark.sql import functions as F
+        read_version = self._current_version()
         meta = self._load_metadata()
         files = self._data_files()
         base = spark.read.parquet(
@@ -567,6 +761,9 @@ class IcebergTable:
                         os.path.join(self.data_dir, del_name)),
                     "content": 1,
                     "equality_cols": "",
+                    "lower_bounds_json": "",
+                    "upper_bounds_json": "",
+                    "null_counts_json": "",
                 },
             }], MANIFEST_SCHEMA))
         prev = next(s for s in meta["snapshots"]
@@ -585,7 +782,7 @@ class IcebergTable:
             "deleted_data_files_count": 0,
             "added_rows_count": n_del,
         })
-        list_name = f"snap-{snap_id}.avro"
+        list_name = f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
         with open(os.path.join(self.meta_dir, list_name), "wb") as f:
             f.write(avro_write(entries, MANIFEST_LIST_SCHEMA))
         meta["format-version"] = 2  # delete files are a v2 feature
@@ -599,7 +796,13 @@ class IcebergTable:
         meta["last-updated-ms"] = ts
         meta["snapshot-log"].append(
             {"snapshot-id": snap_id, "timestamp-ms": ts})
-        self._write_metadata(meta)
+        try:
+            self._publish_metadata(meta, read_version + 1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"delete read table version {read_version} but a "
+                f"concurrent commit won; its rows/files were not seen by "
+                f"this tombstone set ({self.path})") from None
         return snap_id
 
     def snapshots(self) -> list[dict]:

@@ -56,6 +56,16 @@ def check_query_index(qs) -> list[str]:
         msgs.append(f"QUERY INDEX missing entries: {sorted(missing)[:5]}...")
     if stale := indexed - set(qs):
         msgs.append(f"QUERY INDEX has stale entries: {sorted(stale)[:5]}...")
+    # the header's declared count must equal len(queries()) — round-7
+    # VERDICT item 9: sweep prose said "397 queries" while the registry
+    # held 396; prose and registry may not drift
+    hdr = re.search(r"QUERY INDEX — (\d+) queries", m.group(0))
+    if hdr is None:
+        msgs.append("QUERY INDEX header lacks a query count")
+    elif int(hdr.group(1)) != len(qs):
+        msgs.append(
+            f"QUERY INDEX header declares {hdr.group(1)} queries but "
+            f"queries() registers {len(qs)} (run gen_query_index.py)")
     return msgs
 
 

@@ -126,3 +126,150 @@ def test_equality_deletes_sequence_scoped(spark, tmp_path):
     t.delete_where_equality(spark, "g = 1", ["g"], now_ms=5000)
     got = sorted(r["k"] for r in t.read(spark).collect())
     assert got == [k for k in range(40) if k % 4 != 1]
+
+
+def test_manifest_stats_written(spark, tmp_path):
+    """Round-8: every data_file entry carries record_count plus
+    lower/upper bounds + null counts computed from the parquet footer."""
+    t = IcebergTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") * 10).alias("v"),
+    ).coalesce(1)
+    t.write(df, mode="overwrite", now_ms=1_000)
+    [entry] = t._data_file_entries()
+    assert entry["record_count"] == 100
+    lo = json.loads(entry["lower_bounds_json"])
+    hi = json.loads(entry["upper_bounds_json"])
+    nulls = json.loads(entry["null_counts_json"])
+    assert lo["k"] == 0 and hi["k"] == 99
+    assert lo["v"] == 10 and hi["v"] == 990
+    assert nulls["v"] == 10 and nulls.get("k", 0) == 0
+
+
+def test_manifest_stats_prune_scan(spark, tmp_path):
+    """files_matching prunes from manifest bounds alone; a skipped read
+    plus the residual filter equals the full-scan answer."""
+    t = IcebergTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).coalesce(1), mode="overwrite", now_ms=1_000)
+    for lo, hi in ((100, 200), (200, 300), (300, 400)):
+        t.write(_df(spark, lo, hi).coalesce(1), mode="append", now_ms=2_000)
+    band = [("k", ">=", 120), ("k", "<", 180)]
+    assert t.files_matching(band) == (1, 4)
+    got = sorted(r["k"] for r in t.read(spark, skipping=band)
+                 .filter("k >= 120 AND k < 180").collect())
+    assert got == list(range(120, 180))
+    # equality point lookup: one file of four
+    assert t.files_matching([("k", "=", 250)]) == (1, 4)
+    # all pruned -> empty frame with the pinned schema, not an error
+    empty = t.read(spark, skipping=[("k", ">", 10_000)])
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+    # missing-stats entries are kept (conservative)
+    from pr2_transformation_spark.sources.iceberg import _bounds_may_match
+    assert _bounds_may_match({"file_path": "x"}, "k", "=", 5)
+    assert _bounds_may_match(
+        {"lower_bounds_json": "", "upper_bounds_json": ""}, "k", "<", 5)
+    # all-NULL column: provably can't match a comparison
+    assert not _bounds_may_match(
+        {"lower_bounds_json": "{}", "upper_bounds_json": "{}",
+         "null_counts_json": '{"k": 7}', "record_count": 7}, "k", "=", 5)
+
+
+def test_two_writer_conflict_append_rebases_overwrite_raises(spark, tmp_path):
+    """Optimistic concurrency (round-8, delta.py's rules): metadata
+    versions are minted create-exclusive.  Simulate the race by letting
+    a competing commit land between the writer's snapshot read and its
+    publish: a blind append rebases and retries (union visible); an
+    overwrite raises ConcurrentCommitError."""
+    from pr2_transformation_spark.sources.iceberg import (
+        ConcurrentCommitError,
+    )
+
+    t = IcebergTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 5), mode="overwrite", now_ms=1_000)
+
+    t2 = IcebergTable(t.path)
+    t2.write(_df(spark, 100, 103), mode="append", now_ms=2_000)  # the winner
+    real_cv = IcebergTable._current_version
+    calls = {"n": 0}
+
+    def stale_once(self):
+        calls["n"] += 1
+        return 1 if calls["n"] <= 2 else real_cv(self)
+
+    # two stale reads: write() calls _current_version for read_version
+    # and again for the attempt's base_version
+    IcebergTable._current_version = stale_once
+    try:
+        sid = t.write(_df(spark, 5, 8), mode="append", now_ms=3_000)
+    finally:
+        IcebergTable._current_version = real_cv
+    assert sid == 3  # rebased past the winner
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 102]
+    # nothing clobbered: the winner's v2 and the rebased v3 both present
+    md = os.path.join(t.path, "metadata")
+    for v in (1, 2, 3):
+        assert os.path.exists(os.path.join(md, f"v{v}.metadata.json"))
+    v2 = json.load(open(os.path.join(md, "v2.metadata.json")))
+    assert v2["current-snapshot-id"] == 2  # the winner's commit survived
+
+    # overwrite racing a commit it did not read must refuse
+    t3 = IcebergTable(t.path)
+    t3.write(_df(spark, 200, 202), mode="append", now_ms=4_000)
+    calls["n"] = 0
+    stale_head = real_cv(t3) - 1  # pretend we read before the last commit
+
+    def stale_once2(self):
+        calls["n"] += 1
+        return stale_head if calls["n"] <= 2 else real_cv(self)
+
+    IcebergTable._current_version = stale_once2
+    try:
+        with pytest.raises(ConcurrentCommitError, match="overwrite read"):
+            t3.write(_df(spark, 300, 302), mode="overwrite", now_ms=5_000)
+    finally:
+        IcebergTable._current_version = real_cv
+    # the winner's snapshot is intact
+    assert sorted(r["k"] for r in t3.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 102, 200, 201]
+
+
+def test_delete_conflict_raises(spark, tmp_path):
+    """A positional delete whose read snapshot was overtaken by a
+    concurrent commit must raise, not silently tombstone against a
+    stale file set."""
+    from pr2_transformation_spark.sources.iceberg import (
+        ConcurrentCommitError,
+    )
+
+    t = IcebergTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 10), mode="overwrite", now_ms=1_000)
+    real_cv = IcebergTable._current_version
+    calls = {"n": 0}
+
+    def race(self):
+        # the delete reads version 1; a competing append lands before
+        # its publish by minting v2 behind its back
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real_cv(self)
+        if calls["n"] == 2:
+            IcebergTable._current_version = real_cv
+            t_other = IcebergTable(t.path)
+            t_other.write(_df(spark, 50, 52), mode="append", now_ms=2_000)
+            IcebergTable._current_version = race_holder[0]
+            return 1
+        return real_cv(self)
+
+    race_holder = [race]
+    IcebergTable._current_version = race
+    try:
+        with pytest.raises(ConcurrentCommitError, match="delete read"):
+            t.delete_where(spark, "k < 3", now_ms=3_000)
+    finally:
+        IcebergTable._current_version = real_cv
+    # winner intact, no tombstones applied
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 50, 51]
