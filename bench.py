@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "q395_zip_corpus_ingest",
     "q396_format_triangle_consistency",
     "q397_iceberg_data_skipping",
+    "q398_avro_logical_types",
 ]
 
 

@@ -322,3 +322,208 @@ def test_full_codec_set_roundtrip():
         av_mod._codec_encode = orig
     _, got = avro_read(blob)
     assert got == rows
+
+
+# ---------------------------------------------------- logical types (r8)
+
+LOGICAL_SCHEMA = {
+    "type": "record",
+    "name": "L",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 12, "scale": 2}},
+        {"name": "fx", "type": {"type": "fixed", "name": "d8", "size": 8,
+                                "logicalType": "decimal",
+                                "precision": 18, "scale": 4}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+        {"name": "tu", "type": {"type": "long",
+                                "logicalType": "time-micros"}},
+        {"name": "tsm", "type": {"type": "long",
+                                 "logicalType": "timestamp-millis"}},
+        {"name": "tsu", "type": {"type": "long",
+                                 "logicalType": "timestamp-micros"}},
+        {"name": "ltsu", "type": {"type": "long",
+                                  "logicalType": "local-timestamp-micros"}},
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "opt", "type": ["null", {"type": "bytes",
+                                          "logicalType": "decimal",
+                                          "precision": 6, "scale": 3}]},
+    ],
+}
+
+
+def _logical_rows():
+    import datetime
+    import decimal
+
+    utc = datetime.timezone.utc
+    return [
+        {"id": 1, "price": decimal.Decimal("123.45"),
+         "fx": decimal.Decimal("-7.1000"),
+         "d": datetime.date(2020, 2, 29),
+         "tm": datetime.time(13, 45, 30, 123000),
+         "tu": datetime.time(23, 59, 59, 999999),
+         "tsm": datetime.datetime(2021, 6, 1, 12, 0, 0, 500000, tzinfo=utc),
+         "tsu": datetime.datetime(1969, 12, 31, 23, 59, 59, 999999,
+                                  tzinfo=utc),
+         "ltsu": datetime.datetime(2000, 1, 2, 3, 4, 5, 6),
+         "u": "00000000-0000-0000-0000-0000deadbeef", "opt": None},
+        {"id": 2, "price": decimal.Decimal("-0.01"),
+         "fx": decimal.Decimal("99999999999999.9999"),
+         "d": datetime.date(1969, 12, 31),
+         "tm": datetime.time(0, 0, 0),
+         "tu": datetime.time(0, 0, 0, 1),
+         "tsm": datetime.datetime(1970, 1, 1, tzinfo=utc),
+         "tsu": datetime.datetime(1970, 1, 1, tzinfo=utc),
+         "ltsu": datetime.datetime(1969, 1, 1),
+         "u": "00000000-0000-0000-0000-000000000007",
+         "opt": __import__("decimal").Decimal("1.500")},
+    ]
+
+
+def test_logical_types_roundtrip():
+    rows = _logical_rows()
+    schema_back, back = av.avro_read(av.avro_write(rows, LOGICAL_SCHEMA))
+    assert schema_back == LOGICAL_SCHEMA
+    assert back == rows
+
+
+def test_logical_types_spec_vectors():
+    """Byte-level pins from the Avro 1.11 spec: decimal-over-bytes is the
+    MINIMAL big-endian two's-complement of the unscaled integer (Java
+    BigInteger.toByteArray); date/time/timestamp are plain zigzag longs
+    of the day/milli/micro ordinal."""
+    import datetime
+    import decimal
+
+    dec = {"type": "bytes", "logicalType": "decimal",
+           "precision": 12, "scale": 2}
+    out = bytearray()
+    av._write_value(out, dec, decimal.Decimal("123.45"))
+    assert bytes(out) == bytes([0x04, 0x30, 0x39])  # len 2, 12345
+    out = bytearray()
+    av._write_value(out, dec, decimal.Decimal("-0.01"))
+    assert bytes(out) == bytes([0x02, 0xFF])  # len 1, -1
+    out = bytearray()
+    av._write_value(out, dec, decimal.Decimal("-1.28"))
+    assert bytes(out) == bytes([0x02, 0x80])  # -128 fits ONE byte
+    out = bytearray()
+    av._write_value(out, dec, decimal.Decimal("1.28"))
+    assert bytes(out) == bytes([0x04, 0x00, 0x80])  # +128 needs sign byte
+    # fixed decimal: sign-extended to exactly `size` bytes
+    fx = {"type": "fixed", "name": "d4", "size": 4,
+          "logicalType": "decimal", "precision": 9, "scale": 0}
+    out = bytearray()
+    av._write_value(out, fx, decimal.Decimal(-2))
+    assert bytes(out) == b"\xff\xff\xff\xfe"
+    # date: days since epoch as zigzag varint (2020-02-29 = day 18321)
+    out = bytearray()
+    av._write_value(out, {"type": "int", "logicalType": "date"},
+                    datetime.date(2020, 2, 29))
+    exp = bytearray()
+    av._write_long(exp, 18321)
+    assert out == exp
+    # timestamp-micros: epoch micros
+    out = bytearray()
+    av._write_value(out, {"type": "long", "logicalType": "timestamp-micros"},
+                    datetime.datetime(1970, 1, 1, 0, 0, 1,
+                                      tzinfo=datetime.timezone.utc))
+    exp = bytearray()
+    av._write_long(exp, 1_000_000)
+    assert out == exp
+
+
+def test_logical_decimal_rejects_rounding_and_overflow():
+    import decimal
+
+    dec = {"type": "bytes", "logicalType": "decimal",
+           "precision": 4, "scale": 2}
+    with pytest.raises(ValueError, match="scale"):
+        av._write_value(bytearray(), dec, decimal.Decimal("1.234"))
+    with pytest.raises(ValueError, match="overflows"):
+        av._write_value(bytearray(), dec, decimal.Decimal("123.45"))
+
+
+def test_unknown_logical_type_falls_back_to_base():
+    # spec: unrecognized logicalType annotations are ignored
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": {"type": "long",
+                               "logicalType": "duration-ish"}}]}
+    data = av.avro_write([{"x": 42}], schema)
+    _, back = av.avro_read(data)
+    assert back == [{"x": 42}]
+    assert av.avro_schema_to_spark(schema)["x"].dataType.simpleString() \
+        == "bigint"
+
+
+def test_logical_types_distributed_read(spark, tmp_path):
+    """read_avro surfaces decimal/date/timestamp/uuid as proper Spark
+    types (times as exact integer millis/micros — the documented TIME
+    seam) and values survive an aggregate."""
+    import datetime
+    import decimal
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = _logical_rows() * 50
+    (tmp_path / "a.avro").write_bytes(av.avro_write(rows, LOGICAL_SCHEMA))
+    df = av.read_avro(spark, str(tmp_path), LOGICAL_SCHEMA)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "decimal(12,2)", "decimal(18,4)", "date", "int",
+        "bigint", "timestamp", "timestamp", "timestamp_ntz", "string",
+        "decimal(6,3)"]
+    got = df.filter("id = 2").limit(1).collect()[0]
+    assert got["price"] == decimal.Decimal("-0.01")
+    assert got["fx"] == decimal.Decimal("99999999999999.9999")
+    assert got["d"] == datetime.date(1969, 12, 31)
+    assert got["tm"] == 0 and got["tu"] == 1
+    assert got["u"].endswith("07")
+    assert got["opt"] == decimal.Decimal("1.500")
+    agg = df.groupBy().sum("price").collect()[0][0]
+    assert agg == decimal.Decimal("123.44") * 50
+
+
+def test_logical_types_property_roundtrip():
+    """Hypothesis sweep: random decimals/dates/times/timestamps survive
+    write->read exactly."""
+    import datetime
+    import decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {"type": "record", "name": "P", "fields": [
+        {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 20, "scale": 5}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "tu", "type": {"type": "long",
+                                "logicalType": "time-micros"}},
+        {"name": "tsu", "type": {"type": "long",
+                                 "logicalType": "timestamp-micros"}},
+    ]}
+
+    utc = datetime.timezone.utc
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        unscaled=st.integers(min_value=-(10 ** 20) + 1,
+                             max_value=10 ** 20 - 1),
+        days=st.integers(min_value=-100_000, max_value=100_000),
+        us=st.integers(min_value=0, max_value=86_399_999_999),
+        ets=st.integers(min_value=-62_135_596_800_000_000,
+                        max_value=253_402_300_799_000_000),
+    )
+    def run(unscaled, days, us, ets):
+        row = {
+            "dec": decimal.Decimal(unscaled).scaleb(-5),
+            "d": datetime.date(1970, 1, 1) + datetime.timedelta(days=days),
+            "tu": (datetime.datetime(1970, 1, 1)
+                   + datetime.timedelta(microseconds=us)).time(),
+            "tsu": (datetime.datetime(1970, 1, 1, tzinfo=utc)
+                    + datetime.timedelta(microseconds=ets)),
+        }
+        _, back = av.avro_read(av.avro_write([row], schema))
+        assert back == [row]
+
+    run()
