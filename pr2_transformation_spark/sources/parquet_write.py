@@ -24,9 +24,10 @@ Encodings.md) and the Thrift Compact Protocol spec.  Layout written:
 
 Supported: flat OPTIONAL columns of BOOLEAN / INT32 / INT64 / FLOAT /
 DOUBLE / BYTE_ARRAY(UTF8), one data page per column chunk per row
-group, PLAIN or PLAIN_DICTIONARY values, RLE def levels.  Nested /
-repeated schemas remain read-side only (``parquet_data`` decodes them);
-the seam raises loudly.
+group, PLAIN or PLAIN_DICTIONARY values, RLE def levels; nested
+one-level optional structs and 3-level Dremel LIST columns (RLE rep
+levels) via :func:`write_parquet_nested_bytes`.  Deeper nesting stays
+read-side only (``parquet_data`` decodes it); the seam raises loudly.
 """
 
 from __future__ import annotations
@@ -347,14 +348,22 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
     ``encoding_override``: "delta" (DELTA_BINARY_PACKED, INT32/INT64)
     or "byte_stream_split" (FLOAT/DOUBLE) replaces PLAIN/dictionary.
     ``pre_levels``: (def_levels, max_def) for NESTED columns — vals
-    must then hold only the defined (max-level) values."""
+    must then hold only the defined (max-level) values — or
+    (def_levels, max_def, rep_levels, max_rep) for REPEATED (LIST)
+    columns, where the v1 data page carries RLE rep levels before the
+    def levels per the spec."""
+    reps = b""
     if pre_levels is not None:
-        def_levels, max_def = pre_levels
+        def_levels, max_def = pre_levels[0], pre_levels[1]
         nvals = len(def_levels)
         nonnull = list(vals)
         null_count = nvals - len(nonnull)
         bw = max(1, (max_def).bit_length())
         defs = rle_bp_encode(def_levels, bw)
+        if len(pre_levels) == 4:
+            rep_levels, max_rep = pre_levels[2], pre_levels[3]
+            bw_r = max(1, (max_rep).bit_length())
+            reps = rle_bp_encode(rep_levels, bw_r)
     else:
         nvals = len(vals)
         nonnull = [v for v in vals if v is not None]
@@ -432,6 +441,8 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
         encoding = _ENC_PLAIN
 
     raw_page = len(defs).to_bytes(4, "little") + defs + payload
+    if reps:  # repeated column: rep levels precede def levels (v1 page)
+        raw_page = len(reps).to_bytes(4, "little") + reps + raw_page
     comp_page = _compress(raw_page, codec)
     header = _page_header(_PAGE_DATA, len(raw_page), len(comp_page),
                           num_values=nvals, encoding=encoding,
@@ -627,20 +638,67 @@ def write_parquet_nested_bytes(
     pass leaf values aligned per row and a leading ``("__present__",
     [bool...])`` pseudo-leaf is NOT needed: a group counts as present
     on a row when ANY leaf is non-None.  Definition levels: 0 = group
-    null, 1 = leaf null within a present group, 2 = value.  Deeper
-    nesting and repetition stay on the read-side seam."""
+    null, 1 = leaf null within a present group, 2 = value.
+
+    ROUND 8 — LIST columns (3-level Dremel WRITE, the write twin of
+    parquet_data's q361 read assembly): ``("name", "LIST<PTYPE>",
+    values)`` where each row is None (null list), [] (empty list) or a
+    python list with optional None elements, emitted as the spec's
+
+        optional group name (LIST) {
+          repeated group list { optional PTYPE element; }
+        }
+
+    with max_def=3 / max_rep=1 and RLE rep levels ahead of the def
+    levels in the v1 data page.  Deeper nesting (list-of-list,
+    struct-in-list) stays on the read-side seam."""
     if codec not in _CODECS:
         raise NotImplementedError(f"codec {codec!r}")
-    # normalize to leaf specs: (path parts, ptype, def_levels, values)
+    # normalize to leaf specs:
+    # (path parts, ptype, def_levels, values, max_def[, reps, max_rep])
     nrows = None
     leaves = []
-    schema_elems = []  # (name, ptype|None, num_children)
+    # (name, ptype|None, n_children, repetition, converted_type|None)
+    _OPT, _REP = 1, 2
+    _CONVERTED_LIST = 3
+    schema_elems = []
     for spec in fields:
-        if len(spec) == 3 and isinstance(spec[1], str):
+        if (len(spec) == 3 and isinstance(spec[1], str)
+                and spec[1].startswith("LIST<")):
+            name, tspec, vals = spec
+            ptype = tspec[5:-1]
+            if ptype not in _PHYS:
+                raise NotImplementedError(f"list element type {ptype!r}")
+            if nrows is None:
+                nrows = len(vals)
+            defs: list = []
+            reps: list = []
+            flat: list = []
+            for row in vals:
+                if row is None:
+                    defs.append(0)
+                    reps.append(0)
+                elif len(row) == 0:
+                    defs.append(1)
+                    reps.append(0)
+                else:
+                    for j, el in enumerate(row):
+                        reps.append(0 if j == 0 else 1)
+                        if el is None:
+                            defs.append(2)
+                        else:
+                            defs.append(3)
+                            flat.append(el)
+            schema_elems.append((name, None, 1, _OPT, _CONVERTED_LIST))
+            schema_elems.append(("list", None, 1, _REP, None))
+            schema_elems.append(("element", ptype, None, _OPT, None))
+            leaves.append(([name, "list", "element"], ptype, defs, flat,
+                           3, reps, 1))
+        elif len(spec) == 3 and isinstance(spec[1], str):
             name, ptype, vals = spec
             if nrows is None:
                 nrows = len(vals)
-            schema_elems.append((name, ptype, None))
+            schema_elems.append((name, ptype, None, _OPT, None))
             leaves.append(([name], ptype,
                            [0 if v is None else 1 for v in vals],
                            [v for v in vals if v is not None], 1))
@@ -650,19 +708,21 @@ def write_parquet_nested_bytes(
                 nrows = len(leaf_specs[0][2])
             present = [any(ls[2][i] is not None for ls in leaf_specs)
                        for i in range(nrows)]
-            schema_elems.append((gname, None, len(leaf_specs)))
+            schema_elems.append((gname, None, len(leaf_specs), _OPT, None))
             for lname, ptype, vals in leaf_specs:
                 defs = [2 if vals[i] is not None
                         else (1 if present[i] else 0)
                         for i in range(nrows)]
-                schema_elems.append((lname, ptype, None))
+                schema_elems.append((lname, ptype, None, _OPT, None))
                 leaves.append(([gname, lname], ptype, defs,
                                [v for v in vals if v is not None], 2))
     body = bytearray(b"PAR1")
     chunks = []
-    for path, ptype, defs, nonnull, max_def in leaves:
+    for path, ptype, defs, nonnull, max_def, *rep_part in leaves:
+        levels = ((defs, max_def, rep_part[0], rep_part[1])
+                  if rep_part else (defs, max_def))
         c = _write_chunk(body, ".".join(path), ptype, nonnull, codec,
-                         False, None, (defs, max_def))
+                         False, None, levels)
         c["path_parts"] = path
         chunks.append(c)
 
@@ -675,18 +735,20 @@ def write_parquet_nested_bytes(
                        if True) - sum(e[2] or 0 for e in schema_elems))
     w.out.append(0)
     w._last_fid.pop()
-    for name, ptype, n_children in schema_elems:
+    for name, ptype, n_children, repetition, converted in schema_elems:
         w._last_fid.append(0)
         if n_children is None:
             w.field_i32(1, _PHYS[ptype])
-            w.field_i32(3, 1)  # OPTIONAL
+            w.field_i32(3, repetition)
             w.field_string(4, name)
             if ptype == "BYTE_ARRAY":
                 w.field_i32(6, _CONVERTED_UTF8)
         else:
-            w.field_i32(3, 1)  # OPTIONAL group
+            w.field_i32(3, repetition)
             w.field_string(4, name)
             w.field_i32(5, n_children)
+            if converted is not None:
+                w.field_i32(6, converted)
         w.out.append(0)
         w._last_fid.pop()
     w.field_i64(3, nrows or 0)

@@ -348,3 +348,77 @@ def test_delta_checkpoint_rides_own_writer(spark, tmp_path):
         or "pr2-transformation-spark" in meta.created_by
     adds = pq.read_table(ck).column("add").to_pylist()
     assert sum(1 for a in adds if a is not None) >= 2
+
+
+def test_list_column_write_four_readers(tmp_path):
+    """3-level Dremel LIST write (round-8): null list, empty list,
+    null elements, single element — byte-validated by pyarrow, DuckDB,
+    the repo's own reader, and (in test_spark_reads_lists) Spark."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources.parquet_data import (
+        read_parquet_bytes,
+    )
+    from pr2_transformation_spark.sources.parquet_write import (
+        write_parquet_nested_bytes,
+    )
+
+    tags = [["a", "b"], None, [], ["x", None, "z"], ["only"]]
+    nums = [[1, 2, 3], [], None, [-7], [0, None]]
+    for codec in ("none", "snappy", "zstd"):
+        buf = write_parquet_nested_bytes([
+            ("id", "INT64", [1, 2, 3, 4, 5]),
+            ("tags", "LIST<BYTE_ARRAY>", tags),
+            ("nums", "LIST<INT64>", nums),
+        ], codec=codec)
+        p = tmp_path / f"l_{codec}.parquet"
+        p.write_bytes(buf)
+        t = pq.read_table(str(p)).to_pydict()
+        assert t["tags"] == tags and t["nums"] == nums
+        got = duckdb.sql(
+            f"SELECT tags, nums FROM '{p}' ORDER BY id").fetchall()
+        assert [g[0] for g in got] == tags
+        assert [g[1] for g in got] == nums
+        names, cols = read_parquet_bytes(buf)
+        assert cols["nums"] == nums
+        norm = [None if r is None
+                else [v.decode() if isinstance(v, bytes) else v for v in r]
+                for r in cols["tags"]]
+        assert norm == tags
+
+
+def test_list_column_edge_shapes(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources.parquet_write import (
+        write_parquet_nested_bytes,
+    )
+
+    # all-null, all-empty, and a long ragged column
+    rows = [None] * 3 + [[]] * 3 + [[float(i)] * (i % 5) or None
+                                    for i in range(20)]
+    buf = write_parquet_nested_bytes(
+        [("v", "LIST<DOUBLE>", rows)], codec="gzip")
+    p = tmp_path / "edge.parquet"
+    p.write_bytes(buf)
+    assert pq.read_table(str(p)).to_pydict()["v"] == rows
+    # unknown element type seams loudly
+    with pytest.raises(NotImplementedError, match="list element"):
+        write_parquet_nested_bytes([("v", "LIST<INT96>", [[1]])])
+
+
+def test_spark_reads_lists(spark, tmp_path):
+    from pr2_transformation_spark.sources.parquet_write import (
+        write_parquet_nested_bytes,
+    )
+
+    nums = [[1, 2, 3], [], None, [-7], [0, None]]
+    (tmp_path / "t.parquet").write_bytes(write_parquet_nested_bytes([
+        ("id", "INT64", [1, 2, 3, 4, 5]),
+        ("nums", "LIST<INT64>", nums),
+    ], codec="zstd"))
+    got = spark.read.parquet(str(tmp_path)).orderBy("id").collect()
+    assert [r["nums"] for r in got] == nums
+    assert spark.read.parquet(str(tmp_path)).schema["nums"] \
+        .dataType.simpleString() == "array<bigint>"
