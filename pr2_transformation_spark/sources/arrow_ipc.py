@@ -137,7 +137,7 @@ class _Table:
 _T_INT, _T_FLOAT, _T_BINARY, _T_UTF8, _T_BOOL = 2, 3, 4, 5, 6
 _T_DATE, _T_TIMESTAMP = 8, 10
 _UNSUPPORTED = {1: "null", 7: "decimal", 9: "time", 11: "interval",
-                12: "list", 13: "struct", 14: "union",
+                14: "union",
                 15: "fixed_size_binary", 16: "fixed_size_list", 17: "map",
                 18: "duration", 19: "large_binary", 20: "large_utf8",
                 21: "large_list"}
@@ -168,18 +168,24 @@ def _parse_field(f: _Table) -> dict:
     elif ttype == _T_TIMESTAMP:
         unit = t.i16(0, 0)
         kind = f"timestamp{('s', 'ms', 'us', 'ns')[unit]}"
-    elif ttype == 12:  # List
+    elif ttype == 12:  # List (round-8: children may nest — List<List>,
+        # List<Struct> — the depth-first node/buffer walk handles any
+        # depth)
         child_fields = f.vector_tables(5)
         child = _parse_field(child_fields[0])
-        if child["kind"] == "list" or "child" in child:
-            raise NotImplementedError(
-                "arrow_ipc: nested list-of-list outside seam")
         out = {"name": name, "kind": "list", "child": child,
                "nullable": bool(f.u8(1, 1))}
         if dict_enc is not None:
             raise NotImplementedError(
                 "arrow_ipc: dictionary-encoded list outside seam")
         return out
+    elif ttype == 13:  # Struct_ (round-8)
+        kids = [_parse_field(c) for c in f.vector_tables(5)]
+        if dict_enc is not None:
+            raise NotImplementedError(
+                "arrow_ipc: dictionary-encoded struct outside seam")
+        return {"name": name, "kind": "struct", "children": kids,
+                "nullable": bool(f.u8(1, 1))}
     else:
         raise NotImplementedError(
             f"arrow_ipc: column {name!r} type "
@@ -291,6 +297,10 @@ def _decode_vector(field: dict, nodes: list, get_buf, cur: dict,
         elems = _decode_vector(field["child"], nodes, get_buf, cur,
                                dicts)
         vals = [elems[cuts[i]:cuts[i + 1]] for i in range(length)]
+    elif kind == "struct":
+        kids = [(c["name"], _decode_vector(c, nodes, get_buf, cur, dicts))
+                for c in field["children"]]
+        vals = [{n: col[i] for n, col in kids} for i in range(length)]
     elif kind in _FIXED:
         fmt, width = _FIXED[kind]
         data = bi()

@@ -11,8 +11,11 @@ footer Block index, and optional ZSTD body compression through the
 IN-REPO `zstd.zstd_compress` encoder (each buffer carrying the spec's
 8-byte uncompressed-length prefix).
 
-Scope (honest seam): flat schemas of bool / int32 / int64 / float32 /
-float64 / utf8 / binary / date32; one batch per ``batch_rows`` rows.
+Scope (honest seam): schemas of bool / int32 / int64 / float32 /
+float64 / utf8 / binary / date32 plus arbitrarily nested
+``list<child>`` vectors of those (round-8 — offsets buffer + recursive
+depth-first child nodes, matching the reader); one batch per
+``batch_rows`` rows.
 
 Conformance: engine-written files are read by pyarrow (the C++
 reference) AND the repo's own reader in tests; bytes are deterministic.
@@ -182,20 +185,44 @@ def _date_type(b: _FBB) -> int:
     return b.end()
 
 
-def _schema_fb(cols: "list[tuple[str, str]]") -> bytes:
-    """Schema message flatbuffer bytes."""
-    b = _FBB()
-    field_offs = []
-    for name, kind in cols:
-        ttype, builder = _TYPES[kind]
-        toff = builder(b)
+def _build_field(b: _FBB, name: str, kind: str) -> int:
+    """Field table offset for ``kind`` — primitives from _TYPES, or
+    ``list<child>`` (round-8) with a one-entry children vector and the
+    empty List type table (type discriminant 12)."""
+    if kind.startswith("list<") and kind.endswith(">"):
+        child_off = _build_field(b, "item", kind[5:-1])
+        kvec = b.vector_of_tables([child_off])
+        b.start()
+        toff = b.end()  # List type table carries no fields
         noff = b.string(name)
         b.start()
         b.slot_ref(0, noff)
-        b.slot_scalar(1, "<B", 1, 1)      # nullable
-        b.slot_scalar(2, "<B", ttype, 1)  # type discriminant
+        b.slot_scalar(1, "<B", 1, 1)   # nullable
+        b.slot_scalar(2, "<B", 12, 1)  # type discriminant: List
         b.slot_ref(3, toff)
-        field_offs.append(b.end())
+        b.slot_ref(5, kvec)            # children
+        return b.end()
+    ttype, builder = _TYPES[kind]
+    toff = builder(b)
+    noff = b.string(name)
+    b.start()
+    b.slot_ref(0, noff)
+    b.slot_scalar(1, "<B", 1, 1)      # nullable
+    b.slot_scalar(2, "<B", ttype, 1)  # type discriminant
+    b.slot_ref(3, toff)
+    return b.end()
+
+
+def _valid_kind(kind: str) -> bool:
+    while kind.startswith("list<") and kind.endswith(">"):
+        kind = kind[5:-1]
+    return kind in _TYPES
+
+
+def _schema_fb(cols: "list[tuple[str, str]]") -> bytes:
+    """Schema message flatbuffer bytes."""
+    b = _FBB()
+    field_offs = [_build_field(b, name, kind) for name, kind in cols]
     fvec = b.vector_of_tables(field_offs)
     b.start()
     b.slot_ref(1, fvec)
@@ -241,17 +268,7 @@ def _batch_fb(n_rows: int, nodes: list, buffers: list, body_len: int,
 def _footer_fb(cols, blocks: list) -> bytes:
     """File footer flatbuffer (NOT message-framed)."""
     b = _FBB()
-    field_offs = []
-    for name, kind in cols:
-        ttype, builder = _TYPES[kind]
-        toff = builder(b)
-        noff = b.string(name)
-        b.start()
-        b.slot_ref(0, noff)
-        b.slot_scalar(1, "<B", 1, 1)
-        b.slot_scalar(2, "<B", ttype, 1)
-        b.slot_ref(3, toff)
-        field_offs.append(b.end())
+    field_offs = [_build_field(b, name, kind) for name, kind in cols]
     fvec = b.vector_of_tables(field_offs)
     b.start()
     b.slot_ref(1, fvec)
@@ -275,7 +292,9 @@ def _pad8(raw: bytes) -> bytes:
 
 
 def _encode_column(kind: str, values: list):
-    """-> (node, [buffer bytes...]) for one column."""
+    """-> ([field nodes depth-first], [buffer bytes...]) for one column
+    (a list column contributes its own node + offsets, then its child
+    vector's nodes/buffers recursively)."""
     n = len(values)
     nulls = sum(1 for v in values if v is None)
     if nulls:
@@ -286,6 +305,19 @@ def _encode_column(kind: str, values: list):
         validity = bytes(bm)
     else:
         validity = b""
+    if kind.startswith("list<") and kind.endswith(">"):
+        child_kind = kind[5:-1]
+        offs = [0]
+        flat: list = []
+        for v in values:
+            if v is None:
+                offs.append(offs[-1])
+            else:
+                flat.extend(v)
+                offs.append(offs[-1] + len(v))
+        offsets = b"".join(struct.pack("<i", o) for o in offs)
+        child_nodes, child_bufs = _encode_column(child_kind, flat)
+        return [(n, nulls)] + child_nodes, [validity, offsets] + child_bufs
     if kind in ("int32", "int64", "float32", "float64", "date32"):
         fmt = {"int32": "<i", "int64": "<q", "float32": "<f",
                "float64": "<d", "date32": "<i"}[kind]
@@ -298,13 +330,13 @@ def _encode_column(kind: str, values: list):
         else:
             vals = [0 if v is None else int(v) for v in values]
         data = b"".join(struct.pack(fmt, v) for v in vals)
-        return (n, nulls), [validity, data]
+        return [(n, nulls)], [validity, data]
     if kind == "bool":
         bm = bytearray((n + 7) // 8)
         for i, v in enumerate(values):
             if v:
                 bm[i >> 3] |= 1 << (i & 7)
-        return (n, nulls), [validity, bytes(bm)]
+        return [(n, nulls)], [validity, bytes(bm)]
     if kind in ("utf8", "binary"):
         blobs = [b"" if v is None
                  else (v.encode("utf-8") if isinstance(v, str) else bytes(v))
@@ -313,7 +345,7 @@ def _encode_column(kind: str, values: list):
         for bl in blobs:
             offs.append(offs[-1] + len(bl))
         offsets = b"".join(struct.pack("<i", o) for o in offs)
-        return (n, nulls), [validity, offsets, b"".join(blobs)]
+        return [(n, nulls)], [validity, offsets, b"".join(blobs)]
     raise NotImplementedError(
         f"arrow_write: kind {kind!r} is outside this writer seam "
         f"(supported: {sorted(_TYPES)})")
@@ -337,7 +369,7 @@ def write_arrow_bytes(columns: "list[tuple[str, str, list]]",
             f"arrow_write: compression {compression!r} (None/'zstd')")
     n_rows = len(columns[0][2])
     for name, kind, vals in columns:
-        if kind not in _TYPES:
+        if not _valid_kind(kind):
             raise NotImplementedError(
                 f"arrow_write: column {name!r} kind {kind!r} outside seam")
         if len(vals) != n_rows:
@@ -352,8 +384,8 @@ def write_arrow_bytes(columns: "list[tuple[str, str, list]]",
         buf_entries = []
         body = bytearray()
         for name, kind, vals in columns:
-            node, bufs = _encode_column(kind, vals[start:start + rows])
-            nodes.append(node)
+            col_nodes, bufs = _encode_column(kind, vals[start:start + rows])
+            nodes.extend(col_nodes)
             for raw in bufs:
                 if compression == "zstd":
                     from .zstd import zstd_compress
@@ -402,7 +434,17 @@ def write_arrow_distributed(df, out_dir: str,
     import os
     import uuid
 
-    cols = [(f.name, _SPARK_TO_KIND.get(f.dataType.simpleString()),
+    def to_kind(simple: str) -> "str | None":
+        depth = 0
+        while simple.startswith("array<") and simple.endswith(">"):
+            simple = simple[6:-1]
+            depth += 1
+        kind = _SPARK_TO_KIND.get(simple)
+        if kind is None:
+            return None
+        return "list<" * depth + kind + ">" * depth
+
+    cols = [(f.name, to_kind(f.dataType.simpleString()),
              f.dataType.simpleString()) for f in df.schema.fields]
     for name, kind, simple in cols:
         if kind is None:
@@ -415,10 +457,20 @@ def write_arrow_distributed(df, out_dir: str,
 
     def sink(batches):
         import pandas as pd
+
+        def norm(v):
+            # array columns arrive as list/ndarray — pd.isna would be
+            # ambiguous on them, and ndarrays must become plain lists
+            if isinstance(v, (list, tuple)):
+                return [norm(x) for x in v]
+            if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:
+                return [norm(x) for x in v.tolist()]
+            return None if pd.isna(v) else v
+
         rows = {n: [] for n in names}
         for pdf in batches:
             for n in names:
-                rows[n].extend(None if pd.isna(v) else v for v in pdf[n])
+                rows[n].extend(norm(v) for v in pdf[n])
         if rows[names[0]]:
             data = write_arrow_bytes(
                 [(n, kinds[n], rows[n]) for n in names],

@@ -123,11 +123,12 @@ def test_list_columns(tmp_path):
 
 
 def test_unsupported_seams(tmp_path):
-    t = pa.table({"ll": pa.array([[[1]], [[2, 3]]],
-                                 pa.list_(pa.list_(pa.int64())))})
+    # list-of-list became supported in round 8; MAP stays a loud seam
+    t = pa.table({"m": pa.array([[("k", 1)], [("j", 2)]],
+                                pa.map_(pa.utf8(), pa.int64()))})
     path = str(tmp_path / "n.arrow")
     _write(t, path)
-    with pytest.raises(NotImplementedError, match="list"):
+    with pytest.raises(NotImplementedError, match="map"):
         read_arrow(path)
 
 
@@ -193,3 +194,41 @@ def test_dictionary_encoded_columns(tmp_path, codec):
     w.close()
     _, scols = read_arrow_stream_bytes(sio.getvalue())
     assert scols["cat"] == t.column("cat").to_pylist()
+
+
+def test_nested_struct_and_list_of_list(tmp_path):
+    """Round-8 nested vectors: Struct, List<List<T>>, List<Struct>,
+    Struct-with-list — pyarrow-written fixtures read back hash-exact in
+    BOTH file and stream formats."""
+    import io
+
+    from pr2_transformation_spark.sources.arrow_ipc import (
+        read_arrow_stream_bytes,
+    )
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ll": pa.array([[[1, 2], [3]], None, [], [None, [4, None]]],
+                       pa.list_(pa.list_(pa.int64()))),
+        "st": pa.array(
+            [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"},
+             {"a": 4, "b": None}],
+            pa.struct([("a", pa.int64()), ("b", pa.utf8())])),
+        "ls": pa.array([[{"a": 1}], [], None, [{"a": None}, {"a": 9}]],
+                       pa.list_(pa.struct([("a", pa.int64())]))),
+        "sl": pa.array(
+            [{"v": [1.5, 2.5]}, {"v": None}, None, {"v": []}],
+            pa.struct([("v", pa.list_(pa.float64()))])),
+    })
+    path = str(tmp_path / "nested.arrow")
+    _write(t, path)
+    names, cols = read_arrow_bytes(open(path, "rb").read())
+    for n in t.column_names:
+        assert cols[n] == t.column(n).to_pylist(), n
+    sink = io.BytesIO()
+    w = pa.ipc.new_stream(sink, t.schema)
+    w.write_table(t)
+    w.close()
+    _, scols = read_arrow_stream_bytes(sink.getvalue())
+    for n in t.column_names:
+        assert scols[n] == t.column(n).to_pylist(), ("stream", n)

@@ -133,3 +133,74 @@ def test_stream_format_both_directions(comp):
     w.close()
     n2, d2 = read_arrow_stream_bytes(bio.getvalue())
     assert d2["id"] == cols[0][2]
+
+
+def test_list_write_pyarrow_and_own_reader(tmp_path):
+    """Round-8 writer lists: List<primitive> and List<List<T>> with
+    null lists, empty lists, and null elements — pyarrow (the C++
+    reference) and the repo's own reader agree, plain and zstd, file
+    and stream."""
+    import io
+
+    from pr2_transformation_spark.sources.arrow_ipc import (
+        read_arrow_bytes,
+        read_arrow_stream_bytes,
+    )
+    from pr2_transformation_spark.sources.arrow_write import (
+        write_arrow_bytes,
+        write_arrow_stream_bytes,
+    )
+
+    cols = [
+        ("id", "int64", [1, 2, 3, 4, 5]),
+        ("nums", "list<int64>", [[1, 2, 3], [], None, [-7], [0, None]]),
+        ("tags", "list<utf8>", [["a", "b"], None, [], ["x", None, "z"],
+                                ["only"]]),
+        ("ll", "list<list<float64>>", [[[1.5], [2.5, 3.5]], None, [[]],
+                                       [], [[None, 4.0]]]),
+    ]
+    for comp in (None, "zstd"):
+        buf = write_arrow_bytes(cols, compression=comp)
+        t = pa.ipc.open_file(io.BytesIO(buf)).read_all()
+        for n, _, vals in cols:
+            assert t.column(n).to_pylist() == vals, (comp, n)
+        _, back = read_arrow_bytes(buf)
+        for n, _, vals in cols:
+            assert back[n] == vals, (comp, "own", n)
+        sbuf = write_arrow_stream_bytes(cols, compression=comp)
+        ts = pa.ipc.open_stream(io.BytesIO(sbuf)).read_all()
+        assert ts.column("ll").to_pylist() == cols[3][2]
+        _, back2 = read_arrow_stream_bytes(sbuf)
+        assert back2["nums"] == cols[1][2]
+    with pytest.raises(NotImplementedError, match="outside"):
+        write_arrow_bytes([("x", "list<uuid>", [[1]])])
+
+
+def test_distributed_writer_array_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.sources.arrow_write import (
+        write_arrow_distributed,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(F.array(F.col("id"), F.col("id") * 2)).alias("pair"),
+        F.split(F.concat(F.lit("a,b,"), F.col("id").cast("string")), ",")
+        .alias("toks"),
+    ).repartition(3)
+    n = write_arrow_distributed(df, str(tmp_path / "out"))
+    assert n == 3
+    import glob
+
+    tables = [pa.ipc.open_file(p).read_all()
+              for p in glob.glob(str(tmp_path / "out" / "*.arrow"))]
+    t = pa.concat_tables(tables)
+    got = sorted(zip(t.column("id").to_pylist(),
+                     t.column("pair").to_pylist(),
+                     t.column("toks").to_pylist()))
+    assert len(got) == 100
+    for i, pair, toks in got:
+        assert pair == (None if i % 7 == 0 else [i, i * 2])
+        assert toks == ["a", "b", str(i)]
