@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "q396_format_triangle_consistency",
     "q397_iceberg_data_skipping",
     "q398_avro_logical_types",
+    "q399_sqlite_wal_index",
 ]
 
 

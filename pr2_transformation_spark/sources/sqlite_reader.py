@@ -14,8 +14,14 @@ Scope (honest seam): rowid table b-trees AND WITHOUT ROWID tables
 (index b-trees whose interior cells carry rows, PK-first record order
 mapped back to declared order), TEXT encoding UTF-8, serial types
 NULL/int(1-9)/float/TEXT/BLOB incl. overflow chains; non-UTF8
-encodings and WAL-mode side files raise ``NotImplementedError``.
-Secondary indexes are ignored (access paths, not data).
+encodings raise ``NotImplementedError``.
+
+Round 8 adds the two features real .db files in a crawl corpus hit
+first: WAL side files (:func:`apply_wal` — salt/cumulative-checksum
+validated frames up to the last commit overlaid onto the main image,
+exactly the mid-checkpoint view) and SECONDARY INDEXES as access paths
+(:func:`lookup_eq` — interior-pruned index b-tree descent + per-rowid
+table descent, O(log n) pages per match instead of a full scan).
 
 Conformance: every file read in tests is WRITTEN by the stdlib
 ``sqlite3`` module (the C reference library) across schema shapes,
@@ -418,23 +424,278 @@ def read_sqlite_bytes(payload: bytes, table: str,
 
 def read_sqlite_distributed(spark, path_glob: str, table: str,
                             spark_schema: str,
-                            columns: "list[str] | None" = None):
+                            columns: "list[str] | None" = None,
+                            wal: str = "sidecar"):
     """Distributed SQLite ingestion: ``binaryFile`` scan (one task per
-    database file) -> Arrow ``mapInPandas`` decode."""
+    database file) -> Arrow ``mapInPandas`` decode.
+
+    ``wal="sidecar"`` (default): each task also opens ``<path>-wal``
+    when present and overlays its committed frames — the state a
+    WAL-mode database sits in between checkpoints.  Sidecars are read
+    with plain ``open()`` on the executor (exact for local / NFS
+    paths; an object-store deployment would fetch the sidecar through
+    its own client here — same seam as the main blob).  ``wal="off"``
+    reads the main image only."""
     import pandas as pd
 
     want = columns
 
     def decode(batches):
         for pdf in batches:
-            for blob in pdf["content"]:
-                names, cols = read_sqlite_bytes(bytes(blob), table, want)
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                wal_bytes = None
+                if wal == "sidecar":
+                    import re as _re
+                    # binaryFile paths arrive as file:/p or file:///p
+                    local = _re.sub(r"^file:(//)?", "", path)
+                    try:
+                        with open(local + "-wal", "rb") as fh:
+                            wal_bytes = fh.read()
+                    except OSError:
+                        wal_bytes = None
+                names, cols = read_sqlite_wal(
+                    bytes(blob), wal_bytes, table, want)
                 keep = want or names
                 yield pd.DataFrame({n: cols[n] for n in keep})
 
     blobs = (
         spark.read.format("binaryFile")
         .load(path_glob)
-        .select("content")
+        .select("path", "content")
     )
     return blobs.mapInPandas(decode, spark_schema)
+
+
+# ----------------------------------------------------------- WAL mode
+
+WAL_MAGIC_LE = 0x377F0682  # checksums computed little-endian
+WAL_MAGIC_BE = 0x377F0683  # checksums computed big-endian
+
+
+def _wal_checksum(data: bytes, s1: int, s2: int, big: bool) -> "tuple[int, int]":
+    """The WAL cumulative checksum (walformat: s1 += x0 + s2;
+    s2 += x1 + s1 over u32 pairs in the magic-selected byte order)."""
+    fmt = ">%dI" % (len(data) // 4) if big else "<%dI" % (len(data) // 4)
+    words = struct.unpack(fmt, data)
+    for i in range(0, len(words), 2):
+        s1 = (s1 + words[i] + s2) & 0xFFFFFFFF
+        s2 = (s2 + words[i + 1] + s1) & 0xFFFFFFFF
+    return s1, s2
+
+
+def apply_wal(db_bytes: bytes, wal_bytes: bytes) -> bytes:
+    """Overlay the COMMITTED frames of a ``-wal`` side file onto the
+    main database image (https://www.sqlite.org/walformat.html):
+    32-byte WAL header (magic selects checksum byte order, format
+    3007000, page size, salts, header checksum), then 24-byte frame
+    headers + page images.  Frames are valid only while their salts
+    match the header and the cumulative checksum chains correctly — the
+    spec's torn-write guard — and only frames at or before the last
+    COMMIT frame (nonzero db-size field) become visible.  Returns the
+    reconstructed database truncated/extended to the committed page
+    count, exactly what a SQLite reader sees mid-checkpoint."""
+    if len(wal_bytes) < 32:
+        return db_bytes
+    magic, version, page_size, _ckpt, salt1, salt2, h1, h2 = \
+        struct.unpack(">IIIIIIII", wal_bytes[:32])
+    if magic not in (WAL_MAGIC_LE, WAL_MAGIC_BE):
+        raise ValueError(f"sqlite: bad WAL magic {magic:#x}")
+    if version != 3007000:
+        raise NotImplementedError(f"sqlite: WAL format version {version}")
+    big = magic == WAL_MAGIC_BE
+    s1, s2 = _wal_checksum(wal_bytes[:24], 0, 0, big)
+    if (s1, s2) != (h1, h2):
+        raise ValueError("sqlite: WAL header checksum mismatch")
+    frame_size = 24 + page_size
+    pending: dict[int, bytes] = {}
+    committed: dict[int, bytes] = {}
+    db_pages = len(db_bytes) // page_size
+    commit_pages = None
+    pos = 32
+    while pos + frame_size <= len(wal_bytes):
+        pgno, after, fs1, fs2, c1, c2 = struct.unpack(
+            ">IIIIII", wal_bytes[pos:pos + 24])
+        if (fs1, fs2) != (salt1, salt2):
+            break  # stale frame from an earlier WAL generation
+        page_img = wal_bytes[pos + 24:pos + frame_size]
+        # the frame checksum covers the FIRST 8 header bytes (pgno +
+        # commit size) plus the page image, chained from prior frames
+        s1, s2 = _wal_checksum(wal_bytes[pos:pos + 8], s1, s2, big)
+        s1, s2 = _wal_checksum(page_img, s1, s2, big)
+        if (s1, s2) != (c1, c2):
+            break  # torn write: the valid WAL ends here
+        pending[pgno] = page_img
+        if after:  # commit frame: publish everything staged so far
+            committed.update(pending)
+            pending.clear()
+            commit_pages = after
+        pos += frame_size
+    if commit_pages is None:
+        return db_bytes
+    n_pages = max(commit_pages, 0)
+    out = bytearray(n_pages * page_size)
+    base = db_bytes[:n_pages * page_size]
+    out[:len(base)] = base
+    for pgno, img in committed.items():
+        if 1 <= pgno <= n_pages:
+            out[(pgno - 1) * page_size:pgno * page_size] = img
+    # the reconstructed image is a plain rollback-journal-mode snapshot:
+    # clear the WAL read/write version bytes so _Db (and sqlite3 on a
+    # copy) treat it as a self-contained db
+    out[18] = 1
+    out[19] = 1
+    # header page count (offset 28) must match the committed size
+    struct.pack_into(">I", out, 28, n_pages)
+    return bytes(out)
+
+
+def read_sqlite_wal(db_bytes: bytes, wal_bytes: "bytes | None",
+                    table: str, columns: "list[str] | None" = None):
+    """`read_sqlite_bytes` over a (main db, -wal side file) pair."""
+    payload = apply_wal(db_bytes, wal_bytes) if wal_bytes else db_bytes
+    return read_sqlite_bytes(payload, table, columns)
+
+
+# ------------------------------------------------ secondary indexes
+
+def sqlite_indexes(payload: bytes) -> "dict[str, dict]":
+    """{index_name: {"table", "columns", "rootpage"}} for the named
+    (CREATE INDEX) secondary indexes; auto-indexes (NULL sql) are
+    skipped."""
+    db = _Db(payload)
+    rows: list = []
+    _walk_table(db, 1, rows)
+    out = {}
+    for rowid, rec in rows:
+        if len(rec) >= 5 and rec[0] == "index" and rec[4]:
+            sql = rec[4]
+            inner = sql[sql.index("(") + 1:sql.rindex(")")]
+            cols = [c.strip().split()[0].strip('"`[]')
+                    for c in inner.split(",")]
+            out[rec[1]] = {"table": rec[2], "columns": cols,
+                           "rootpage": rec[3]}
+    return out
+
+
+def _index_search_eq(db: _Db, root: int, value, out_rowids: list) -> None:
+    """Point search in an index b-tree: collect the rowids of entries
+    whose FIRST key column equals ``value``, pruning subtrees via the
+    interior keys — O(log n + matches) pages touched, never a full
+    scan.  Binary collation over the serial-type value (int/float
+    compare numerically, text as unicode code points)."""
+
+    def lt(a, b) -> bool:
+        # SQLite storage-class order: NULL < numeric < text < blob
+        rank = {type(None): 0, int: 1, float: 1, str: 2, bytes: 3,
+                bytearray: 3}
+        ra, rb = rank[type(a)], rank[type(b)]
+        if ra != rb:
+            return ra < rb
+        if ra == 0:
+            return False
+        return a < b
+
+    page, hoff = db.page(root)
+    ptype = page[hoff]
+    n_cells = struct.unpack_from(">H", page, hoff + 3)[0]
+    max_local = (db.usable - 12) * 64 // 255 - 23
+    min_local = (db.usable - 12) * 32 // 255 - 23
+    if ptype == 2:  # interior
+        ptr_start = hoff + 12
+        for i in range(n_cells):
+            cpos = struct.unpack_from(">H", page, ptr_start + 2 * i)[0]
+            child = struct.unpack_from(">I", page, cpos)[0]
+            total, p = _varint(page, cpos + 4)
+            payload, _ = _payload(db, page, p, total, max_local, min_local)
+            key = _record(payload)
+            if not lt(key[0], value):  # value <= key[0]: subtree may hit
+                _index_search_eq(db, child, value, out_rowids)
+            if key[0] == value:
+                out_rowids.append(key[-1])
+            if lt(value, key[0]):
+                return  # every later key is larger: done
+        right = struct.unpack_from(">I", page, hoff + 8)[0]
+        _index_search_eq(db, right, value, out_rowids)
+    elif ptype == 10:  # leaf
+        ptr_start = hoff + 8
+        for i in range(n_cells):
+            cpos = struct.unpack_from(">H", page, ptr_start + 2 * i)[0]
+            total, p = _varint(page, cpos)
+            payload, _ = _payload(db, page, p, total, max_local, min_local)
+            key = _record(payload)
+            if key[0] == value:
+                out_rowids.append(key[-1])
+            elif lt(value, key[0]):
+                return
+    else:
+        raise NotImplementedError(f"sqlite: index page type {ptype}")
+
+
+def _table_lookup_rowid(db: _Db, root: int, rowid: int):
+    """Point descent of a table b-tree by rowid — O(height) pages."""
+    page, hoff = db.page(root)
+    ptype = page[hoff]
+    n_cells = struct.unpack_from(">H", page, hoff + 3)[0]
+    if ptype == 5:  # interior: child_i holds rowids <= key_i
+        ptr_start = hoff + 12
+        for i in range(n_cells):
+            cpos = struct.unpack_from(">H", page, ptr_start + 2 * i)[0]
+            child = struct.unpack_from(">I", page, cpos)[0]
+            key, _ = _varint(page, cpos + 4)
+            if rowid <= key:
+                return _table_lookup_rowid(db, child, rowid)
+        right = struct.unpack_from(">I", page, hoff + 8)[0]
+        return _table_lookup_rowid(db, right, rowid)
+    if ptype == 13:  # leaf
+        ptr_start = hoff + 8
+        max_local = db.usable - 35
+        min_local = (db.usable - 12) * 32 // 255 - 23
+        for i in range(n_cells):
+            cpos = struct.unpack_from(">H", page, ptr_start + 2 * i)[0]
+            total, p = _varint(page, cpos)
+            rid, p = _varint(page, p)
+            if rid == rowid:
+                payload, _ = _payload(db, page, p, total, max_local,
+                                      min_local)
+                return _record(payload)
+        return None
+    raise NotImplementedError(f"sqlite: page type {ptype}")
+
+
+def lookup_eq(payload: bytes, table: str, column: str, value,
+              columns: "list[str] | None" = None) -> "list[tuple]":
+    """Index-backed point lookup: rows of ``table`` where ``column`` =
+    ``value``, via a named secondary index whose leading column is
+    ``column`` (index b-tree descent -> per-rowid table b-tree descent,
+    O(log n) pages per match — the access-path feature real .db files
+    in a crawl corpus hit first).  Raises KeyError when no usable index
+    exists (the caller decides whether a full scan is acceptable)."""
+    db = _Db(payload)
+    tables = _master_tables(db)
+    if table not in tables:
+        raise KeyError(f"sqlite: no table {table!r}")
+    root, sql = tables[table]
+    names = _columns_from_sql(sql)
+    idx = next((v for v in sqlite_indexes(payload).values()
+                if v["table"] == table and v["columns"][:1] == [column]),
+               None)
+    if idx is None:
+        raise KeyError(
+            f"sqlite: no index with leading column {column!r} on "
+            f"{table!r} (have {sorted(sqlite_indexes(payload))})")
+    rowids: list = []
+    _index_search_eq(db, idx["rootpage"], value, rowids)
+    alias_idx = _rowid_alias_index(sql, names)
+    want = columns if columns is not None else names
+    pick = [names.index(n) for n in want]
+    out = []
+    for rid in sorted(rowids):
+        rec = _table_lookup_rowid(db, root, rid)
+        if rec is None:
+            raise ValueError(f"sqlite: index points at missing rowid {rid}")
+        if len(rec) < len(names):
+            rec = rec + [None] * (len(names) - len(rec))
+        full = [rid if i == alias_idx and rec[i] is None else rec[i]
+                for i in range(len(names))]
+        out.append(tuple(full[i] for i in pick))
+    return out

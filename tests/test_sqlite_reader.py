@@ -236,3 +236,144 @@ def test_check_constraint_with_string_comma(tmp_path):
          "CHECK (b IN ('x,y', 'z')))",
          ["INSERT INTO t VALUES (1, 'x,y')",
           "INSERT INTO t VALUES (2, 'z')"])
+
+
+# ------------------------------------------------------ WAL mode (r8)
+
+def _wal_fixture(tmp_path, rows1=2000, rows2=2000):
+    """WAL-mode db: batch 1 checkpointed into the main file, batch 2 +
+    an UPDATE living only in the -wal side file (autocheckpoint off)."""
+    path = str(tmp_path / "w.db")
+    con = sqlite3.connect(path)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute(
+        "CREATE TABLE t (k INTEGER PRIMARY KEY, pri TEXT, cents INTEGER)")
+    con.execute("CREATE INDEX idx_pri ON t(pri)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [(i, f"p{i % 5}", i * 13) for i in range(rows1)])
+    con.commit()
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?)",
+        [(i, f"p{i % 5}", i * 13) for i in range(rows1, rows1 + rows2)])
+    con.execute("UPDATE t SET cents = cents + 7 WHERE k % 10 = 0")
+    con.commit()
+    db_bytes = open(path, "rb").read()
+    wal_bytes = open(path + "-wal", "rb").read()
+    exp = list(con.execute("SELECT * FROM t ORDER BY k"))
+    con.close()
+    return path, db_bytes, wal_bytes, exp
+
+
+def test_wal_overlay_vs_sqlite3(tmp_path):
+    from pr2_transformation_spark.sources.sqlite_reader import (
+        apply_wal,
+        read_sqlite_wal,
+    )
+
+    path, db_bytes, wal_bytes, exp = _wal_fixture(tmp_path)
+    names, cols = read_sqlite_wal(db_bytes, wal_bytes, "t")
+    got = sorted(zip(cols["k"], cols["pri"], cols["cents"]))
+    assert got == [tuple(r) for r in exp]
+    # the main image alone must lack batch 2 (the WAL really carried it)
+    _, main_only = read_sqlite_bytes(db_bytes, "t")
+    assert len(main_only["k"]) < len(exp)
+    # the reconstructed image is a valid db to the C reference library
+    merged = str(tmp_path / "merged.db")
+    open(merged, "wb").write(apply_wal(db_bytes, wal_bytes))
+    con = sqlite3.connect(merged)
+    assert list(con.execute("SELECT * FROM t ORDER BY k")) == exp
+    con.close()
+
+
+def test_wal_torn_tail_and_stale_salts(tmp_path):
+    """A frame with a corrupted checksum ends the valid WAL (spec's
+    torn-write guard): everything up to the previous commit stays
+    visible, later frames are ignored."""
+    from pr2_transformation_spark.sources.sqlite_reader import (
+        apply_wal,
+        read_sqlite_wal,
+    )
+
+    path, db_bytes, wal_bytes, exp = _wal_fixture(tmp_path, 500, 500)
+    # corrupt the LAST frame's page image: its commit marker dies with
+    # its checksum, so the overlay falls back to the previous commit
+    page_size = 4096
+    frame = 24 + page_size
+    torn = bytearray(wal_bytes)
+    torn[-10] ^= 0xFF
+    out = apply_wal(db_bytes, bytes(torn))
+    # still a readable db (earlier commit or main image)
+    names, cols = read_sqlite_wal(db_bytes, bytes(torn), "t")
+    assert len(cols["k"]) <= len(exp)
+    # WAL whose frames carry foreign salts contributes nothing
+    stale = bytearray(wal_bytes)
+    import struct as _st
+    _st.pack_into(">II", stale, 32 + 8, 0xDEAD, 0xBEEF)
+    _, cols2 = read_sqlite_wal(db_bytes, bytes(stale), "t")
+    _, main_only = read_sqlite_bytes(db_bytes, "t")
+    assert cols2["k"] == main_only["k"]
+    # header checksum mismatch is loud
+    bad = bytearray(wal_bytes)
+    bad[24] ^= 0xFF
+    with pytest.raises(ValueError, match="header checksum"):
+        apply_wal(db_bytes, bytes(bad))
+
+
+def test_index_point_lookup_vs_sqlite3(tmp_path):
+    """lookup_eq: index b-tree descent + rowid point descents — values
+    pinned against the C library's own WHERE query."""
+    from pr2_transformation_spark.sources.sqlite_reader import (
+        apply_wal,
+        lookup_eq,
+        sqlite_indexes,
+    )
+
+    path, db_bytes, wal_bytes, exp = _wal_fixture(tmp_path)
+    merged = apply_wal(db_bytes, wal_bytes)
+    assert sqlite_indexes(merged)["idx_pri"]["columns"] == ["pri"]
+    con = sqlite3.connect(path)
+    for val in ("p0", "p3", "p4", "nope"):
+        want = list(con.execute(
+            "SELECT * FROM t WHERE pri = ? ORDER BY k", (val,)))
+        got = sorted(lookup_eq(merged, "t", "pri", val))
+        assert got == [tuple(r) for r in want], val
+    con.close()
+    with pytest.raises(KeyError, match="no index"):
+        lookup_eq(merged, "t", "cents", 13)
+
+
+def test_index_lookup_multilevel_tree(tmp_path):
+    """Enough rows that the index b-tree has interior pages; integer
+    and duplicate-heavy keys."""
+    from pr2_transformation_spark.sources.sqlite_reader import lookup_eq
+
+    path = str(tmp_path / "big.db")
+    con = sqlite3.connect(path)
+    con.execute("PRAGMA page_size=512")  # force a deep tree
+    con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, grp INTEGER, "
+                "body TEXT)")
+    con.execute("CREATE INDEX idx_grp ON t(grp)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [(i, i % 37, f"body-{i}" * 3) for i in range(20000)])
+    con.commit()
+    exp = list(con.execute("SELECT * FROM t WHERE grp = 11 ORDER BY k"))
+    con.close()
+    buf = open(path, "rb").read()
+    got = sorted(lookup_eq(buf, "t", "grp", 11))
+    assert got == [tuple(r) for r in exp]
+    assert len(got) > 500
+
+
+def test_distributed_wal_sidecar(spark, tmp_path):
+    from pr2_transformation_spark.sources.sqlite_reader import (
+        read_sqlite_distributed,
+    )
+
+    path, db_bytes, wal_bytes, exp = _wal_fixture(tmp_path, 800, 800)
+    df = read_sqlite_distributed(
+        spark, str(tmp_path / "*.db"), "t",
+        "k long, pri string, cents long")
+    got = sorted((r["k"], r["pri"], r["cents"]) for r in df.collect())
+    assert got == [tuple(r) for r in exp]
