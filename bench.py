@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "q397_iceberg_data_skipping",
     "q398_avro_logical_types",
     "q399_sqlite_wal_index",
+    "q400_parquet_page_index",
 ]
 
 

@@ -661,6 +661,180 @@ def assemble_lists(defs: list[int], reps: list[int], vals: list,
     return rows
 
 
+def _decode_flat_data_page(header: dict, body: bytes, codec: int,
+                           ptype: str, tlen, bw_def: int, max_def: int,
+                           dictionary) -> list:
+    """Decode ONE v1/v2 data page of a FLAT column into row-ordered
+    python values (``None`` for nulls) — the per-page core of
+    :func:`read_column_chunk`, callable page-at-a-time so an
+    OffsetIndex-driven reader can jump straight to selected pages."""
+    page_type = header.get(1)
+    unc_size = header.get(2)
+    if page_type == _PAGE_DATA:
+        dh = header.get(5, {})
+        nvals = dh[1]
+        enc = dh.get(2, _ENC_PLAIN)
+        raw = _decompress(body, codec, unc_size)
+        p = 0
+        if max_def:
+            if dh.get(3, _ENC_RLE) != _ENC_RLE:
+                raise NotImplementedError("non-RLE definition levels")
+            lvl_len = int.from_bytes(raw[p:p + 4], "little")
+            p += 4
+            defs = rle_bp_hybrid(raw, p, p + lvl_len, bw_def, nvals)
+            p += lvl_len
+        else:
+            defs = [0] * nvals
+    elif page_type == _PAGE_DATA_V2:
+        dh = header.get(8, {})
+        nvals = dh[1]
+        enc = dh.get(4, _ENC_PLAIN)
+        dl_len = dh.get(5, 0)
+        levels = body[:dl_len]
+        payload = body[dl_len:]
+        if dh.get(7, True):
+            payload = _decompress(payload, codec, unc_size - dl_len)
+        defs = (rle_bp_hybrid(levels, 0, dl_len, bw_def, nvals)
+                if max_def else [0] * nvals)
+        raw, p = payload, 0
+    else:
+        raise NotImplementedError(f"page type {page_type} at data offset")
+
+    n_nonnull = sum(1 for d in defs if d == max_def) if max_def else nvals
+    if enc == _ENC_PLAIN:
+        vals, _ = _decode_plain(raw, p, ptype, n_nonnull, tlen)
+    elif enc == _ENC_DELTA_BINARY and ptype in ("INT32", "INT64"):
+        vals, _ = decode_delta_binary_packed(raw, p, n_nonnull)
+    elif enc == _ENC_BYTE_STREAM_SPLIT and ptype in (
+            "FLOAT", "DOUBLE", "INT32", "INT64"):
+        width = {"FLOAT": 4, "INT32": 4, "DOUBLE": 8, "INT64": 8}[ptype]
+        packed = decode_byte_stream_split(raw, p, n_nonnull, width)
+        fmt = {"FLOAT": "<f", "DOUBLE": "<d",
+               "INT32": "<i", "INT64": "<q"}[ptype]
+        vals = [struct.unpack(fmt, b)[0] for b in packed]
+    elif enc == _ENC_RLE and ptype == "BOOLEAN":
+        rl = int.from_bytes(raw[p:p + 4], "little")
+        vals = [bool(v) for v in
+                rle_bp_hybrid(raw, p + 4, p + 4 + rl, 1, n_nonnull)]
+    elif enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page before dictionary")
+        bw = raw[p]
+        idx = rle_bp_hybrid(raw, p + 1, len(raw), bw, n_nonnull)
+        vals = [dictionary[i] for i in idx]
+    else:
+        raise NotImplementedError(f"value encoding {enc}")
+
+    if max_def:
+        it = iter(vals)
+        return [next(it) if d == max_def else None for d in defs]
+    return list(vals)
+
+
+def read_column_chunk_pages(buf: bytes, chunk: dict, leaf: dict,
+                            offset_index: list,
+                            selected: "list[int]") -> dict[int, list]:
+    """OffsetIndex-driven SELECTIVE chunk read (flat columns): decode
+    only the pages whose indexes appear in ``selected``, jumping
+    straight to each PageLocation — unselected pages are never
+    decompressed or even header-parsed.  Returns ``{first_row_index:
+    [values...]}`` per decoded page."""
+    if leaf["max_rep"]:
+        raise NotImplementedError(
+            "page-selective reads are flat-column only")
+    ptype, codec = chunk["type"], chunk["codec"]
+    max_def = leaf["max_def"]
+    bw_def = max_def.bit_length()
+    tlen = leaf.get("type_length")
+
+    dictionary = None
+    if chunk.get("dictionary_page_offset") is not None:
+        pos = chunk["dictionary_page_offset"]
+        header, pos = _read_page_header(buf, pos)
+        if header.get(1) != _PAGE_DICT:
+            raise ValueError("dictionary_page_offset is not a dict page")
+        body = buf[pos:pos + header.get(3)]
+        raw = _decompress(body, codec, header.get(2))
+        dictionary, _ = _decode_plain(
+            raw, 0, ptype, header.get(7, {}).get(1, 0), tlen)
+
+    out: dict[int, list] = {}
+    for i in selected:
+        loc = offset_index[i]
+        header, pos = _read_page_header(buf, loc["offset"])
+        body = buf[pos:loc["offset"] + loc["compressed_page_size"]]
+        out[loc["first_row_index"]] = _decode_flat_data_page(
+            header, body, codec, ptype, tlen, bw_def, max_def, dictionary)
+    return out
+
+
+def read_parquet_bytes_page_filtered(
+        buf: bytes, column: str, lo, hi) -> tuple[
+            list[str], dict[str, list], dict]:
+    """PageIndex-driven filtered read: prune ``column``'s data pages
+    with the ColumnIndex, map survivors to row ranges with the
+    OffsetIndex, decode ONLY pages of every column intersecting those
+    ranges, then apply the exact ``lo <= column <= hi`` residual.
+    Returns ``(names, columns, accounting)`` where accounting counts
+    pages decoded vs present — the proof the index actually pruned."""
+    from .parquet_meta import prune_pages, read_page_index_bytes
+
+    footer = read_footer_bytes(buf)
+    names = [s["name"] for s in footer["schema"]
+             if not s.get("num_children")]
+    leaves = leaf_columns(footer["schema"])
+    index = read_page_index_bytes(buf, footer)
+    out: dict[str, list] = {n: [] for n in names}
+    pages_total = pages_read = 0
+    for rg, rg_index in zip(footer["row_groups"], index):
+        cols = {c["path"]: (c, e) for c, e in zip(rg["columns"], rg_index)}
+        if column not in cols:
+            raise ValueError(f"column {column!r} not in file")
+        pchunk, pentry = cols[column]
+        if pentry["offset_index"] is None:
+            raise ValueError(f"no PageIndex for column {column!r}")
+        verdicts = prune_pages(pentry["column_index"],
+                               pentry["offset_index"],
+                               rg["num_rows"], lo, hi)
+        pages_total += sum(len(e["offset_index"] or [1])
+                           for _, e in cols.values())
+        spans = [(v["first_row"], v["last_row"])
+                 for v in verdicts if v["selected"]]
+        if not spans:
+            continue
+        # decode survivors per column: a page survives when its row span
+        # intersects any selected span of the predicate column
+        rows_vals: dict[str, dict[int, list]] = {}
+        for name in names:
+            chunk, entry = cols[name]
+            oi = entry["offset_index"]
+            sel = []
+            for i, p in enumerate(oi):
+                first = p["first_row_index"]
+                last = (oi[i + 1]["first_row_index"]
+                        if i + 1 < len(oi) else rg["num_rows"]) - 1
+                if any(not (b < first or a > last) for a, b in spans):
+                    sel.append(i)
+            pages_read += len(sel)
+            rows_vals[name] = read_column_chunk_pages(
+                buf, chunk, leaves[name], oi, sel)
+        # align by absolute row index and apply the residual predicate
+        import bisect
+
+        col_starts = {n: sorted(rows_vals[n]) for n in names}
+        for first, vals in sorted(rows_vals[column].items()):
+            for off, v in enumerate(vals):
+                if v is None or v < lo or v > hi:
+                    continue
+                row = first + off
+                for name in names:
+                    starts = col_starts[name]
+                    base = starts[bisect.bisect_right(starts, row) - 1]
+                    out[name].append(rows_vals[name][base][row - base])
+    return names, out, {"pages_total": pages_total,
+                        "pages_read": pages_read}
+
+
 def read_parquet(path: str) -> tuple[list[str], dict[str, list]]:
     """Read a whole flat parquet file with zero parquet libraries.
 

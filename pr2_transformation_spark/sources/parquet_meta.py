@@ -78,8 +78,13 @@ class _Reader:
             size, et = head >> 4, head & 0x0F
             if size == 15:
                 size = self.varint()
-            for _ in range(size):
-                self.skip(et)
+            if et in (_TRUE, _FALSE):
+                # list-context bools are one byte each (1=T, 2=F),
+                # unlike field-context bools (value in the type code)
+                self.pos += size
+            else:
+                for _ in range(size):
+                    self.skip(et)
         elif ttype == _MAP:
             size = self.varint()
             if size:
@@ -112,6 +117,9 @@ class _Reader:
             size, et = head >> 4, head & 0x0F
             if size == 15:
                 size = self.varint()
+            if et in (_TRUE, _FALSE):
+                out = [self.byte() == 1 for _ in range(size)]
+                return out
             return [self.value(et, keep_nested) for _ in range(size)]
         if ttype == _STRUCT:
             return self.struct(keep=keep_nested)
@@ -222,6 +230,11 @@ def _parse_footer(buf: bytes) -> dict:
                 "null_count": stats.get(3),
                 "min": _decode_stat(raw_min, ptype),
                 "max": _decode_stat(raw_max, ptype),
+                # PageIndex locators (ColumnChunk fields 4-7)
+                "offset_index_offset": cc.get(4),
+                "offset_index_length": cc.get(5),
+                "column_index_offset": cc.get(6),
+                "column_index_length": cc.get(7),
             })
         groups.append({
             "total_byte_size": rg.get(2),
@@ -235,6 +248,72 @@ def _parse_footer(buf: bytes) -> dict:
         "schema": schema,
         "row_groups": groups,
     }
+
+
+def read_page_index_bytes(data: bytes, footer: dict) -> list[list[dict]]:
+    """Parse the PageIndex for every column chunk of ``footer`` from a
+    whole-file image: per row group, per column, ``{"column_index":
+    {"null_pages", "min", "max", "boundary_order", "null_counts"},
+    "offset_index": [{"offset", "compressed_page_size",
+    "first_row_index"}...]}`` — ``None`` entries where the writer
+    emitted no index.  Min/max decode with the column's physical type,
+    null pages as ``None``."""
+    out = []
+    for rg in footer["row_groups"]:
+        cols = []
+        for c in rg["columns"]:
+            entry = {"column_index": None, "offset_index": None}
+            ptype = PHYSICAL_TYPES.index(c["type"]) if c["type"] else None
+            cio, cil = c.get("column_index_offset"), c.get("column_index_length")
+            if cio is not None and cil:
+                s = _Reader(data[cio:cio + cil]).struct()
+                nulls = s.get(1, [])
+                entry["column_index"] = {
+                    "null_pages": nulls,
+                    "min": [None if (i < len(nulls) and nulls[i])
+                            else _decode_stat(raw, ptype)
+                            for i, raw in enumerate(s.get(2, []))],
+                    "max": [None if (i < len(nulls) and nulls[i])
+                            else _decode_stat(raw, ptype)
+                            for i, raw in enumerate(s.get(3, []))],
+                    "boundary_order": s.get(4, 0),
+                    "null_counts": s.get(5),
+                }
+            oio, oil = c.get("offset_index_offset"), c.get("offset_index_length")
+            if oio is not None and oil:
+                s = _Reader(data[oio:oio + oil]).struct()
+                entry["offset_index"] = [
+                    {"offset": p.get(1), "compressed_page_size": p.get(2),
+                     "first_row_index": p.get(3)} for p in s.get(1, [])]
+            cols.append(entry)
+        out.append(cols)
+    return out
+
+
+def prune_pages(column_index: dict, offset_index: list,
+                rg_num_rows: int, lo, hi) -> list[dict]:
+    """Page-level twin of :func:`prune_row_groups`: which data pages of
+    one chunk can contain rows with ``lo <= column <= hi``?  Returns one
+    entry per page with its row span and the conservative ``selected``
+    verdict (pages with missing stats survive; all-null pages are
+    excluded because NULL never satisfies a range predicate)."""
+    n_pages = len(offset_index)
+    out = []
+    for i, loc in enumerate(offset_index):
+        first = loc["first_row_index"]
+        last = (offset_index[i + 1]["first_row_index"]
+                if i + 1 < n_pages else rg_num_rows) - 1
+        if column_index is None:
+            selected, mn, mx = True, None, None
+        elif column_index["null_pages"][i]:
+            selected, mn, mx = False, None, None
+        else:
+            mn, mx = column_index["min"][i], column_index["max"][i]
+            selected = (True if mn is None or mx is None
+                        else not (mx < lo or mn > hi))
+        out.append({"page": i, "first_row": first, "last_row": last,
+                    "min": mn, "max": mx, "selected": selected})
+    return out
 
 
 def prune_row_groups(footer: dict, column: str, lo, hi) -> list[dict]:

@@ -342,7 +342,8 @@ def _page_header(page_type: int, unc: int, comp: int, *,
 def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
                  codec: str, use_dictionary: bool,
                  encoding_override: "str | None" = None,
-                 pre_levels: "tuple | None" = None) -> dict:
+                 pre_levels: "tuple | None" = None,
+                 page_rows: "int | None" = None) -> dict:
     """Serialize one column chunk (dict page? + one v1 data page) into
     ``body_out``; returns the ColumnMetaData ingredients.
     ``encoding_override``: "delta" (DELTA_BINARY_PACKED, INT32/INT64)
@@ -408,7 +409,9 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
     use_dict = (use_dictionary and ptype != "BOOLEAN" and nonnull
                 and len(distinct) <= 0xFFFF
                 and len(distinct) * 2 <= len(nonnull))
+    idx = None
     if use_dict:
+        # the dictionary covers the WHOLE chunk (all pages share it)
         idx = {v: i for i, v in enumerate(distinct)}
         raw_dict = _plain_encode(distinct, ptype)
         comp_dict = _compress(raw_dict, codec)
@@ -420,39 +423,85 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
         body_out += header + comp_dict
         total_unc += len(header) + len(raw_dict)
         total_comp += len(header) + len(comp_dict)
-
-        bw = max(1, (len(distinct) - 1).bit_length())
-        payload = bytes([bw]) + rle_bp_encode(
-            [idx[v] for v in nonnull], bw)
-        encoding = _ENC_PLAIN_DICT
         encodings = [_ENC_RLE, _ENC_PLAIN, _ENC_PLAIN_DICT]
     elif encoding_override == "delta":
-        payload = delta_binary_packed_encode([int(v) for v in nonnull])
-        encoding = 5  # DELTA_BINARY_PACKED
         encodings = [_ENC_RLE, 5]
     elif encoding_override == "byte_stream_split":
-        width = 4 if ptype == "FLOAT" else 8
-        payload = byte_stream_split_encode(
-            _plain_encode(nonnull, ptype), width)
-        encoding = 9  # BYTE_STREAM_SPLIT
         encodings = [_ENC_RLE, 9]
-    else:
-        payload = _plain_encode(nonnull, ptype)
-        encoding = _ENC_PLAIN
 
-    raw_page = len(defs).to_bytes(4, "little") + defs + payload
-    if reps:  # repeated column: rep levels precede def levels (v1 page)
-        raw_page = len(reps).to_bytes(4, "little") + reps + raw_page
-    comp_page = _compress(raw_page, codec)
-    header = _page_header(_PAGE_DATA, len(raw_page), len(comp_page),
-                          num_values=nvals, encoding=encoding,
-                          stats=(null_count, mn, mx, ptype))
-    data_offset = len(body_out)
-    if start_offset is None:
-        start_offset = data_offset
-    body_out += header + comp_page
-    total_unc += len(header) + len(raw_page)
-    total_comp += len(header) + len(comp_page)
+    # page split: flat columns only (nested chunks stay one page —
+    # row boundaries inside rep/def streams need record-aware cuts)
+    if page_rows is not None and pre_levels is None and nvals:
+        slices = [(lo, vals[lo:lo + page_rows])
+                  for lo in range(0, nvals, page_rows)]
+    else:
+        slices = [(0, vals)]
+
+    data_offset = None
+    pages = []  # per data page: index ingredients
+    for first_row, svals in slices:
+        if pre_levels is not None:
+            p_defs, p_nvals = defs, nvals
+            p_nonnull, p_null_count = nonnull, null_count
+            p_mn, p_mx = mn, mx
+        else:
+            p_nvals = len(svals)
+            p_nonnull = [v for v in svals if v is not None]
+            p_null_count = p_nvals - len(p_nonnull)
+            p_defs = rle_bp_encode(
+                [0 if v is None else 1 for v in svals], 1)
+            if p_nonnull:
+                if ptype == "BYTE_ARRAY":
+                    keyed = [v.encode("utf-8") if isinstance(v, str)
+                             else bytes(v) for v in p_nonnull]
+                    p_mn, p_mx = min(keyed), max(keyed)
+                else:
+                    p_mn, p_mx = min(p_nonnull), max(p_nonnull)
+            else:
+                p_mn = p_mx = None
+
+        if use_dict:
+            bw = max(1, (len(distinct) - 1).bit_length())
+            payload = bytes([bw]) + rle_bp_encode(
+                [idx[v] for v in p_nonnull], bw)
+            encoding = _ENC_PLAIN_DICT
+        elif encoding_override == "delta":
+            payload = delta_binary_packed_encode(
+                [int(v) for v in p_nonnull])
+            encoding = 5  # DELTA_BINARY_PACKED
+        elif encoding_override == "byte_stream_split":
+            width = 4 if ptype == "FLOAT" else 8
+            payload = byte_stream_split_encode(
+                _plain_encode(p_nonnull, ptype), width)
+            encoding = 9  # BYTE_STREAM_SPLIT
+        else:
+            payload = _plain_encode(p_nonnull, ptype)
+            encoding = _ENC_PLAIN
+
+        raw_page = len(p_defs).to_bytes(4, "little") + p_defs + payload
+        if reps:  # repeated column: rep levels precede def levels (v1)
+            raw_page = len(reps).to_bytes(4, "little") + reps + raw_page
+        comp_page = _compress(raw_page, codec)
+        header = _page_header(_PAGE_DATA, len(raw_page), len(comp_page),
+                              num_values=p_nvals, encoding=encoding,
+                              stats=(p_null_count, p_mn, p_mx, ptype))
+        page_offset = len(body_out)
+        if data_offset is None:
+            data_offset = page_offset
+        if start_offset is None:
+            start_offset = page_offset
+        body_out += header + comp_page
+        total_unc += len(header) + len(raw_page)
+        total_comp += len(header) + len(comp_page)
+        pages.append({
+            "offset": page_offset,
+            "compressed_page_size": len(header) + len(comp_page),
+            "first_row_index": first_row,
+            "null_count": p_null_count,
+            "min": p_mn, "max": p_mx,
+            "null_page": p_mn is None,
+            "num_values": p_nvals,
+        })
 
     return {
         "name": name, "ptype": ptype, "encodings": encodings,
@@ -463,7 +512,58 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
         "start_offset": start_offset,
         "total_uncompressed_size": total_unc,
         "total_compressed_size": total_comp,
+        "pages": pages,
     }
+
+
+def _column_index_bytes(c: dict) -> bytes:
+    """One chunk's ColumnIndex (parquet.thrift): per-page null flags,
+    min/max stat bytes (empty for null pages), boundary order derived
+    from the page mins/maxes, and null counts."""
+    pages, ptype = c["pages"], c["ptype"]
+    mins = [b"" if p["null_page"] else _stat_bytes(p["min"], ptype)
+            for p in pages]
+    maxs = [b"" if p["null_page"] else _stat_bytes(p["max"], ptype)
+            for p in pages]
+    live = [(p["min"], p["max"]) for p in pages if not p["null_page"]]
+    if all(a[1] <= b[0] for a, b in zip(live, live[1:])):
+        boundary = 1  # ASCENDING
+    elif all(a[0] >= b[1] for a, b in zip(live, live[1:])):
+        boundary = 2  # DESCENDING
+    else:
+        boundary = 0  # UNORDERED
+    w = _TWriter()
+    w.begin_list(1, _CT_TRUE, len(pages))
+    for p in pages:  # compact bool LIST elements: one byte, 1=T 2=F
+        w.out.append(1 if p["null_page"] else 2)
+    w.begin_list(2, _CT_BINARY, len(mins))
+    for b in mins:
+        w.varint(len(b))
+        w.out += b
+    w.begin_list(3, _CT_BINARY, len(maxs))
+    for b in maxs:
+        w.varint(len(b))
+        w.out += b
+    w.field_i32(4, boundary)
+    w.begin_list(5, _CT_I64, len(pages))
+    for p in pages:
+        w.zigzag(p["null_count"])
+    return w.stop()
+
+
+def _offset_index_bytes(c: dict) -> bytes:
+    """One chunk's OffsetIndex: PageLocation(offset, compressed size
+    incl. header, first row index) per data page."""
+    w = _TWriter()
+    w.begin_list(1, _CT_STRUCT, len(c["pages"]))
+    for p in c["pages"]:
+        w._last_fid.append(0)
+        w.field_i64(1, p["offset"])
+        w.field_i32(2, p["compressed_page_size"])
+        w.field_i64(3, p["first_row_index"])
+        w.out.append(0)  # STOP
+        w._last_fid.pop()
+    return w.stop()
 
 
 def write_parquet_bytes(
@@ -473,11 +573,19 @@ def write_parquet_bytes(
     use_dictionary: bool = True,
     created_by: str = "pr2-transformation-spark parquet_write",
     column_encodings: "dict | None" = None,
+    page_rows: "int | None" = None,
+    page_index: bool = False,
 ) -> bytes:
     """Serialize ``[(name, physical_type, values)...]`` (equal-length
     value lists, ``None`` = NULL, every column OPTIONAL) into a complete
     parquet file image.  ``row_group_rows`` splits rows into multiple
-    row groups (default: one)."""
+    row groups (default: one); ``page_rows`` splits each column chunk
+    into multiple v1 data pages; ``page_index=True`` additionally
+    serializes the PageIndex (one ColumnIndex + OffsetIndex per chunk,
+    written between the last data page and the footer per
+    parquet-format PageIndex.md) and wires ColumnChunk fields 4-7 so
+    index-aware readers (this repo's ``parquet_data``, parquet-cpp) can
+    prune pages without touching page headers."""
     if not columns:
         raise ValueError("need at least one column")
     if codec not in _CODECS:
@@ -503,8 +611,25 @@ def write_parquet_bytes(
             chunks.append(_write_chunk(
                 body, name, ptype, vals[lo:lo + rows_here], codec,
                 use_dictionary,
-                (column_encodings or {}).get(name)))
+                (column_encodings or {}).get(name),
+                page_rows=page_rows))
         groups.append((rows_here, chunks))
+
+    if page_index:
+        # PageIndex layout: all ColumnIndex structs first, then all
+        # OffsetIndex structs, both between data and footer
+        for _, chunks in groups:
+            for c in chunks:
+                off = len(body)
+                body += _column_index_bytes(c)
+                c["column_index_offset"] = off
+                c["column_index_length"] = len(body) - off
+        for _, chunks in groups:
+            for c in chunks:
+                off = len(body)
+                body += _offset_index_bytes(c)
+                c["offset_index_offset"] = off
+                c["offset_index_length"] = len(body) - off
 
     # FileMetaData
     w = _TWriter()
@@ -533,6 +658,11 @@ def write_parquet_bytes(
         for c in chunks:
             w._last_fid.append(0)  # ColumnChunk
             w.field_i64(2, c["start_offset"])  # file_offset
+            if "offset_index_offset" in c:
+                w.field_i64(4, c["offset_index_offset"])
+                w.field_i32(5, c["offset_index_length"])
+                w.field_i64(6, c["column_index_offset"])
+                w.field_i32(7, c["column_index_length"])
             w.begin_struct(3)  # ColumnMetaData
             w.field_i32(1, _PHYS[c["ptype"]])
             w.begin_list(2, _CT_I32, len(c["encodings"]))
