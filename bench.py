@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "q398_avro_logical_types",
     "q399_sqlite_wal_index",
     "q400_parquet_page_index",
+    "q401_parquet_bloom_skipping",
 ]
 
 

@@ -230,6 +230,9 @@ def _parse_footer(buf: bytes) -> dict:
                 "null_count": stats.get(3),
                 "min": _decode_stat(raw_min, ptype),
                 "max": _decode_stat(raw_max, ptype),
+                # SBBF locator (ColumnMetaData fields 14/15)
+                "bloom_filter_offset": md.get(14),
+                "bloom_filter_length": md.get(15),
                 # PageIndex locators (ColumnChunk fields 4-7)
                 "offset_index_offset": cc.get(4),
                 "offset_index_length": cc.get(5),

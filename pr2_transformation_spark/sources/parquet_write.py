@@ -575,6 +575,7 @@ def write_parquet_bytes(
     column_encodings: "dict | None" = None,
     page_rows: "int | None" = None,
     page_index: bool = False,
+    bloom_filters: "dict | None" = None,
 ) -> bytes:
     """Serialize ``[(name, physical_type, values)...]`` (equal-length
     value lists, ``None`` = NULL, every column OPTIONAL) into a complete
@@ -585,7 +586,11 @@ def write_parquet_bytes(
     written between the last data page and the footer per
     parquet-format PageIndex.md) and wires ColumnChunk fields 4-7 so
     index-aware readers (this repo's ``parquet_data``, parquet-cpp) can
-    prune pages without touching page headers."""
+    prune pages without touching page headers.  ``bloom_filters`` maps
+    column name -> numBytes (or ``None`` for parquet-java's fpp=0.01
+    sizing from the chunk's distinct count): each chunk gets a
+    split-block Bloom filter (``parquet_bloom``) written after the data
+    and located by ColumnMetaData fields 14/15."""
     if not columns:
         raise ValueError("need at least one column")
     if codec not in _CODECS:
@@ -614,6 +619,25 @@ def write_parquet_bytes(
                 (column_encodings or {}).get(name),
                 page_rows=page_rows))
         groups.append((rows_here, chunks))
+
+    if bloom_filters:
+        from .parquet_bloom import bloom_filter_bytes
+        col_vals = {name: vals for name, _, vals in columns}
+        col_type = {name: ptype for name, ptype, _ in columns}
+        for unknown in set(bloom_filters) - set(col_vals):
+            raise ValueError(f"bloom_filters: no column {unknown!r}")
+        for gi, (rows_here, chunks) in enumerate(groups):
+            lo = gi * step
+            for c in chunks:
+                if c["name"] not in bloom_filters:
+                    continue
+                off = len(body)
+                body += bloom_filter_bytes(
+                    col_vals[c["name"]][lo:lo + rows_here],
+                    col_type[c["name"]],
+                    num_bytes=bloom_filters[c["name"]])
+                c["bloom_filter_offset"] = off
+                c["bloom_filter_length"] = len(body) - off
 
     if page_index:
         # PageIndex layout: all ColumnIndex structs first, then all
@@ -685,6 +709,9 @@ def write_parquet_bytes(
                 w.field_binary(5, _stat_bytes(c["max"], c["ptype"]))
                 w.field_binary(6, _stat_bytes(c["min"], c["ptype"]))
             w.end_struct()
+            if "bloom_filter_offset" in c:
+                w.field_i64(14, c["bloom_filter_offset"])
+                w.field_i32(15, c["bloom_filter_length"])
             w.end_struct()
             w.out.append(0)  # ColumnChunk STOP
             w._last_fid.pop()

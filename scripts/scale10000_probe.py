@@ -59,7 +59,9 @@ if not os.path.exists(f"{DIR}/.done"):
     t0 = time.time()
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     maxid = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    reps = docs.select(
+    # fan the explode across all cores BEFORE the 10000x blow-up —
+    # the source is one parquet file = one input split otherwise
+    reps = docs.repartition(64).select(
         F.explode(F.sequence(F.lit(0), F.lit(SCALE - 1))).alias("r"), "*"
     )
     blown = reps.select(
@@ -79,7 +81,7 @@ if not os.path.exists(f"{DIR}/.done"):
         "source",
         *[c for c in docs.columns if c not in ("doc_id", "text", "lang", "source")],
     )
-    blown.repartition(256).write.mode("overwrite").parquet(f"{DIR}/documents.parquet")
+    blown.write.mode("overwrite").parquet(f"{DIR}/documents.parquet")
     open(f"{DIR}/.done", "w").write("ok")
     print(f"BUILD documents x{SCALE}: {time.time() - t0:.1f}s", flush=True)
 
