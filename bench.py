@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "q399_sqlite_wal_index",
     "q400_parquet_page_index",
     "q401_parquet_bloom_skipping",
+    "q402_delta_deletion_vectors",
 ]
 
 
