@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "q400_parquet_page_index",
     "q401_parquet_bloom_skipping",
     "q402_delta_deletion_vectors",
+    "q403_iceberg_hidden_partitioning",
 ]
 
 

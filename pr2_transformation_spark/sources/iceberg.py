@@ -47,8 +47,15 @@ Round 8 closes the Delta/Iceberg asymmetry round 7 opened:
   retries, a losing overwrite/delete raises
   :class:`ConcurrentCommitError` (delta.py:193's conflict rules).
 
-Out of scope, documented rather than half-built: partition specs
-beyond unpartitioned.
+Round-8 also lands HIDDEN PARTITIONING (spec "Partition Transforms" +
+Appendix B): ``write(partition_by=[(col, transform)])`` with identity /
+bucket[N] (from-scratch murmur3_x86_32, Appendix-B-vector-pinned) /
+truncate[W] / year / month / day / hour, partition tuples recorded per
+data file in the manifests, and ``read(skipping=...)`` /
+``files_matching`` pruning through the TRANSFORM — the user predicates
+the source column, never the partition field.  Spec seams kept
+name-keyed like the stats maps; one spec per table (no spec
+evolution), documented rather than half-built.
 """
 
 from __future__ import annotations
@@ -95,6 +102,10 @@ MANIFEST_SCHEMA = {
                     {"name": "lower_bounds_json", "type": "string"},
                     {"name": "upper_bounds_json", "type": "string"},
                     {"name": "null_counts_json", "type": "string"},
+                    # round-8 hidden partitioning: the data file's
+                    # partition tuple as a JSON map keyed by partition
+                    # FIELD name ("" = unpartitioned spec 0)
+                    {"name": "partition_json", "type": "string"},
                 ],
             },
         },
@@ -148,6 +159,126 @@ def _spark_type_to_iceberg(dt: str) -> str:
             f"Spark type {dt!r} is outside this table format seam "
             f"(supported: {sorted(m)})")
     return m[dt]
+
+
+# ---- hidden partitioning (spec "Partition Transforms", Appendix B) ----
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit — the hash the Iceberg spec mandates for
+    bucket transforms (Appendix B pins exact test vectors).  Returns a
+    SIGNED 32-bit int, as the spec's examples do."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _iceberg_hash(value) -> int:
+    """Appendix B single-value hash: ints/longs hash their 8-byte
+    little-endian form, strings their UTF-8 bytes, datetimes their
+    epoch-microsecond long."""
+    import datetime
+    if isinstance(value, bool):
+        raise NotImplementedError("bucket transform on boolean")
+    if isinstance(value, int):
+        return murmur3_x86_32(value.to_bytes(8, "little", signed=True))
+    if isinstance(value, str):
+        return murmur3_x86_32(value.encode("utf-8"))
+    if isinstance(value, bytes):
+        return murmur3_x86_32(value)
+    if isinstance(value, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        us = int((value - epoch).total_seconds() * 1_000_000)
+        return murmur3_x86_32(us.to_bytes(8, "little", signed=True))
+    if isinstance(value, datetime.date):
+        days = (value - datetime.date(1970, 1, 1)).days
+        return murmur3_x86_32(days.to_bytes(8, "little", signed=True))
+    raise NotImplementedError(f"bucket hash for {type(value).__name__}")
+
+
+def apply_transform(transform: str, value):
+    """Evaluate one partition transform on a SOURCE value (None maps to
+    None for every transform, per spec).  Supported: identity,
+    bucket[N], truncate[W] (ints floored, strings prefixed),
+    year/month/day/hour on date/timestamp."""
+    import datetime
+    import re as _re
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    m = _re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        n = int(m.group(1))
+        return (_iceberg_hash(value) & 0x7FFFFFFF) % n
+    m = _re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(value, int):
+            return value - (value % w)  # python % is floored, per spec
+        if isinstance(value, str):
+            return value[:w]
+        raise NotImplementedError(f"truncate on {type(value).__name__}")
+    if transform in ("year", "month", "day", "hour"):
+        if isinstance(value, datetime.datetime):
+            d = value
+        elif isinstance(value, datetime.date):
+            if transform == "hour":
+                raise ValueError("hour transform needs a timestamp")
+            d = datetime.datetime(value.year, value.month, value.day)
+        else:
+            raise NotImplementedError(
+                f"{transform} transform on {type(value).__name__}")
+        if transform == "year":
+            return d.year - 1970
+        if transform == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=d.tzinfo)
+        hours = int((d - epoch).total_seconds()) // 3600
+        return hours // 24 if transform == "day" else hours
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+def _transform_prunes(transform: str, part_value, op: str, val) -> bool:
+    """True when the partition value PROVES the file cannot satisfy
+    ``source_col <op> val`` — the hidden-partitioning planner move.
+    bucket prunes only equality; order-preserving transforms
+    (identity/truncate/year/month/day/hour) prune ranges too.
+    Conservative: unknown shapes never prune."""
+    if part_value is None:
+        return False  # null partition: only IS NULL reasoning would apply
+    if transform.startswith("bucket["):
+        return op == "=" and apply_transform(transform, val) != part_value
+    tv = apply_transform(transform, val)
+    if op == "=":
+        return part_value != tv
+    if op in (">", ">="):
+        return part_value < tv
+    if op in ("<", "<="):
+        return part_value > tv
+    return False
 
 
 def _bounds_may_match(entry: dict, col: str, op: str, val) -> bool:
@@ -249,8 +380,75 @@ class IcebergTable:
 
     # ---- write side ------------------------------------------------
 
+    def _partition_spec(self) -> "list[dict]":
+        """The table's partition spec fields:
+        ``[{"name", "transform", "source-name", "field-id"}...]``
+        (empty for unpartitioned tables)."""
+        if self._current_version() == 0:
+            return []
+        return self._load_metadata().get("partition-spec", [])
+
+    @staticmethod
+    def _partition_exprs(df: DataFrame, partition_by: "list[tuple]"):
+        """Spark Column per spec field — JVM expressions for every
+        order-preserving transform; bucket[N] is the one genuinely
+        hash-defined transform, evaluated as an Arrow-batched
+        pandas_udf over the repo's spec-pinned murmur3."""
+        from pyspark.sql import functions as F
+
+        cols = {}
+        for src, tr in partition_by:
+            name = f"{src}_{tr.split('[')[0]}"
+            if tr == "identity":
+                name = src + "_id"
+                cols[name] = F.col(src)
+            elif tr.startswith("bucket["):
+                n = int(tr[7:-1])
+                dt = dict(df.dtypes)[src]
+
+                from pyspark.sql.functions import pandas_udf
+
+                @pandas_udf("int")
+                def _bucket(s, _n=n, _dt=dt):
+                    import pandas as pd
+
+                    def one(v):
+                        if v is None or v is pd.NaT:
+                            return None
+                        if _dt in ("timestamp", "timestamp_ntz"):
+                            v = v.to_pydatetime()
+                        elif _dt != "string":
+                            v = int(v)
+                        return (_iceberg_hash(v) & 0x7FFFFFFF) % _n
+
+                    return s.map(one)
+
+                cols[name] = _bucket(F.col(src))
+            elif tr.startswith("truncate["):
+                w = int(tr[9:-1])
+                dt = dict(df.dtypes)[src]
+                if dt == "string":
+                    cols[name] = F.substring(F.col(src), 1, w)
+                else:
+                    cols[name] = (F.floor(F.col(src) / w) * w).cast("long")
+            elif tr == "year":
+                cols[name] = (F.year(src) - 1970).cast("int")
+            elif tr == "month":
+                cols[name] = ((F.year(src) - 1970) * 12
+                              + F.month(src) - 1).cast("int")
+            elif tr == "day":
+                cols[name] = F.datediff(
+                    F.to_date(src), F.lit("1970-01-01")).cast("int")
+            elif tr == "hour":
+                cols[name] = F.floor(
+                    F.unix_timestamp(F.col(src)) / 3600).cast("int")
+            else:
+                raise NotImplementedError(f"partition transform {tr!r}")
+        return cols
+
     def write(self, df: DataFrame, mode: str = "append",
-              now_ms: "int | None" = None, max_retries: int = 10) -> int:
+              now_ms: "int | None" = None, max_retries: int = 10,
+              partition_by: "list[tuple] | None" = None) -> int:
         """Commit ``df`` as a new snapshot; returns the snapshot id
         (deterministic: 1-based commit ordinal when ``now_ms`` pins
         time).  ``overwrite`` starts the snapshot's manifest list from
@@ -278,17 +476,71 @@ class IcebergTable:
 
         from .delta import _file_stats  # shared parquet-footer stats probe
 
+        # hidden partitioning: a partitioned table's spec is fixed at
+        # creation; appends must re-state it (or omit it to reuse), and
+        # the spec recorded in metadata wins over a mismatched request.
+        # (Derived from the read_version already captured — no second
+        # _current_version probe, so the OCC conflict window stays the
+        # single read-to-publish span.)
+        existing_spec = []
+        if read_version > 0:
+            existing_spec = json.load(open(os.path.join(
+                self.meta_dir, f"v{read_version}.metadata.json"))
+            ).get("partition-spec", [])
+        if existing_spec and partition_by is None:
+            partition_by = [(f["source-name"], f["transform"])
+                            for f in existing_spec]
+        if existing_spec and partition_by != [
+                (f["source-name"], f["transform"]) for f in existing_spec]:
+            raise ValueError(
+                f"table is partitioned by {existing_spec}; writes cannot "
+                f"change the spec (requested {partition_by})")
+
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        pnames: list[str] = []
+        if partition_by:
+            pexprs = self._partition_exprs(df, partition_by)
+            pnames = list(pexprs)
+            staged = df
+            for n, e in pexprs.items():
+                staged = staged.withColumn(n, e)
+            staged.write.mode("overwrite").partitionBy(*pnames) \
+                .parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
+
+        def _staged_files():
+            """(relative dir parts, filename) for every staged parquet."""
+            for root, _dirs, files in os.walk(staging):
+                rel = os.path.relpath(root, staging)
+                parts = [] if rel == "." else rel.split(os.sep)
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        yield parts, os.path.join(root, f)
+
+        def _parse_part(parts: "list[str]") -> dict:
+            """hive-style dir names -> typed partition tuple."""
+            out = {}
+            for seg in parts:
+                k, _, v = seg.partition("=")
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    out[k] = None
+                else:
+                    from urllib.parse import unquote
+                    v = unquote(v)
+                    try:
+                        out[k] = int(v)
+                    except ValueError:
+                        out[k] = v
+            return out
+
         added = []
         counted = 0
         count_missing = False
-        for f in sorted(os.listdir(staging)):
-            if not f.endswith(".parquet"):
-                continue
-            name = f"part-{uuid.uuid4().hex[:12]}-{f}"
+        for parts, src_path in sorted(_staged_files()):
+            name = f"part-{uuid.uuid4().hex[:12]}-{os.path.basename(src_path)}"
             dst = os.path.join(self.data_dir, name)
-            os.rename(os.path.join(staging, f), dst)
+            os.rename(src_path, dst)
             stats = _file_stats(dst)
             if stats is None:
                 count_missing = True
@@ -311,6 +563,8 @@ class IcebergTable:
                     else json.dumps(stats["maxValues"]),
                     "null_counts_json": "" if stats is None
                     else json.dumps(stats["nullCount"]),
+                    "partition_json": json.dumps(_parse_part(parts))
+                    if parts else "",
                 },
             })
         shutil.rmtree(staging)
@@ -341,7 +595,13 @@ class IcebergTable:
                             for i, fld in enumerate(df.schema.fields)
                         ],
                     },
-                    "partition-spec": [],
+                    "partition-spec": [
+                        {"name": f"{src}_{tr.split('[')[0]}"
+                         if tr != "identity" else f"{src}_id",
+                         "transform": tr, "source-name": src,
+                         "field-id": 1000 + i}
+                        for i, (src, tr) in enumerate(partition_by or [])
+                    ],
                     "properties": {},
                     "current-snapshot-id": -1,
                     "snapshots": [],
@@ -444,13 +704,34 @@ class IcebergTable:
     def files_matching(self, skipping: "list[tuple]",
                        snapshot_id: "int | None" = None) -> "tuple[int, int]":
         """(files kept, files total) for a skipping conjunction,
-        computed from MANIFEST bounds alone — no parquet footer or data
-        page is touched (the observable a pruning audit grades)."""
+        computed from MANIFEST bounds + partition tuples alone — no
+        parquet footer or data page is touched (the observable a
+        pruning audit grades)."""
         entries = self._data_file_entries(snapshot_id)
+        spec = self._partition_spec()
         kept = sum(
             1 for e in entries
-            if all(_bounds_may_match(e, c, op, v) for c, op, v in skipping))
+            if all(self._entry_survives(e, spec, c, op, v)
+                   for c, op, v in skipping))
         return kept, len(entries)
+
+    def _entry_survives(self, entry: dict, spec_fields: "list[dict]",
+                        col: str, op: str, val) -> bool:
+        """Conjunction of both pruning planes for one predicate: the
+        entry's column BOUNDS and — on partitioned tables — its
+        PARTITION TUPLE mapped through the source column's transform.
+        Either plane proving exclusion drops the file."""
+        if not _bounds_may_match(entry, col, op, val):
+            return False
+        pj = entry.get("partition_json") or ""
+        if pj and spec_fields:
+            part = json.loads(pj)
+            for f in spec_fields:
+                if f["source-name"] == col and f["name"] in part:
+                    if _transform_prunes(f["transform"],
+                                         part[f["name"]], op, val):
+                        return False
+        return True
 
     def _delete_entries(self, snapshot_id: "int | None" = None) -> list[dict]:
         """v2 delete files referenced by the snapshot's content=1
@@ -530,11 +811,16 @@ class IcebergTable:
         files whose bounds prove no row can match are never listed to
         Spark.  Files without bounds are kept (conservative); the
         predicate must still be applied to the returned frame —
-        skipping only DROPS provably irrelevant files."""
+        skipping only DROPS provably irrelevant files.  On a
+        partitioned table the same predicates ALSO prune via the
+        manifest partition tuples (hidden partitioning: the user
+        predicates the SOURCE column; the planner maps it through the
+        spec's transform)."""
         entries = self._data_file_entries(snapshot_id)
         if skipping:
+            spec = self._partition_spec()
             entries = [e for e in entries
-                       if all(_bounds_may_match(e, c, op, v)
+                       if all(self._entry_survives(e, spec, c, op, v)
                               for c, op, v in skipping)]
         files = [e["file_path"] for e in entries]
         if not files:
@@ -665,6 +951,7 @@ class IcebergTable:
                     "lower_bounds_json": "",
                     "upper_bounds_json": "",
                     "null_counts_json": "",
+                    "partition_json": "",
                 },
             }], MANIFEST_SCHEMA))
         prev = next(s for s in meta["snapshots"]
@@ -764,6 +1051,7 @@ class IcebergTable:
                     "lower_bounds_json": "",
                     "upper_bounds_json": "",
                     "null_counts_json": "",
+                    "partition_json": "",
                 },
             }], MANIFEST_SCHEMA))
         prev = next(s for s in meta["snapshots"]

@@ -273,3 +273,89 @@ def test_delete_conflict_raises(spark, tmp_path):
     # winner intact, no tombstones applied
     assert sorted(r["k"] for r in t.read(spark).collect()) == [
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 50, 51]
+
+
+# ---- hidden partitioning -------------------------------------------------
+
+def test_murmur3_and_transform_spec_vectors():
+    """Iceberg spec Appendix B pins these exact hash values."""
+    import datetime
+
+    from pr2_transformation_spark.sources.iceberg import (
+        _iceberg_hash, apply_transform, murmur3_x86_32)
+
+    assert _iceberg_hash(34) == 2017239379          # int and long agree
+    assert _iceberg_hash("iceberg") == 1210000089
+    assert _iceberg_hash(datetime.date(2017, 11, 16)) == -653330422
+    assert _iceberg_hash(
+        datetime.datetime(2017, 11, 16, 22, 31, 8)) == -2047944441
+    assert murmur3_x86_32(b"") == 0
+    d = datetime.date(2017, 11, 16)
+    assert apply_transform("bucket[16]", 34) == (2017239379 & 0x7FFFFFFF) % 16
+    assert apply_transform("truncate[10]", -1) == -10   # floored, per spec
+    assert apply_transform("truncate[3]", "iceberg") == "ice"
+    assert apply_transform("year", d) == 47
+    assert apply_transform("month", d) == 574  # (2017-1970)*12 + 10
+    assert apply_transform("identity", None) is None
+    with pytest.raises(NotImplementedError):
+        apply_transform("void", 1)
+
+
+def test_hidden_partitioning_write_prune_read(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(str(tmp_path / "part"))
+    df = spark.range(2000).selectExpr(
+        "id as k",
+        "timestamp'2023-01-15 10:00:00' + make_interval(0,0,0,"
+        "cast(id % 120 as int),0,0,0) as ts",
+        "cast(id % 40 as long) as ck")
+    t.write(df, mode="overwrite",
+            partition_by=[("ts", "month"), ("ck", "bucket[4]")])
+    spec = t._partition_spec()
+    assert [f["transform"] for f in spec] == ["month", "bucket[4]"]
+    entries = t._data_file_entries()
+    assert all(json.loads(e["partition_json"]).keys()
+               == {"ts_month", "ck_bucket"} for e in entries)
+    # hidden pruning: predicates on SOURCE columns, not partition fields
+    kept, total = t.files_matching([("ts", ">=",
+                                     datetime.datetime(2023, 3, 1))])
+    assert kept < total
+    kept_eq, _ = t.files_matching([("ck", "=", 7)])
+    assert kept_eq < total
+    # pruned read is LOSSLESS vs full scan + residual
+    full = t.read(spark).filter(F.col("ck") == 7).count()
+    pruned = t.read(spark, skipping=[("ck", "=", 7)]) \
+        .filter(F.col("ck") == 7).count()
+    assert full == pruned > 0
+    full_ts = t.read(spark).filter(
+        F.col("ts") >= "2023-03-01").count()
+    pruned_ts = t.read(
+        spark, skipping=[("ts", ">=", datetime.datetime(2023, 3, 1))]
+    ).filter(F.col("ts") >= "2023-03-01").count()
+    assert full_ts == pruned_ts > 0
+    # identity columns stay IN the data files (partition cols are the
+    # derived __-free transform names, dropped by partitionBy)
+    assert sorted(t.read(spark).columns) == ["ck", "k", "ts"]
+
+
+def test_partition_spec_is_sticky_and_mismatch_raises(spark, tmp_path):
+    t = IcebergTable(str(tmp_path / "sticky"))
+    df = _df(spark, 0, 100)
+    t.write(df, mode="overwrite", partition_by=[("k", "truncate[25]")])
+    # append without re-stating the spec reuses it
+    t.write(_df(spark, 100, 120), mode="append")
+    entries = t._data_file_entries()
+    assert all(e["partition_json"] for e in entries)
+    parts = {json.loads(e["partition_json"])["k_truncate"] for e in entries}
+    assert parts == {0, 25, 50, 75, 100}
+    with pytest.raises(ValueError, match="cannot change the spec"):
+        t.write(df, mode="append", partition_by=[("k", "bucket[2]")])
+    # truncate range pruning
+    kept, total = t.files_matching([("k", ">=", 80)])
+    assert kept < total
+    assert sorted(r["k"] for r in t.read(
+        spark, skipping=[("k", ">=", 80)]).collect()
+        if r["k"] >= 80) == list(range(80, 120))
