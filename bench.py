@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "q401_parquet_bloom_skipping",
     "q402_delta_deletion_vectors",
     "q403_iceberg_hidden_partitioning",
+    "q404_zip_writer_roundtrip",
 ]
 
 

@@ -143,6 +143,94 @@ def read_zip_bytes(buf: bytes,
     return out
 
 
+def zip_write_bytes(members: "list[tuple[str, bytes]]",
+                    method: str = "deflate",
+                    comment: bytes = b"") -> bytes:
+    """From-scratch ZIP WRITER — the write-side twin of
+    :func:`zip_entries` (round-8 plane symmetry: every other format
+    pillar is bidirectional).  STORED or DEFLATE members, the latter
+    compressed by the IN-REPO encoder (`inflate.deflate_fixed` — so a
+    stdlib ``zipfile`` reading the archive independently validates both
+    the container layout AND the repo's DEFLATE bitstream).  Output is
+    deterministic: fixed DOS timestamp (1980-01-01), no extra fields,
+    members in the given order.
+
+    Honest seam: no ZIP64 — archives or members at the 4 GiB / 65535
+    boundaries raise (a corpus shard writer rolls files long before
+    that)."""
+    from .inflate import deflate_fixed
+
+    if method not in ("stored", "deflate"):
+        raise NotImplementedError(
+            f"method {method!r} (stored and deflate are supported)")
+    if len(members) > 0xFFFE:
+        raise NotImplementedError("ZIP64 member counts (> 65534)")
+    out = bytearray()
+    central = bytearray()
+    for name, payload in members:
+        nameb = name.encode("utf-8")
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        comp = deflate_fixed(payload) if method == "deflate" else payload
+        meth = 8 if method == "deflate" else 0
+        if max(len(payload), len(comp)) >= 0xFFFFFFFF:
+            raise NotImplementedError("ZIP64 member sizes (>= 4 GiB)")
+        offset = len(out)
+        if offset >= 0xFFFFFFFF:
+            raise NotImplementedError("ZIP64 archive offsets (>= 4 GiB)")
+        # local file header: version 20, flags 0, DOS time/date 0/0x21
+        # (1980-01-01 00:00:00 — the epoch of the DOS format)
+        lfh = struct.pack("<4sHHHHHIIIHH", _LFH, 20, 0, meth, 0, 0x21,
+                          crc, len(comp), len(payload), len(nameb), 0)
+        out += lfh + nameb + comp
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII", _CDH, 20, 20, 0, meth, 0, 0x21,
+            crc, len(comp), len(payload), len(nameb), 0, 0, 0, 0, 0,
+            offset)
+        central += nameb
+    cd_offset = len(out)
+    out += central
+    if len(out) >= 0xFFFFFFFF:
+        raise NotImplementedError("ZIP64 central directory offsets")
+    out += struct.pack("<4sHHHHIIH", _EOCD, 0, 0, len(members),
+                       len(members), len(central), cd_offset,
+                       len(comment))
+    out += comment
+    return bytes(out)
+
+
+def write_zip_distributed(df, out_dir: str, name_col: str,
+                          payload_col: str,
+                          method: str = "deflate") -> int:
+    """Per-partition ZIP shard sink: each task packs its rows into ONE
+    archive written by :func:`zip_write_bytes` — the corpus-drop
+    counterpart of `parquet_write.write_parquet_distributed`, same
+    one-file-per-task scale shape.  Returns archives written."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batches):
+        import pandas as pd
+        members = []
+        for pdf in batches:
+            for n, p in zip(pdf[name_col], pdf[payload_col]):
+                members.append((str(n), bytes(p)))
+        if members:
+            data = zip_write_bytes(members, method=method)
+            fn = os.path.join(out_dir, f"shard-{uuid.uuid4().hex}.zip")
+            with open(fn, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"archives": [1]})
+        else:
+            yield pd.DataFrame({"archives": [0]})
+
+    out = df.mapInPandas(sink, "archives int")
+    from pyspark.sql import functions as F
+    [row] = out.agg(F.sum("archives").alias("n")).collect()
+    return int(row["n"] or 0)
+
+
 def read_zip_distributed(spark, path_glob: str,
                          suffix: "str | None" = None):
     """Distributed ZIP ingestion: ``binaryFile`` scan (one task per
