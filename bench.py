@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "q402_delta_deletion_vectors",
     "q403_iceberg_hidden_partitioning",
     "q404_zip_writer_roundtrip",
+    "q405_fastcdc_dedup",
 ]
 
 

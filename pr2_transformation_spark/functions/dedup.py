@@ -1356,3 +1356,128 @@ def hamming_component_edges(
         max_distance=max_distance, bits=bits, bands=bands,
     ).select("id_a", "id_b")
     return stars.unionByName(rep_pairs)
+
+
+# ---- content-defined chunking (FastCDC, Xia et al. FAST'16) -----------
+
+def _gear_table() -> "list[int]":
+    """The 256-entry gear table: md5-derived 64-bit constants, so every
+    process computes IDENTICAL boundaries (a salted hash() here would
+    break cross-task chunk dedup the way the round-6 snappy/deflate
+    match-table bug did)."""
+    import hashlib
+    return [
+        int.from_bytes(hashlib.md5(bytes([b]) * 8).digest()[:8], "big")
+        for b in range(256)
+    ]
+
+
+_GEAR = _gear_table()
+_MASK64 = (1 << 64) - 1
+
+
+def fastcdc_chunks(data: bytes, min_size: int = 2048,
+                   avg_size: int = 8192,
+                   max_size: int = 65536) -> "list[tuple[int, int, int]]":
+    """FastCDC content-defined chunking: gear rolling hash with
+    NORMALIZED cut-point judgment — a harder mask before the average
+    point and an easier one after, which squeezes the chunk-size
+    distribution toward ``avg_size`` without the backup scans of
+    classic Rabin CDC.  Returns ``[(offset, length, xxh64-of-chunk)]``
+    covering every byte exactly once.
+
+    This is the byte-level dedup layer below MinHash/SimHash: identical
+    REGIONS inside otherwise-different blobs (boilerplate, shared
+    headers, quoted replies) hash to identical chunks even when their
+    byte OFFSETS differ — the shift-invariance property fixed-size
+    blocking fundamentally lacks, and the reason every storage dedup
+    system (and training-corpus pipelines moving TB-scale raw crawls)
+    chunk this way."""
+    from .xxhash import xxh64
+
+    if not 64 <= min_size <= avg_size <= max_size:
+        raise ValueError("need 64 <= min_size <= avg_size <= max_size")
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    bits = avg_size.bit_length() - 1
+    mask_s = (1 << (bits + 2)) - 1  # harder: cuts ~4x rarer
+    mask_l = (1 << (bits - 2)) - 1  # easier: cuts ~4x denser
+    n = len(data)
+    out = []
+    start = 0
+    while start < n:
+        end = min(start + max_size, n)
+        normal = min(start + avg_size, end)
+        i = min(start + min_size, end)
+        fp = 0
+        cut = end
+        while i < normal:
+            fp = ((fp << 1) + _GEAR[data[i]]) & _MASK64
+            if fp & mask_s == 0:
+                cut = i + 1
+                break
+            i += 1
+        else:
+            while i < end:
+                fp = ((fp << 1) + _GEAR[data[i]]) & _MASK64
+                if fp & mask_l == 0:
+                    cut = i + 1
+                    break
+                i += 1
+        length = cut - start
+        out.append((start, length, xxh64(data[start:cut])))
+        start = cut
+    return out
+
+
+def cdc_chunk_table(df: DataFrame, payload_col: str, id_col: str,
+                    min_size: int = 2048, avg_size: int = 8192,
+                    max_size: int = 65536) -> DataFrame:
+    """Distributed CDC: one Arrow pass chunks every payload —
+    ``(id, chunk_idx, offset, length, chunk_hash)`` rows.  Chunking is
+    per-row local (zero shuffle); dedup is then ONE groupBy on
+    chunk_hash, hash-partitioned like every exact-dedup path here —
+    at 100 TB the shuffle carries (hash, length) pairs, never bytes."""
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = {"id": [], "chunk_idx": [], "offset": [],
+                    "length": [], "chunk_hash": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                for ci, (off, ln, h) in enumerate(fastcdc_chunks(
+                        data, min_size, avg_size, max_size)):
+                    rows["id"].append(i)
+                    rows["chunk_idx"].append(ci)
+                    rows["offset"].append(off)
+                    rows["length"].append(ln)
+                    # signed view of the u64 for Spark's long
+                    rows["chunk_hash"].append(
+                        h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(
+        gen,
+        f"id {dict(df.dtypes)[id_col]}, chunk_idx int, offset long, "
+        "length long, chunk_hash long")
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus-level CDC dedup accounting from a :func:`cdc_chunk_table`
+    frame: one row — total chunks/bytes, unique chunks/bytes (first
+    occurrence keeps the bytes), and the dedup ratio."""
+    uniq = chunks.groupBy("chunk_hash").agg(
+        F.first("length").alias("length"))
+    tot = chunks.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum("length").alias("total_bytes"))
+    un = uniq.agg(
+        F.count(F.lit(1)).alias("unique_chunks"),
+        F.sum("length").alias("unique_bytes"))
+    return tot.crossJoin(un).select(
+        "total_chunks", "total_bytes", "unique_chunks", "unique_bytes",
+        (F.col("unique_bytes") / F.col("total_bytes"))
+        .alias("unique_fraction"))
