@@ -228,8 +228,8 @@ def _rle_v2_encode(vals: list, signed: bool) -> bytes:
 
 def _compress_chunk(raw: bytes, compression: str) -> bytes:
     if compression == "zlib":
-        from .inflate import deflate_fixed
-        return deflate_fixed(raw)
+        from .inflate import deflate_encode
+        return deflate_encode(raw)
     if compression == "snappy":
         from .parquet_data import snappy_compress
         return snappy_compress(raw)

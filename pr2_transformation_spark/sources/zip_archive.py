@@ -158,7 +158,7 @@ def zip_write_bytes(members: "list[tuple[str, bytes]]",
     Honest seam: no ZIP64 — archives or members at the 4 GiB / 65535
     boundaries raise (a corpus shard writer rolls files long before
     that)."""
-    from .inflate import deflate_fixed
+    from .inflate import deflate_encode
 
     if method not in ("stored", "deflate"):
         raise NotImplementedError(
@@ -170,7 +170,7 @@ def zip_write_bytes(members: "list[tuple[str, bytes]]",
     for name, payload in members:
         nameb = name.encode("utf-8")
         crc = zlib.crc32(payload) & 0xFFFFFFFF
-        comp = deflate_fixed(payload) if method == "deflate" else payload
+        comp = deflate_encode(payload) if method == "deflate" else payload
         meth = 8 if method == "deflate" else 0
         if max(len(payload), len(comp)) >= 0xFFFFFFFF:
             raise NotImplementedError("ZIP64 member sizes (>= 4 GiB)")

@@ -121,3 +121,59 @@ def test_deflate_encoder_both_directions():
         assert gunzip(gzip_compress(raw)) == raw
     big = b"the quick brown fox " * 3000
     assert len(deflate_fixed(big)) < len(big) // 20
+
+
+def test_dynamic_huffman_encoder_conformance():
+    """deflate_dynamic (RFC 1951 3.2.7: package-merge length-limited
+    codes, 16/17/18 code-length run operators) is accepted by stdlib
+    zlib AND the repo's own inflater, beats the fixed encoding on
+    skewed data, and deflate_encode picks the smaller block type."""
+    import random
+    import zlib
+
+    from pr2_transformation_spark.sources.inflate import (
+        deflate_dynamic, deflate_encode, deflate_fixed, inflate)
+
+    rnd = random.Random(7)
+    cases = [
+        b"",
+        b"x",
+        b"abcabcabc" * 5000,
+        b"a" * 40000 + b"b" * 100 + bytes(range(256)),
+        bytes(rnd.randrange(256) for _ in range(50000)),  # incompressible
+        open("/root/repo/SURVEY.md", "rb").read()[:100000],
+        bytes(rnd.randrange(4) for _ in range(30000)),  # tiny alphabet
+        # exponential byte skew: the shape that exposed the
+        # package-merge off-by-one-level (length-16 codes) in round 8
+        bytes(min(255, int(rnd.expovariate(0.03))) for _ in range(40000)),
+    ]
+    for raw in cases:
+        dyn = deflate_dynamic(raw)
+        assert zlib.decompressobj(-15).decompress(dyn) == raw
+        assert inflate(dyn)[0] == raw
+        assert deflate_dynamic(raw) == dyn  # deterministic
+        best = deflate_encode(raw)
+        assert len(best) <= min(len(dyn), len(deflate_fixed(raw)))
+        assert zlib.decompressobj(-15).decompress(best) == raw
+    # the entropy gap: dynamic strictly beats fixed on skewed text
+    text = cases[5]
+    assert len(deflate_dynamic(text)) < 0.85 * len(deflate_fixed(text))
+
+
+def test_package_merge_is_length_limited_and_optimal_shapes():
+    from pr2_transformation_spark.sources.inflate import (
+        _canonical_codes, _huffman_lengths)
+
+    # fibonacci-ish frequencies force >15-bit codes in a naive Huffman
+    freqs = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610,
+             987, 1597, 2584, 4181, 6765]
+    lens = _huffman_lengths(freqs, 15)
+    assert max(lens) <= 15 and all(lens)
+    # Kraft equality for a complete code
+    assert sum(2 ** (15 - ln) for ln in lens) <= 2 ** 15
+    # single-symbol alphabet gets a 1-bit code, empty gets none
+    assert _huffman_lengths([0, 7, 0], 15) == [0, 1, 0]
+    assert _huffman_lengths([0, 0], 15) == [0, 0]
+    # canonical assignment is the RFC example shape
+    codes = _canonical_codes([2, 1, 3, 3])
+    assert codes == [0b10, 0b0, 0b110, 0b111]
