@@ -242,9 +242,9 @@ def _batch_fb(n_rows: int, nodes: list, buffers: list, body_len: int,
     buffers = [(offset, length)]."""
     b = _FBB()
     comp = None
-    if compressed:
+    if compressed:  # codec enum: 0 = LZ4_FRAME (the default), 1 = ZSTD
         b.start()
-        b.slot_scalar(0, "<b", 1, 1)  # codec: ZSTD
+        b.slot_scalar(0, "<b", 1 if compressed == "zstd" else 0, 1)
         comp = b.end()
     braw = b"".join(struct.pack("<qq", o, ln) for o, ln in buffers)
     bvec = b.vector_of_structs(braw, len(buffers))
@@ -361,12 +361,14 @@ def write_arrow_bytes(columns: "list[tuple[str, str, list]]",
                       batch_rows: int = 65536,
                       compression: "str | None" = None) -> bytes:
     """Serialize ``[(name, kind, values)...]`` into a complete Arrow
-    IPC file image (``compression``: None or 'zstd')."""
+    IPC file image (``compression``: None, 'zstd' or 'lz4' — both body
+    codecs the Arrow spec defines, each through its in-repo encoder)."""
     if not columns:
         raise ValueError("arrow_write: need at least one column")
-    if compression not in (None, "zstd"):
+    if compression not in (None, "zstd", "lz4"):
         raise NotImplementedError(
-            f"arrow_write: compression {compression!r} (None/'zstd')")
+            f"arrow_write: compression {compression!r} "
+            "(None/'zstd'/'lz4')")
     n_rows = len(columns[0][2])
     for name, kind, vals in columns:
         if not _valid_kind(kind):
@@ -390,6 +392,10 @@ def write_arrow_bytes(columns: "list[tuple[str, str, list]]",
                 if compression == "zstd":
                     from .zstd import zstd_compress
                     comp = zstd_compress(raw, checksum=False)
+                elif compression == "lz4":
+                    from .parquet_data import lz4_frame_compress
+                    comp = lz4_frame_compress(raw)
+                if compression is not None:
                     if len(comp) < len(raw):
                         payload = struct.pack("<q", len(raw)) + comp
                     else:
@@ -398,8 +404,7 @@ def write_arrow_bytes(columns: "list[tuple[str, str, list]]",
                     payload = raw
                 buf_entries.append((len(body), len(payload)))
                 body += _pad8(payload)
-        fb = _batch_fb(rows, nodes, buf_entries, len(body),
-                       compression == "zstd")
+        fb = _batch_fb(rows, nodes, buf_entries, len(body), compression)
         frame = _message_frame(fb)
         blocks.append((len(out), len(frame), len(body)))
         out += frame + body

@@ -906,6 +906,35 @@ def read_parquet_distributed(spark, path_glob: str, spark_schema: str,
     return blobs.mapInPandas(decode, spark_schema)
 
 
+def lz4_frame_compress(raw: bytes, block_max: int = 4 << 20) -> bytes:
+    """LZ4 FRAME encode — the write-side twin of
+    :func:`lz4_frame_decompress` (round-8 encoder symmetry: LZ4 joins
+    deflate/snappy/zstd as bidirectional).  Independent blocks, content
+    size + content checksum flags set, per-block stored fallback when
+    compression doesn't pay, xxh32 header/content checksums via the
+    from-scratch `functions/xxhash.py`."""
+    from ..functions.xxhash import xxh32
+
+    if block_max not in (1 << 16, 1 << 18, 1 << 20, 4 << 20):
+        raise ValueError("block_max must be 64KiB/256KiB/1MiB/4MiB")
+    bd_code = {1 << 16: 4, 1 << 18: 5, 1 << 20: 6, 4 << 20: 7}[block_max]
+    out = bytearray((0x184D2204).to_bytes(4, "little"))
+    flg = (1 << 6) | (1 << 5) | (1 << 3) | (1 << 2)  # v1, indep, csize, cchk
+    desc = bytes([flg, bd_code << 4]) + len(raw).to_bytes(8, "little")
+    out += desc
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    for i in range(0, len(raw), block_max):
+        chunk = raw[i:i + block_max]
+        comp = lz4_block_compress(chunk)
+        if len(comp) < len(chunk):
+            out += len(comp).to_bytes(4, "little") + comp
+        else:  # stored block: high bit set
+            out += (len(chunk) | 0x80000000).to_bytes(4, "little") + chunk
+    out += (0).to_bytes(4, "little")  # EndMark
+    out += xxh32(raw).to_bytes(4, "little")
+    return bytes(out)
+
+
 def lz4_frame_decompress(buf: bytes, expected: int | None = None) -> bytes:
     """LZ4 FRAME decode (lz4_Frame_format.md) — the container around the
     raw blocks :func:`lz4_block_decompress` handles: magic 0x184D2204,

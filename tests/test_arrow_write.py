@@ -82,7 +82,7 @@ def test_unsupported_kind_raises():
     with pytest.raises(NotImplementedError, match="seam"):
         write_arrow_bytes([("a", "decimal", [1])])
     with pytest.raises(NotImplementedError, match="compression"):
-        write_arrow_bytes([("a", "int64", [1])], compression="lz4")
+        write_arrow_bytes([("a", "int64", [1])], compression="brotli")
 
 
 def test_distributed_sink_pyarrow_reads_back(spark, tmp_path):
@@ -204,3 +204,32 @@ def test_distributed_writer_array_columns(spark, tmp_path):
     for i, pair, toks in got:
         assert pair == (None if i % 7 == 0 else [i, i * 2])
         assert toks == ["a", "b", str(i)]
+
+
+def test_lz4_frame_body_compression_three_readers():
+    """Round-8 LZ4 encoder symmetry: Arrow bodies can ride the
+    from-scratch lz4_frame_compress; pyarrow (liblz4) and the repo's
+    own reader both decode file AND stream formats."""
+    import io
+
+    import pyarrow.ipc as ipc
+
+    from pr2_transformation_spark.sources.arrow_ipc import (
+        read_arrow_bytes, read_arrow_stream_bytes)
+    from pr2_transformation_spark.sources.arrow_write import (
+        write_arrow_bytes, write_arrow_stream_bytes)
+
+    cols = [("k", "int64", list(range(5000))),
+            ("s", "utf8", [f"row_{i % 50}" if i % 7 else None
+                           for i in range(5000)]),
+            ("v", "float64", [i * 0.5 for i in range(5000)])]
+    data = write_arrow_bytes(cols, compression="lz4")
+    t = ipc.open_file(io.BytesIO(data)).read_all()
+    for name, _k, vals in cols:
+        assert t.column(name).to_pylist() == vals
+    _, got = read_arrow_bytes(data)
+    assert got["s"] == cols[1][2]
+    s = write_arrow_stream_bytes(cols, compression="lz4")
+    assert ipc.open_stream(io.BytesIO(s)).read_all().num_rows == 5000
+    _, got2 = read_arrow_stream_bytes(s)
+    assert got2["k"] == cols[0][2]

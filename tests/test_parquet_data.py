@@ -302,3 +302,35 @@ def test_delta_binary_packed_and_byte_stream_split(tmp_path, dpv):
     assert cols["i"] == t.column("i").to_pylist()
     assert cols["i32"] == t.column("i32").to_pylist()
     assert cols["f"] == t.column("f").to_pylist()
+
+
+def test_lz4_frame_compress_conformance_against_liblz4():
+    """lz4_frame_compress pinned BOTH directions against pyarrow's
+    bundled liblz4: our frames decode there, theirs decode here."""
+    import random
+
+    import pyarrow as pa
+
+    from pr2_transformation_spark.sources.parquet_data import (
+        lz4_frame_compress, lz4_frame_decompress)
+
+    codec = pa.Codec("lz4")  # frame format
+    rnd = random.Random(5)
+    cases = [b"", b"x", b"abc" * 50000,
+             bytes(rnd.randrange(256) for _ in range(100000)),
+             open("/root/repo/SURVEY.md", "rb").read()]
+    for raw in cases:
+        frame = lz4_frame_compress(raw)
+        assert lz4_frame_decompress(frame) == raw
+        if raw:
+            assert codec.decompress(
+                frame, decompressed_size=len(raw)).to_pybytes() == raw
+        assert lz4_frame_decompress(
+            codec.compress(raw).to_pybytes()) == raw
+        assert lz4_frame_compress(raw) == frame  # deterministic
+    # multi-block path + stored-fallback for incompressible chunks
+    big = bytes(rnd.randrange(256) for _ in range(150000))
+    frame = lz4_frame_compress(big, block_max=1 << 16)
+    assert lz4_frame_decompress(frame) == big
+    assert codec.decompress(frame, decompressed_size=len(big)
+                            ).to_pybytes() == big
