@@ -596,13 +596,6 @@ class DeltaTable:
         omitted from the typed checkpoint rows; every field the replay
         path consumes is present."""
         live, schema, tombstones, meta, protocol = self._replay(None)
-        if any(a.get("deletionVector") for a in live.values()):
-            raise NotImplementedError(
-                "checkpointing a DV-bearing snapshot: the typed "
-                "checkpoint schema needs a 2-level nested "
-                "add.deletionVector struct, which the from-scratch "
-                "nested parquet writer does not emit yet — compact "
-                "DVs away first (rewrite) or keep the JSON log")
         version = self._latest_version()
         rows: list[dict] = [
             {"protocol": protocol or {"minReaderVersion": 1,
@@ -617,7 +610,8 @@ class DeltaTable:
                 "path": p, "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "stats": a.get("stats"),
-                "dataChange": False}})
+                "dataChange": False,
+                "deletionVector": a.get("deletionVector")}})
         for p, ts in sorted(tombstones.items()):
             rows.append({"remove": {
                 "path": p, "deletionTimestamp": ts, "dataChange": False}})
@@ -647,7 +641,31 @@ class DeltaTable:
                 ("modificationTime", "INT64",
                  col("add", "modificationTime")),
                 ("stats", "BYTE_ARRAY", col("add", "stats")),
-                ("dataChange", "BOOLEAN", col("add", "dataChange"))]),
+                ("dataChange", "BOOLEAN", col("add", "dataChange")),
+                # round-8: the 2-level nested shape the checkpoint
+                # schema defines for DV-bearing snapshots
+                ("deletionVector", [
+                    ("storageType", "BYTE_ARRAY",
+                     [(r.get("add", {}).get("deletionVector") or {})
+                      .get("storageType") if "add" in r else None
+                      for r in rows]),
+                    ("pathOrInlineDv", "BYTE_ARRAY",
+                     [(r.get("add", {}).get("deletionVector") or {})
+                      .get("pathOrInlineDv") if "add" in r else None
+                      for r in rows]),
+                    ("offset", "INT64",
+                     [(r.get("add", {}).get("deletionVector") or {})
+                      .get("offset") if "add" in r else None
+                      for r in rows]),
+                    ("sizeInBytes", "INT64",
+                     [(r.get("add", {}).get("deletionVector") or {})
+                      .get("sizeInBytes") if "add" in r else None
+                      for r in rows]),
+                    ("cardinality", "INT64",
+                     [(r.get("add", {}).get("deletionVector") or {})
+                      .get("cardinality") if "add" in r else None
+                      for r in rows]),
+                ])]),
             ("remove", [
                 ("path", "BYTE_ARRAY", col("remove", "path")),
                 ("deletionTimestamp", "INT64",

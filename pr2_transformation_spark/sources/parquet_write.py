@@ -782,20 +782,70 @@ def write_parquet_distributed(df, out_dir: str, codec: str = "snappy",
     return int(row["n"] or 0)
 
 
+def _group_nrows(specs: list) -> int:
+    for s in specs:
+        if len(s) == 3 and isinstance(s[1], str):
+            return len(s[2])
+        return _group_nrows(s[1])
+    raise ValueError("empty group")
+
+
+def _subtree_nonnull(spec, i: int) -> bool:
+    if len(spec) == 3 and isinstance(spec[1], str):
+        return spec[2][i] is not None
+    return any(_subtree_nonnull(s, i) for s in spec[1])
+
+
+def _norm_group(path: "list[str]", specs: list, nrows: int,
+                parent_def: "list[int]", depth: int,
+                schema_elems: list, leaves: list) -> None:
+    """Recursive OPTIONAL-GROUP normalization (round-8: groups nest to
+    any depth — the Delta checkpoint's add.deletionVector shape).  A
+    group counts as present on a row when every ancestor is present
+    and ANY descendant leaf is non-None; ``parent_def[i]`` carries the
+    count of defined optional levels so far (the Dremel definition
+    level a truncated chain stops at)."""
+    _OPT = 1
+    present_def = [
+        depth if (parent_def[i] == depth - 1
+                  and any(_subtree_nonnull(s, i) for s in specs))
+        else parent_def[i]
+        for i in range(nrows)
+    ]
+    schema_elems.append((path[-1], None, len(specs), _OPT, None))
+    for s in specs:
+        if len(s) == 3 and isinstance(s[1], str):
+            lname, ptype, vals = s
+            leaf_depth = depth + 1
+            defs = [
+                leaf_depth if (present_def[i] == depth
+                               and vals[i] is not None)
+                else present_def[i]
+                for i in range(nrows)
+            ]
+            schema_elems.append((lname, ptype, None, _OPT, None))
+            leaves.append((path + [lname], ptype, defs,
+                           [v for v in vals if v is not None],
+                           leaf_depth))
+        else:
+            _norm_group(path + [s[0]], s[1], nrows, present_def,
+                        depth + 1, schema_elems, leaves)
+
+
 def write_parquet_nested_bytes(
     fields: list,
     codec: str = "snappy",
     created_by: str = "pr2-transformation-spark parquet_write",
 ) -> bytes:
-    """ONE-LEVEL OPTIONAL-STRUCT parquet writer (the Delta-checkpoint
-    shape): ``fields`` mixes flat columns ``(name, ptype, values)``
-    with optional groups ``(group_name, [(leaf, ptype, values)...])``
-    where a group row is NULL when every leaf value is None in that
-    row's position AND the group's presence list says so — concretely,
-    pass leaf values aligned per row and a leading ``("__present__",
-    [bool...])`` pseudo-leaf is NOT needed: a group counts as present
-    on a row when ANY leaf is non-None.  Definition levels: 0 = group
-    null, 1 = leaf null within a present group, 2 = value.
+    """OPTIONAL-STRUCT parquet writer (the Delta-checkpoint shape):
+    ``fields`` mixes flat columns ``(name, ptype, values)`` with
+    optional groups ``(group_name, [(leaf, ptype, values)...])`` —
+    and, round-8, groups NEST to any depth (entries of a group's spec
+    list may themselves be ``(subgroup, [...])``, the checkpoint's
+    ``add.deletionVector`` shape).  A group counts as present on a row
+    when every ancestor is present and ANY descendant leaf is
+    non-None; definition levels count defined optional levels per
+    Dremel (leaf max_def = nesting depth + 1).
 
     ROUND 8 — LIST columns (3-level Dremel WRITE, the write twin of
     parquet_data's q361 read assembly): ``("name", "LIST<PTYPE>",
@@ -862,17 +912,9 @@ def write_parquet_nested_bytes(
         else:
             gname, leaf_specs = spec
             if nrows is None:
-                nrows = len(leaf_specs[0][2])
-            present = [any(ls[2][i] is not None for ls in leaf_specs)
-                       for i in range(nrows)]
-            schema_elems.append((gname, None, len(leaf_specs), _OPT, None))
-            for lname, ptype, vals in leaf_specs:
-                defs = [2 if vals[i] is not None
-                        else (1 if present[i] else 0)
-                        for i in range(nrows)]
-                schema_elems.append((lname, ptype, None, _OPT, None))
-                leaves.append(([gname, lname], ptype, defs,
-                               [v for v in vals if v is not None], 2))
+                nrows = _group_nrows(leaf_specs)
+            _norm_group([gname], leaf_specs, nrows,
+                        [0] * nrows, 1, schema_elems, leaves)
     body = bytearray(b"PAR1")
     chunks = []
     for path, ptype, defs, nonnull, max_def, *rep_part in leaves:

@@ -422,3 +422,41 @@ def test_spark_reads_lists(spark, tmp_path):
     assert [r["nums"] for r in got] == nums
     assert spark.read.parquet(str(tmp_path)).schema["nums"] \
         .dataType.simpleString() == "array<bigint>"
+
+
+def test_two_level_nested_struct_write(tmp_path):
+    """Round-8: optional groups nest to any depth — the Delta
+    checkpoint's add.deletionVector shape — validated by pyarrow AND
+    DuckDB."""
+    import io
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources.parquet_write import (
+        write_parquet_nested_bytes)
+
+    buf = write_parquet_nested_bytes([
+        ("version", "INT64", [1, 2, 3, 4, 5, 6]),
+        ("add", [
+            ("path", "BYTE_ARRAY", ["a", None, "c", None, "e", "f"]),
+            ("size", "INT64", [10, None, 30, None, None, 60]),
+            ("dv", [
+                ("storageType", "BYTE_ARRAY",
+                 ["u", None, None, None, "i", None]),
+                ("card", "INT64", [5, None, None, None, None, None]),
+            ]),
+        ]),
+    ], codec="snappy")
+    got = pq.read_table(io.BytesIO(buf)).to_pylist()
+    assert got[0]["add"]["dv"] == {"storageType": "u", "card": 5}
+    assert got[1]["add"] is None          # whole group null
+    assert got[2]["add"]["dv"] is None    # subgroup null, parent present
+    assert got[4]["add"] == {"path": "e", "size": None,
+                             "dv": {"storageType": "i", "card": None}}
+    fn = str(tmp_path / "n2.parquet")
+    open(fn, "wb").write(buf)
+    r = duckdb.sql(
+        f"SELECT count(*), count(add.dv.storageType), count(add.path) "
+        f"FROM read_parquet('{fn}')").fetchone()
+    assert r == (6, 2, 4)
