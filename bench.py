@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "q403_iceberg_hidden_partitioning",
     "q404_zip_writer_roundtrip",
     "q405_fastcdc_dedup",
+    "q406_lake_maintenance",
 ]
 
 

@@ -730,42 +730,14 @@ class DeltaTable:
         if not keep:
             return spark.createDataFrame([], schema)
         spark.catalog.refreshByPath(self.path)
-        plain = [p for p in keep if not live[p].get("deletionVector")]
-        dved = [p for p in keep if live[p].get("deletionVector")]
-        frames = []
-        if plain:
-            frames.append(spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in plain]))
-        if dved:
-            # deletion vectors apply POSITIONALLY: read the files with
-            # their per-file row index and anti-join the (file, index)
-            # tombstone set — broadcast, so the scan itself stays
-            # pushdown-friendly and shuffle-free.  The tombstone list is
-            # the DV's cardinality (bounded model-state, like any
-            # sketch); real engines inline this drop into the scan.
-            from pyspark.sql import functions as F
-
-            deleted = [
-                (p, int(i))
-                for p in dved
-                for i in _dv_read(self.path, live[p]["deletionVector"])
-                .values()
-            ]
-            src = spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in dved]).select(
-                "*",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"),
-                             -1).alias("__fname"),
-                F.col("_metadata.row_index").alias("__ri"))
-            tomb = spark.createDataFrame(
-                deleted, "__fname string, __ri long")
-            frames.append(
-                src.join(F.broadcast(tomb), ["__fname", "__ri"],
-                         "left_anti").drop("__fname", "__ri"))
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+        # deletion vectors apply POSITIONALLY inside _read_files: files
+        # with a DV read with their per-file row index and anti-join
+        # the (file, index) tombstone set — broadcast, so the scan
+        # stays pushdown-friendly and shuffle-free.  The tombstone list
+        # is the DV's cardinality (bounded model-state, like any
+        # sketch); real engines inline this drop into the scan.
+        return self._read_files(
+            spark, {p: live[p] for p in keep}, schema_json)
 
     def files_matching(self, skipping: "list[tuple]",
                        version: "int | None" = None) -> "tuple[int, int]":
@@ -790,6 +762,124 @@ class DeltaTable:
                         "timestamp": info.get("timestamp"),
                         "operation": info.get("operation"),
                         "mode": info.get("operationParameters", {}).get("mode")})
+        return out
+
+    def optimize(self, spark: SparkSession,
+                 target_bytes: int = 128 * 1024 * 1024,
+                 now_ms: "int | None" = None) -> "dict":
+        """OPTIMIZE — bin-packing compaction, the maintenance commit a
+        real lake runs continuously: files smaller than
+        ``target_bytes`` (and every DV-bearing file, whose deleted rows
+        are PURGED here — the rewrite that retires deletion vectors)
+        are rewritten into bin-packed files; full-size DV-free files
+        are left untouched.  The commit removes the compacted inputs
+        and adds their replacements with ``dataChange=False`` (the
+        protocol's marker that the LOGICAL table is unchanged, so
+        streaming readers skip it and a concurrent blind append does
+        not conflict).  Returns {"compacted", "added", "version"};
+        no-op (version -1) when nothing qualifies.
+
+        Conflict rule: compaction loses to ANY concurrent data change
+        (its inputs may have been removed) — create-exclusive publish,
+        raise on collision, caller reruns."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        live, schema_json, *_ = self._replay(None)
+        ts = int(now_ms if now_ms is not None else time.time() * 1000)
+        small = sorted(
+            p for p, a in live.items()
+            if a.get("size", 0) < target_bytes or a.get("deletionVector"))
+        if len(small) < 2 and not any(
+                live[p].get("deletionVector") for p in small):
+            return {"compacted": [], "added": [], "version": -1}
+
+        # read ONLY the qualifying files (DVs applied positionally by
+        # the same anti-join the snapshot read uses), rewrite bin-packed
+        sub = {p: live[p] for p in small}
+        frame = self._read_files(spark, sub, schema_json)
+        n_out = max(1, sum(live[p].get("size", 0) for p in small)
+                    // max(target_bytes, 1))
+        staging = os.path.join(self.path, f".optimize-{uuid.uuid4().hex}")
+        frame.repartition(int(n_out)).write.mode("overwrite") \
+            .parquet(staging)
+        batch = uuid.uuid4().hex[:12]
+        added = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{batch}-{f}"
+            os.rename(os.path.join(staging, f),
+                      os.path.join(self.path, name))
+            added.append(name)
+        shutil.rmtree(staging)
+
+        version = self._latest_version() + 1
+        actions = []
+        for p in small:
+            actions.append({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": False}})
+        for name in added:
+            full = os.path.join(self.path, name)
+            add = {"path": name, "partitionValues": {},
+                   "size": os.path.getsize(full),
+                   "modificationTime": ts, "dataChange": False}
+            stats = _file_stats(full)
+            if stats is not None:
+                add["stats"] = json.dumps(stats)
+            actions.append({"add": add})
+        actions.append({"commitInfo": {
+            "timestamp": ts, "operation": "OPTIMIZE",
+            "operationParameters": {"targetBytes": target_bytes}}})
+        tmp = _commit_path(self.path, version) + f".{batch}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        try:
+            os.link(tmp, _commit_path(self.path, version))
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                "optimize lost the publish race; its inputs may be "
+                "stale — rerun") from None
+        return {"compacted": small, "added": added, "version": version}
+
+    def _read_files(self, spark: SparkSession, subset: "dict",
+                    schema_json: str) -> DataFrame:
+        """Scan a subset of live adds with their DVs applied — the
+        shared core of read() and optimize()."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        plain = [p for p in sorted(subset)
+                 if not subset[p].get("deletionVector")]
+        dved = [p for p in sorted(subset)
+                if subset[p].get("deletionVector")]
+        frames = []
+        if plain:
+            frames.append(spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in plain]))
+        if dved:
+            deleted = [
+                (p, int(i))
+                for p in dved
+                for i in _dv_read(self.path,
+                                  subset[p]["deletionVector"]).values()
+            ]
+            src = spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in dved]).select(
+                "*",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"),
+                             -1).alias("__fname"),
+                F.col("_metadata.row_index").alias("__ri"))
+            tomb = spark.createDataFrame(
+                deleted, "__fname string, __ri long")
+            frames.append(
+                src.join(F.broadcast(tomb), ["__fname", "__ri"],
+                         "left_anti").drop("__fname", "__ri"))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
         return out
 
     def vacuum(self, retain_ms: int = 7 * 24 * 3600 * 1000,

@@ -1093,6 +1093,65 @@ class IcebergTable:
                 f"this tombstone set ({self.path})") from None
         return snap_id
 
+    def expire_snapshots(self, keep_last: int = 1) -> "list[int]":
+        """Maintenance commit: drop all but the newest ``keep_last``
+        snapshots from the metadata (the history-for-space trade —
+        time travel to expired ids fails with a clear error).  Data
+        and manifest files are NOT touched here;
+        :meth:`remove_orphan_files` is the physical half.  Publishes a
+        new metadata version create-exclusive (OCC like any commit).
+        Returns the expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        base_version = self._current_version()
+        meta = self._load_metadata()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
+        meta["snapshots"] = snaps[-keep_last:]
+        meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"]
+            if e["snapshot-id"] not in expired]
+        self._publish_metadata(meta, base_version + 1)
+        return expired
+
+    def remove_orphan_files(self) -> "list[str]":
+        """Physical maintenance: delete every file under ``data/`` and
+        every manifest / manifest list under ``metadata/`` that NO
+        retained snapshot references (the debris expired snapshots,
+        losing OCC writers and failed attempts leave behind).  Never
+        touches metadata.json versions or version-hint.  Returns the
+        deleted paths (table-relative)."""
+        meta = self._load_metadata()
+        referenced: set[str] = set()
+        for s in meta["snapshots"]:
+            referenced.add(s["manifest-list"])
+            _, manifests = avro_read(
+                open(os.path.join(self.path, s["manifest-list"]),
+                     "rb").read())
+            for m in manifests:
+                referenced.add(m["manifest_path"])
+                _, rows = avro_read(
+                    open(os.path.join(self.path, m["manifest_path"]),
+                         "rb").read())
+                for r in rows:
+                    referenced.add(r["data_file"]["file_path"])
+        gone = []
+        for f in sorted(os.listdir(self.data_dir)):
+            rel = f"data/{f}"
+            if rel not in referenced:
+                os.remove(os.path.join(self.data_dir, f))
+                gone.append(rel)
+        for f in sorted(os.listdir(self.meta_dir)):
+            if not (f.startswith(("m-", "snap-")) and f.endswith(".avro")):
+                continue
+            rel = f"metadata/{f}"
+            if rel not in referenced:
+                os.remove(os.path.join(self.meta_dir, f))
+                gone.append(rel)
+        return gone
+
     def snapshots(self) -> list[dict]:
         meta = self._load_metadata()
         return [

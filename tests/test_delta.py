@@ -378,3 +378,29 @@ def test_deletion_vector_checkpoint_roundtrip_and_empty_delete(spark, tmp_path):
     t.delete_where(spark, "k = 4")
     assert sorted(r["k"] for r in t.read(spark).collect()) == [
         i for i in expected if i != 4]
+
+
+def test_optimize_binpacks_and_purges_deletion_vectors(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "opt"))
+    df = spark.range(2000).selectExpr("id as k", "id * 2 as v")
+    t.write(df.repartition(8), mode="overwrite")   # 8 small files
+    t.delete_where(spark, "k % 5 = 0")
+    before = [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    v_pre = t._latest_version()
+    res = t.optimize(spark, target_bytes=128 * 1024 * 1024)
+    assert res["version"] == v_pre + 1
+    assert sorted(res["compacted"]) == sorted(before)
+    live = t._replay(None)[0]
+    assert len(live) < len(before)
+    assert not any(a.get("deletionVector") for a in live.values())  # purged
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [i for i in range(2000) if i % 5 != 0]
+    # logical content unchanged -> dataChange=False everywhere
+    acts = [json.loads(line) for line in open(os.path.join(
+        t.path, "_delta_log", f"{res['version']:020d}.json"))]
+    assert all(not a["add"]["dataChange"] for a in acts if "add" in a)
+    assert all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+    # pre-optimize snapshot still time-travels (inputs not vacuumed)
+    assert t.read(spark, version=v_pre).count() == 1600
+    # idempotent-ish: nothing small left -> no-op
+    assert t.optimize(spark, target_bytes=1)["version"] == -1

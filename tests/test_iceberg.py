@@ -359,3 +359,28 @@ def test_partition_spec_is_sticky_and_mismatch_raises(spark, tmp_path):
     assert sorted(r["k"] for r in t.read(
         spark, skipping=[("k", ">=", 80)]).collect()
         if r["k"] >= 80) == list(range(80, 120))
+
+
+def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
+    t = IcebergTable(str(tmp_path / "maint"))
+    t.write(_df(spark, 0, 50), mode="overwrite", now_ms=1_000)
+    t.write(_df(spark, 50, 80), mode="append", now_ms=2_000)
+    t.write(_df(spark, 100, 120), mode="overwrite", now_ms=3_000)
+    all_data_before = set(os.listdir(t.data_dir))
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    # retained snapshot reads fine; expired ids fail loudly
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(
+        range(100, 120))
+    with pytest.raises(ValueError, match="snapshot 1"):
+        t.read(spark, snapshot_id=1)
+    gone = t.remove_orphan_files()
+    assert gone  # snapshots 1-2's data + manifests were orphaned
+    remaining = set(os.listdir(t.data_dir))
+    assert remaining < all_data_before
+    # the live snapshot is untouched
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(
+        range(100, 120))
+    # a fresh append on the maintained table still works (OCC path)
+    t.write(_df(spark, 200, 205), mode="append", now_ms=4_000)
+    assert t.read(spark).count() == 25
