@@ -309,6 +309,36 @@ def _compress(raw: bytes, codec: str) -> bytes:
         f"(supported: {sorted(_CODECS)})")
 
 
+def _page_header_v2(unc: int, comp: int, *, num_values: int,
+                    num_nulls: int, num_rows: int, encoding: int,
+                    dl_len: int, rl_len: int, is_compressed: bool,
+                    stats: "tuple | None" = None) -> bytes:
+    """PageHeader for a DATA_PAGE_V2 (type 3): levels live OUTSIDE the
+    compressed region and their byte lengths ride the header."""
+    w = _TWriter()
+    w.field_i32(1, 3)  # DATA_PAGE_V2
+    w.field_i32(2, unc)
+    w.field_i32(3, comp)
+    w.begin_struct(8)  # DataPageHeaderV2
+    w.field_i32(1, num_values)
+    w.field_i32(2, num_nulls)
+    w.field_i32(3, num_rows)
+    w.field_i32(4, encoding)
+    w.field_i32(5, dl_len)
+    w.field_i32(6, rl_len)
+    w.field_bool(7, is_compressed)
+    if stats is not None:
+        null_count, mn, mx, ptype = stats
+        w.begin_struct(8)  # Statistics
+        w.field_i64(3, null_count)
+        if mn is not None:
+            w.field_binary(5, _stat_bytes(mx, ptype))
+            w.field_binary(6, _stat_bytes(mn, ptype))
+        w.end_struct()
+    w.end_struct()
+    return w.stop()
+
+
 def _page_header(page_type: int, unc: int, comp: int, *,
                  num_values: int, encoding: int,
                  stats: "tuple | None" = None) -> bytes:
@@ -343,7 +373,8 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
                  codec: str, use_dictionary: bool,
                  encoding_override: "str | None" = None,
                  pre_levels: "tuple | None" = None,
-                 page_rows: "int | None" = None) -> dict:
+                 page_rows: "int | None" = None,
+                 page_version: int = 1) -> dict:
     """Serialize one column chunk (dict page? + one v1 data page) into
     ``body_out``; returns the ColumnMetaData ingredients.
     ``encoding_override``: "delta" (DELTA_BINARY_PACKED, INT32/INT64)
@@ -478,13 +509,31 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
             payload = _plain_encode(p_nonnull, ptype)
             encoding = _ENC_PLAIN
 
-        raw_page = len(p_defs).to_bytes(4, "little") + p_defs + payload
-        if reps:  # repeated column: rep levels precede def levels (v1)
-            raw_page = len(reps).to_bytes(4, "little") + reps + raw_page
-        comp_page = _compress(raw_page, codec)
-        header = _page_header(_PAGE_DATA, len(raw_page), len(comp_page),
-                              num_values=p_nvals, encoding=encoding,
-                              stats=(p_null_count, p_mn, p_mx, ptype))
+        if page_version == 2:
+            # v2: levels sit OUTSIDE the compressed region, raw RLE
+            # runs with NO 4-byte prefix; only values compress
+            if pre_levels is not None:
+                raise NotImplementedError(
+                    "DataPageV2 write is flat-column only")
+            comp_vals = _compress(payload, codec)
+            is_comp = codec not in ("none", "uncompressed")
+            raw_page = p_defs + payload  # what "uncompressed" measures
+            comp_page = p_defs + (comp_vals if is_comp else payload)
+            header = _page_header_v2(
+                len(raw_page), len(comp_page),
+                num_values=p_nvals, num_nulls=p_null_count,
+                num_rows=p_nvals, encoding=encoding,
+                dl_len=len(p_defs), rl_len=0, is_compressed=is_comp,
+                stats=(p_null_count, p_mn, p_mx, ptype))
+        else:
+            raw_page = len(p_defs).to_bytes(4, "little") + p_defs + payload
+            if reps:  # repeated column: rep levels precede def levels
+                raw_page = len(reps).to_bytes(4, "little") + reps + raw_page
+            comp_page = _compress(raw_page, codec)
+            header = _page_header(
+                _PAGE_DATA, len(raw_page), len(comp_page),
+                num_values=p_nvals, encoding=encoding,
+                stats=(p_null_count, p_mn, p_mx, ptype))
         page_offset = len(body_out)
         if data_offset is None:
             data_offset = page_offset
@@ -576,6 +625,7 @@ def write_parquet_bytes(
     page_rows: "int | None" = None,
     page_index: bool = False,
     bloom_filters: "dict | None" = None,
+    data_page_version: int = 1,
 ) -> bytes:
     """Serialize ``[(name, physical_type, values)...]`` (equal-length
     value lists, ``None`` = NULL, every column OPTIONAL) into a complete
@@ -617,7 +667,7 @@ def write_parquet_bytes(
                 body, name, ptype, vals[lo:lo + rows_here], codec,
                 use_dictionary,
                 (column_encodings or {}).get(name),
-                page_rows=page_rows))
+                page_rows=page_rows, page_version=data_page_version))
         groups.append((rows_here, chunks))
 
     if bloom_filters:

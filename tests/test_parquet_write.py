@@ -460,3 +460,53 @@ def test_two_level_nested_struct_write(tmp_path):
         f"SELECT count(*), count(add.dv.storageType), count(add.path) "
         f"FROM read_parquet('{fn}')").fetchone()
     assert r == (6, 2, 4)
+
+
+def test_data_page_v2_write_three_readers(tmp_path):
+    """Round-8 page-format symmetry: DATA_PAGE_V2 (levels outside the
+    compressed region, byte lengths in the header) across codecs and
+    both dictionary modes, validated by pyarrow, DuckDB and the repo's
+    own v2-aware reader; composes with page_rows and multi row groups."""
+    import io
+    import random
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources.parquet_data import (
+        read_parquet_bytes)
+
+    random.seed(4)
+    n = 8000
+    cols = [
+        ("id", "INT64", list(range(n))),
+        ("v", "DOUBLE", [random.random() if i % 9 else None
+                         for i in range(n)]),
+        ("nm", "BYTE_ARRAY", [f"s{i % 31}" if i % 5 else None
+                              for i in range(n)]),
+        ("b", "BOOLEAN", [bool(i % 3) if i % 7 else None
+                          for i in range(n)]),
+    ]
+    for codec in ("none", "snappy", "zstd", "gzip"):
+        for dic in (True, False):
+            buf = write_parquet_bytes(
+                cols, codec=codec, use_dictionary=dic,
+                data_page_version=2, row_group_rows=3000, page_rows=700)
+            t = pq.read_table(io.BytesIO(buf))
+            for name, _pt, vals in cols:
+                assert t.column(name).to_pylist() == vals, (codec, dic)
+            _, got = read_parquet_bytes(buf)
+            assert got["id"] == cols[0][2]
+            assert got["nm"] == [None if s is None else s.encode()
+                                 for s in cols[2][2]]
+    fn = str(tmp_path / "v2.parquet")
+    open(fn, "wb").write(write_parquet_bytes(
+        cols[:2], codec="zstd", data_page_version=2))
+    assert duckdb.sql(
+        f"SELECT count(*), min(id), max(id) FROM read_parquet('{fn}')"
+    ).fetchone() == (n, 0, n - 1)
+    with pytest.raises(NotImplementedError, match="flat-column"):
+        from pr2_transformation_spark.sources.parquet_write import (
+            _write_chunk)
+        _write_chunk(bytearray(), "x", "INT64", [1], "none", False,
+                     pre_levels=([1], 1), page_version=2)
