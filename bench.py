@@ -336,6 +336,7 @@ BENCH_QUERIES = [
     "q404_zip_writer_roundtrip",
     "q405_fastcdc_dedup",
     "q406_lake_maintenance",
+    "q407_parquet_modern_file",
 ]
 
 
