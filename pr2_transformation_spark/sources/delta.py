@@ -416,8 +416,8 @@ class DeltaTable:
 
         from .roaring import Roaring64
 
-        live, schema_json, *_ = self._replay(None)
         read_version = self._latest_version()
+        live, schema_json, *_ = self._replay(read_version)
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
         if not live:
             raise ValueError("DELETE on an empty table")
@@ -460,7 +460,12 @@ class DeltaTable:
         with open(os.path.join(self.path, dv_name), "wb") as f:
             f.write(file_bytes)
 
-        version = self._latest_version() + 1
+        # Mint the commit version from the READ snapshot, not a second
+        # _latest_version() probe: any commit that landed during the
+        # distributed match scan now occupies read_version+1 and the
+        # create-exclusive link below collides loudly instead of
+        # silently re-adding files a concurrent writer removed.
+        version = read_version + 1
         actions = [{"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"],
@@ -494,8 +499,8 @@ class DeltaTable:
             os.unlink(tmp)
             raise ConcurrentWriteError(
                 f"DELETE read version {read_version} but a concurrent "
-                "commit won version {version}; its rows may match the "
-                "predicate — rerun") from None
+                f"commit won version {version}; its rows may match the "
+                f"predicate — rerun") from None
 
     def _data_changed_since(self, read_version: int) -> bool:
         """True if any commit AFTER ``read_version`` carries a
@@ -784,7 +789,11 @@ class DeltaTable:
         raise on collision, caller reruns."""
         from pyspark.sql import functions as F  # noqa: F401
 
-        live, schema_json, *_ = self._replay(None)
+        read_version = self._latest_version()
+        if read_version < 0:
+            raise ValueError(
+                f"not a Delta table (no _delta_log): {self.path}")
+        live, schema_json, *_ = self._replay(read_version)
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
         small = sorted(
             p for p, a in live.items()
@@ -813,7 +822,11 @@ class DeltaTable:
             added.append(name)
         shutil.rmtree(staging)
 
-        version = self._latest_version() + 1
+        # read_version + 1, not a fresh _latest_version() probe: a data
+        # change that lands during the distributed rewrite must collide
+        # on the create-exclusive link (its commit may have removed our
+        # inputs), not be silently built over.
+        version = read_version + 1
         actions = []
         for p in small:
             actions.append({"remove": {

@@ -269,16 +269,57 @@ def _transform_prunes(transform: str, part_value, op: str, val) -> bool:
     Conservative: unknown shapes never prune."""
     if part_value is None:
         return False  # null partition: only IS NULL reasoning would apply
-    if transform.startswith("bucket["):
-        return op == "=" and apply_transform(transform, val) != part_value
     tv = apply_transform(transform, val)
-    if op == "=":
-        return part_value != tv
-    if op in (">", ">="):
-        return part_value < tv
-    if op in ("<", "<="):
-        return part_value > tv
+    # Partition tuples round-trip through hive dir names and manifest
+    # JSON, so a date/timestamp identity value arrives as a string and
+    # a numeric-looking string truncate arrives as an int.  Coerce the
+    # stored value to the TYPED transform output's type before
+    # comparing; if the coercion fails the types genuinely disagree and
+    # we must NOT prune (false negatives lose rows silently).
+    part_value = _coerce_like(part_value, tv)
+    if part_value is None:
+        return False
+    if transform.startswith("bucket["):
+        return op == "=" and tv != part_value
+    try:
+        if op == "=":
+            return part_value != tv
+        if op in (">", ">="):
+            return part_value < tv
+        if op in ("<", "<="):
+            return part_value > tv
+    except TypeError:
+        return False  # incomparable after coercion: keep the file
     return False
+
+
+def _coerce_like(stored, typed):
+    """Coerce a hive-dir/JSON round-tripped partition value to the type
+    of the transform output computed from the query literal; None when
+    the coercion cannot be made faithfully (caller then keeps the
+    file)."""
+    import datetime
+
+    if typed is None or isinstance(stored, type(typed)) and not (
+            isinstance(stored, bool) != isinstance(typed, bool)):
+        return stored
+    try:
+        if isinstance(typed, bool):
+            s = str(stored).lower()
+            return s == "true" if s in ("true", "false") else None
+        if isinstance(typed, int):
+            return int(stored)
+        if isinstance(typed, float):
+            return float(stored)
+        if isinstance(typed, str):
+            return str(stored)
+        if isinstance(typed, datetime.datetime):
+            return datetime.datetime.fromisoformat(str(stored))
+        if isinstance(typed, datetime.date):
+            return datetime.date.fromisoformat(str(stored))
+    except (ValueError, TypeError):
+        return None
+    return None
 
 
 def _bounds_may_match(entry: dict, col: str, op: str, val) -> bool:
@@ -413,7 +454,10 @@ class IcebergTable:
                     import pandas as pd
 
                     def one(v):
-                        if v is None or v is pd.NaT:
+                        # pd.isna, not an identity check: nullable int
+                        # columns surface nulls as float NaN in pandas,
+                        # and spec says null -> null (not a crash)
+                        if v is None or pd.isna(v):
                             return None
                         if _dt in ("timestamp", "timestamp_ntz"):
                             v = v.to_pydatetime()
@@ -1116,13 +1160,24 @@ class IcebergTable:
         self._publish_metadata(meta, base_version + 1)
         return expired
 
-    def remove_orphan_files(self) -> "list[str]":
+    def remove_orphan_files(
+            self, older_than_ms: int = 3 * 24 * 3600 * 1000,
+            now_ms: "int | None" = None) -> "list[str]":
         """Physical maintenance: delete every file under ``data/`` and
         every manifest / manifest list under ``metadata/`` that NO
         retained snapshot references (the debris expired snapshots,
-        losing OCC writers and failed attempts leave behind).  Never
-        touches metadata.json versions or version-hint.  Returns the
-        deleted paths (table-relative)."""
+        losing OCC writers and failed attempts leave behind) AND is
+        older than the retention horizon (default 3 days, matching
+        Iceberg's ``older_than`` default) — a concurrent in-flight
+        writer's just-staged data files are unreferenced by design
+        until its commit publishes, so a horizonless sweep would
+        corrupt that commit.  Pass ``older_than_ms=0`` to force (tests
+        / known-quiesced tables).  Never touches metadata.json versions
+        or version-hint.  Returns the deleted paths (table-relative)."""
+        import time as _time
+
+        now = _time.time() * 1000 if now_ms is None else now_ms
+        horizon_s = (now - older_than_ms) / 1000.0
         meta = self._load_metadata()
         referenced: set[str] = set()
         for s in meta["snapshots"]:
@@ -1140,15 +1195,17 @@ class IcebergTable:
         gone = []
         for f in sorted(os.listdir(self.data_dir)):
             rel = f"data/{f}"
-            if rel not in referenced:
-                os.remove(os.path.join(self.data_dir, f))
+            full = os.path.join(self.data_dir, f)
+            if rel not in referenced and os.path.getmtime(full) <= horizon_s:
+                os.remove(full)
                 gone.append(rel)
         for f in sorted(os.listdir(self.meta_dir)):
             if not (f.startswith(("m-", "snap-")) and f.endswith(".avro")):
                 continue
             rel = f"metadata/{f}"
-            if rel not in referenced:
-                os.remove(os.path.join(self.meta_dir, f))
+            full = os.path.join(self.meta_dir, f)
+            if rel not in referenced and os.path.getmtime(full) <= horizon_s:
+                os.remove(full)
                 gone.append(rel)
         return gone
 

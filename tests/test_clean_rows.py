@@ -133,3 +133,24 @@ def test_data_contract_all_green_and_unknown_kind(spark):
     assert all(r["passed"] for r in out)
     with pytest.raises(ValueError, match="unknown check kind"):
         data_contract(df, [{"name": "x", "kind": "nope"}])
+
+
+def test_false_array_reference_ships_all_75_pairs():
+    """The full reference list (reference/false_array_columns.json
+    declares total_unique_pairs: 75) ships with the package — a
+    truncated seed list would silently miss false-array columns in
+    reference mode."""
+    from pr2_transformation_spark.config import load_false_array_reference
+
+    pairs = load_false_array_reference()
+    assert len(pairs) == 75
+    assert len({tuple(p) for p in pairs}) == 75
+    assert ["236590500", "236590500"] in pairs      # first seed pair
+    assert all(len(p) == 2 and all(len(c) == 9 and c.isdigit() for c in p)
+               for p in pairs)
+    # reference-mode detection matches pairs beyond the old 10-pair seed
+    import pr2_transformation_spark.profiling as profiling
+    a, b = pairs[-1]
+    cols = [f"d_{a}_d_{b}", f"d_{a}_d_{b}_1_1", "d_111111111"]
+    got = profiling.false_array_columns_from_reference(cols)
+    assert f"d_{a}_d_{b}" in got and f"d_{a}_d_{b}_1_1" in got

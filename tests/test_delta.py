@@ -404,3 +404,37 @@ def test_optimize_binpacks_and_purges_deletion_vectors(spark, tmp_path):
     assert t.read(spark, version=v_pre).count() == 1600
     # idempotent-ish: nothing small left -> no-op
     assert t.optimize(spark, target_bytes=1)["version"] == -1
+
+
+def test_delete_and_optimize_collide_with_interleaved_commit(spark, tmp_path):
+    """delete_where/optimize mint their commit version from the READ
+    snapshot, so a data-changing commit that lands during the long
+    distributed scan/rewrite collides on the create-exclusive publish
+    instead of being silently built over (resurrecting files the winner
+    removed).  Simulated by pinning _latest_version to the stale head
+    while a real winner commit occupies stale+1."""
+    from pr2_transformation_spark.sources.delta import ConcurrentWriteError
+
+    t = DeltaTable(str(tmp_path / "race"))
+    t.write(_df(spark, 0, 100), mode="overwrite")          # version 0
+    DeltaTable(t.path).write(_df(spark, 100, 103), "append")  # version 1 wins
+    real_latest = DeltaTable._latest_version
+    DeltaTable._latest_version = lambda self: 0  # reader saw only v0
+    try:
+        with pytest.raises(ConcurrentWriteError, match="DELETE read version 0"):
+            t.delete_where(spark, "k < 10")
+    finally:
+        DeltaTable._latest_version = real_latest
+    # optimize race on its own fixture: 8 small files at v0, winner at v1
+    t2 = DeltaTable(str(tmp_path / "race2"))
+    t2.write(_df(spark, 0, 200).repartition(8), mode="overwrite")
+    DeltaTable(t2.path).write(_df(spark, 200, 203), "append")
+    DeltaTable._latest_version = lambda self: 0
+    try:
+        with pytest.raises(ConcurrentWriteError, match="optimize lost"):
+            t2.optimize(spark, target_bytes=128 * 1024 * 1024)
+    finally:
+        DeltaTable._latest_version = real_latest
+    # both logs still replay to the winner's snapshot
+    assert t.read(spark).count() == 103
+    assert t2.read(spark).count() == 203

@@ -374,7 +374,10 @@ def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
         range(100, 120))
     with pytest.raises(ValueError, match="snapshot 1"):
         t.read(spark, snapshot_id=1)
-    gone = t.remove_orphan_files()
+    # default retention horizon (3 days) protects just-written files —
+    # an in-flight writer's staged data must survive the sweep
+    assert t.remove_orphan_files() == []
+    gone = t.remove_orphan_files(older_than_ms=0)
     assert gone  # snapshots 1-2's data + manifests were orphaned
     remaining = set(os.listdir(t.data_dir))
     assert remaining < all_data_before
@@ -384,3 +387,69 @@ def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
     # a fresh append on the maintained table still works (OCC path)
     t.write(_df(spark, 200, 205), mode="append", now_ms=4_000)
     assert t.read(spark).count() == 25
+
+
+def test_transform_prunes_coerces_roundtripped_partition_values():
+    """Partition tuples round-trip through hive dir names + manifest
+    JSON, so identity dates arrive as strings and numeric-looking
+    string truncates arrive as ints; _transform_prunes must coerce to
+    the typed transform output before comparing — a type mismatch must
+    NEVER prove exclusion (silent row loss)."""
+    import datetime
+
+    from pr2_transformation_spark.sources.iceberg import _transform_prunes
+
+    d = datetime.date(2023, 3, 1)
+    # identity date stored as its string form: equal -> keep, other -> prune
+    assert not _transform_prunes("identity", "2023-03-01", "=", d)
+    assert _transform_prunes("identity", "2023-02-01", "=", d)
+    assert _transform_prunes("identity", "2023-02-01", ">=", d)
+    ts = datetime.datetime(2023, 3, 1, 12, 30)
+    assert not _transform_prunes("identity", "2023-03-01T12:30:00", "=", ts)
+    # numeric-looking STRING identity values parsed back as ints
+    assert not _transform_prunes("identity", 123, "=", "123")
+    assert _transform_prunes("identity", 124, "=", "123")
+    # truncate[2] on a string: stored "12" was int()ed to 12 by the parser
+    assert not _transform_prunes("truncate[2]", 12, "=", "123456")
+    # un-coercible combos keep the file (conservative)
+    assert not _transform_prunes("identity", "not-a-date", "=", d)
+    assert not _transform_prunes("identity", "abc", "=", 5)
+    # nulls never prune
+    assert not _transform_prunes("identity", None, "=", 5)
+
+
+def test_identity_date_partition_prunes_losslessly(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(str(tmp_path / "datepart"))
+    df = spark.range(300).selectExpr(
+        "id as k",
+        "date_add(date'2023-01-01', cast(id % 6 as int) * 31) as d")
+    t.write(df, mode="overwrite", partition_by=[("d", "identity")])
+    target = datetime.date(2023, 3, 4)  # one of the 6 distinct dates
+    kept, total = t.files_matching([("d", "=", target)])
+    assert 0 < kept < total
+    full = t.read(spark).filter(F.col("d") == F.lit(target)).count()
+    pruned = t.read(spark, skipping=[("d", "=", target)]) \
+        .filter(F.col("d") == F.lit(target)).count()
+    assert full == pruned == 50
+
+
+def test_bucket_partition_write_with_nulls(spark, tmp_path):
+    """Spec: bucket[N](null) is null — a nullable int column (nulls
+    surface as float NaN in pandas) must write, not crash."""
+    t = IcebergTable(str(tmp_path / "nullbucket"))
+    df = spark.range(100).selectExpr(
+        "id as k",
+        "case when id % 10 = 0 then cast(null as long) else id end as ck")
+    t.write(df, mode="overwrite", partition_by=[("ck", "bucket[4]")])
+    got = t.read(spark)
+    assert got.count() == 100
+    assert got.filter("ck is null").count() == 10
+    # null rows landed in the null partition tuple
+    entries = t._data_file_entries()
+    nulls = [e for e in entries
+             if json.loads(e["partition_json"]).get("ck_bucket") is None]
+    assert nulls
