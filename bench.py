@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "q405_fastcdc_dedup",
     "q406_lake_maintenance",
     "q407_parquet_modern_file",
+    "q408_parquet_delta_strings",
 ]
 
 

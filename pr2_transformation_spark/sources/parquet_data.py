@@ -45,6 +45,8 @@ _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_BIT_PACKED = 0, 2, 3, 4
 _ENC_RLE_DICT = 8
 _ENC_DELTA_BINARY = 5
+_ENC_DELTA_LENGTH_BA = 6
+_ENC_DELTA_BA = 7
 _ENC_BYTE_STREAM_SPLIT = 9
 _CODEC_NONE, _CODEC_SNAPPY, _CODEC_GZIP = 0, 1, 2
 _CODEC_LZ4_RAW = 7
@@ -449,6 +451,36 @@ def decode_delta_binary_packed(buf: bytes, pos: int,
     return values[:count], pos
 
 
+def decode_delta_length_byte_array(buf: bytes, pos: int,
+                                   count: int) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY (Encodings.md): one DELTA_BINARY_PACKED
+    run of value lengths, then every value's bytes concatenated — the
+    layout parquet-java/pyarrow v2 writers emit for strings when the
+    dictionary falls back."""
+    lengths, pos = decode_delta_binary_packed(buf, pos, count)
+    vals = []
+    for n in lengths:
+        vals.append(bytes(buf[pos:pos + n]))
+        pos += n
+    return vals, pos
+
+
+def decode_delta_byte_array(buf: bytes, pos: int,
+                            count: int) -> tuple[list[bytes], int]:
+    """DELTA_BYTE_ARRAY (incremental / front-coded): a
+    DELTA_BINARY_PACKED run of shared-prefix lengths, then the suffixes
+    as DELTA_LENGTH_BYTE_ARRAY; value i = value[i-1][:prefix[i]] +
+    suffix[i]."""
+    prefixes, pos = decode_delta_binary_packed(buf, pos, count)
+    suffixes, pos = decode_delta_length_byte_array(buf, pos, count)
+    vals: list[bytes] = []
+    prev = b""
+    for pl, suf in zip(prefixes, suffixes):
+        prev = prev[:pl] + suf
+        vals.append(prev)
+    return vals, pos
+
+
 def decode_byte_stream_split(buf: bytes, pos: int, count: int,
                              width: int) -> list[bytes]:
     """BYTE_STREAM_SPLIT: the page body holds byte-plane i of every
@@ -599,6 +631,11 @@ def read_column_chunk(buf: bytes, chunk: dict, leaf: dict):
             vals, _ = _decode_plain(raw, p, ptype, n_nonnull, tlen)
         elif enc == _ENC_DELTA_BINARY and ptype in ("INT32", "INT64"):
             vals, _ = decode_delta_binary_packed(raw, p, n_nonnull)
+        elif enc == _ENC_DELTA_LENGTH_BA and ptype == "BYTE_ARRAY":
+            vals, _ = decode_delta_length_byte_array(raw, p, n_nonnull)
+        elif enc == _ENC_DELTA_BA and ptype in (
+                "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+            vals, _ = decode_delta_byte_array(raw, p, n_nonnull)
         elif enc == _ENC_BYTE_STREAM_SPLIT and ptype in (
                 "FLOAT", "DOUBLE", "INT32", "INT64"):
             width = {"FLOAT": 4, "INT32": 4, "DOUBLE": 8, "INT64": 8}[ptype]
@@ -705,6 +742,11 @@ def _decode_flat_data_page(header: dict, body: bytes, codec: int,
         vals, _ = _decode_plain(raw, p, ptype, n_nonnull, tlen)
     elif enc == _ENC_DELTA_BINARY and ptype in ("INT32", "INT64"):
         vals, _ = decode_delta_binary_packed(raw, p, n_nonnull)
+    elif enc == _ENC_DELTA_LENGTH_BA and ptype == "BYTE_ARRAY":
+        vals, _ = decode_delta_length_byte_array(raw, p, n_nonnull)
+    elif enc == _ENC_DELTA_BA and ptype in (
+            "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        vals, _ = decode_delta_byte_array(raw, p, n_nonnull)
     elif enc == _ENC_BYTE_STREAM_SPLIT and ptype in (
             "FLOAT", "DOUBLE", "INT32", "INT64"):
         width = {"FLOAT": 4, "INT32": 4, "DOUBLE": 8, "INT64": 8}[ptype]

@@ -283,6 +283,38 @@ def byte_stream_split_encode(raw_plain: bytes, width: int) -> bytes:
                  for i in range(width) for j in range(count))
 
 
+def _as_bytes(v) -> bytes:
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+def delta_length_byte_array_encode(vals: list) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY ENCODER (Encodings.md twin of
+    ``parquet_data.decode_delta_length_byte_array``): one
+    DELTA_BINARY_PACKED run of lengths, then the value bytes
+    concatenated."""
+    bs = [_as_bytes(v) for v in vals]
+    return delta_binary_packed_encode([len(b) for b in bs]) + b"".join(bs)
+
+
+def delta_byte_array_encode(vals: list) -> bytes:
+    """DELTA_BYTE_ARRAY ENCODER (front coding): shared-prefix lengths
+    as DELTA_BINARY_PACKED, suffixes as DELTA_LENGTH_BYTE_ARRAY — the
+    encoding parquet-java emits for strings on dictionary fallback."""
+    prefixes: list[int] = []
+    suffixes: list[bytes] = []
+    prev = b""
+    for v in vals:
+        b = _as_bytes(v)
+        pl, limit = 0, min(len(prev), len(b))
+        while pl < limit and prev[pl] == b[pl]:
+            pl += 1
+        prefixes.append(pl)
+        suffixes.append(b[pl:])
+        prev = b
+    return (delta_binary_packed_encode(prefixes)
+            + delta_length_byte_array_encode(suffixes))
+
+
 def _stat_bytes(v, ptype: str) -> bytes:
     """A single value's statistics encoding (plain value bytes; BYTE_ARRAY
     stats carry the bytes WITHOUT the length prefix)."""
@@ -433,10 +465,17 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
             raise NotImplementedError(
                 f"byte_stream_split needs FLOAT/DOUBLE, got {ptype}")
         use_dictionary = False
+    elif encoding_override in ("delta_byte_array",
+                               "delta_length_byte_array"):
+        if ptype != "BYTE_ARRAY":
+            raise NotImplementedError(
+                f"{encoding_override} needs BYTE_ARRAY, got {ptype}")
+        use_dictionary = False
     elif encoding_override is not None:
         raise NotImplementedError(
             f"encoding override {encoding_override!r} "
-            f"(delta / byte_stream_split)")
+            f"(delta / byte_stream_split / delta_byte_array / "
+            f"delta_length_byte_array)")
     use_dict = (use_dictionary and ptype != "BOOLEAN" and nonnull
                 and len(distinct) <= 0xFFFF
                 and len(distinct) * 2 <= len(nonnull))
@@ -459,6 +498,10 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
         encodings = [_ENC_RLE, 5]
     elif encoding_override == "byte_stream_split":
         encodings = [_ENC_RLE, 9]
+    elif encoding_override == "delta_length_byte_array":
+        encodings = [_ENC_RLE, 6]
+    elif encoding_override == "delta_byte_array":
+        encodings = [_ENC_RLE, 7]
 
     # page split: flat columns only (nested chunks stay one page —
     # row boundaries inside rep/def streams need record-aware cuts)
@@ -505,6 +548,12 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
             payload = byte_stream_split_encode(
                 _plain_encode(p_nonnull, ptype), width)
             encoding = 9  # BYTE_STREAM_SPLIT
+        elif encoding_override == "delta_length_byte_array":
+            payload = delta_length_byte_array_encode(p_nonnull)
+            encoding = 6  # DELTA_LENGTH_BYTE_ARRAY
+        elif encoding_override == "delta_byte_array":
+            payload = delta_byte_array_encode(p_nonnull)
+            encoding = 7  # DELTA_BYTE_ARRAY
         else:
             payload = _plain_encode(p_nonnull, ptype)
             encoding = _ENC_PLAIN
