@@ -338,6 +338,7 @@ BENCH_QUERIES = [
     "q406_lake_maintenance",
     "q407_parquet_modern_file",
     "q408_parquet_delta_strings",
+    "q409_orc_prune_plane",
 ]
 
 

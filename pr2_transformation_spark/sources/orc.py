@@ -436,6 +436,55 @@ def _parse_types(footer: dict):
     return kinds, root_fields, subtypes[0], subtypes
 
 
+def _stripe_layout(buf: bytes, s: dict, compression: str):
+    """One stripe's stream table + column encodings from its footer.
+    Returns (streams [(kind, col, abs offset, length)...], encodings,
+    num_rows)."""
+    offset = s[1][0]
+    index_len = s.get(2, [0])[0]
+    data_len = s[3][0]
+    sf_len = s[4][0]
+    sf_raw = buf[offset + index_len + data_len:
+                 offset + index_len + data_len + sf_len]
+    sfoot = _pb_decode(_decompress_stream(sf_raw, compression))
+    # streams: walk in order accumulating offsets (index region first)
+    streams = []
+    pos = offset
+    for raw in sfoot.get(1, []):
+        st = _pb_decode(raw)
+        streams.append((st.get(1, [0])[0], st.get(2, [0])[0], pos,
+                        st.get(3, [0])[0]))
+        pos += st.get(3, [0])[0]
+    encodings = {}
+    for ci, raw in enumerate(sfoot.get(2, [])):
+        e = _pb_decode(raw)
+        encodings[ci] = (e.get(1, [0])[0], e.get(2, [0])[0])
+    return streams, encodings, s[5][0]
+
+
+def _decode_stripe(buf: bytes, s: dict, compression: str, kinds, names,
+                   col_ids, subtypes, want: set) -> dict[str, list]:
+    """Decode one stripe's wanted columns -> {name: values}."""
+    streams, encodings, num_rows = _stripe_layout(buf, s, compression)
+
+    def stream_bytes(col: int, skind: int) -> bytes | None:
+        for kind, c, spos, slen in streams:
+            if c == col and kind == skind:
+                return _decompress_stream(
+                    buf[spos:spos + slen], compression)
+        return None
+
+    out: dict[str, list] = {}
+    for name, cid in zip(names, col_ids):
+        if name not in want:
+            continue
+        out[name] = _read_column(
+            kinds[cid], encodings.get(cid, (_DIRECT, 0)),
+            stream_bytes, cid, num_rows,
+            kinds=kinds, subtypes=subtypes, encodings=encodings)
+    return out
+
+
 def read_orc_bytes(buf: bytes, columns: "list[str] | None" = None):
     """Decode a complete ORC file image.  Returns (names, columns dict
     name -> list of python values, None for NULL)."""
@@ -446,43 +495,10 @@ def read_orc_bytes(buf: bytes, columns: "list[str] | None" = None):
 
     for sraw in footer.get(3, []):  # StripeInformation
         s = _pb_decode(sraw)
-        offset = s[1][0]
-        index_len = s.get(2, [0])[0]
-        data_len = s[3][0]
-        sf_len = s[4][0]
-        num_rows = s[5][0]
-        sf_raw = buf[offset + index_len + data_len:
-                     offset + index_len + data_len + sf_len]
-        sfoot = _pb_decode(_decompress_stream(sf_raw, compression))
-        # streams: walk in order accumulating offsets (index region first)
-        streams = []
-        pos = offset
-        for raw in sfoot.get(1, []):
-            st = _pb_decode(raw)
-            kind = st.get(1, [0])[0]
-            col = st.get(2, [0])[0]
-            length = st.get(3, [0])[0]
-            streams.append((kind, col, pos, length))
-            pos += length
-        encodings = {}
-        for ci, raw in enumerate(sfoot.get(2, [])):
-            e = _pb_decode(raw)
-            encodings[ci] = (e.get(1, [0])[0], e.get(2, [0])[0])
-
-        def stream_bytes(col: int, skind: int) -> bytes | None:
-            for kind, c, spos, slen in streams:
-                if c == col and kind == skind:
-                    return _decompress_stream(
-                        buf[spos:spos + slen], compression)
-            return None
-
-        for name, cid in zip(names, col_ids):
-            if name not in data:
-                continue
-            data[name].extend(_read_column(
-                kinds[cid], encodings.get(cid, (_DIRECT, 0)),
-                stream_bytes, cid, num_rows,
-                kinds=kinds, subtypes=subtypes, encodings=encodings))
+        got = _decode_stripe(buf, s, compression, kinds, names, col_ids,
+                             subtypes, want)
+        for n, vals in got.items():
+            data[n].extend(vals)
     return [n for n in names if n in data], data
 
 
@@ -592,6 +608,191 @@ def _read_column(kind: str, encoding, stream_bytes, cid: int,
         raise NotImplementedError(
             f"orc: column kind {kind!r} is outside this reader seam")
     return _weave_nulls(present, vals, num_rows)
+
+
+# --------------------------------------------------------- prune plane
+#
+# ORC's three pruning tiers, coarse to fine (spec "Column Statistics" /
+# "Row Group Index"): FILE stats in the Footer, STRIPE stats in the
+# Metadata section between data and footer, ROW-GROUP stats in each
+# stripe's ROW_INDEX streams (one entry per rowIndexStride rows).  The
+# reader below uses the first two to skip whole stripes WITHOUT
+# touching their bytes (the 100 TB object-store win — stripes are the
+# 64-256 MB I/O unit), and the row index to materialize only matching
+# row groups within surviving stripes.
+
+_ROW_INDEX = 6  # stream kind
+
+
+def _stats_from_pb(raw: bytes, kind: str) -> dict:
+    """One ColumnStatistics message -> {n, min, max, has_null}.
+    Unsupported stat families leave min/max None (never prunes)."""
+    cs = _pb_decode(raw)
+    n = cs.get(1, [0])[0]
+    has_null = bool(cs.get(10, [0])[0])
+    mn = mx = None
+    if kind in ("byte", "short", "int", "long"):
+        sub = cs.get(2)          # IntegerStatistics: sint64 min/max
+        if sub:
+            s = _pb_decode(sub[0])
+            if 1 in s:
+                mn = _unzigzag(s[1][0])
+            if 2 in s:
+                mx = _unzigzag(s[2][0])
+    elif kind in ("float", "double"):
+        sub = cs.get(3)          # DoubleStatistics: fixed64 doubles
+        if sub:
+            s = _pb_decode(sub[0])
+            if 1 in s:
+                mn = struct.unpack("<d", s[1][0])[0]
+            if 2 in s:
+                mx = struct.unpack("<d", s[2][0])[0]
+    elif kind in ("string", "varchar", "char"):
+        sub = cs.get(4)          # StringStatistics: utf-8 min/max
+        if sub:
+            s = _pb_decode(sub[0])
+            if 1 in s:
+                mn = s[1][0].decode("utf-8")
+            if 2 in s:
+                mx = s[2][0].decode("utf-8")
+    elif kind == "date":
+        sub = cs.get(7)          # DateStatistics: sint32 epoch days
+        if sub:
+            import datetime
+            s = _pb_decode(sub[0])
+            epoch = datetime.date(1970, 1, 1)
+            if 1 in s:
+                mn = epoch + datetime.timedelta(days=_unzigzag(s[1][0]))
+            if 2 in s:
+                mx = epoch + datetime.timedelta(days=_unzigzag(s[2][0]))
+    return {"n": n, "min": mn, "max": mx, "has_null": has_null}
+
+
+def orc_stripe_statistics(buf: bytes) -> "list[dict[str, dict]]":
+    """Per-stripe column statistics from the METADATA section (between
+    the last stripe and the footer, located by postscript
+    metadataLength) — parsed from tail bytes only, no stripe touched.
+    Returns one {column name: stats} dict per stripe; [] when the
+    writer emitted no metadata section."""
+    ps_len = buf[-1]
+    ps = _pb_decode(buf[-1 - ps_len:-1])
+    footer_len = ps[1][0]
+    meta_len = ps.get(5, [0])[0]
+    if not meta_len:
+        return []
+    compression = COMPRESSION.get(ps.get(2, [0])[0])
+    footer, _ = _read_tail(buf)
+    kinds, names, col_ids, _subtypes = _parse_types(footer)
+    meta_raw = buf[-1 - ps_len - footer_len - meta_len:
+                   -1 - ps_len - footer_len]
+    meta = _pb_decode(_decompress_stream(meta_raw, compression))
+    out = []
+    for ss_raw in meta.get(1, []):       # StripeStatistics
+        col_stats = _pb_decode(ss_raw).get(1, [])  # per column id
+        out.append({
+            name: _stats_from_pb(col_stats[cid], kinds[cid])
+            for name, cid in zip(names, col_ids) if cid < len(col_stats)
+        })
+    return out
+
+
+def _stats_may_match(st: "dict | None", lo, hi) -> bool:
+    """False only when stats PROVE no value in [lo, hi] exists — the
+    no-false-negatives contract (parquet_meta/_bounds_may_match twin).
+    Missing stats keep the range."""
+    if st is None or st["min"] is None or st["max"] is None:
+        return True
+    try:
+        return not (st["max"] < lo or st["min"] > hi)
+    except TypeError:
+        return True  # incomparable literal: keep
+
+
+def _stripe_row_index(buf: bytes, streams, compression: str, cid: int,
+                      kind: str) -> "list[dict] | None":
+    """One column's RowIndex entries (stats per rowIndexStride rows)
+    from the stripe's index region; None when the writer disabled
+    indexes (rowIndexStride=0 — this repo's own orc_write)."""
+    for k, c, spos, slen in streams:
+        if c == cid and k == _ROW_INDEX:
+            ri = _pb_decode(_decompress_stream(
+                buf[spos:spos + slen], compression))
+            out = []
+            for e_raw in ri.get(1, []):          # RowIndexEntry
+                e = _pb_decode(e_raw)
+                st = e.get(2)
+                out.append(_stats_from_pb(st[0], kind) if st else None)
+            return out
+    return None
+
+
+def read_orc_bytes_pruned(buf: bytes, column: str, lo, hi,
+                          columns: "list[str] | None" = None):
+    """Statistics-pruned range read ``lo <= column <= hi`` (the
+    parquet_meta + PageIndex pattern on ORC's own planes): stripes
+    whose METADATA stats exclude the range are skipped WITHOUT reading
+    a single stripe byte (no stripe footer, no stream decompression —
+    at 100 TB that is the object-store GET never issued); within
+    surviving stripes the ROW_INDEX stats select which
+    rowIndexStride-row groups to materialize, and only those rows are
+    woven + emitted (the exact residual still applies row-level).
+    Value streams inside a surviving stripe decode sequentially —
+    positions-based mid-stream seek is the remaining seam, named here.
+    Returns (names, columns, accounting) where accounting proves the
+    prune: stripes/row groups total vs read/selected."""
+    footer, compression = _read_tail(buf)
+    kinds, names, col_ids, subtypes = _parse_types(footer)
+    if column not in names:
+        raise ValueError(f"orc: column {column!r} not in file")
+    cid = col_ids[names.index(column)]
+    stride = footer.get(8, [0])[0]
+    want = set(columns) if columns is not None else set(names)
+    want.add(column)
+    keep = [n for n in names if n in want]
+    sstats = orc_stripe_statistics(buf)
+    acc = {"stripes_total": 0, "stripes_read": 0,
+           "row_groups_total": 0, "row_groups_selected": 0,
+           "rows_emitted": 0}
+    data: dict[str, list] = {n: [] for n in keep}
+
+    for si, sraw in enumerate(footer.get(3, [])):
+        acc["stripes_total"] += 1
+        st = sstats[si].get(column) if si < len(sstats) else None
+        if not _stats_may_match(st, lo, hi):
+            # stripe proven out by tail metadata alone: bytes untouched
+            nr = _pb_decode(sraw)[5][0]
+            acc["row_groups_total"] += (
+                (nr + stride - 1) // stride if stride else 1)
+            continue
+        s = _pb_decode(sraw)
+        acc["stripes_read"] += 1
+        streams, encodings, num_rows = _stripe_layout(buf, s, compression)
+        ri = (_stripe_row_index(buf, streams, compression, cid,
+                                kinds[cid]) if stride else None)
+        if ri:
+            spans = [(g * stride, min((g + 1) * stride, num_rows))
+                     for g in range(len(ri))]
+            verdicts = [_stats_may_match(st_g, lo, hi) for st_g in ri]
+        else:  # no index: the whole stripe is one group
+            spans = [(0, num_rows)]
+            verdicts = [True]
+        acc["row_groups_total"] += len(spans)
+        acc["row_groups_selected"] += sum(verdicts)
+        if not any(verdicts):
+            continue
+        got = _decode_stripe(buf, s, compression, kinds, names, col_ids,
+                             subtypes, want)
+        probe = got[column]
+        for (a, b), ok in zip(spans, verdicts):
+            if not ok:
+                continue
+            for i in range(a, b):
+                v = probe[i]
+                if v is not None and lo <= v <= hi:
+                    for n in keep:
+                        data[n].append(got[n][i])
+                    acc["rows_emitted"] += 1
+    return keep, data, acc
 
 
 def read_orc(path: str, columns: "list[str] | None" = None):

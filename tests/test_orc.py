@@ -197,3 +197,75 @@ def test_unsupported_nested_raises(spark, tmp_path):
     f = _spark_write(spark, df, str(tmp_path / "nested"), "zstd")
     with pytest.raises(NotImplementedError, match="list"):
         read_orc(f)
+
+
+def test_stripe_statistics_and_pruned_read(tmp_path):
+    """ORC prune plane: Metadata stripe stats skip whole stripes from
+    tail bytes alone; ROW_INDEX stats select row groups inside the
+    survivors; the pruned answer equals full-scan + residual exactly
+    (ints, strings, doubles, nulls)."""
+    from pr2_transformation_spark.sources.orc import (
+        orc_stripe_statistics,
+        read_orc_bytes,
+        read_orc_bytes_pruned,
+    )
+
+    rng = random.Random(41)
+    n = 60000
+    ks = list(range(n))
+    t = pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "v": pa.array([None if k % 97 == 0 else rng.randint(-500, 500)
+                       for k in ks], pa.int64()),
+        "s": pa.array([f"id{k:07d}" for k in ks]),
+        "d": pa.array([k * 0.25 for k in ks], pa.float64()),
+    })
+    path = str(tmp_path / "p.orc")
+    po.write_table(t, path, stripe_size=48 * 1024, compression="zlib",
+                   row_index_stride=1000)
+    buf = open(path, "rb").read()
+
+    sstats = orc_stripe_statistics(buf)
+    assert len(sstats) >= 3, len(sstats)
+    assert sstats[0]["k"]["min"] == 0
+    assert sum(st["k"]["n"] for st in sstats) == n
+    assert all(st["v"]["has_null"] for st in sstats)
+    covered = max(st["k"]["max"] for st in sstats)
+    assert covered == n - 1
+
+    _, full = read_orc_bytes(buf)
+    for col, lo, hi in (("k", 20000, 21500), ("s", "id0040000", "id0040999"),
+                        ("d", 2500.0, 2600.0)):
+        names, cols, acc = read_orc_bytes_pruned(buf, col, lo, hi)
+        exp_idx = [i for i, v in enumerate(full[col])
+                   if v is not None and lo <= v <= hi]
+        for name in names:
+            assert cols[name] == [full[name][i] for i in exp_idx], (col, name)
+        assert acc["stripes_read"] < acc["stripes_total"], col
+        assert acc["row_groups_selected"] < acc["row_groups_total"], col
+        assert acc["rows_emitted"] == len(exp_idx)
+
+    # empty range: zero stripes touched
+    _, cols0, acc0 = read_orc_bytes_pruned(buf, "k", n * 2, n * 3)
+    assert acc0["stripes_read"] == 0 and not cols0["k"]
+    # unknown column raises
+    with pytest.raises(ValueError, match="not in file"):
+        read_orc_bytes_pruned(buf, "nope", 0, 1)
+
+
+def test_pruned_read_without_row_index(tmp_path):
+    """A writer that disabled row indexes (this repo's own orc_write,
+    rowIndexStride=0) degrades gracefully: stripe-level pruning only,
+    each stripe one group, answers still exact."""
+    from pr2_transformation_spark.sources.orc import read_orc_bytes_pruned
+    from pr2_transformation_spark.sources.orc_write import write_orc_bytes
+
+    n = 20000
+    buf = write_orc_bytes(
+        [("k", "long", list(range(n))),
+         ("s", "string", [f"r{k}" for k in range(n)])],
+        compression="zlib", stripe_rows=4000)
+    names, cols, acc = read_orc_bytes_pruned(buf, "k", 9000, 9999)
+    assert cols["k"] == list(range(9000, 10000))
+    assert cols["s"] == [f"r{k}" for k in range(9000, 10000)]
+    assert acc["row_groups_total"] == acc["stripes_total"]
