@@ -339,6 +339,7 @@ BENCH_QUERIES = [
     "q407_parquet_modern_file",
     "q408_parquet_delta_strings",
     "q409_orc_prune_plane",
+    "q410_lake_schema_evolution",
 ]
 
 

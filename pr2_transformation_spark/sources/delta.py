@@ -216,6 +216,38 @@ class ConcurrentWriteError(RuntimeError):
     rebase onto the winner and retry."""
 
 
+def _column_mapping(meta: "dict | None",
+                    schema_json: "str | None") -> "dict[str, str] | None":
+    """Logical name -> physical parquet name when the table runs
+    COLUMN MAPPING mode=name (PROTOCOL.md: each field's metadata
+    carries delta.columnMapping.id/physicalName; renames and drops
+    become metadata-only commits because readers bind by physical
+    name).  None when mapping is off."""
+    if not meta or not schema_json:
+        return None
+    if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode") != "name":
+        return None
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"])
+        for f in json.loads(schema_json)["fields"]
+    }
+
+
+def _physical_schema_json(schema_json: str) -> str:
+    """The schemaString with every field renamed to its physicalName —
+    the shape the parquet scan must be pinned to on a mapped table."""
+    schema = json.loads(schema_json)
+    out_fields = []
+    for f in schema["fields"]:
+        g = dict(f)
+        g["name"] = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"])
+        out_fields.append(g)
+    return json.dumps({**schema, "fields": out_fields})
+
+
 def _file_stats(local_path: str) -> "dict | None":
     """Per-file column statistics from the parquet FOOTER only (zero
     data pages read): numRecords + min/max/nullCount per leaf column
@@ -316,6 +348,27 @@ class DeltaTable:
         read_version = self._latest_version()
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
 
+        # COLUMN MAPPING (PROTOCOL.md "Column Mapping", mode=name): on a
+        # mapped table the parquet files carry PHYSICAL names; the
+        # caller's frame arrives in the current LOGICAL shape and is
+        # renamed before staging, and the stored (mapped) schemaString
+        # is carried forward instead of df.schema.json()
+        mapped_schema = mapped_config = None
+        if read_version >= 0:
+            _, cur_schema, _, cur_meta, _ = self._replay(read_version)
+            mapping = _column_mapping(cur_meta, cur_schema)
+            if mapping is not None:
+                if set(df.columns) != set(mapping):
+                    raise ValueError(
+                        f"write to column-mapped table must use the "
+                        f"current logical schema {sorted(mapping)}, got "
+                        f"{sorted(df.columns)}")
+                from pyspark.sql import functions as F
+                df = df.select(*[F.col(c).alias(mapping[c])
+                                 for c in df.columns])
+                mapped_schema = cur_schema
+                mapped_config = cur_meta.get("configuration", {})
+
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         os.makedirs(_log_dir(self.path), exist_ok=True)
@@ -341,9 +394,9 @@ class DeltaTable:
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": mapped_schema or df.schema.json(),
                     "partitionColumns": [],
-                    "configuration": {},
+                    "configuration": mapped_config or {},
                     "createdTime": ts,
                 }
             })
@@ -392,6 +445,108 @@ class DeltaTable:
             f"gave up after {max_retries} rebase attempts "
             f"(contended table at {self.path})")
 
+    def evolve(self, renames: "dict[str, str] | None" = None,
+               adds: "list[tuple[str, str]] | None" = None,
+               drops: "list[str] | None" = None,
+               now_ms: "int | None" = None) -> int:
+        """SCHEMA EVOLUTION via COLUMN MAPPING mode=name (PROTOCOL.md
+        "Column Mapping") — a METADATA-ONLY commit, zero data files
+        rewritten: every field gains delta.columnMapping.id +
+        physicalName on first evolution (existing files already carry
+        their original names, so each field's physicalName is its
+        pre-evolution name); ``renames`` {old: new} change only the
+        LOGICAL name (readers bind by physical name, so old files keep
+        resolving); ``adds`` [(name, spark json type)] get fresh ids
+        and a uuid-suffixed physical name (old files read NULL — and a
+        re-added same-name column cannot resurrect dropped values
+        because its physical name is new); ``drops`` remove the field.
+        The protocol upgrades to reader 2 / writer 5 (feature lists,
+        when present, gain "columnMapping").  Publishes create-
+        exclusively at read_version+1 — a racing commit raises
+        :class:`ConcurrentWriteError`.  Returns the committed
+        version."""
+        read_version = self._latest_version()
+        if read_version < 0:
+            raise ValueError(f"not a Delta table: {self.path}")
+        _, schema_json, _, meta, protocol = self._replay(read_version)
+        ts = int(now_ms if now_ms is not None else time.time() * 1000)
+        schema = json.loads(schema_json)
+        fields = [dict(f) for f in schema["fields"]]
+        config = dict(meta.get("configuration") or {})
+        max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+        for f in fields:
+            md = dict(f.get("metadata") or {})
+            if "delta.columnMapping.id" not in md:
+                max_id += 1
+                md["delta.columnMapping.id"] = max_id
+                md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+        names = {f["name"] for f in fields}
+        for old in (drops or []):
+            if old not in names:
+                raise ValueError(f"drop: no column {old!r}")
+        for old in (renames or {}):
+            if old not in names:
+                raise ValueError(f"rename: no column {old!r}")
+        fields = [f for f in fields if f["name"] not in set(drops or [])]
+        for f in fields:
+            if f["name"] in (renames or {}):
+                f["name"] = (renames or {})[f["name"]]
+        for name, jtype in (adds or []):
+            max_id += 1
+            fields.append({
+                "name": name, "type": jtype, "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName":
+                        f"col-{uuid.uuid4().hex[:12]}",
+                }})
+        if len({f["name"] for f in fields}) != len(fields):
+            raise ValueError(
+                f"evolution would produce duplicate logical names: "
+                f"{sorted(f['name'] for f in fields)}")
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(max_id)
+        prot = dict(protocol or {"minReaderVersion": 1,
+                                 "minWriterVersion": 2})
+        prot["minReaderVersion"] = max(prot.get("minReaderVersion", 1), 2)
+        prot["minWriterVersion"] = max(prot.get("minWriterVersion", 2), 5)
+        for key in ("readerFeatures", "writerFeatures"):
+            if key in prot and "columnMapping" not in prot[key]:
+                prot[key] = list(prot[key]) + ["columnMapping"]
+        actions = [
+            {"protocol": prot},
+            {"metaData": {
+                "id": meta["id"],
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {**schema, "fields": fields}),
+                "partitionColumns": [],
+                "configuration": config,
+                "createdTime": meta.get("createdTime", ts),
+            }},
+            {"commitInfo": {
+                "timestamp": ts, "operation": "EVOLVE SCHEMA",
+                "operationParameters": {
+                    "renames": json.dumps(renames or {}),
+                    "adds": json.dumps([list(a) for a in (adds or [])]),
+                    "drops": json.dumps(drops or [])}}},
+        ]
+        version = read_version + 1
+        tmp = _commit_path(self.path, version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        try:
+            os.link(tmp, _commit_path(self.path, version))
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"schema evolution read version {read_version} but a "
+                f"concurrent commit won version {version}; rerun against "
+                f"the new head") from None
+
     def delete_where(self, spark: SparkSession, condition: str,
                      now_ms: "int | None" = None) -> int:
         """DELETE via DELETION VECTORS (PROTOCOL.md): rows matching the
@@ -417,10 +572,11 @@ class DeltaTable:
         from .roaring import Roaring64
 
         read_version = self._latest_version()
-        live, schema_json, *_ = self._replay(read_version)
+        live, schema_json, _, cur_meta, _ = self._replay(read_version)
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
         if not live:
             raise ValueError("DELETE on an empty table")
+        mapping = _column_mapping(cur_meta, schema_json)
         paths = [os.path.join(self.path, p) for p in sorted(live)]
 
         def build(key, pdf):
@@ -432,9 +588,20 @@ class DeltaTable:
                 "card": [len(bm)],
             })
 
+        if mapping:
+            # pin the PHYSICAL schema: generations written before an
+            # added column lack its physical name entirely, and an
+            # unpinned scan would infer from one arbitrary file
+            from pyspark.sql.types import StructType
+            scan = spark.read.schema(StructType.fromJson(json.loads(
+                _physical_schema_json(schema_json)))).parquet(*paths)
+            sel = [F.col(p).alias(c) for c, p in mapping.items()]
+        else:
+            scan = spark.read.parquet(*paths)
+            sel = [F.col("*")]
         matches = (
-            spark.read.parquet(*paths)
-            .select("*", F.col("_metadata.file_path").alias("__fp"),
+            scan
+            .select(*sel, F.col("_metadata.file_path").alias("__fp"),
                     F.col("_metadata.row_index").alias("__ri"))
             .where(condition)
             .groupBy("__fp")
@@ -725,13 +892,18 @@ class DeltaTable:
         irrelevant files, it does not filter rows."""
         from pyspark.sql.types import StructType
 
-        live, schema_json = self._replay(version)[:2]
+        live, schema_json, _, meta, _ = self._replay(version)
         schema = StructType.fromJson(json.loads(schema_json))
+        mapping = _column_mapping(meta, schema_json)
         keep = sorted(live)
         if skipping:
+            # stats in add.stats are keyed by PHYSICAL names on a
+            # mapped table — resolve the caller's logical columns
+            phys = [(mapping.get(c, c) if mapping else c, op, v)
+                    for c, op, v in skipping]
             keep = [p for p in keep
                     if all(_stats_may_match(live[p], c, op, v)
-                           for c, op, v in skipping)]
+                           for c, op, v in phys)]
         if not keep:
             return spark.createDataFrame([], schema)
         spark.catalog.refreshByPath(self.path)
@@ -742,17 +914,20 @@ class DeltaTable:
         # is the DV's cardinality (bounded model-state, like any
         # sketch); real engines inline this drop into the scan.
         return self._read_files(
-            spark, {p: live[p] for p in keep}, schema_json)
+            spark, {p: live[p] for p in keep}, schema_json, mapping)
 
     def files_matching(self, skipping: "list[tuple]",
                        version: "int | None" = None) -> "tuple[int, int]":
         """(files kept, files total) for a skipping conjunction — the
         observable a pruning audit grades without scanning any data."""
-        live = self._replay(version)[0]
+        live, schema_json, _, meta, _ = self._replay(version)
+        mapping = _column_mapping(meta, schema_json)
+        phys = [(mapping.get(c, c) if mapping else c, op, v)
+                for c, op, v in skipping]
         kept = sum(
             1 for p in live
             if all(_stats_may_match(live[p], c, op, v)
-                   for c, op, v in skipping))
+                   for c, op, v in phys))
         return kept, len(live)
 
     def history(self) -> list[dict]:
@@ -793,7 +968,8 @@ class DeltaTable:
         if read_version < 0:
             raise ValueError(
                 f"not a Delta table (no _delta_log): {self.path}")
-        live, schema_json, *_ = self._replay(read_version)
+        live, schema_json, _, cur_meta, _ = self._replay(read_version)
+        mapping = _column_mapping(cur_meta, schema_json)
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
         small = sorted(
             p for p, a in live.items()
@@ -805,7 +981,13 @@ class DeltaTable:
         # read ONLY the qualifying files (DVs applied positionally by
         # the same anti-join the snapshot read uses), rewrite bin-packed
         sub = {p: live[p] for p in small}
-        frame = self._read_files(spark, sub, schema_json)
+        frame = self._read_files(spark, sub, schema_json, mapping)
+        if mapping:
+            # compacted replacements must carry PHYSICAL names like
+            # every other data file of a mapped table
+            from pyspark.sql import functions as F
+            frame = frame.select(*[F.col(c).alias(p)
+                                   for c, p in mapping.items()])
         n_out = max(1, sum(live[p].get("size", 0) for p in small)
                     // max(target_bytes, 1))
         staging = os.path.join(self.path, f".optimize-{uuid.uuid4().hex}")
@@ -857,21 +1039,31 @@ class DeltaTable:
         return {"compacted": small, "added": added, "version": version}
 
     def _read_files(self, spark: SparkSession, subset: "dict",
-                    schema_json: str) -> DataFrame:
+                    schema_json: str,
+                    mapping: "dict[str, str] | None" = None) -> DataFrame:
         """Scan a subset of live adds with their DVs applied — the
-        shared core of read() and optimize()."""
+        shared core of read() and optimize().  With column ``mapping``
+        the files are scanned under their PHYSICAL schema and aliased
+        back to logical names at the scan node."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(schema_json))
+        if mapping:
+            scan_schema = StructType.fromJson(
+                json.loads(_physical_schema_json(schema_json)))
+            aliases = [F.col(p).alias(c) for c, p in mapping.items()]
+        else:
+            scan_schema = StructType.fromJson(json.loads(schema_json))
+            aliases = [F.col(f.name) for f in scan_schema.fields]
         plain = [p for p in sorted(subset)
                  if not subset[p].get("deletionVector")]
         dved = [p for p in sorted(subset)
                 if subset[p].get("deletionVector")]
         frames = []
         if plain:
-            frames.append(spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in plain]))
+            frames.append(spark.read.schema(scan_schema).parquet(
+                *[os.path.join(self.path, p) for p in plain])
+                .select(*aliases))
         if dved:
             deleted = [
                 (p, int(i))
@@ -879,9 +1071,9 @@ class DeltaTable:
                 for i in _dv_read(self.path,
                                   subset[p]["deletionVector"]).values()
             ]
-            src = spark.read.schema(schema).parquet(
+            src = spark.read.schema(scan_schema).parquet(
                 *[os.path.join(self.path, p) for p in dved]).select(
-                "*",
+                *aliases,
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"),
                              -1).alias("__fname"),
                 F.col("_metadata.row_index").alias("__ri"))

@@ -106,6 +106,13 @@ MANIFEST_SCHEMA = {
                     # partition tuple as a JSON map keyed by partition
                     # FIELD name ("" = unpartitioned spec 0)
                     {"name": "partition_json", "type": "string"},
+                    # round-9 schema evolution: the table schema-id
+                    # current when this file was written — reads
+                    # resolve its columns to the CURRENT schema by
+                    # FIELD ID through metadata["schemas"] (avro is
+                    # self-describing, so pre-round-9 manifests simply
+                    # lack the field and default to schema 0)
+                    {"name": "schema_id", "type": "long"},
                 ],
             },
         },
@@ -609,6 +616,7 @@ class IcebergTable:
                     else json.dumps(stats["nullCount"]),
                     "partition_json": json.dumps(_parse_part(parts))
                     if parts else "",
+                    "schema_id": 0,  # patched below once meta is loaded
                 },
             })
         shutil.rmtree(staging)
@@ -624,6 +632,12 @@ class IcebergTable:
                 meta = json.load(open(os.path.join(
                     self.meta_dir, f"v{base_version}.metadata.json")))
             else:
+                fields0 = [
+                    {"id": i + 1, "name": fld.name, "required": False,
+                     "type": _spark_type_to_iceberg(
+                         fld.dataType.simpleString())}
+                    for i, fld in enumerate(df.schema.fields)
+                ]
                 meta = {
                     "format-version": 1,
                     "table-uuid": uuid.uuid4().hex,
@@ -632,13 +646,12 @@ class IcebergTable:
                     "last-column-id": len(df.schema.fields),
                     "schema": {
                         "type": "struct",
-                        "fields": [
-                            {"id": i + 1, "name": fld.name, "required": False,
-                             "type": _spark_type_to_iceberg(
-                                 fld.dataType.simpleString())}
-                            for i, fld in enumerate(df.schema.fields)
-                        ],
+                        "schema-id": 0,
+                        "fields": fields0,
                     },
+                    "current-schema-id": 0,
+                    "schemas": [{"type": "struct", "schema-id": 0,
+                                 "fields": fields0}],
                     "partition-spec": [
                         {"name": f"{src}_{tr.split('[')[0]}"
                          if tr != "identity" else f"{src}_id",
@@ -651,9 +664,23 @@ class IcebergTable:
                     "snapshots": [],
                     "snapshot-log": [],
                 }
+            # evolved tables: an append/overwrite must arrive in the
+            # CURRENT logical shape (renamed columns use their new
+            # names) — files are tagged with the current schema-id so
+            # reads resolve them by field id
+            if "schemas" in meta:
+                cur_names = {f["name"] for f in meta["schema"]["fields"]}
+                got_names = set(df.columns) - set(pnames)
+                if got_names != cur_names:
+                    raise ValueError(
+                        f"write to evolved table must use the current "
+                        f"schema {sorted(cur_names)}, got "
+                        f"{sorted(got_names)}")
             snap_id = len(meta["snapshots"]) + 1
             for e in added:
                 e["snapshot_id"] = snap_id
+                e["data_file"]["schema_id"] = meta.get(
+                    "current-schema-id", 0)
 
             manifest_name = f"m-{uuid.uuid4().hex[:12]}.avro"
             manifest_path = os.path.join(self.meta_dir, manifest_name)
@@ -711,6 +738,80 @@ class IcebergTable:
             f"gave up after {max_retries} rebase attempts "
             f"(contended table at {self.path})")
 
+    def evolve_schema(self, adds: "list[tuple[str, str]] | None" = None,
+                      renames: "dict[str, str] | None" = None,
+                      drops: "list[str] | None" = None) -> int:
+        """SCHEMA EVOLUTION commit (spec "Schema Evolution" — metadata
+        only, zero data files touched): ``adds`` [(name, iceberg type)]
+        get fresh field ids above last-column-id, ``renames``
+        {old: new} keep their id (so old files resolve by FIELD ID, not
+        name), ``drops`` remove the field (its id is never reused — a
+        re-added same-name column gets a fresh id and does NOT
+        resurrect old values).  Publishes the next metadata version
+        create-exclusively (OCC: a concurrent commit -> loud
+        ConcurrentCommitError, no lost update).  Partition-spec source
+        columns cannot be renamed or dropped (the spec's own
+        restriction — the transform references them).  Returns the new
+        schema-id."""
+        base_version = self._current_version()
+        if base_version < 1:
+            raise ValueError(f"not an Iceberg table: {self.path}")
+        meta = json.load(open(os.path.join(
+            self.meta_dir, f"v{base_version}.metadata.json")))
+        fields = [dict(f) for f in meta["schema"]["fields"]]
+        names = {f["name"] for f in fields}
+        spec_sources = {f["source-name"]
+                        for f in meta.get("partition-spec", [])}
+        for old in (drops or []):
+            if old not in names:
+                raise ValueError(f"drop: no column {old!r}")
+            if old in spec_sources:
+                raise ValueError(
+                    f"drop: {old!r} is a partition source column")
+        for old, new in (renames or {}).items():
+            if old not in names:
+                raise ValueError(f"rename: no column {old!r}")
+            if old in spec_sources:
+                raise ValueError(
+                    f"rename: {old!r} is a partition source column")
+            # target collisions are caught by the uniqueness check below
+        fields = [f for f in fields if f["name"] not in set(drops or [])]
+        for f in fields:
+            if f["name"] in (renames or {}):
+                f["name"] = (renames or {})[f["name"]]
+        last_id = meta.get("last-column-id",
+                           max((f["id"] for f in fields), default=0))
+        taken = {f["name"] for f in fields}
+        for name, itype in (adds or []):
+            if name in taken:
+                raise ValueError(f"add: column {name!r} already exists")
+            last_id += 1
+            fields.append({"id": last_id, "name": name,
+                           "required": False, "type": itype})
+            taken.add(name)
+        if len({f["name"] for f in fields}) != len(fields):
+            raise ValueError(
+                f"schema evolution would produce duplicate column names: "
+                f"{sorted(f['name'] for f in fields)}")
+        if "schemas" not in meta:  # pre-round-9 table: seed generation 0
+            meta["schemas"] = [dict(meta["schema"], **{"schema-id": 0})]
+            meta["current-schema-id"] = 0
+        new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+        new_schema = {"type": "struct", "schema-id": new_sid,
+                      "fields": fields}
+        meta["schemas"].append(new_schema)
+        meta["schema"] = new_schema
+        meta["current-schema-id"] = new_sid
+        meta["last-column-id"] = last_id
+        try:
+            self._publish_metadata(meta, base_version + 1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"schema evolution read table version {base_version} but "
+                f"a concurrent commit won version {base_version + 1}; "
+                f"rerun against the new head ({self.path})") from None
+        return new_sid
+
     # ---- read side -------------------------------------------------
 
     def _data_file_entries(self,
@@ -753,18 +854,46 @@ class IcebergTable:
         pruning audit grades)."""
         entries = self._data_file_entries(snapshot_id)
         spec = self._partition_spec()
+        meta = self._load_metadata()
         kept = sum(
             1 for e in entries
-            if all(self._entry_survives(e, spec, c, op, v)
+            if all(self._entry_survives(e, spec, c, op, v, meta)
                    for c, op, v in skipping))
         return kept, len(entries)
 
+    def _resolve_hist_name(self, meta: dict, schema_id: int,
+                           col: str) -> "str | None":
+        """FIELD-ID resolution for pruning on evolved tables: the
+        CURRENT column name -> the name it had under ``schema_id``
+        (the file's write-time schema, so its stats keys).  None when
+        the field did not exist then — every row of such a file is
+        NULL for the column, so no comparison predicate can match."""
+        if "schemas" not in meta:
+            return col
+        cur = next((f for f in meta["schema"]["fields"]
+                    if f["name"] == col), None)
+        if cur is None:
+            return col
+        hist = next((s for s in meta["schemas"]
+                     if s.get("schema-id", 0) == schema_id), None)
+        if hist is None:
+            return col
+        return next((f["name"] for f in hist["fields"]
+                     if f["id"] == cur["id"]), None)
+
     def _entry_survives(self, entry: dict, spec_fields: "list[dict]",
-                        col: str, op: str, val) -> bool:
+                        col: str, op: str, val,
+                        meta: "dict | None" = None) -> bool:
         """Conjunction of both pruning planes for one predicate: the
         entry's column BOUNDS and — on partitioned tables — its
         PARTITION TUPLE mapped through the source column's transform.
         Either plane proving exclusion drops the file."""
+        if meta is not None:
+            hist_col = self._resolve_hist_name(
+                meta, entry.get("schema_id", 0), col)
+            if hist_col is None:
+                return False  # field postdates the file: all-NULL column
+            col = hist_col
         if not _bounds_may_match(entry, col, op, val):
             return False
         pj = entry.get("partition_json") or ""
@@ -860,47 +989,28 @@ class IcebergTable:
         manifest partition tuples (hidden partitioning: the user
         predicates the SOURCE column; the planner maps it through the
         spec's transform)."""
+        from pyspark.sql import functions as F
+
+        meta = self._load_metadata()
         entries = self._data_file_entries(snapshot_id)
         if skipping:
             spec = self._partition_spec()
             entries = [e for e in entries
-                       if all(self._entry_survives(e, spec, c, op, v)
+                       if all(self._entry_survives(e, spec, c, op, v, meta)
                               for c, op, v in skipping)]
         files = [e["file_path"] for e in entries]
+        cur_fields = meta["schema"]["fields"]
+        cur_ddl = ", ".join(
+            f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
+            for f in cur_fields)
         if not files:
             if skipping:
                 # every file provably irrelevant: empty frame, pinned schema
-                meta = self._load_metadata()
-                ddl = ", ".join(
-                    f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
-                    for f in meta["schema"]["fields"])
-                return spark.createDataFrame([], ddl)
+                return spark.createDataFrame([], cur_ddl)
             raise ValueError("empty snapshot")
         spark.catalog.refreshByPath(self.path)
-        # pin the TABLE schema (stored at commit time) instead of letting
-        # the scan infer from one arbitrary file — heterogeneous physical
-        # types across snapshots (e.g. an int32 literal appended onto a
-        # long column) would otherwise fail conversion read-order-
-        # dependently
-        meta = self._load_metadata()
-        ddl = ", ".join(
-            f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
-            for f in meta["schema"]["fields"])
-        base = spark.read.schema(ddl).parquet(
-            *[os.path.join(self.path, p) for p in files])
+        cols = [f["name"] for f in cur_fields]
         dels = self._delete_entries(snapshot_id)
-        if not dels:
-            return base
-        # MERGE-ON-READ.  Positional deletes anti-join on (file,
-        # original row position) — _metadata.row_index is the immutable
-        # within-file ordinal the delete files were written against;
-        # path scoping makes them naturally sequence-safe.  EQUALITY
-        # deletes anti-join on their column tuple, but only against
-        # data files OLDER than the delete (seq = added_snapshot_id):
-        # rows appended after the delete survive even if they match —
-        # the spec semantics q380 grades.
-        from pyspark.sql import functions as F
-        cols = base.columns
         # Helper/join columns must not collide with user columns (a table
         # may itself carry file_path/pos or __-prefixed names): uniquify
         # the helper names against the table schema and RENAME the delete
@@ -911,19 +1021,87 @@ class IcebergTable:
             sfx += "_"
         c_rel, c_pos, c_seq = (f"__ice_rel{sfx}", f"__ice_pos{sfx}",
                                f"__ice_seq{sfx}")
+
+        def _scan(paths: "list[str]", ddl: str, aliases: list) -> DataFrame:
+            # merge-on-read helpers are projected AT SCAN TIME (the only
+            # node where _metadata resolves once evolution aliases the
+            # user columns)
+            sc = spark.read.schema(ddl).parquet(
+                *[os.path.join(self.path, p) for p in paths])
+            sel = list(aliases)
+            if dels:
+                sel += [
+                    F.concat(
+                        F.lit("data/"),
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"),
+                            -1)).alias(c_rel),
+                    F.col("_metadata.row_index").alias(c_pos),
+                ]
+            return sc.select(*sel)
+
+        sids = {e["file_path"]: e.get("schema_id", 0) for e in entries}
+        cur_sid = meta.get("current-schema-id", 0)
+        if "schemas" not in meta or all(
+                s == cur_sid for s in sids.values()):
+            # un-evolved (or single-generation) table: one scan, TABLE
+            # schema pinned (stored at commit time) instead of letting
+            # the scan infer from one arbitrary file — heterogeneous
+            # physical types across snapshots (e.g. an int32 literal
+            # appended onto a long column) would otherwise fail
+            # conversion read-order-dependently
+            base = _scan(files, cur_ddl, [F.col(n) for n in cols])
+        else:
+            # SCHEMA EVOLUTION (field-id resolution, the Iceberg spec's
+            # core read rule): group files by write-time schema-id,
+            # scan each generation with the names/types it was WRITTEN
+            # with, then map to the current schema BY FIELD ID — a
+            # renamed column resolves to its old physical name, a field
+            # added later is NULL, a dropped field never surfaces, and
+            # a re-added same-name column (fresh id) does NOT resurrect
+            # old data.
+            schemas = {s.get("schema-id", 0): s for s in meta["schemas"]}
+            groups: dict[int, list[str]] = {}
+            for p in files:
+                groups.setdefault(sids[p], []).append(p)
+            frames = []
+            for sid in sorted(groups):
+                hist = schemas.get(sid, meta["schema"])
+                hist_by_id = {f["id"]: f for f in hist["fields"]}
+                ddl = ", ".join(
+                    f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
+                    for f in hist["fields"])
+                aliases = []
+                for f in cur_fields:
+                    h = hist_by_id.get(f["id"])
+                    if h is not None:
+                        aliases.append(F.col(h["name"]).alias(f["name"]))
+                    else:
+                        aliases.append(
+                            F.lit(None).cast(_iceberg_type_to_spark(
+                                f["type"])).alias(f["name"]))
+                frames.append(_scan(groups[sid], ddl, aliases))
+            base = frames[0]
+            for fr in frames[1:]:
+                base = base.unionByName(fr)
+        if not dels:
+            return base
+        # MERGE-ON-READ.  Positional deletes anti-join on (file,
+        # original row position) — _metadata.row_index is the immutable
+        # within-file ordinal the delete files were written against;
+        # path scoping makes them naturally sequence-safe.  EQUALITY
+        # deletes anti-join on their column tuple, but only against
+        # data files OLDER than the delete (seq = added_snapshot_id):
+        # rows appended after the delete survive even if they match —
+        # the spec semantics q380 grades.  (Equality-delete files store
+        # write-time column names; renaming such a column between the
+        # delete and the read is outside this seam and fails loudly.)
         seq_by_file = dict(self._data_files_with_seq(snapshot_id))
         seq_expr = F.lit(None).cast("long")
         for p, seq in seq_by_file.items():
             seq_expr = F.when(
                 F.col(c_rel) == p, F.lit(seq)).otherwise(seq_expr)
-        out = base.select(
-            "*",
-            F.concat(
-                F.lit("data/"),
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            ).alias(c_rel),
-            F.col("_metadata.row_index").alias(c_pos),
-        ).withColumn(c_seq, seq_expr)
+        out = base.withColumn(c_seq, seq_expr)
         for d in dels:
             del_df = spark.read.parquet(os.path.join(self.path, d["path"]))
             if d["content"] == 1:  # positional
@@ -996,6 +1174,7 @@ class IcebergTable:
                     "upper_bounds_json": "",
                     "null_counts_json": "",
                     "partition_json": "",
+                    "schema_id": 0,
                 },
             }], MANIFEST_SCHEMA))
         prev = next(s for s in meta["snapshots"]
@@ -1049,21 +1228,73 @@ class IcebergTable:
         from pyspark.sql import functions as F
         read_version = self._current_version()
         meta = self._load_metadata()
-        files = self._data_files()
-        base = spark.read.parquet(
-            *[os.path.join(self.path, p) for p in files])
-        hits = (
-            base.filter(predicate)
-            .select(
-                F.concat(
-                    F.lit("data/"),
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1),
-                ).alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
+        entries = self._data_file_entries()
+        files = [e["file_path"] for e in entries]
+        sids = {e["file_path"]: e.get("schema_id", 0) for e in entries}
+        cur_sid = meta.get("current-schema-id", 0)
+        if "schemas" not in meta or all(
+                sids[p] == cur_sid for p in files):
+            base = spark.read.parquet(
+                *[os.path.join(self.path, p) for p in files])
+        else:
+            # evolved table: the predicate references CURRENT names —
+            # scan each generation under its write-time schema and
+            # alias by field id (read()'s resolution rule), keeping the
+            # positional helpers bound at the scan node
+            schemas = {s.get("schema-id", 0): s
+                       for s in meta["schemas"]}
+            cur_fields = meta["schema"]["fields"]
+            groups: dict[int, list[str]] = {}
+            for p in files:
+                groups.setdefault(sids[p], []).append(p)
+            frames = []
+            for sid in sorted(groups):
+                hist = schemas.get(sid, meta["schema"])
+                hist_by_id = {f["id"]: f for f in hist["fields"]}
+                ddl = ", ".join(
+                    f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
+                    for f in hist["fields"])
+                aliases = []
+                for f in cur_fields:
+                    h = hist_by_id.get(f["id"])
+                    aliases.append(
+                        F.col(h["name"]).alias(f["name"]) if h is not None
+                        else F.lit(None).cast(_iceberg_type_to_spark(
+                            f["type"])).alias(f["name"]))
+                sc = spark.read.schema(ddl).parquet(
+                    *[os.path.join(self.path, p) for p in groups[sid]])
+                frames.append(sc.select(
+                    *aliases, F.col("_metadata.file_path").alias(
+                        "__ice_fp"),
+                    F.col("_metadata.row_index").alias("__ice_ri")))
+            base = frames[0]
+            for fr in frames[1:]:
+                base = base.unionByName(fr)
+        if "__ice_fp" in base.columns:
+            hits = (
+                base.filter(predicate)
+                .select(
+                    F.concat(
+                        F.lit("data/"),
+                        F.element_at(F.split(F.col("__ice_fp"), "/"), -1),
+                    ).alias("file_path"),
+                    F.col("__ice_ri").alias("pos"))
+                .orderBy("file_path", "pos")
             )
-            .orderBy("file_path", "pos")  # spec: delete files are sorted
-        )
+        else:
+            hits = (
+                base.filter(predicate)
+                .select(
+                    F.concat(
+                        F.lit("data/"),
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"),
+                            -1),
+                    ).alias("file_path"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
+                .orderBy("file_path", "pos")  # spec: delete files sorted
+            )
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         hits.coalesce(1).write.mode("overwrite").parquet(staging)
         n_del = 0
@@ -1096,6 +1327,7 @@ class IcebergTable:
                     "upper_bounds_json": "",
                     "null_counts_json": "",
                     "partition_json": "",
+                    "schema_id": 0,
                 },
             }], MANIFEST_SCHEMA))
         prev = next(s for s in meta["snapshots"]

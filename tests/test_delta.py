@@ -210,8 +210,12 @@ def test_two_writer_conflict_append_rebases_overwrite_raises(spark, tmp_path):
     calls["n"] = 0
 
     def stale_then_real(self):
+        # write() probes _latest_version three times before minting:
+        # read_version, the column-mapping replay's validation, and the
+        # publish-loop mint — all three must see the stale head for the
+        # simulated race to line up
         calls["n"] += 1
-        return 2 if calls["n"] <= 2 else real_latest(self)
+        return 2 if calls["n"] <= 3 else real_latest(self)
 
     DeltaTable._latest_version = stale_then_real
     try:
@@ -438,3 +442,77 @@ def test_delete_and_optimize_collide_with_interleaved_commit(spark, tmp_path):
     # both logs still replay to the winner's snapshot
     assert t.read(spark).count() == 103
     assert t2.read(spark).count() == 203
+
+
+def test_column_mapping_evolution(spark, tmp_path):
+    """Schema evolution via column mapping mode=name: metadata-only
+    rename/add/drop, old files resolve by physical name, added columns
+    read NULL from old generations, re-added names don't resurrect,
+    DELETE/OPTIMIZE/skipping/checkpoint all work on the mapped table."""
+    t = DeltaTable(str(tmp_path / "evo"))
+    t.write(_df(spark, 0, 10).coalesce(1), mode="overwrite")
+    v = t.evolve(renames={"v": "value"}, adds=[("tag", "string")])
+    assert v == 1
+    got = t.read(spark).orderBy("k").collect()
+    assert [r["value"] for r in got] == [i * 10 for i in range(10)]
+    assert all(r["tag"] is None for r in got)
+    # protocol upgraded, mapping recorded
+    acts = [json.loads(line) for line in open(_cp(t, v))]
+    prot = next(a["protocol"] for a in acts if "protocol" in a)
+    assert prot["minReaderVersion"] >= 2 and prot["minWriterVersion"] >= 5
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    f_val = next(f for f in json.loads(meta["schemaString"])["fields"]
+                 if f["name"] == "value")
+    assert f_val["metadata"]["delta.columnMapping.physicalName"] == "v"
+    # append in the new logical shape; physical file carries mapped names
+    df2 = spark.range(10, 15).selectExpr(
+        "id as k", "id * 10 as value", "'new' as tag")
+    t.write(df2.coalesce(1), mode="append")
+    assert t.read(spark).count() == 15
+    # old logical shape rejected loudly
+    with pytest.raises(ValueError, match="current logical schema"):
+        t.write(_df(spark, 0, 1), mode="append")
+    # drop + re-add same name: fresh physical name, no resurrection
+    t.evolve(drops=["tag"])
+    t.evolve(adds=[("tag", "string")])
+    assert all(r["tag"] is None for r in t.read(spark).collect())
+    # skipping resolves logical -> physical stats keys
+    kept, total = t.files_matching([("value", ">=", 100)])
+    assert 0 < kept < total
+    # DELETE + OPTIMIZE on the mapped table
+    t.delete_where(spark, "value = 30")
+    res = t.optimize(spark, target_bytes=128 * 1024 * 1024)
+    assert res["version"] >= 1
+    rows = t.read(spark).orderBy("k").collect()
+    assert [r["value"] for r in rows] == [
+        i * 10 for i in range(15) if i != 3]
+    # pre-evolution time travel unaffected; checkpoint replays mapped
+    assert sorted(r["v"] for r in t.read(spark, version=0).collect()) \
+        == [i * 10 for i in range(10)]
+    t.checkpoint()
+    assert DeltaTable(t.path).read(spark).count() == 14
+
+
+def _cp(t, v):
+    from pr2_transformation_spark.sources.delta import _commit_path
+    return _commit_path(t.path, v)
+
+
+def test_evolution_occ_two_writers(spark, tmp_path):
+    """Concurrent evolution loses the create-exclusive race loudly."""
+    from pr2_transformation_spark.sources.delta import ConcurrentWriteError
+
+    t = DeltaTable(str(tmp_path / "race"))
+    t.write(_df(spark, 0, 5), mode="overwrite")           # v0
+    DeltaTable(t.path).write(_df(spark, 5, 8), "append")  # v1 wins
+    real = DeltaTable._latest_version
+    DeltaTable._latest_version = lambda self: 0
+    try:
+        with pytest.raises(ConcurrentWriteError, match="schema evolution"):
+            t.evolve(renames={"v": "value"})
+    finally:
+        DeltaTable._latest_version = real
+    # the winner's log is intact; evolution retried on the head works
+    assert t.evolve(renames={"v": "value"}) == 2
+    assert t.read(spark).columns == ["k", "value"]

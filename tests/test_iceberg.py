@@ -453,3 +453,84 @@ def test_bucket_partition_write_with_nulls(spark, tmp_path):
     nulls = [e for e in entries
              if json.loads(e["partition_json"]).get("ck_bucket") is None]
     assert nulls
+
+
+def test_schema_evolution_field_id_resolution(spark, tmp_path):
+    """Metadata-only evolution: renames resolve old files by FIELD ID,
+    added columns read NULL from old generations, dropped-then-re-added
+    names never resurrect, appends must use the current shape, and
+    skipping resolves predicates through the historical names."""
+    t = IcebergTable(str(tmp_path / "evo"))
+    t.write(_df(spark, 0, 10).coalesce(1), mode="overwrite", now_ms=1000)
+    sid = t.evolve_schema(renames={"v": "value"}, adds=[("tag", "string")])
+    assert sid == 1
+    got = t.read(spark).orderBy("k").collect()
+    assert [r["value"] for r in got] == [i * 10 for i in range(10)]
+    assert all(r["tag"] is None for r in got)
+    # field ids persisted: 'value' kept v's id, 'tag' got a fresh one
+    meta = t._load_metadata()
+    by_name = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    assert by_name["value"] == 2 and by_name["tag"] == 3
+    assert meta["last-column-id"] == 3
+    # append in the current shape; old shape rejected
+    df2 = spark.range(10, 15).selectExpr(
+        "id as k", "id * 10 as value", "'new' as tag")
+    t.write(df2.coalesce(1), mode="append", now_ms=2000)
+    got = t.read(spark).orderBy("k").collect()
+    assert len(got) == 15 and got[14]["tag"] == "new"
+    with pytest.raises(ValueError, match="current schema"):
+        t.write(_df(spark, 0, 1), mode="append")
+    # drop + re-add: fresh field id, no resurrection
+    t.evolve_schema(drops=["tag"])
+    t.evolve_schema(adds=[("tag", "string")])
+    assert all(r["tag"] is None for r in t.read(spark).collect())
+    # skipping on the renamed column resolves to old stats keys
+    kept, total = t.files_matching([("value", ">=", 100)])
+    assert 0 < kept < total
+    assert t.read(spark, skipping=[("value", ">=", 100)]) \
+        .filter("value >= 100").count() == 5
+    # positional delete still merges across generations
+    t.delete_where(spark, "value = 30", now_ms=3000)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        i for i in range(15) if i != 3]
+    # pre-evolution snapshot time-travels with the CURRENT schema
+    # resolved by field id (Iceberg reads are always current-schema)
+    assert t.read(spark, snapshot_id=1).count() == 10
+
+
+def test_schema_evolution_occ_and_partition_guard(spark, tmp_path):
+    """Concurrent evolution loses the metadata publish race loudly;
+    partition source columns cannot be renamed or dropped."""
+    from pr2_transformation_spark.sources.iceberg import (
+        ConcurrentCommitError,
+    )
+
+    t = IcebergTable(str(tmp_path / "race"))
+    t.write(_df(spark, 0, 5), mode="overwrite", now_ms=1000)
+    # simulate: another writer publishes v2 between our read and publish
+    real = IcebergTable._current_version
+    IcebergTable._current_version = lambda self: 1
+    IcebergTable(t.path).write(_df(spark, 5, 8), mode="append",
+                               now_ms=2000)  # consumes v2? no — patched!
+    IcebergTable._current_version = real
+    t.write(_df(spark, 5, 8), mode="append", now_ms=2000)  # real v2
+    IcebergTable._current_version = lambda self: 1
+    try:
+        with pytest.raises(ConcurrentCommitError, match="schema evolution"):
+            t.evolve_schema(renames={"v": "value"})
+    finally:
+        IcebergTable._current_version = real
+    assert t.evolve_schema(renames={"v": "value"}) >= 1
+    # partition source guard
+    t2 = IcebergTable(str(tmp_path / "part"))
+    df = spark.range(40).selectExpr("id as k", "cast(id % 4 as long) as g")
+    t2.write(df, mode="overwrite", partition_by=[("g", "bucket[4]")],
+             now_ms=1000)
+    with pytest.raises(ValueError, match="partition source"):
+        t2.evolve_schema(renames={"g": "grp"})
+    with pytest.raises(ValueError, match="partition source"):
+        t2.evolve_schema(drops=["g"])
+    # non-source columns still evolve on a partitioned table
+    t2.evolve_schema(renames={"k": "key"})
+    assert sorted(t2.read(spark).columns) == ["g", "key"]
+    assert t2.read(spark).count() == 40
