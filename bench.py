@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "q408_parquet_delta_strings",
     "q409_orc_prune_plane",
     "q410_lake_schema_evolution",
+    "q411_ann_hnsw",
 ]
 
 
