@@ -852,13 +852,22 @@ def train_pq_codebooks(
     for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
         cents = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
+        # BLAS form of ||a-b||^2 = ||a||^2 - 2ab + ||b||^2: one matmul
+        # per iteration instead of materializing the (n, k, sub)
+        # broadcast cube, and np.add.at folds the per-centroid means —
+        # this was q199's 1.4x wall creep (round-8 verdict item 5):
+        # k=256 made the cube ~4M floats x iters x subspaces
+        xs_sq = (xs ** 2).sum(axis=1)
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = (xs_sq[:, None] - 2.0 * (xs @ cents.T)
+                  + (cents ** 2).sum(axis=1)[None, :])
             assign = np.argmin(d2, axis=1)
-            for c in range(len(cents)):
-                members = xs[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, xs)
+            counts = np.bincount(
+                assign, minlength=len(cents)).astype("float64")
+            filled = counts > 0
+            cents[filled] = sums[filled] / counts[filled, None]
         books.append(cents.tolist())
     return books
 

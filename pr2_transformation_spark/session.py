@@ -74,4 +74,11 @@ def build_session(
     }
     for k, v in configs.items():
         builder = builder.config(k, v)
+    # pre-JVM: activate the miniproto protobuf shim on PYTHONPATH when
+    # the real package is absent, so every python process the JVM
+    # launches (incl. the transformWithStateInPandas driver worker)
+    # can speak the TWS state-server protocol
+    from .streaming.protoshim import prepare_env
+
+    prepare_env()
     return builder.getOrCreate()

@@ -307,6 +307,13 @@ def streaming_user_stats_tws(
         def close(self) -> None:
             pass
 
+    # the operator's Python<->JVM state server speaks protobuf; where
+    # the real package is absent, activate the from-scratch miniproto
+    # runtime (vendor/miniproto) on driver + executors
+    from .protoshim import ensure_protobuf
+
+    ensure_protobuf(stream.sparkSession)
+
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(user_col)

@@ -377,7 +377,9 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     """The transformWithStateInPandas form produces the same final
     per-user profile as the applyInPandasWithState form. Skipped where the
     protobuf Python package (the TWS state-server protocol) is absent."""
-    pytest.importorskip("google.protobuf.descriptor")
+    # no skip: where google.protobuf is absent the operator activates
+    # the from-scratch miniproto runtime (vendor/miniproto) and the TWS
+    # path runs for real against the JVM state server
     from pr2_transformation_spark.streaming.windows import (
         streaming_user_stats,
         streaming_user_stats_tws,
