@@ -358,11 +358,61 @@ def _enc_for(kind: str) -> dict:
             else {1: _DIRECT})
 
 
+def _stats_pb(kind: str, vals: list) -> bytes:
+    """One ColumnStatistics message for a slice of values — the
+    write-side twin of ``orc._stats_from_pb`` (IntegerStatistics sint64
+    zigzag, DoubleStatistics fixed64, StringStatistics utf-8,
+    DateStatistics sint32 epoch days; other kinds carry counts only,
+    which the reader treats as never-prunes)."""
+    import datetime
+
+    nonnull = [v for v in vals if v is not None]
+    out = bytearray()
+    out += _varint((1 << 3) | 0) + _varint(len(nonnull))  # numberOfValues
+    sub = b""
+    fid = None
+    if nonnull:
+        if kind in ("byte", "short", "int", "long"):
+            fid = 2
+            sub = (_varint((1 << 3) | 0) + _varint(_zigzag(min(nonnull)))
+                   + _varint((2 << 3) | 0) + _varint(_zigzag(max(nonnull))))
+        elif kind in ("float", "double"):
+            fid = 3
+            sub = (_varint((1 << 3) | 1) + struct.pack("<d", min(nonnull))
+                   + _varint((2 << 3) | 1) + struct.pack("<d", max(nonnull)))
+        elif kind == "string":
+            fid = 4
+            lo = min(nonnull).encode("utf-8")
+            hi = max(nonnull).encode("utf-8")
+            sub = (_varint((1 << 3) | 2) + _varint(len(lo)) + lo
+                   + _varint((2 << 3) | 2) + _varint(len(hi)) + hi)
+        elif kind == "date":
+            fid = 7
+            epoch = datetime.date(1970, 1, 1)
+            days = [(v - epoch).days if isinstance(v, datetime.date)
+                    else int(v) for v in nonnull]
+            sub = (_varint((1 << 3) | 0) + _varint(_zigzag(min(days)))
+                   + _varint((2 << 3) | 0) + _varint(_zigzag(max(days))))
+    if fid is not None and sub:
+        out += _varint((fid << 3) | 2) + _varint(len(sub)) + sub
+    has_null = len(nonnull) != len(vals)
+    out += _varint((10 << 3) | 0) + _varint(1 if has_null else 0)
+    return bytes(out)
+
+
 def write_orc_bytes(columns: "list[tuple[str, str, list]]",
                     compression: str = "zlib",
                     stripe_rows: int = 100_000) -> bytes:
     """Serialize ``[(name, kind, values)...]`` (equal-length lists,
-    ``None`` = NULL) into a complete ORC file image."""
+    ``None`` = NULL) into a complete ORC file image.
+
+    Round 9: the WRITE side of the prune plane — per-stripe column
+    statistics in the METADATA section (postscript metadataLength) and
+    file-level statistics in the footer, so this repo's own
+    ``read_orc_bytes_pruned`` (and any stats-aware reader) skips
+    stripes of our files from tail bytes alone.  Row indexes remain
+    disabled (rowIndexStride=0, a spec-sanctioned writer choice); the
+    pruned reader degrades to stripe-granularity on our files."""
     if not columns:
         raise ValueError("orc_write: need at least one column")
     if compression not in _COMP_IDS:
@@ -386,12 +436,37 @@ def write_orc_bytes(columns: "list[tuple[str, str, list]]",
         col_ids.append(next_id)
         next_id += len(parsed) if len(parsed) > 1 else 1
 
+    def _counts_only(n: int) -> bytes:
+        return bytes(_varint((1 << 3) | 0) + _varint(n)
+                     + _varint((10 << 3) | 0) + _varint(0))
+
+    def _column_stats(lo: int, hi: int) -> "list[bytes]":
+        cs: list[bytes] = [_counts_only(hi - lo)]   # root struct
+        for parsed, (name, kind, vals) in zip(parsed_cols, columns):
+            sl = vals[lo:hi]
+            if len(parsed) == 1:
+                cs.append(_stats_pb(parsed[0], sl))
+            else:
+                cs.append(_counts_only(
+                    sum(1 for v in sl if v is not None)))
+                flat = [e for v in sl if v is not None
+                        for e in (v.items() if parsed[0] == "map" else v)]
+                if parsed[0] == "map":
+                    cs.append(_counts_only(len(flat)))   # keys
+                    cs.append(_counts_only(len(flat)))   # values
+                else:
+                    cs.append(_counts_only(
+                        sum(1 for e in flat if e is not None)))
+        return cs
+
     out = bytearray(b"ORC")
     stripe_infos = []
+    stripe_stats: list[list[bytes]] = []
     for start in range(0, max(n_rows, 1), stripe_rows):
         rows = min(stripe_rows, n_rows - start)
         if n_rows == 0:
             rows = 0
+        stripe_stats.append(_column_stats(start, start + rows))
         stream_meta = []  # (kind, column_id, framed bytes)
         for parsed, base_id, (name, kind, vals) in zip(
                 parsed_cols, col_ids, columns):
@@ -435,12 +510,18 @@ def write_orc_bytes(columns: "list[tuple[str, str, list]]",
             types.append({1: _KIND_IDS[parsed[1]]})
             types.append({1: _KIND_IDS[parsed[2]]})
     content_len = len(out) - 3
+    # METADATA section: per-stripe ColumnStatistics, between the last
+    # stripe and the footer, located by postscript metadataLength
+    metadata = _pb({1: [{1: cs} for cs in stripe_stats]})
+    metadata_framed = _frame_stream(metadata, compression)
+    out += metadata_framed
     footer = _pb({
         1: 3,                    # headerLength (the magic)
         2: content_len,          # contentLength
         3: stripe_infos,
         4: types,
         6: n_rows,
+        7: _column_stats(0, n_rows),  # file-level statistics
         8: 0,                    # rowIndexStride: indexes disabled
     })
     footer_framed = _frame_stream(footer, compression)
@@ -450,7 +531,7 @@ def write_orc_bytes(columns: "list[tuple[str, str, list]]",
         2: _COMP_IDS[compression],
         3: _BLOCK,
         4: ("packed", [0, 12]),
-        5: 0,                    # metadataLength (no stripe stats section)
+        5: len(metadata_framed),  # metadataLength
         6: 1,                    # writerVersion
         8000: b"ORC",
     })

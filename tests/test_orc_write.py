@@ -160,3 +160,50 @@ def test_list_and_map_write(spark, tmp_path, comp):
     rows = sorted(spark.read.orc(str(d)).collect(), key=lambda r: r["id"])
     assert [r["arr"] for r in rows] == cols[1][2]
     assert [dict(r["m"]) for r in rows] == cols[3][2]
+
+
+def test_write_side_stripe_statistics_prune(spark, tmp_path):
+    """Round-9 write-side prune plane: our writer emits the Metadata
+    section + footer file stats; our pruned reader skips stripes of our
+    own files from tail bytes; Spark's Java ORC reader still accepts
+    the file (stats sections are spec-shaped, not just self-consistent)."""
+    import datetime
+
+    from pr2_transformation_spark.sources.orc import (
+        orc_stripe_statistics,
+        read_orc_bytes_pruned,
+    )
+    from pr2_transformation_spark.sources.orc_write import write_orc_bytes
+
+    n = 20000
+    buf = write_orc_bytes(
+        [("k", "long", list(range(n))),
+         ("s", "string",
+          [None if i % 50 == 0 else f"id{i:07d}" for i in range(n)]),
+         ("d", "double", [i * 0.5 for i in range(n)]),
+         ("dt", "date",
+          [datetime.date(2023, 1, 1) + datetime.timedelta(days=i % 300)
+           for i in range(n)])],
+        compression="zlib", stripe_rows=4000)
+    ss = orc_stripe_statistics(buf)
+    assert len(ss) == 5
+    assert ss[0]["k"] == {"n": 4000, "min": 0, "max": 3999,
+                          "has_null": False}
+    assert ss[4]["k"]["min"] == 16000 and ss[4]["k"]["max"] == 19999
+    assert ss[1]["s"]["has_null"] and ss[1]["s"]["min"] == "id0004001"
+    assert ss[2]["d"]["max"] == 11999 * 0.5
+    assert ss[3]["dt"]["min"] == datetime.date(2023, 1, 1)
+    _, cols, acc = read_orc_bytes_pruned(buf, "k", 9000, 9999)
+    assert cols["k"] == list(range(9000, 10000))
+    assert acc["stripes_read"] == 1 and acc["stripes_total"] == 5
+    # string-range prune on our own file
+    _, cols2, acc2 = read_orc_bytes_pruned(
+        buf, "s", "id0004100", "id0004199")
+    assert len(cols2["k"]) == 98  # 2 nulls at %50 in the id range
+    assert acc2["stripes_read"] == 1
+    # Spark's independent Java ORC reader accepts the stats sections
+    p = str(tmp_path / "own.orc")
+    open(p, "wb").write(buf)
+    got = spark.read.orc(p)
+    assert got.count() == n
+    assert got.agg({"k": "max"}).collect()[0][0] == n - 1
