@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "q409_orc_prune_plane",
     "q410_lake_schema_evolution",
     "q411_ann_hnsw",
+    "q412_delta_cdf",
 ]
 
 

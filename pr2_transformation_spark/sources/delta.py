@@ -445,6 +445,118 @@ class DeltaTable:
             f"gave up after {max_retries} rebase attempts "
             f"(contended table at {self.path})")
 
+    def changes(self, spark: SparkSession, starting_version: int = 0,
+                ending_version: "int | None" = None) -> DataFrame:
+        """CHANGE DATA FEED derived from the log (the table_changes
+        surface; PROTOCOL.md "Change Data Files" notes readers may
+        derive CDC from add/remove actions when no explicit cdc files
+        exist — exactly what this does, so the feed costs ZERO write
+        amplification):
+
+        * an added file (dataChange=true, path not previously live) ->
+          its rows as ``insert`` at that version;
+        * a removed file (dataChange=true, not re-added in the same
+          commit) -> its then-live rows (old DV applied) as ``delete``;
+        * a DV re-add (same path, new deletionVector) -> exactly the
+          NEWLY tombstoned positions (new DV minus old DV) as
+          ``delete`` — O(deleted rows), never a file diff;
+        * dataChange=false commits (OPTIMIZE, checkpointing) produce
+          NOTHING — the guarantee streaming readers rely on.
+
+        Output = table columns + ``_change_type`` + ``_commit_version``,
+        under the ENDING version's logical schema (column-mapped tables
+        alias physical names; ranges spanning a schema evolution read
+        old files by physical layout like any snapshot read).  The
+        range must predate vacuum() of its removed files — derived CDC
+        reads historical bytes, the documented trade for zero write
+        cost.  Update pre/post-images are out of scope (this engine
+        has no UPDATE/MERGE writer), so every change is insert|delete."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        end = (self._latest_version() if ending_version is None
+               else ending_version)
+        _, schema_json, _, meta, _ = self._replay(end)
+        mapping = _column_mapping(meta, schema_json)
+        cols = [f["name"]
+                for f in json.loads(schema_json)["fields"]]
+        out_schema = StructType.fromJson(json.loads(schema_json)) \
+            .add("_change_type", "string").add("_commit_version", "long")
+        prev_live = ({} if starting_version == 0
+                     else self._replay(starting_version - 1)[0])
+        frames = []
+
+        def tag(df, kind: str, v: int):
+            frames.append(df.select(
+                *cols, F.lit(kind).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version")))
+
+        for v in range(starting_version, end + 1):
+            acts = list(_read_actions(self.path, v))
+            adds = {a["add"]["path"]: a["add"] for a in acts if "add" in a}
+            removes = {a["remove"]["path"]: a["remove"]
+                       for a in acts if "remove" in a}
+            for p in sorted(adds):
+                add = adds[p]
+                if not add.get("dataChange"):
+                    continue
+                old = prev_live.get(p)
+                if old is None:
+                    tag(self._read_files(spark, {p: add}, schema_json,
+                                         mapping), "insert", v)
+                elif add.get("deletionVector"):
+                    new_pos = set(_dv_read(
+                        self.path, add["deletionVector"]).values())
+                    old_pos = (set(_dv_read(
+                        self.path, old["deletionVector"]).values())
+                        if old.get("deletionVector") else set())
+                    fresh = sorted(int(i) for i in new_pos - old_pos)
+                    if fresh:
+                        tag(self._rows_at_positions(
+                            spark, p, fresh, schema_json, mapping),
+                            "delete", v)
+            for p in sorted(removes):
+                rem = removes[p]
+                if not rem.get("dataChange") or p in adds:
+                    continue
+                old = prev_live.get(p)
+                if old is None:
+                    continue
+                tag(self._read_files(spark, {p: old}, schema_json,
+                                     mapping), "delete", v)
+            for p in removes:
+                prev_live.pop(p, None)
+            prev_live.update(adds)
+        if not frames:
+            return spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def _rows_at_positions(self, spark: SparkSession, path: str,
+                           positions: "list[int]", schema_json: str,
+                           mapping: "dict | None") -> DataFrame:
+        """The rows of one data file at the given _metadata.row_index
+        positions — a broadcast semi-join, O(positions) driver state."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if mapping:
+            scan_schema = StructType.fromJson(json.loads(
+                _physical_schema_json(schema_json)))
+            aliases = [F.col(p).alias(c) for c, p in mapping.items()]
+        else:
+            scan_schema = StructType.fromJson(json.loads(schema_json))
+            aliases = [F.col(f.name) for f in scan_schema.fields]
+        src = spark.read.schema(scan_schema).parquet(
+            os.path.join(self.path, path)).select(
+            *aliases, F.col("_metadata.row_index").alias("__ri"))
+        pos = spark.createDataFrame([(int(i),) for i in positions],
+                                    "__ri long")
+        return src.join(F.broadcast(pos), "__ri", "left_semi") \
+            .drop("__ri")
+
     def evolve(self, renames: "dict[str, str] | None" = None,
                adds: "list[tuple[str, str]] | None" = None,
                drops: "list[str] | None" = None,

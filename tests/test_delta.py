@@ -516,3 +516,47 @@ def test_evolution_occ_two_writers(spark, tmp_path):
     # the winner's log is intact; evolution retried on the head works
     assert t.evolve(renames={"v": "value"}) == 2
     assert t.read(spark).columns == ["k", "value"]
+
+
+def test_change_data_feed_lifecycle(spark, tmp_path):
+    """Log-derived CDF: inserts from adds, deletes from removes (old DV
+    applied) and from DV diffs; OPTIMIZE contributes nothing; range
+    slicing; column-mapped tables feed logical names."""
+    t = DeltaTable(str(tmp_path / "cdf"))
+    df = spark.range(100).selectExpr("id as k", "id * 10 as v")
+    t.write(df.filter("k < 60"), mode="overwrite")       # v0
+    t.write(df.filter("k >= 60"), mode="append")         # v1
+    t.delete_where(spark, "k % 10 = 3")                  # v2 (DV)
+    opt_v = t.optimize(spark, target_bytes=128 * 1024 * 1024)["version"]
+    t.write(df.filter("k < 5"), mode="overwrite")        # v4
+    ch = t.changes(spark, 0)
+    counts = {(r["_commit_version"], r["_change_type"]): r["n"]
+              for r in ch.groupBy("_commit_version", "_change_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts[(0, "insert")] == 60 and counts[(1, "insert")] == 40
+    assert counts[(2, "delete")] == 10
+    assert not any(v == opt_v for v, _ in counts)
+    assert counts[(4, "delete")] == 90 and counts[(4, "insert")] == 5
+    # DV diff exactness: v2's deleted keys are exactly k%10==3
+    assert sorted(r["k"] for r in ch.filter(
+        "_commit_version = 2").collect()) == [
+        k for k in range(100) if k % 10 == 3]
+    # DV-diff exactness on REPEATED deletes: tombstone k=0, then a
+    # wider predicate — only the NEWLY tombstoned row (3) feeds
+    t.delete_where(spark, "k = 0")                       # v5
+    t.delete_where(spark, "k = 0 or k = 3")              # v6: only 3 new
+    assert [(r["k"], r["_change_type"])
+            for r in t.changes(spark, 5, 5).collect()] == [(0, "delete")]
+    assert [(r["k"], r["_change_type"])
+            for r in t.changes(spark, 6, 6).collect()] == [(3, "delete")]
+    # range slicing + empty range
+    assert t.changes(spark, 2, 2).count() == 10
+    assert t.changes(spark, 3, 3).count() == 0
+    # mapped table: feed under logical names
+    t2 = DeltaTable(str(tmp_path / "cdfmap"))
+    t2.write(df.filter("k < 10"), mode="overwrite")
+    t2.evolve(renames={"v": "value"})
+    t2.delete_where(spark, "value = 30")
+    ch2 = t2.changes(spark, 0)
+    assert "value" in ch2.columns
+    assert ch2.filter("_change_type = 'delete'").collect()[0]["k"] == 3
