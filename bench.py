@@ -342,6 +342,7 @@ BENCH_QUERIES = [
     "q410_lake_schema_evolution",
     "q411_ann_hnsw",
     "q412_delta_cdf",
+    "q413_iceberg_incremental",
 ]
 
 

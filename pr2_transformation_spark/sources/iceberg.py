@@ -1441,6 +1441,79 @@ class IcebergTable:
                 gone.append(rel)
         return gone
 
+    def changes(self, spark: SparkSession,
+                from_snapshot: "int | None" = None,
+                to_snapshot: "int | None" = None) -> DataFrame:
+        """INCREMENTAL CHANGELOG between snapshots — Iceberg's
+        incremental-read surface (from-exclusive, to-inclusive, the
+        spec's convention): what a downstream consumer applies instead
+        of re-scanning the table.
+
+        Fast path: an ``append`` snapshot's inserts are exactly the
+        data files its manifests added (status=ADDED,
+        added_snapshot_id = s) — zero diffing, the common case at scale
+        (streaming ingest is a chain of appends).  General path
+        (overwrite / positional / equality deletes): consecutive
+        snapshot reads diffed with ``exceptAll`` both ways — the NET
+        row-multiset change, multiplicity-exact for ANY commit type:
+        an overwrite that rewrites identical rows feeds NOTHING (the
+        minimal changelog — no spurious delete+insert churn for rows
+        that didn't change), at the cost of scanning the two snapshots
+        (bounded ranges; the trade is documented rather than hidden).  Output = table columns + ``_change_type``
+        (insert|delete) + ``_snapshot_id``."""
+        from pyspark.sql import functions as F
+
+        meta = self._load_metadata()
+        ordered = [s["snapshot-id"] for s in meta["snapshots"]]
+        if not ordered:
+            raise ValueError("empty table: no snapshots")
+        start = ordered[0] if from_snapshot is None else from_snapshot
+        end = ordered[-1] if to_snapshot is None else to_snapshot
+        if start not in ordered or end not in ordered:
+            raise ValueError(
+                f"snapshot range ({start}, {end}] not in log {ordered}")
+        span = ordered[ordered.index(start):ordered.index(end) + 1]
+        ops = {s["snapshot-id"]: s["summary"]["operation"]
+               for s in meta["snapshots"]}
+        cols = [f["name"] for f in meta["schema"]["fields"]]
+        frames = []
+
+        def tag(df, kind: str, sid: int):
+            frames.append(df.select(
+                *cols, F.lit(kind).alias("_change_type"),
+                F.lit(sid).cast("long").alias("_snapshot_id")))
+
+        for prev, cur in zip(span, span[1:]):
+            if ops.get(cur) == "append":
+                # an append's inserts = files live in cur, absent in
+                # prev (appends never remove, so the set diff IS the
+                # added-files list)
+                prev_files = set(self._data_files(prev))
+                added_paths = [p for p in self._data_files(cur)
+                               if p not in prev_files]
+                if added_paths:
+                    ddl = ", ".join(
+                        f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
+                        for f in meta["schema"]["fields"])
+                    tag(spark.read.schema(ddl).parquet(
+                        *[os.path.join(self.path, p)
+                          for p in added_paths]), "insert", cur)
+                continue
+            before = self.read(spark, snapshot_id=prev)
+            after = self.read(spark, snapshot_id=cur)
+            tag(after.exceptAll(before), "insert", cur)
+            tag(before.exceptAll(after), "delete", cur)
+        if not frames:
+            ddl = ", ".join(
+                f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
+                for f in meta["schema"]["fields"])
+            return spark.createDataFrame(
+                [], ddl + ", _change_type string, _snapshot_id long")
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
     def snapshots(self) -> list[dict]:
         meta = self._load_metadata()
         return [

@@ -534,3 +534,36 @@ def test_schema_evolution_occ_and_partition_guard(spark, tmp_path):
     t2.evolve_schema(renames={"k": "key"})
     assert sorted(t2.read(spark).columns) == ["g", "key"]
     assert t2.read(spark).count() == 40
+
+
+def test_incremental_changelog(spark, tmp_path):
+    """changes(): append fast path, positional-delete rows, net-diff
+    overwrites, exclusive start, bad ranges raise."""
+    t = IcebergTable(str(tmp_path / "cdc"))
+    df = spark.range(100).selectExpr("id as k", "id * 10 as v")
+    s1 = t.write(df.filter("k < 60"), mode="overwrite", now_ms=1000)
+    s2 = t.write(df.filter("k >= 60"), mode="append", now_ms=2000)
+    s3 = t.delete_where(spark, "k % 10 = 3", now_ms=3000)
+    s4 = t.write(df.filter("k % 5 = 0"), mode="overwrite", now_ms=4000)
+    ch = t.changes(spark, s1, s4)
+    counts = {(r["_snapshot_id"], r["_change_type"]): r["n"]
+              for r in ch.groupBy("_snapshot_id", "_change_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts[(s2, "insert")] == 40
+    assert counts[(s3, "delete")] == 10 and (s3, "insert") not in counts
+    # net diff: the k%5==0 rows already live are NOT churned
+    live_before = [k for k in range(100) if k % 10 != 3]
+    kept = [k for k in live_before if k % 5 == 0]
+    assert counts[(s4, "delete")] == len(live_before) - len(kept)
+    # rows deleted at s3 then re-overwritten in: none here (k%10==3 and
+    # k%5==0 disjoint in 0..99 except none) -> no insert row at s4
+    assert (s4, "insert") not in counts
+    assert sorted(r["k"] for r in ch.filter(
+        f"_snapshot_id = {s3}").collect()) == [
+        k for k in range(100) if k % 10 == 3]
+    # exclusive start: s1's own inserts are not in the feed
+    assert not any(v == s1 for v, _ in counts)
+    # single-hop slice
+    assert t.changes(spark, s2, s3).count() == 10
+    with pytest.raises(ValueError, match="not in log"):
+        t.changes(spark, 99, 100)
