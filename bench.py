@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "q411_ann_hnsw",
     "q412_delta_cdf",
     "q413_iceberg_incremental",
+    "q414_delta_optimize_zorder",
 ]
 
 

@@ -1058,7 +1058,10 @@ class DeltaTable:
 
     def optimize(self, spark: SparkSession,
                  target_bytes: int = 128 * 1024 * 1024,
-                 now_ms: "int | None" = None) -> "dict":
+                 now_ms: "int | None" = None,
+                 zorder_by: "list[str] | None" = None,
+                 zorder_bits: int = 12,
+                 zorder_files: "int | None" = None) -> "dict":
         """OPTIMIZE — bin-packing compaction, the maintenance commit a
         real lake runs continuously: files smaller than
         ``target_bytes`` (and every DV-bearing file, whose deleted rows
@@ -1083,10 +1086,16 @@ class DeltaTable:
         live, schema_json, _, cur_meta, _ = self._replay(read_version)
         mapping = _column_mapping(cur_meta, schema_json)
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
-        small = sorted(
-            p for p, a in live.items()
-            if a.get("size", 0) < target_bytes or a.get("deletionVector"))
-        if len(small) < 2 and not any(
+        if zorder_by:
+            # OPTIMIZE ZORDER BY rewrites EVERY live file: the point is
+            # the multi-dimensional layout, not the file sizes
+            small = sorted(live)
+        else:
+            small = sorted(
+                p for p, a in live.items()
+                if a.get("size", 0) < target_bytes
+                or a.get("deletionVector"))
+        if not zorder_by and len(small) < 2 and not any(
                 live[p].get("deletionVector") for p in small):
             return {"compacted": [], "added": [], "version": -1}
 
@@ -1094,17 +1103,32 @@ class DeltaTable:
         # the same anti-join the snapshot read uses), rewrite bin-packed
         sub = {p: live[p] for p in small}
         frame = self._read_files(spark, sub, schema_json, mapping)
+        if zorder_by:
+            frame = self._zorder(frame, zorder_by, zorder_bits)
         if mapping:
             # compacted replacements must carry PHYSICAL names like
             # every other data file of a mapped table
             from pyspark.sql import functions as F
-            frame = frame.select(*[F.col(c).alias(p)
-                                   for c, p in mapping.items()])
+            frame = frame.select(
+                *[F.col(c).alias(p) for c, p in mapping.items()],
+                *([F.col("__zv")] if zorder_by else []))
         n_out = max(1, sum(live[p].get("size", 0) for p in small)
                     // max(target_bytes, 1))
         staging = os.path.join(self.path, f".optimize-{uuid.uuid4().hex}")
-        frame.repartition(int(n_out)).write.mode("overwrite") \
-            .parquet(staging)
+        if zorder_by:
+            # range-partition + sort on the z-value: every output file
+            # covers a bounded rectangle in zorder_by space, so
+            # add.stats prune on ALL clustered columns.  File count
+            # bounds rectangle granularity (k dims need >= 2^k files
+            # before every dim prunes) — overridable for small tables.
+            n_z = int(zorder_files if zorder_files is not None
+                      else max(n_out, 4 ** len(zorder_by)))
+            frame.repartitionByRange(n_z, "__zv") \
+                .sortWithinPartitions("__zv").drop("__zv") \
+                .write.mode("overwrite").parquet(staging)
+        else:
+            frame.repartition(int(n_out)).write.mode("overwrite") \
+                .parquet(staging)
         batch = uuid.uuid4().hex[:12]
         added = []
         for f in sorted(os.listdir(staging)):
@@ -1149,6 +1173,42 @@ class DeltaTable:
                 "optimize lost the publish race; its inputs may be "
                 "stale — rerun") from None
         return {"compacted": small, "added": added, "version": version}
+
+    def _zorder(self, frame: DataFrame, cols: "list[str]",
+                bits: int) -> DataFrame:
+        """Append ``__zv``: the Morton interleave of the rank-quantized
+        clustering columns (generalized round-robin bit interleave for
+        k columns; pure JVM bit expression, whole-stage-codegen-able).
+        Quantization bounds are two scalars per column — bounded driver
+        state like every model in this repo."""
+        from pyspark.sql import functions as F
+
+        from ..operators.zorder import quantize
+
+        k = len(cols)
+        if k < 1:
+            raise ValueError("zorder_by needs at least one column")
+        if bits * k > 63:
+            raise ValueError(
+                f"zorder_bits={bits} x {k} columns exceeds 63 bits")
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"),
+                     F.max(c).alias(f"__hi_{c}")]
+        [b] = frame.agg(*aggs).collect()
+        qcols = []
+        for c in cols:
+            lo = float(b[f"__lo_{c}"])
+            hi = float(b[f"__hi_{c}"])
+            if hi <= lo:
+                hi = lo + 1.0
+            qcols.append(quantize(F.col(c), lo, hi, bits))
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, qc in enumerate(qcols):
+                z = z.bitwiseOR(F.shiftleft(
+                    F.shiftright(qc, i).bitwiseAND(1), i * k + j))
+        return frame.withColumn("__zv", z)
 
     def _read_files(self, spark: SparkSession, subset: "dict",
                     schema_json: str,

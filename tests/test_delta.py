@@ -560,3 +560,38 @@ def test_change_data_feed_lifecycle(spark, tmp_path):
     ch2 = t2.changes(spark, 0)
     assert "value" in ch2.columns
     assert ch2.filter("_change_type = 'delete'").collect()[0]["k"] == 3
+
+
+def test_optimize_zorder_prunes_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: every output file a bounded rectangle, both
+    clustered dims prune, the conjunction prunes harder, content is
+    intact, and the rewrite stays CDF-silent (dataChange=False)."""
+    t = DeltaTable(str(tmp_path / "zo"))
+    df = spark.range(40000).selectExpr(
+        "id as k",
+        "cast(hash(id) % 1000 + 1000 as long) as a",
+        "cast(hash(id + 7) % 1000 + 1000 as long) as b")
+    t.write(df.repartition(8), mode="overwrite")
+    probe = [("a", ">=", 1400), ("a", "<", 1460),
+             ("b", ">=", 1400), ("b", "<", 1460)]
+    assert t.files_matching(probe) == (8, 8)  # scattered: nothing prunes
+    before = t.read(spark).agg(F.count("*"), F.sum("a")).collect()[0]
+    res = t.optimize(spark, zorder_by=["a", "b"], zorder_files=16)
+    assert len(res["added"]) == 16
+    kept, total = t.files_matching(probe)
+    assert kept * 2 <= total
+    a_kept, _ = t.files_matching(probe[:2])
+    b_kept, _ = t.files_matching(probe[2:])
+    assert a_kept < total and b_kept < total
+    after = t.read(spark).agg(F.count("*"), F.sum("a")).collect()[0]
+    assert tuple(before) == tuple(after)
+    # skipping read over the rectangle is lossless vs the residual
+    band = t.read(spark, skipping=probe).filter(
+        "a >= 1400 and a < 1460 and b >= 1400 and b < 1460").count()
+    full = t.read(spark).filter(
+        "a >= 1400 and a < 1460 and b >= 1400 and b < 1460").count()
+    assert band == full > 0
+    # CDF-silent: the zorder version feeds no changes
+    assert t.changes(spark, res["version"], res["version"]).count() == 0
+    with pytest.raises(ValueError, match="exceeds 63"):
+        t.optimize(spark, zorder_by=["a", "b"], zorder_bits=40)
