@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "q412_delta_cdf",
     "q413_iceberg_incremental",
     "q414_delta_optimize_zorder",
+    "q415_iceberg_partition_evolution",
 ]
 
 

@@ -429,12 +429,69 @@ class IcebergTable:
     # ---- write side ------------------------------------------------
 
     def _partition_spec(self) -> "list[dict]":
-        """The table's partition spec fields:
+        """The table's DEFAULT partition spec fields:
         ``[{"name", "transform", "source-name", "field-id"}...]``
         (empty for unpartitioned tables)."""
         if self._current_version() == 0:
             return []
         return self._load_metadata().get("partition-spec", [])
+
+    def _partition_specs_by_id(self, meta: "dict | None" = None
+                               ) -> "dict[int, list[dict]]":
+        """Every spec generation keyed by spec-id (round-9 partition
+        evolution; pre-evolution tables expose their single spec as
+        id 0) — files prune under the spec they were WRITTEN with."""
+        if meta is None:
+            if self._current_version() == 0:
+                return {}
+            meta = self._load_metadata()
+        out = {s["spec-id"]: s["fields"]
+               for s in meta.get("partition-specs", [])}
+        out.setdefault(0, meta.get("partition-spec", []))
+        return out
+
+    def evolve_partition_spec(
+            self, partition_by: "list[tuple[str, str]]") -> int:
+        """PARTITION SPEC EVOLUTION (spec "Partition Evolution" —
+        metadata only, zero data files touched): future writes lay out
+        under the NEW spec; existing files keep their old partition
+        tuples and continue pruning under the spec they were written
+        with (per-manifest spec-id resolution).  OCC publish like
+        every metadata commit.  Returns the new spec-id."""
+        base_version = self._current_version()
+        if base_version < 1:
+            raise ValueError(f"not an Iceberg table: {self.path}")
+        meta = json.load(open(os.path.join(
+            self.meta_dir, f"v{base_version}.metadata.json")))
+        names = {f["name"] for f in meta["schema"]["fields"]}
+        for src, _tr in partition_by:
+            if src not in names:
+                raise ValueError(f"partition source {src!r} not in schema")
+        if "partition-specs" not in meta:
+            meta["partition-specs"] = [{
+                "spec-id": 0,
+                "fields": meta.get("partition-spec", [])}]
+            meta["default-spec-id"] = 0
+        new_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+        fields = [
+            {"name": f"{src}_{tr.split('[')[0]}"
+             if tr != "identity" else f"{src}_id",
+             "transform": tr, "source-name": src,
+             "field-id": 1000 + new_id * 100 + i}
+            for i, (src, tr) in enumerate(partition_by)
+        ]
+        meta["partition-specs"].append(
+            {"spec-id": new_id, "fields": fields})
+        meta["default-spec-id"] = new_id
+        meta["partition-spec"] = fields      # default, back-compat
+        try:
+            self._publish_metadata(meta, base_version + 1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"partition evolution read table version {base_version} "
+                f"but a concurrent commit won; rerun against the new "
+                f"head ({self.path})") from None
+        return new_id
 
     @staticmethod
     def _partition_exprs(df: DataFrame, partition_by: "list[tuple]"):
@@ -700,7 +757,8 @@ class IcebergTable:
             entries = prev_entries + [{
                 "manifest_path": f"metadata/{manifest_name}",
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                # files prune under the spec they were written with
+                "partition_spec_id": meta.get("default-spec-id", 0),
                 "content": 0,
                 "added_snapshot_id": snap_id,
                 "added_data_files_count": len(added),
@@ -838,9 +896,13 @@ class IcebergTable:
             _, rows = avro_read(
                 open(os.path.join(self.path, m["manifest_path"]), "rb").read()
             )
-            entries.extend(
-                r["data_file"] for r in rows if r["status"] != 2
-            )
+            spec_id = m.get("partition_spec_id", 0)
+            for r in rows:
+                if r["status"] == 2:
+                    continue
+                e = dict(r["data_file"])
+                e["_spec_id"] = spec_id   # prune under the write-time spec
+                entries.append(e)
         return sorted(entries, key=lambda d: d["file_path"])
 
     def _data_files(self, snapshot_id: "int | None" = None) -> list[str]:
@@ -853,8 +915,8 @@ class IcebergTable:
         parquet footer or data page is touched (the observable a
         pruning audit grades)."""
         entries = self._data_file_entries(snapshot_id)
-        spec = self._partition_spec()
         meta = self._load_metadata()
+        spec = self._partition_specs_by_id(meta)
         kept = sum(
             1 for e in entries
             if all(self._entry_survives(e, spec, c, op, v, meta)
@@ -898,6 +960,12 @@ class IcebergTable:
             return False
         pj = entry.get("partition_json") or ""
         if pj and spec_fields:
+            # partition evolution: a dict maps spec-id -> fields and
+            # each entry prunes under ITS write-time spec; a plain list
+            # is the single-spec fast path
+            if isinstance(spec_fields, dict):
+                spec_fields = spec_fields.get(
+                    entry.get("_spec_id", 0), [])
             part = json.loads(pj)
             for f in spec_fields:
                 if f["source-name"] == col and f["name"] in part:
@@ -994,7 +1062,7 @@ class IcebergTable:
         meta = self._load_metadata()
         entries = self._data_file_entries(snapshot_id)
         if skipping:
-            spec = self._partition_spec()
+            spec = self._partition_specs_by_id(meta)
             entries = [e for e in entries
                        if all(self._entry_survives(e, spec, c, op, v, meta)
                               for c, op, v in skipping)]

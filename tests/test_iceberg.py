@@ -567,3 +567,56 @@ def test_incremental_changelog(spark, tmp_path):
     assert t.changes(spark, s2, s3).count() == 10
     with pytest.raises(ValueError, match="not in log"):
         t.changes(spark, 99, 100)
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Partition evolution: metadata-only; old files prune under their
+    write-time spec, new files under the new default; omitted
+    partition_by reuses the default; old spec rejected after evolve;
+    OCC race raises."""
+    import datetime
+
+    from pr2_transformation_spark.sources.iceberg import (
+        ConcurrentCommitError,
+    )
+
+    t = IcebergTable(str(tmp_path / "pspec"))
+    df = spark.range(2000).selectExpr(
+        "id as k",
+        "timestamp'2023-01-15 10:00:00' + make_interval(0,0,0,"
+        "cast(id % 120 as int),0,0,0) as ts",
+        "cast(id % 40 as long) as ck")
+    t.write(df, mode="overwrite", partition_by=[("ts", "month")],
+            now_ms=1000)
+    files_pre = set(t._data_files())
+    assert t.evolve_partition_spec([("ck", "bucket[4]")]) == 1
+    assert set(t._data_files()) == files_pre  # zero data files touched
+    df2 = spark.range(2000, 2500).selectExpr(
+        "id as k",
+        "timestamp'2023-08-01 00:00:00' + make_interval(0,0,0,"
+        "cast(id % 50 as int),0,0,0) as ts",
+        "cast(id % 40 as long) as ck")
+    t.write(df2, mode="append", partition_by=[("ck", "bucket[4]")],
+            now_ms=2000)
+    t.write(df2.selectExpr("k + 1000 as k", "ts", "ck"), mode="append",
+            now_ms=3000)  # omitted spec -> new default
+    assert t.read(spark).count() == 3000
+    k_ts, total = t.files_matching(
+        [("ts", ">=", datetime.datetime(2023, 3, 1))])
+    k_ck, _ = t.files_matching([("ck", "=", 7)])
+    assert k_ts < total and k_ck < total
+    full = t.read(spark).filter("ck = 7").count()
+    assert t.read(spark, skipping=[("ck", "=", 7)]) \
+        .filter("ck = 7").count() == full > 0
+    with pytest.raises(ValueError, match="cannot.*change the spec"):
+        t.write(df2, mode="append", partition_by=[("ts", "month")])
+    with pytest.raises(ValueError, match="not in schema"):
+        t.evolve_partition_spec([("nope", "identity")])
+    real = IcebergTable._current_version
+    IcebergTable._current_version = lambda self: 1
+    try:
+        with pytest.raises(ConcurrentCommitError,
+                           match="partition evolution"):
+            t.evolve_partition_spec([("k", "truncate[100]")])
+    finally:
+        IcebergTable._current_version = real
