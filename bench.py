@@ -345,6 +345,7 @@ BENCH_QUERIES = [
     "q413_iceberg_incremental",
     "q414_delta_optimize_zorder",
     "q415_iceberg_partition_evolution",
+    "q416_delta_merge",
 ]
 
 

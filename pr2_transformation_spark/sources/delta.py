@@ -445,6 +445,188 @@ class DeltaTable:
             f"gave up after {max_retries} rebase attempts "
             f"(contended table at {self.path})")
 
+    def merge(self, spark: SparkSession, source: DataFrame,
+              on: "list[str]",
+              when_matched: str = "update",
+              when_not_matched: str = "insert",
+              now_ms: "int | None" = None) -> "dict":
+        """MERGE (upsert) via COPY-ON-WRITE — the writer every CDC
+        apply needs: target rows whose ``on`` key matches a source row
+        are replaced (``when_matched="update"``), dropped
+        (``"delete"``) or kept (``"ignore"``); unmatched source rows
+        are appended (``when_not_matched="insert"``) or ignored.  Only
+        the data files that actually CONTAIN matched keys are rewritten
+        — the join first discovers the affected-file set via
+        ``_metadata.file_path`` (at 100 TB a 1k-row upsert rewrites a
+        handful of files, never the table); untouched files carry over
+        by reference.  Source must share the target's logical schema.
+        Commits remove+add with dataChange=True at read_version+1
+        (create-exclusive; a racing data change raises
+        :class:`ConcurrentWriteError`).  Returns {"version",
+        "files_rewritten", "rows_updated", "rows_deleted",
+        "rows_inserted"}."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched {when_not_matched!r}")
+        read_version = self._latest_version()
+        if read_version < 0:
+            raise ValueError(f"not a Delta table: {self.path}")
+        live, schema_json, _, cur_meta, _ = self._replay(read_version)
+        mapping = _column_mapping(cur_meta, schema_json)
+        cols = [f["name"] for f in json.loads(schema_json)["fields"]]
+        if set(source.columns) != set(cols):
+            raise ValueError(
+                f"merge source must carry the target schema "
+                f"{sorted(cols)}, got {sorted(source.columns)}")
+        ts = int(now_ms if now_ms is not None else time.time() * 1000)
+        keys = source.select(*on).distinct()
+
+        # 1. affected files: those holding at least one matched key
+        tgt = self._read_files(spark, live, schema_json, mapping)
+        # helper column bound at the scan: _read_files projects, so
+        # re-derive the file name through a dedicated scan
+        full = self._with_fname(spark, live, schema_json, mapping)
+        hits = full.join(F.broadcast(keys), on, "left_semi")
+        affected = sorted(
+            r["__fname"] for r in
+            hits.select("__fname").distinct().collect())
+        n_matched = hits.count()
+        if when_not_matched == "insert":
+            # anti-join against target keys: the SOURCE side is the
+            # small one at scale — never broadcast the target
+            inserts = source.join(
+                tgt.select(*on).distinct(), on, "left_anti")
+        else:
+            inserts = source.limit(0)
+        n_inserted = inserts.count()
+        if not affected and n_inserted == 0:
+            return {"version": -1, "files_rewritten": 0,
+                    "rows_updated": 0, "rows_deleted": 0,
+                    "rows_inserted": 0}
+
+        # 2. rewrite ONLY the affected files
+        sub = {p: live[p] for p in affected}
+        frames = []
+        if affected:
+            aff_rows = self._with_fname(spark, sub, schema_json, mapping)
+            survivors = aff_rows.join(F.broadcast(keys), on, "left_anti") \
+                .select(*cols)
+            frames.append(survivors)
+            if when_matched == "update":
+                upd = source.join(F.broadcast(
+                    aff_rows.select(*on).distinct()), on, "left_semi") \
+                    .select(*cols)
+                frames.append(upd)
+        frames.append(inserts.select(*cols))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        if mapping:
+            out = out.select(*[F.col(c).alias(p)
+                               for c, p in mapping.items()])
+        staging = os.path.join(self.path, f".merge-{uuid.uuid4().hex}")
+        out.repartition(max(1, len(affected) or 1)) \
+            .write.mode("overwrite").parquet(staging)
+        batch = uuid.uuid4().hex[:12]
+        added = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                name = f"part-{batch}-{f}"
+                os.rename(os.path.join(staging, f),
+                          os.path.join(self.path, name))
+                added.append(name)
+        shutil.rmtree(staging)
+
+        # 3. commit at read_version + 1 (any interleaved commit collides)
+        version = read_version + 1
+        actions = []
+        for p in affected:
+            actions.append({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": True}})
+        for name in added:
+            full_path = os.path.join(self.path, name)
+            add = {"path": name, "partitionValues": {},
+                   "size": os.path.getsize(full_path),
+                   "modificationTime": ts, "dataChange": True}
+            stats = _file_stats(full_path)
+            if stats is not None:
+                add["stats"] = json.dumps(stats)
+            actions.append({"add": add})
+        actions.append({"commitInfo": {
+            "timestamp": ts, "operation": "MERGE",
+            "operationParameters": {
+                "predicate": json.dumps(on),
+                "matchedAction": when_matched,
+                "notMatchedAction": when_not_matched}}})
+        tmp = _commit_path(self.path, version) + f".{batch}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        try:
+            os.link(tmp, _commit_path(self.path, version))
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"MERGE read version {read_version} but a concurrent "
+                f"commit won version {version}; its rows may match the "
+                f"keys — rerun") from None
+        upd = n_matched if when_matched == "update" else 0
+        dele = n_matched if when_matched == "delete" else 0
+        return {"version": version, "files_rewritten": len(affected),
+                "rows_updated": upd, "rows_deleted": dele,
+                "rows_inserted": n_inserted}
+
+    def _with_fname(self, spark: SparkSession, subset: "dict",
+                    schema_json: str,
+                    mapping: "dict | None") -> DataFrame:
+        """Subset scan with a ``__fname`` helper (DVs applied) — the
+        merge planner's affected-file discovery frame."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if mapping:
+            scan_schema = StructType.fromJson(json.loads(
+                _physical_schema_json(schema_json)))
+            aliases = [F.col(p).alias(c) for c, p in mapping.items()]
+        else:
+            scan_schema = StructType.fromJson(json.loads(schema_json))
+            aliases = [F.col(f.name) for f in scan_schema.fields]
+        plain = [p for p in sorted(subset)
+                 if not subset[p].get("deletionVector")]
+        dved = [p for p in sorted(subset)
+                if subset[p].get("deletionVector")]
+        frames = []
+        if plain:
+            frames.append(
+                spark.read.schema(scan_schema).parquet(
+                    *[os.path.join(self.path, p) for p in plain])
+                .select(*aliases, F.element_at(F.split(
+                    F.col("_metadata.file_path"), "/"), -1)
+                    .alias("__fname")))
+        if dved:
+            deleted = [
+                (p, int(i)) for p in dved
+                for i in _dv_read(self.path,
+                                  subset[p]["deletionVector"]).values()]
+            src = spark.read.schema(scan_schema).parquet(
+                *[os.path.join(self.path, p) for p in dved]).select(
+                *aliases,
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"),
+                             -1).alias("__fname"),
+                F.col("_metadata.row_index").alias("__ri"))
+            tomb = spark.createDataFrame(
+                deleted, "__fname string, __ri long")
+            frames.append(src.join(
+                F.broadcast(tomb), ["__fname", "__ri"], "left_anti")
+                .drop("__ri"))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
     def changes(self, spark: SparkSession, starting_version: int = 0,
                 ending_version: "int | None" = None) -> DataFrame:
         """CHANGE DATA FEED derived from the log (the table_changes

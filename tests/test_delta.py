@@ -595,3 +595,54 @@ def test_optimize_zorder_prunes_both_dims(spark, tmp_path):
     assert t.changes(spark, res["version"], res["version"]).count() == 0
     with pytest.raises(ValueError, match="exceeds 63"):
         t.optimize(spark, zorder_by=["a", "b"], zorder_bits=40)
+
+
+def test_merge_upsert_surgical(spark, tmp_path):
+    """MERGE: update/insert/delete modes, only affected files
+    rewritten, schema/mode validation, no-op short circuit, OCC race,
+    column-mapped tables."""
+    from pr2_transformation_spark.sources.delta import ConcurrentWriteError
+
+    t = DeltaTable(str(tmp_path / "mg"))
+    df = spark.range(1000).selectExpr("id as k", "id * 10 as v")
+    t.write(df.repartitionByRange(10, "k").sortWithinPartitions("k"),
+            mode="overwrite")
+    src = spark.range(5).selectExpr("id + 100 as k", "99999 as v") \
+        .union(spark.range(2000, 2005).selectExpr("id as k", "id as v"))
+    res = t.merge(spark, src, on=["k"])
+    assert res["rows_updated"] == 5 and res["rows_inserted"] == 5
+    assert 0 < res["files_rewritten"] < 10  # only the 100-band file(s)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 1005
+    assert got[102] == 99999 and got[2003] == 2003 and got[99] == 990
+    # delete mode
+    r2 = t.merge(spark, spark.range(3).selectExpr("id as k", "0 as v"),
+                 on=["k"], when_matched="delete",
+                 when_not_matched="ignore")
+    assert r2["rows_deleted"] == 3 and t.read(spark).count() == 1002
+    # no-op
+    assert t.merge(spark, df.limit(0), on=["k"])["version"] == -1
+    # validation
+    with pytest.raises(ValueError, match="target schema"):
+        t.merge(spark, spark.range(1).selectExpr("id as wrong"), on=["k"])
+    with pytest.raises(ValueError, match="when_matched"):
+        t.merge(spark, df.limit(1), on=["k"], when_matched="upsert")
+    # OCC: a commit landing mid-merge collides
+    DeltaTable(t.path).write(df.filter("k > 990").limit(1), "append")
+    real = DeltaTable._latest_version
+    DeltaTable._latest_version = lambda self: 2  # stale (pre-append)
+    try:
+        with pytest.raises(ConcurrentWriteError, match="MERGE read"):
+            t.merge(spark, spark.range(1).selectExpr("id as k",
+                                                     "5 as v"), on=["k"])
+    finally:
+        DeltaTable._latest_version = real
+    # mapped table merge
+    t2 = DeltaTable(str(tmp_path / "mgmap"))
+    t2.write(df.filter("k < 10"), mode="overwrite")
+    t2.evolve(renames={"v": "value"})
+    r3 = t2.merge(spark, spark.range(2).selectExpr(
+        "id as k", "7 as value"), on=["k"])
+    assert r3["rows_updated"] == 2
+    vals = {r["k"]: r["value"] for r in t2.read(spark).collect()}
+    assert vals[0] == 7 and vals[1] == 7 and vals[2] == 20
