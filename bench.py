@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     "q414_delta_optimize_zorder",
     "q415_iceberg_partition_evolution",
     "q416_delta_merge",
+    "q417_iceberg_merge",
 ]
 
 

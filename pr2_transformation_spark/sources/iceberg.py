@@ -1509,6 +1509,82 @@ class IcebergTable:
                 gone.append(rel)
         return gone
 
+    def merge(self, spark: SparkSession, source: DataFrame,
+              on: str,
+              when_matched: str = "update",
+              when_not_matched: str = "insert",
+              now_ms: "int | None" = None,
+              max_keys: int = 100_000) -> "dict":
+        """MERGE (upsert) in Iceberg v2's native MERGE-ON-READ style —
+        composed from the format's own primitives instead of a
+        copy-on-write rewrite (the delta.py twin rewrites files; this
+        one tombstones): matched target rows become POSITIONAL DELETES
+        (no data file rewritten — O(matched rows), the v2 trade), and
+        the update images plus unmatched inserts land as one APPEND.
+        Two snapshots per merge (delete, then append), each under the
+        usual OCC publish; a reader between them sees the delete-only
+        state — the documented composition semantics (engines with a
+        single-commit MERGE fold both into one snapshot).
+
+        ``on`` is a single key column (the CDC shape; composite keys
+        are outside this seam and raise).  The matched key set is
+        driver-bounded like every model in this repo (``max_keys``
+        guard fails loudly rather than silently collecting a table).
+        Returns {"delete_snapshot", "append_snapshot", "rows_updated",
+        "rows_deleted", "rows_inserted"}."""
+        from pyspark.sql import functions as F
+
+        if not isinstance(on, str):
+            raise NotImplementedError(
+                "composite merge keys are outside this seam (single "
+                "key column; pre-concatenate if needed)")
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched {when_not_matched!r}")
+        cur = self.read(spark)
+        if set(source.columns) != set(cur.columns):
+            raise ValueError(
+                f"merge source must carry the target schema "
+                f"{sorted(cur.columns)}, got {sorted(source.columns)}")
+        matched = source.select(on).distinct().join(
+            cur.select(on).distinct(), on, "left_semi")
+        n_keys = matched.count()
+        if n_keys > max_keys:
+            raise ValueError(
+                f"merge batch has {n_keys} matched keys > max_keys="
+                f"{max_keys}; split the batch (the key list is "
+                f"driver-bounded by design)")
+        keys = [r[on] for r in matched.collect()]
+        delete_snap = -1
+        if keys and when_matched != "ignore":
+            in_list = ", ".join(
+                repr(k) if isinstance(k, str) else str(k) for k in keys)
+            delete_snap = self.delete_where(
+                spark, f"{on} IN ({in_list})", now_ms=now_ms)
+        if when_not_matched == "insert":
+            inserts = source.join(
+                cur.select(on).distinct(), on, "left_anti")
+        else:
+            inserts = source.limit(0)
+        to_append = inserts
+        if keys and when_matched == "update":
+            upd = source.join(matched, on, "left_semi")
+            to_append = to_append.unionByName(upd)
+        n_ins = inserts.count()
+        append_snap = -1
+        if to_append.limit(1).count():
+            append_snap = self.write(
+                to_append, mode="append",
+                now_ms=None if now_ms is None else now_ms + 1)
+        return {
+            "delete_snapshot": delete_snap,
+            "append_snapshot": append_snap,
+            "rows_updated": n_keys if when_matched == "update" else 0,
+            "rows_deleted": n_keys if when_matched == "delete" else 0,
+            "rows_inserted": n_ins,
+        }
+
     def changes(self, spark: SparkSession,
                 from_snapshot: "int | None" = None,
                 to_snapshot: "int | None" = None) -> DataFrame:

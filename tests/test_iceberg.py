@@ -620,3 +620,32 @@ def test_partition_spec_evolution(spark, tmp_path):
             t.evolve_partition_spec([("k", "truncate[100]")])
     finally:
         IcebergTable._current_version = real
+
+
+def test_merge_upsert_merge_on_read(spark, tmp_path):
+    """Iceberg MERGE: positional-delete + append composition — zero
+    data files rewritten, modes, validation, bounded-keys guard."""
+    t = IcebergTable(str(tmp_path / "mg"))
+    df = spark.range(1000).selectExpr("id as k", "id * 10 as v")
+    s0 = t.write(df, mode="overwrite", now_ms=1000)
+    files0 = set(t._data_files())
+    src = spark.range(5).selectExpr(
+        "id + 100 as k", "cast(99999 as long) as v").union(
+        spark.range(2000, 2005).selectExpr("id as k", "id as v"))
+    res = t.merge(spark, src, on="k", now_ms=2000)
+    assert res["rows_updated"] == 5 and res["rows_inserted"] == 5
+    assert files0 <= set(t._data_files())   # merge-on-read: no rewrite
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 1005
+    assert got[102] == 99999 and got[2003] == 2003 and got[99] == 990
+    r2 = t.merge(spark, spark.range(3).selectExpr(
+        "id as k", "cast(0 as long) as v"), on="k",
+        when_matched="delete", when_not_matched="ignore", now_ms=3000)
+    assert r2["rows_deleted"] == 3 and t.read(spark).count() == 1002
+    assert t.read(spark, snapshot_id=s0).count() == 1000  # time travel
+    with pytest.raises(ValueError, match="target schema"):
+        t.merge(spark, spark.range(1).selectExpr("id as wrong"), on="k")
+    with pytest.raises(NotImplementedError, match="composite"):
+        t.merge(spark, src, on=["k", "v"])
+    with pytest.raises(ValueError, match="max_keys"):
+        t.merge(spark, df, on="k", max_keys=10)
