@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "q415_iceberg_partition_evolution",
     "q416_delta_merge",
     "q417_iceberg_merge",
+    "q418_avro_schema_resolution",
 ]
 
 

@@ -483,6 +483,94 @@ def avro_read(payload: bytes):
 
 # ----------------------------------------------------------- spark glue
 
+def _type_name(schema) -> str:
+    if isinstance(schema, dict):
+        return schema.get("type", "")
+    if isinstance(schema, list):
+        return "union"
+    return schema
+
+
+_PROMOTIONS = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _resolve_value(writer, reader, value):
+    """Adapt one decoded value from the writer schema's shape to the
+    reader schema's (spec "Schema Resolution")."""
+    if value is None:
+        return None
+    wt, rt = _type_name(writer), _type_name(reader)
+    # unions resolve against the non-null branch (the nullable shape)
+    if isinstance(writer, list):
+        branches = [b for b in writer if b != "null"]
+        writer = branches[0] if len(branches) == 1 else writer
+        wt = _type_name(writer)
+    if isinstance(reader, list):
+        branches = [b for b in reader if b != "null"]
+        reader = branches[0] if len(branches) == 1 else reader
+        rt = _type_name(reader)
+    if wt == rt == "record":
+        wfields = {f["name"]: f for f in writer["fields"]}
+        # writer-side aliases by which a RENAMED reader field finds its
+        # old data
+        out = {}
+        for rf in reader["fields"]:
+            src = None
+            if rf["name"] in wfields:
+                src = wfields[rf["name"]]
+            else:
+                for alias in rf.get("aliases", []):
+                    if alias in wfields:
+                        src = wfields[alias]
+                        break
+            if src is not None:
+                out[rf["name"]] = _resolve_value(
+                    src["type"], rf["type"], value.get(src["name"]))
+            elif "default" in rf:
+                out[rf["name"]] = rf["default"]
+            else:
+                raise ValueError(
+                    f"schema resolution: reader field {rf['name']!r} "
+                    f"absent from writer schema and has no default")
+        return out
+    if wt == rt == "array":
+        return [_resolve_value(writer["items"], reader["items"], v)
+                for v in value]
+    if wt == rt == "map":
+        return {k: _resolve_value(writer["values"], reader["values"], v)
+                for k, v in value.items()}
+    if wt == rt:
+        return value
+    promo = _PROMOTIONS.get((wt, rt))
+    if promo is None:
+        raise ValueError(
+            f"schema resolution: no promotion {wt} -> {rt}")
+    return promo(value)
+
+
+def avro_read_resolved(payload: bytes, reader_schema: dict):
+    """Read an OCF THROUGH a reader schema (spec "Schema Resolution"):
+    fields match by name or reader ALIASES (renames), reader-only
+    fields take their declared DEFAULT, writer-only fields are
+    dropped, and the spec's numeric/string-bytes PROMOTIONS apply —
+    the contract that lets a consumer evolve independently of every
+    producer still writing the old shape.  Returns (reader_schema,
+    rows); a reader field with neither source nor default fails
+    loudly."""
+    writer_schema, rows = avro_read(payload)
+    return reader_schema, [
+        _resolve_value(writer_schema, reader_schema, r) for r in rows]
+
+
 def avro_schema_to_spark(schema: dict) -> T.StructType:
     """Translate the supported Avro record schema into a Spark schema."""
     if not (isinstance(schema, dict) and schema.get("type") == "record"):

@@ -527,3 +527,55 @@ def test_logical_types_property_roundtrip():
         assert back == [row]
 
     run()
+
+
+def test_schema_resolution_matrix():
+    """Spec "Schema Resolution": renames via reader aliases, defaults
+    for reader-only fields, promotions (incl. through nullable
+    unions), dropped writer fields, recursion into arrays/maps, loud
+    failure when neither source nor default exists."""
+    from pr2_transformation_spark.sources.avro import (
+        avro_read_resolved,
+        avro_write,
+    )
+
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "int"},
+        {"name": "v", "type": "long"},
+        {"name": "old_name", "type": "string"},
+        {"name": "gone", "type": "string"},
+        {"name": "opt", "type": ["null", "int"]},
+        {"name": "tags", "type": {"type": "array", "items": "int"}},
+        {"name": "s", "type": "string"},
+    ]}
+    rows = [
+        {"k": 1, "v": 10, "old_name": "a", "gone": "x", "opt": None,
+         "tags": [1, 2], "s": "hi"},
+        {"k": 2, "v": 20, "old_name": "b", "gone": "y", "opt": 7,
+         "tags": [], "s": "yo"},
+    ]
+    buf = avro_write(rows, w, codec="deflate")
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "double"},
+        {"name": "v", "type": "long"},
+        {"name": "new_name", "type": "string", "aliases": ["old_name"]},
+        {"name": "added", "type": "string", "default": "dflt"},
+        {"name": "opt", "type": ["null", "double"]},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "s", "type": "bytes"},      # string -> bytes
+    ]}
+    _, got = avro_read_resolved(buf, r)
+    assert got[0] == {"k": 1.0, "v": 10, "new_name": "a",
+                      "added": "dflt", "opt": None, "tags": [1, 2],
+                      "s": b"hi"}
+    assert got[1]["opt"] == 7.0 and got[1]["s"] == b"yo"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no default"):
+        avro_read_resolved(buf, {"type": "record", "name": "r",
+                                 "fields": [{"name": "nope",
+                                             "type": "int"}]})
+    with _pytest.raises(ValueError, match="no promotion"):
+        avro_read_resolved(buf, {"type": "record", "name": "r",
+                                 "fields": [{"name": "v",
+                                             "type": "string"}]})
