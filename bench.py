@@ -348,6 +348,7 @@ BENCH_QUERIES = [
     "q416_delta_merge",
     "q417_iceberg_merge",
     "q418_avro_schema_resolution",
+    "q419_cdf_incremental_apply",
 ]
 
 

@@ -646,3 +646,34 @@ def test_merge_upsert_surgical(spark, tmp_path):
     assert r3["rows_updated"] == 2
     vals = {r["k"]: r["value"] for r in t2.read(spark).collect()}
     assert vals[0] == 7 and vals[1] == 7 and vals[2] == 20
+
+
+def test_cdf_cursor_exactly_once(spark, tmp_path):
+    """CDFCursor: uncommitted batches re-deliver identically, commit
+    advances durably, caught-up returns None, position survives a new
+    cursor instance (the checkpoint is the state, not the object)."""
+    t = DeltaTable(str(tmp_path / "tbl"))
+    ck = str(tmp_path / "ckpt")
+    cur = t.cdf_cursor(ck)
+    assert cur.position() == -1
+    t.write(_df(spark, 0, 50), mode="overwrite")          # v0
+    df1, v1 = cur.next(spark)
+    assert v1 == 0 and df1.count() == 50
+    # replay before commit: identical batch
+    df1b, v1b = cur.next(spark)
+    assert v1b == v1 and df1b.count() == 50
+    cur.commit(v1)
+    assert cur.position() == 0
+    # caught up
+    assert cur.next(spark)[0] is None
+    t.write(_df(spark, 50, 60), mode="append")            # v1
+    t.delete_where(spark, "k < 5")                        # v2
+    # a FRESH cursor on the same checkpoint resumes correctly
+    cur2 = t.cdf_cursor(ck)
+    df2, v2 = cur2.next(spark)
+    assert v2 == 2
+    counts = {r["_change_type"]: r["n"] for r in df2.groupBy(
+        "_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"insert": 10, "delete": 5}
+    cur2.commit(v2)
+    assert t.cdf_cursor(ck).position() == 2
