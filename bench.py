@@ -349,6 +349,7 @@ BENCH_QUERIES = [
     "q417_iceberg_merge",
     "q418_avro_schema_resolution",
     "q419_cdf_incremental_apply",
+    "q420_lake_restore_refs",
 ]
 
 

@@ -716,6 +716,59 @@ class DeltaTable:
             out = out.unionByName(fr)
         return out
 
+    def restore(self, version: int,
+                now_ms: "int | None" = None) -> int:
+        """RESTORE TABLE TO VERSION — the rollback every bad deploy
+        needs, as a FORWARD commit (history is append-only; the bad
+        versions stay time-travelable): computes the file-set diff
+        between the current snapshot and the target version and commits
+        removes for files the target lacks + re-adds for files it had
+        (metadata-only — data files are never copied; restored files
+        must not have been vacuumed yet, the documented trade).
+        Publishes create-exclusive at read_version+1.  Returns the new
+        version."""
+        read_version = self._latest_version()
+        if read_version < 0:
+            raise ValueError(f"not a Delta table: {self.path}")
+        if not 0 <= version <= read_version:
+            raise ValueError(
+                f"restore target {version} not in 0..{read_version}")
+        target_live, target_schema, _, target_meta, _ = \
+            self._replay(version)
+        cur_live = self._replay(read_version)[0]
+        ts = int(now_ms if now_ms is not None else time.time() * 1000)
+        for p in target_live:
+            if not os.path.exists(os.path.join(self.path, p)):
+                raise ValueError(
+                    f"restore to {version} impossible: file {p} was "
+                    f"vacuumed")
+        actions = [{"metaData": {**target_meta,
+                                 "schemaString": target_schema}}]
+        for p in sorted(set(cur_live) - set(target_live)):
+            actions.append({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": True}})
+        for p in sorted(target_live):
+            if p not in cur_live or cur_live[p] != target_live[p]:
+                actions.append({"add": {**target_live[p],
+                                        "dataChange": True}})
+        actions.append({"commitInfo": {
+            "timestamp": ts, "operation": "RESTORE",
+            "operationParameters": {"version": version}}})
+        new_version = read_version + 1
+        tmp = _commit_path(self.path, new_version) \
+            + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        try:
+            os.link(tmp, _commit_path(self.path, new_version))
+            os.unlink(tmp)
+            return new_version
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"RESTORE read version {read_version} but a concurrent "
+                f"commit won version {new_version}; rerun") from None
+
     def cdf_cursor(self, checkpoint_dir: str) -> "CDFCursor":
         """An EXACTLY-ONCE incremental consumer over :meth:`changes` —
         the loop a downstream materialization (search index, feature

@@ -1452,8 +1452,15 @@ class IcebergTable:
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
-        meta["snapshots"] = snaps[-keep_last:]
+        # snapshots a ref (tag/branch) pins are NEVER expired — the
+        # spec's retention rule that makes tags durable baselines
+        pinned = {r["snapshot-id"]
+                  for r in (meta.get("refs") or {}).values()}
+        expired = [s["snapshot-id"] for s in snaps[:-keep_last]
+                   if s["snapshot-id"] not in pinned]
+        meta["snapshots"] = [
+            s for s in snaps
+            if s["snapshot-id"] not in set(expired)]
         meta["snapshot-log"] = [
             e for e in meta["snapshot-log"]
             if e["snapshot-id"] not in expired]
@@ -1508,6 +1515,59 @@ class IcebergTable:
                 os.remove(full)
                 gone.append(rel)
         return gone
+
+    def create_ref(self, name: str, snapshot_id: "int | None" = None,
+                   ref_type: str = "tag") -> int:
+        """Named REF (spec v2 "refs" metadata): a ``tag`` is an
+        immutable named snapshot (release baselines, audit pins —
+        expire_snapshots never drops a ref'd snapshot), a ``branch``
+        names a line of development.  Metadata-only OCC commit.
+        Returns the pinned snapshot id."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref_type {ref_type!r}")
+        base_version = self._current_version()
+        if base_version < 1:
+            raise ValueError(f"not an Iceberg table: {self.path}")
+        meta = json.load(open(os.path.join(
+            self.meta_dir, f"v{base_version}.metadata.json")))
+        sid = (meta["current-snapshot-id"] if snapshot_id is None
+               else snapshot_id)
+        if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+            raise ValueError(f"snapshot {sid} not in log")
+        refs = dict(meta.get("refs") or {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot-id": sid, "type": ref_type}
+        meta["refs"] = refs
+        try:
+            self._publish_metadata(meta, base_version + 1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"ref creation lost the publish race at "
+                f"{self.path}; rerun") from None
+        return sid
+
+    def drop_ref(self, name: str) -> None:
+        base_version = self._current_version()
+        meta = json.load(open(os.path.join(
+            self.meta_dir, f"v{base_version}.metadata.json")))
+        refs = dict(meta.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        del refs[name]
+        meta["refs"] = refs
+        try:
+            self._publish_metadata(meta, base_version + 1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"ref drop lost the publish race at {self.path}; "
+                f"rerun") from None
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self._load_metadata().get("refs") or {}
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        return refs[name]["snapshot-id"]
 
     def merge(self, spark: SparkSession, source: DataFrame,
               on: str,

@@ -677,3 +677,29 @@ def test_cdf_cursor_exactly_once(spark, tmp_path):
     assert counts == {"insert": 10, "delete": 5}
     cur2.commit(v2)
     assert t.cdf_cursor(ck).position() == 2
+
+
+def test_restore_rollback(spark, tmp_path):
+    """RESTORE: forward metadata-only rollback, history intact, writes
+    continue, vacuumed targets and bad ranges fail loudly."""
+    t = DeltaTable(str(tmp_path / "rs"))
+    df = spark.range(100).selectExpr("id as k", "id * 10 as v")
+    t.write(df.filter("k < 50"), mode="overwrite")     # v0
+    t.write(df.filter("k >= 50"), mode="append")       # v1
+    t.delete_where(spark, "k % 10 = 0")                # v2 (the oops)
+    v = t.restore(1)
+    assert v == 3
+    assert t.read(spark).count() == 100
+    assert t.read(spark, version=2).count() == 90      # history intact
+    t.write(df.filter("k < 3").selectExpr("k + 1000 as k", "v"),
+            mode="append")
+    assert t.read(spark).count() == 103
+    with pytest.raises(ValueError, match="not in 0"):
+        t.restore(99)
+    # vacuumed target: restore to v0 after the overwrite+vacuum fails
+    t2 = DeltaTable(str(tmp_path / "rs2"))
+    t2.write(df.filter("k < 10"), mode="overwrite", now_ms=1_000)
+    t2.write(df.filter("k >= 90"), mode="overwrite", now_ms=2_000)
+    t2.vacuum(retain_ms=10_000, now_ms=1_000_000)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t2.restore(0)

@@ -649,3 +649,25 @@ def test_merge_upsert_merge_on_read(spark, tmp_path):
         t.merge(spark, src, on=["k", "v"])
     with pytest.raises(ValueError, match="max_keys"):
         t.merge(spark, df, on="k", max_keys=10)
+
+
+def test_refs_pin_snapshots(spark, tmp_path):
+    """Tags pin snapshots through expire_snapshots; drop releases;
+    duplicate/unknown refs raise."""
+    t = IcebergTable(str(tmp_path / "refs"))
+    s1 = t.write(_df(spark, 0, 30), mode="overwrite", now_ms=1000)
+    assert t.create_ref("baseline") == s1
+    t.write(_df(spark, 0, 60), mode="overwrite", now_ms=2000)
+    t.write(_df(spark, 0, 90), mode="overwrite", now_ms=3000)
+    expired = t.expire_snapshots(keep_last=1)
+    assert s1 not in expired and expired  # s2 expired, s1 pinned
+    assert t.read(spark,
+                  snapshot_id=t.resolve_ref("baseline")).count() == 30
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_ref("baseline")
+    with pytest.raises(ValueError, match="no ref"):
+        t.resolve_ref("nope")
+    t.drop_ref("baseline")
+    assert t.expire_snapshots(keep_last=1) == [s1]
+    with pytest.raises(ValueError, match="snapshot 99"):
+        t.create_ref("x", snapshot_id=99)
