@@ -350,6 +350,7 @@ BENCH_QUERIES = [
     "q418_avro_schema_resolution",
     "q419_cdf_incremental_apply",
     "q420_lake_restore_refs",
+    "q421_orc_bloom_lookup",
 ]
 
 

@@ -23,8 +23,11 @@ Everything is decoded library-free on top of in-repo pieces:
 
 Scope (honest seam): flat root-STRUCT schemas — the shape every
 tabular ORC written by Spark/Hive has; LIST/MAP/UNION/DECIMAL raise
-``NotImplementedError`` naming the missing piece.  Row-group index and
-bloom streams are skipped (they are pruning hints, not data).
+``NotImplementedError`` naming the missing piece.  Round 9 adds the
+PRUNE PLANE: Metadata stripe statistics, ROW_INDEX row-group stats and
+BLOOM_FILTER_UTF8 probes (single-lane Murmur3 hash64 seed 104729 for
+strings, Thomas Wang 64-bit mix for integers) all feed
+``read_orc_bytes_pruned``.
 
 Conformance: every byte pattern is pinned against TWO independent
 implementations — files are written by Spark's Java ORC writer and
@@ -776,6 +779,18 @@ def read_orc_bytes_pruned(buf: bytes, column: str, lo, hi,
         else:  # no index: the whole stripe is one group
             spans = [(0, num_rows)]
             verdicts = [True]
+        if lo == hi:
+            # EQUALITY probe: the bloom tier (BLOOM_FILTER_UTF8, one
+            # filter per row group) prunes where min/max cannot — a
+            # scattered key column spans the full range in every group
+            bv = _stripe_bloom_verdicts(buf, streams, compression, cid,
+                                        kinds[cid], lo)
+            if bv is not None and len(bv) == len(verdicts):
+                before = sum(verdicts)
+                verdicts = [a and b for a, b in zip(verdicts, bv)]
+                acc["row_groups_bloom_pruned"] = (
+                    acc.get("row_groups_bloom_pruned", 0)
+                    + before - sum(verdicts))
         acc["row_groups_total"] += len(spans)
         acc["row_groups_selected"] += sum(verdicts)
         if not any(verdicts):
@@ -842,3 +857,151 @@ def read_orc_distributed(spark, path_glob: str, spark_schema: str,
         .select("content")
     )
     return blobs.mapInPandas(decode, spark_schema)
+
+
+# ----------------------------------------------------- bloom filters
+
+_BLOOM_UTF8 = 8  # stream kind (BLOOM_FILTER_UTF8; legacy kind 7 unused)
+
+
+def _wang_long_hash(v: int) -> int:
+    """Thomas Wang's 64-bit integer mix — ORC's long-value bloom hash
+    (orc-format spec: integer values are hashed with this function,
+    strings with murmur3 x64_128)."""
+    M = (1 << 64) - 1
+    key = v & M
+    key = ((~key) + (key << 21)) & M
+    key ^= key >> 24
+    key = (key + (key << 3) + (key << 8)) & M
+    key ^= key >> 14
+    key = (key + (key << 2) + (key << 4)) & M
+    key ^= key >> 28
+    key = (key + (key << 31)) & M
+    return key
+
+
+def murmur3_hash64(data: bytes, seed: int = 104729) -> int:
+    """ORC's single-lane Murmur3 64-bit variant (hive/orc Murmur3
+    .hash64, DEFAULT_SEED 104729): the x64_128 block mix kept to one
+    lane — what BloomFilter feeds for string/binary values."""
+    M = (1 << 64) - 1
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    h = seed & M
+    n = len(data)
+    nblocks = n >> 3
+    for b in range(nblocks):
+        k = int.from_bytes(data[b * 8:b * 8 + 8], "little")
+        k = (k * c1) & M
+        k = rotl(k, 31)
+        k = (k * c2) & M
+        h ^= k
+        h = (rotl(h, 27) * 5 + 0x52DCE729) & M
+    k1 = 0
+    tail = data[nblocks * 8:]
+    for i in range(len(tail) - 1, -1, -1):
+        k1 |= tail[i] << (i * 8)
+    if tail:
+        k1 = (k1 * c1) & M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & M
+        h ^= k1
+    h ^= n
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & M
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & M
+    h ^= h >> 33
+    return h
+
+
+def _orc_value_hash64(value, kind: str) -> int:
+    """The signed-64 hash ORC's BloomFilter feeds its double-hashing
+    scheme for one value of the column kind."""
+    if kind in ("string", "varchar", "char", "binary"):
+        b = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        h = murmur3_hash64(b)
+    elif kind in ("byte", "short", "int", "long", "date"):
+        import datetime
+        if isinstance(value, datetime.date):
+            value = (value - datetime.date(1970, 1, 1)).days
+        h = _wang_long_hash(int(value))
+    else:
+        raise NotImplementedError(
+            f"orc bloom probe for kind {kind!r} is outside this seam")
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _bloom_test(num_funcs: int, bitset: bytes, hash64: int) -> bool:
+    """ORC BloomFilter.testHash: h1/h2 double hashing over the
+    little-endian long-array bitset; False = value PROVABLY absent."""
+    num_bits = len(bitset) * 8
+    if not num_bits:
+        return True
+    u = hash64 & ((1 << 64) - 1)
+    h1 = u & 0xFFFFFFFF
+    h2 = (u >> 32) & 0xFFFFFFFF
+    # java ints: interpret as signed 32-bit
+    if h1 >= 1 << 31:
+        h1 -= 1 << 32
+    if h2 >= 1 << 31:
+        h2 -= 1 << 32
+    for i in range(1, num_funcs + 1):
+        combined = (h1 + i * h2) & 0xFFFFFFFF
+        if combined >= 1 << 31:
+            combined -= 1 << 32
+        if combined < 0:
+            combined = ~combined & 0xFFFFFFFF
+        pos = combined % num_bits
+        if not (bitset[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _stripe_bloom_verdicts(buf: bytes, streams, compression: str,
+                           cid: int, kind: str,
+                           value) -> "list[bool] | None":
+    """One stripe's per-row-group bloom verdicts for ``column ==
+    value``; None when the stripe has no bloom stream for the column
+    or the kind is outside the probe seam (caller keeps everything)."""
+    try:
+        h = _orc_value_hash64(value, kind)
+    except NotImplementedError:
+        return None
+    for k, c, pos, ln in streams:
+        if c == cid and k == _BLOOM_UTF8:
+            bfi = _pb_decode(_decompress_stream(
+                buf[pos:pos + ln], compression))
+            out = []
+            for bf_raw in bfi.get(1, []):
+                bf = _pb_decode(bf_raw)
+                out.append(_bloom_test(bf.get(1, [0])[0],
+                                       bf.get(3, [b""])[0], h))
+            return out
+    return None
+
+
+def orc_bloom_row_groups(buf: bytes, column: str,
+                         value) -> "list[list[bool]]":
+    """Per-stripe, per-row-group bloom verdicts for ``column = value``
+    (True = may contain, False = provably absent) from the
+    BLOOM_FILTER_UTF8 streams — the point-lookup tier min/max stats
+    cannot provide (a uuid/key column spans the full range in every
+    stripe).  Stripes without bloom streams yield [] (caller keeps
+    them, conservative)."""
+    footer, compression = _read_tail(buf)
+    kinds, names, col_ids, _subtypes = _parse_types(footer)
+    if column not in names:
+        raise ValueError(f"orc: column {column!r} not in file")
+    cid = col_ids[names.index(column)]
+    out = []
+    for sraw in footer.get(3, []):
+        s = _pb_decode(sraw)
+        streams, _enc, _n = _stripe_layout(buf, s, compression)
+        v = _stripe_bloom_verdicts(buf, streams, compression, cid,
+                                   kinds[cid], value)
+        out.append(v if v is not None else [])
+    return out

@@ -269,3 +269,54 @@ def test_pruned_read_without_row_index(tmp_path):
     assert cols["k"] == list(range(9000, 10000))
     assert cols["s"] == [f"r{k}" for k in range(9000, 10000)]
     assert acc["row_groups_total"] == acc["stripes_total"]
+
+
+def test_bloom_filter_probes_conform_to_liborc(tmp_path):
+    """ORC bloom tier vs libORC-written BLOOM_FILTER_UTF8 streams: the
+    single-lane Murmur3 hash64 (seed 104729) for strings and Thomas
+    Wang mix for longs reproduce libORC's bit positions exactly — no
+    false negatives over 60 present probes, absent values almost
+    always fully excluded, and the pruned reader's equality path uses
+    the tier where min/max stats are useless."""
+    import pyarrow.orc as po2
+
+    from pr2_transformation_spark.sources.orc import (
+        orc_bloom_row_groups,
+        read_orc_bytes,
+        read_orc_bytes_pruned,
+    )
+
+    rng = random.Random(11)
+    ks = list(range(20000))
+    rng.shuffle(ks)   # scattered: every row group spans the full range
+    t = pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "s": pa.array([f"key{v:06d}" for v in ks]),
+    })
+    path = str(tmp_path / "bloom.orc")
+    po2.write_table(t, path, stripe_size=64 * 1024, compression="zlib",
+                    row_index_stride=2000, bloom_filter_columns=[1, 2],
+                    bloom_filter_fpp=0.01)
+    buf = open(path, "rb").read()
+    _, cols = read_orc_bytes(buf)
+    for probe in rng.sample(cols["s"], 30):
+        assert any(any(g) for g in orc_bloom_row_groups(buf, "s", probe))
+    for probe in rng.sample(cols["k"], 30):
+        assert any(any(g) for g in orc_bloom_row_groups(buf, "k", probe))
+    absent_s = sum(
+        1 for i in range(50)
+        if not any(any(g) for g in orc_bloom_row_groups(buf, "s",
+                                                        f"nope{i}")))
+    absent_k = sum(
+        1 for i in range(50)
+        if not any(any(g) for g in orc_bloom_row_groups(buf, "k",
+                                                        10**9 + i)))
+    assert absent_s >= 45 and absent_k >= 45
+    # equality path of the pruned reader: stats prune NOTHING on the
+    # scattered column, blooms prune almost everything
+    _, got, acc = read_orc_bytes_pruned(buf, "k", 777, 777)
+    assert got["k"] == [777]
+    assert acc["row_groups_bloom_pruned"] >= acc["row_groups_total"] - 3
+    # range probes (lo != hi) never consult blooms -> still exact
+    _, got2, _ = read_orc_bytes_pruned(buf, "k", 100, 110)
+    assert sorted(got2["k"]) == list(range(100, 111))
