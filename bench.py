@@ -351,6 +351,7 @@ BENCH_QUERIES = [
     "q419_cdf_incremental_apply",
     "q420_lake_restore_refs",
     "q421_orc_bloom_lookup",
+    "q422_parquet_decimal",
 ]
 
 

@@ -528,6 +528,10 @@ def leaf_columns(schema: list[dict]) -> dict[str, dict]:
             "max_def": max_def,
             "max_rep": max_rep,
             "reps": reps,
+            # DECIMAL logical type (converted_type 5): decoded values
+            # convert from unscaled representation after the page layer
+            "decimal": ((el.get("precision"), el.get("scale", 0))
+                        if el.get("converted_type") == 5 else None),
         }
 
     while True:
@@ -886,6 +890,27 @@ def read_parquet(path: str) -> tuple[list[str], dict[str, list]]:
         return read_parquet_bytes(f.read())
 
 
+def _convert_decimal(vals: list, leaf: dict) -> list:
+    """Unscaled parquet DECIMAL values -> python Decimal: FLBA/BYTE_ARRAY
+    carry big-endian two's complement unscaled ints, INT32/INT64 the
+    unscaled int directly (Parquet LogicalTypes.md)."""
+    import decimal
+
+    _prec, scale = leaf["decimal"]
+    q = decimal.Decimal(10) ** -scale
+    ptype = leaf["type"]
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        elif ptype in ("FIXED_LEN_BYTE_ARRAY", "BYTE_ARRAY"):
+            out.append((decimal.Decimal(
+                int.from_bytes(v, "big", signed=True)) * q).quantize(q))
+        else:  # INT32 / INT64 unscaled
+            out.append((decimal.Decimal(int(v)) * q).quantize(q))
+    return out
+
+
 def read_parquet_bytes(buf: bytes) -> tuple[list[str], dict[str, list]]:
     """:func:`read_parquet` over an in-memory file image."""
     footer = read_footer_bytes(buf)
@@ -909,6 +934,8 @@ def read_parquet_bytes(buf: bytes) -> tuple[list[str], dict[str, list]]:
                 decoded = assemble_lists(*decoded, leaf)
             elif leaf["max_def"] > 1:
                 raise NotImplementedError("nested struct leaves")
+            if leaf.get("decimal"):
+                decoded = _convert_decimal(decoded, leaf)
             cols[leaf["column"]].extend(decoded)
     n_rows = footer["num_rows"]
     for n, v in cols.items():

@@ -206,6 +206,12 @@ def _parse_footer(buf: bytes) -> dict:
             "repetition": el.get(3, 0),
             "type_length": el.get(2),
             "num_children": el.get(5, 0),
+            # DECIMAL logical type (converted_type 5 + scale/precision,
+            # SchemaElement fields 6/7/8 — the legacy form every reader
+            # still honors)
+            "converted_type": el.get(6),
+            "scale": el.get(7),
+            "precision": el.get(8),
         })
     groups = []
     for rg in fmd.get(4, []):

@@ -43,7 +43,7 @@ _CT_TRUE, _CT_FALSE, _CT_BYTE, _CT_I16, _CT_I32, _CT_I64 = 1, 2, 3, 4, 5, 6
 _CT_DOUBLE, _CT_BINARY, _CT_LIST, _CT_STRUCT = 7, 8, 9, 12
 
 _PHYS = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
-         "BYTE_ARRAY": 6}
+         "BYTE_ARRAY": 6, "FIXED_LEN_BYTE_ARRAY": 7}
 _CODECS = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6,
            "lz4_raw": 7}
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
@@ -189,6 +189,31 @@ def rle_bp_encode(vals: list[int], bit_width: int) -> bytes:
     return bytes(out)
 
 
+import re as _re
+
+_DECIMAL_RE = _re.compile(r"DECIMAL\((\d+),\s*(\d+)\)")
+
+
+def _decimal_width(precision: int) -> int:
+    """Smallest byte width whose signed range covers 10^precision - 1."""
+    w = 1
+    while (1 << (8 * w - 1)) <= 10 ** precision:
+        w += 1
+    return w
+
+
+def _decimal_to_flba(value, scale: int, width: int) -> bytes:
+    """One decimal value -> big-endian two's complement unscaled int of
+    the fixed width (LogicalTypes.md DECIMAL on FLBA)."""
+    import decimal
+
+    d = value if isinstance(value, decimal.Decimal) \
+        else decimal.Decimal(str(value))
+    unscaled = int(d.scaleb(scale).to_integral_value(
+        rounding=decimal.ROUND_HALF_UP))
+    return unscaled.to_bytes(width, "big", signed=True)
+
+
 def _plain_encode(vals: list, ptype: str) -> bytes:
     """PLAIN encoding of non-null values (Encodings.md)."""
     if ptype == "INT32":
@@ -211,6 +236,11 @@ def _plain_encode(vals: list, ptype: str) -> bytes:
             b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
             out += len(b).to_bytes(4, "little") + b
         return bytes(out)
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        widths = {len(v) for v in vals}
+        if len(widths) > 1:
+            raise ValueError(f"FLBA values differ in width: {widths}")
+        return b"".join(bytes(v) for v in vals)
     raise NotImplementedError(
         f"physical type {ptype!r} is outside this writer seam "
         f"(supported: {sorted(_PHYS)})")
@@ -436,7 +466,9 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
 
     # min/max (None when no non-null values); BYTE_ARRAY compares as
     # unsigned bytes per the UTF8 logical order
-    if nonnull:
+    if nonnull and ptype != "FIXED_LEN_BYTE_ARRAY":
+        # FLBA (decimal) bytes don't sort like their values (two's
+        # complement big-endian); omit stats rather than emit wrong ones
         if ptype == "BYTE_ARRAY":
             keyed = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
                      for v in nonnull]
@@ -524,7 +556,7 @@ def _write_chunk(body_out: bytearray, name: str, ptype: str, vals: list,
             p_null_count = p_nvals - len(p_nonnull)
             p_defs = rle_bp_encode(
                 [0 if v is None else 1 for v in svals], 1)
-            if p_nonnull:
+            if p_nonnull and ptype != "FIXED_LEN_BYTE_ARRAY":
                 if ptype == "BYTE_ARRAY":
                     keyed = [v.encode("utf-8") if isinstance(v, str)
                              else bytes(v) for v in p_nonnull]
@@ -696,6 +728,23 @@ def write_parquet_bytes(
         raise NotImplementedError(
             f"codec {codec!r} is outside this writer seam "
             f"(supported: {sorted(_CODECS)})")
+    # DECIMAL(p,s) pseudo-type: values encode as FIXED_LEN_BYTE_ARRAY
+    # big-endian two's complement unscaled ints (LogicalTypes.md); the
+    # schema element carries type_length + converted DECIMAL + scale +
+    # precision so pyarrow/DuckDB/Spark read them as decimals
+    decimals: dict[str, tuple[int, int, int]] = {}
+    norm_columns = []
+    for name, ptype, vals in columns:
+        m = _DECIMAL_RE.fullmatch(ptype) if isinstance(ptype, str) else None
+        if m:
+            prec, scale = int(m.group(1)), int(m.group(2))
+            width = _decimal_width(prec)
+            decimals[name] = (prec, scale, width)
+            vals = [None if v is None
+                    else _decimal_to_flba(v, scale, width) for v in vals]
+            ptype = "FIXED_LEN_BYTE_ARRAY"
+        norm_columns.append((name, ptype, vals))
+    columns = norm_columns
     nrows = len(columns[0][2])
     for name, ptype, vals in columns:
         if ptype not in _PHYS:
@@ -767,10 +816,17 @@ def write_parquet_bytes(
     for name, ptype, _ in columns:
         w._last_fid.append(0)
         w.field_i32(1, _PHYS[ptype])
+        if name in decimals:
+            w.field_i32(2, decimals[name][2])   # type_length
         w.field_i32(3, 1)  # OPTIONAL
         w.field_string(4, name)
         if ptype == "BYTE_ARRAY":
             w.field_i32(6, _CONVERTED_UTF8)
+        elif name in decimals:
+            prec, scale, _w = decimals[name]
+            w.field_i32(6, 5)                   # converted DECIMAL
+            w.field_i32(7, scale)
+            w.field_i32(8, prec)
         w.out.append(0)
         w._last_fid.pop()
     w.field_i64(3, nrows)

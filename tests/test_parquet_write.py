@@ -627,3 +627,55 @@ def test_delta_byte_array_edge_shapes():
             column_encodings={"t": "delta_byte_array"})
         assert pq.read_table(io.BytesIO(buf)).column(
             "t").to_pylist() == shape, shape
+
+
+def test_decimal_write_three_readers_and_read_back(tmp_path):
+    """DECIMAL(p,s) both directions: our FLBA big-endian two's
+    complement unscaled writes read identically under pyarrow, DuckDB
+    and our own reader; pyarrow- and DuckDB-written decimal files
+    (FLBA- and INT-backed) read back exactly."""
+    import decimal
+    import io
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pr2_transformation_spark.sources.parquet_data import (
+        read_parquet_bytes,
+    )
+    from pr2_transformation_spark.sources.parquet_write import (
+        write_parquet_bytes,
+    )
+
+    D = decimal.Decimal
+    vals = [D("12345.67"), None, D("-0.03"), D("9999999999.99"),
+            D("0.00"), D("-9999999999.99")]
+    buf = write_parquet_bytes(
+        [("k", "INT64", list(range(len(vals)))),
+         ("price", "DECIMAL(12,2)", vals)],
+        codec="zstd", row_group_rows=4)
+    t = pq.read_table(io.BytesIO(buf))
+    assert t.column("price").to_pylist() == vals
+    assert str(t.schema.field("price").type) == "decimal128(12, 2)"
+    path = str(tmp_path / "own.parquet")
+    open(path, "wb").write(buf)
+    got = [r[0] for r in duckdb.sql(
+        f"SELECT price FROM read_parquet('{path}')").fetchall()]
+    assert got == vals
+    _, own = read_parquet_bytes(buf)
+    assert own["price"] == vals
+
+    # foreign writers -> our reader: pyarrow decimal128 (FLBA)
+    sink = io.BytesIO()
+    pq.write_table(pa.table({
+        "p": pa.array(vals, pa.decimal128(12, 2))}), sink)
+    _, c = read_parquet_bytes(sink.getvalue())
+    assert c["p"] == vals
+    # DuckDB (INT32/INT64-backed for small precisions)
+    dpath = str(tmp_path / "dd.parquet")
+    duckdb.sql(f"COPY (SELECT CAST(v AS DECIMAL(9,3)) AS p FROM (VALUES "
+               f"(1.125),(NULL),(-42.5)) t(v)) TO '{dpath}' "
+               f"(FORMAT PARQUET)")
+    _, c2 = read_parquet_bytes(open(dpath, "rb").read())
+    assert c2["p"] == [D("1.125"), None, D("-42.500")]
