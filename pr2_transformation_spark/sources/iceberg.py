@@ -201,6 +201,38 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+def murmur3_int64_bucket_vec(vals, n: int):
+    """Vectorized Appendix-B bucket transform for int/long values:
+    murmur3_x86_32 over the 8-byte little-endian form (two fixed
+    4-byte blocks, no tail), then ``(h & 0x7FFFFFFF) % n`` — the
+    numpy twin of ``_iceberg_hash``/``apply_transform`` for the
+    integer fast path (pinned equal to the scalar path in
+    tests/test_iceberg.py).  ``vals`` is a numpy int64 array; returns
+    a numpy int64 array of bucket ordinals."""
+    import numpy as np
+
+    u = np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(u.shape, np.uint32)
+    with np.errstate(over="ignore"):
+        for blk in ((u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                    (u >> np.uint64(32)).astype(np.uint32)):
+            k = blk * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)  # total length: 8 bytes
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+    return (h.astype(np.int64) & 0x7FFFFFFF) % n
+
+
 def _iceberg_hash(value) -> int:
     """Appendix B single-value hash: ints/longs hash their 8-byte
     little-endian form, strings their UTF-8 bytes, datetimes their
@@ -513,23 +545,42 @@ class IcebergTable:
 
                 from pyspark.sql.functions import pandas_udf
 
-                @pandas_udf("int")
-                def _bucket(s, _n=n, _dt=dt):
-                    import pandas as pd
+                if dt in ("tinyint", "smallint", "int", "bigint"):
+                    # integer fast path (r10, guide §4.2): hash whole
+                    # Arrow batches through the vectorized murmur3
+                    # instead of a python loop per value
+                    @pandas_udf("int")
+                    def _bucket(s, _n=n):
+                        import numpy as np
+                        import pandas as pd
 
-                    def one(v):
-                        # pd.isna, not an identity check: nullable int
-                        # columns surface nulls as float NaN in pandas,
-                        # and spec says null -> null (not a crash)
-                        if v is None or pd.isna(v):
-                            return None
-                        if _dt in ("timestamp", "timestamp_ntz"):
-                            v = v.to_pydatetime()
-                        elif _dt != "string":
-                            v = int(v)
-                        return (_iceberg_hash(v) & 0x7FFFFFFF) % _n
+                        mask = s.isna()
+                        filled = s.fillna(0).astype(np.int64)
+                        out = pd.Series(
+                            murmur3_int64_bucket_vec(
+                                filled.to_numpy(), _n),
+                            index=s.index, dtype="Int64")
+                        out[mask] = None
+                        return out.astype("Int32")
+                else:
+                    @pandas_udf("int")
+                    def _bucket(s, _n=n, _dt=dt):
+                        import pandas as pd
 
-                    return s.map(one)
+                        def one(v):
+                            # pd.isna, not an identity check: nullable
+                            # int columns surface nulls as float NaN in
+                            # pandas, and spec says null -> null (not a
+                            # crash)
+                            if v is None or pd.isna(v):
+                                return None
+                            if _dt in ("timestamp", "timestamp_ntz"):
+                                v = v.to_pydatetime()
+                            elif _dt != "string":
+                                v = int(v)
+                            return (_iceberg_hash(v) & 0x7FFFFFFF) % _n
+
+                        return s.map(one)
 
                 cols[name] = _bucket(F.col(src))
             elif tr.startswith("truncate["):
@@ -612,6 +663,19 @@ class IcebergTable:
             staged = df
             for n, e in pexprs.items():
                 staged = staged.withColumn(n, e)
+            # hash-cluster by the partition tuple before the dynamic
+            # partitionBy write (Iceberg's write.distribution-mode=hash;
+            # guide §2.6/§6): without it one scan task writes every
+            # partition directory sequentially and T input tasks emit
+            # up to T files per partition.  The explicit partition
+            # count (the session's shuffle-partition knob, so it is
+            # cluster-tuned, not a local constant) keeps AQE from
+            # coalescing the tiny local fixture back to one task.
+            from pyspark.sql import functions as _F
+            n_shuf = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            staged = staged.repartition(
+                n_shuf, *[_F.col(p) for p in pnames])
             staged.write.mode("overwrite").partitionBy(*pnames) \
                 .parquet(staging)
         else:

@@ -301,6 +301,25 @@ def test_murmur3_and_transform_spec_vectors():
         apply_transform("void", 1)
 
 
+def test_murmur3_int64_bucket_vec_matches_scalar():
+    """The r10 vectorized integer bucket path (numpy murmur3 over the
+    8-byte little-endian form) must agree with the scalar Appendix-B
+    path on every value class: spec vector, negatives, zero, int64
+    extremes, and a pseudo-random spread."""
+    import numpy as np
+
+    from pr2_transformation_spark.sources.iceberg import (
+        _iceberg_hash, murmur3_int64_bucket_vec)
+
+    vals = [34, 0, -1, 1, -34, 2**63 - 1, -2**63, 123456789012345,
+            -987654321098765] + [((i * 2654435761) % 2**63) * (-1) ** i
+                                 for i in range(200)]
+    for n in (4, 16, 101):
+        got = murmur3_int64_bucket_vec(np.array(vals, np.int64), n)
+        want = [(_iceberg_hash(v) & 0x7FFFFFFF) % n for v in vals]
+        assert got.tolist() == want
+
+
 def test_hidden_partitioning_write_prune_read(spark, tmp_path):
     import datetime
 
