@@ -150,10 +150,22 @@ def asof_join_cogrouped(
     tolerance: float | None = None,
 ) -> DataFrame:
     """Co-grouped Arrow twin of ``asof_join``: both sides are grouped on
-    ``by`` and each key's pair of pandas frames meets in ONE
-    ``cogroup().applyInPandas`` call running ``pandas.merge_asof`` —
-    the canonical use of Spark's co-grouped map (two datasets, one
-    shuffle each, per-key pandas logic no SQL expresses directly).
+    a HASH BUCKET of ``by`` and each bucket's pair of pandas frames
+    meets in ONE ``cogroup().applyInPandas`` call that runs
+    ``pandas.merge_asof`` per exact key inside the batch — the
+    canonical use of Spark's co-grouped map (two datasets, one shuffle
+    each, per-key pandas logic no SQL expresses directly).
+
+    Bucketed, not keyed, cogrouping (r10, guide §4): Spark's
+    FlatMapCoGroupsInPandas pays a per-GROUP JVM→Arrow→pandas round
+    trip, measured at ~2 ms/group — 1500 fine-grained keys cost ~3 s
+    of pure framework overhead on a 100k-row input while the same
+    merge inside pandas costs microseconds per key.  Cogrouping on
+    ``pmod(xxhash64(by), 4x shuffle partitions)`` bounds the crossing
+    count by the cluster's partition knob at ANY key cardinality (the
+    100 TB shape: billions of entities, thousands of buckets) and the
+    per-key split moves into pandas ``groupby(dropna=False)``, which
+    preserves the exact former semantics including null-key groups.
 
     Same contract and results as ``asof_join`` (equivalence-tested);
     prefer the union-trick form when the logic IS expressible as a
@@ -202,33 +214,77 @@ def asof_join_cogrouped(
         else tolerance
     )
 
+    def _norm_key(k) -> tuple:
+        """Hashable per-key tuple where every null flavor (None/NaN/
+        NaT) collapses to one sentinel, so null-keyed left rows meet
+        null-keyed right rows exactly as Spark's own groupBy would
+        group them."""
+        parts = k if isinstance(k, tuple) else (k,)
+        return tuple("\x00__null__" if pd.isna(p) else p for p in parts)
+
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf):
             return pd.DataFrame(columns=left_cols + right_cols)
-        lp = lpdf.sort_values(ts_col)
-        rp = rpdf[[ts_col, *right_cols]].sort_values(ts_col)
+        lp = lpdf
+        # an empty cogroup side can arrive as a ZERO-COLUMN frame;
+        # reindex materializes the expected columns on it
+        rp = (rpdf[[*by, ts_col, *right_cols]] if len(rpdf)
+              else rpdf.reindex(columns=[*by, ts_col, *right_cols]))
         if ts_is_date:
             lp = lp.assign(**{ts_col: pd.to_datetime(lp[ts_col])})
             rp = rp.assign(**{ts_col: pd.to_datetime(rp[ts_col])})
-        if not len(rp):
-            out = lp.copy()
-            for c in right_cols:
-                out[c] = None
-        else:
-            out = pd.merge_asof(
-                lp,
-                rp,
-                on=ts_col,
-                direction=direction,
-                tolerance=tol,
-                suffixes=("", "__r"),
-            )
+        rgroups = (
+            {_norm_key(k): g.sort_values(ts_col)
+             for k, g in rp.groupby(by, dropna=False, sort=False)}
+            if len(rp) else {}
+        )
+        outs = []
+        for k, lgrp in lp.groupby(by, dropna=False, sort=False):
+            lgrp = lgrp.sort_values(ts_col)
+            rgrp = rgroups.get(_norm_key(k))
+            if rgrp is None:
+                out = lgrp.copy()
+                for c in right_cols:
+                    out[c] = None
+            else:
+                out = pd.merge_asof(
+                    lgrp,
+                    rgrp[[ts_col, *right_cols]],
+                    on=ts_col,
+                    direction=direction,
+                    tolerance=tol,
+                    suffixes=("", "__r"),
+                )
+            outs.append(out[left_cols + right_cols])
+        out = pd.concat(outs, ignore_index=True) if len(outs) > 1 \
+            else outs[0]
         if ts_is_date:
             out = out.assign(**{ts_col: out[ts_col].dt.date})
         return out[left_cols + right_cols]
 
+    # bucket count rides the cluster's shuffle-partition knob (x4 for
+    # hash spread, guide §2.5) — never a constant tuned for local mode
+    n_buckets = 4 * int(left.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in by]), F.lit(n_buckets)).cast("int")
+    # Fresh attribute ids on both sides: when left and right share
+    # lineage (e.g. two filters of one frame) their `by` columns carry
+    # the SAME exprId; the analyzer dedupes the cogroup's right subtree
+    # but a projection above the cogroup then lets ColumnPruning drop
+    # the right copy of the key (it looks unreferenced), and the pandas
+    # frame arrives without it.  groupBy(by) was immune (grouping
+    # attributes are pinned); bucketed grouping demotes the key to a
+    # data column, so pin it by re-aliasing instead.
+    left = left.select([F.col(c).alias(c) for c in left.columns])
+    right = right.select([F.col(c).alias(c) for c in right.columns])
+    lb = left.withColumn("__asof_bucket", bucket)
+    rb = right.withColumn("__asof_bucket", bucket)
     return (
-        left.groupBy(*by)
-        .cogroup(right.groupBy(*by))
-        .applyInPandas(lambda l, r: merge(l, r), out_schema)
+        lb.groupBy("__asof_bucket")
+        .cogroup(rb.groupBy("__asof_bucket"))
+        .applyInPandas(
+            lambda l, r: merge(l.drop(columns="__asof_bucket"),
+                               r.drop(columns="__asof_bucket")),
+            out_schema)
     )

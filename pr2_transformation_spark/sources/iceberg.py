@@ -1671,36 +1671,52 @@ class IcebergTable:
             raise ValueError(
                 f"merge source must carry the target schema "
                 f"{sorted(cur.columns)}, got {sorted(source.columns)}")
-        matched = source.select(on).distinct().join(
-            cur.select(on).distinct(), on, "left_semi")
-        n_keys = matched.count()
-        if n_keys > max_keys:
-            raise ValueError(
-                f"merge batch has {n_keys} matched keys > max_keys="
-                f"{max_keys}; split the batch (the key list is "
-                f"driver-bounded by design)")
-        keys = [r[on] for r in matched.collect()]
-        delete_snap = -1
-        if keys and when_matched != "ignore":
-            in_list = ", ".join(
-                repr(k) if isinstance(k, str) else str(k) for k in keys)
-            delete_snap = self.delete_where(
-                spark, f"{on} IN ({in_list})", now_ms=now_ms)
-        if when_not_matched == "insert":
-            inserts = source.join(
-                cur.select(on).distinct(), on, "left_anti")
-        else:
-            inserts = source.limit(0)
-        to_append = inserts
-        if keys and when_matched == "update":
-            upd = source.join(matched, on, "left_semi")
-            to_append = to_append.unionByName(upd)
-        n_ins = inserts.count()
-        append_snap = -1
-        if to_append.limit(1).count():
-            append_snap = self.write(
-                to_append, mode="append",
-                now_ms=None if now_ms is None else now_ms + 1)
+        # one keys-only projection of the target, persisted across the
+        # matched semi-join and the insert anti-join (r10, guide §2.4:
+        # the two joins previously each re-scanned the target)
+        tgt_keys = cur.select(on).distinct().persist()
+        try:
+            matched = source.select(on).distinct().join(
+                tgt_keys, on, "left_semi")
+            # bounded collect doubles as the count (r10: the separate
+            # matched.count() job re-ran the distinct+semi-join)
+            rows = matched.limit(max_keys + 1).collect()
+            if len(rows) > max_keys:
+                raise ValueError(
+                    f"merge batch has more than max_keys={max_keys} "
+                    f"matched keys; split the batch (the key list is "
+                    f"driver-bounded by design)")
+            keys = [r[on] for r in rows]
+            n_keys = len(keys)
+            delete_snap = -1
+            if keys and when_matched != "ignore":
+                # escape for Spark SQL (doubled single-quotes), not
+                # repr(): ADVICE r09 — repr only coincides with the
+                # SQL lexer for tame strings
+                in_list = ", ".join(
+                    "'" + k.replace("'", "''") + "'"
+                    if isinstance(k, str) else str(k) for k in keys)
+                delete_snap = self.delete_where(
+                    spark, f"{on} IN ({in_list})", now_ms=now_ms)
+            if when_not_matched == "insert":
+                inserts = source.join(tgt_keys, on, "left_anti")
+            else:
+                inserts = source.limit(0)
+            to_append = inserts
+            if keys and when_matched == "update":
+                upd = source.join(matched, on, "left_semi")
+                to_append = to_append.unionByName(upd)
+            n_ins = inserts.count()
+            append_snap = -1
+            # non-emptiness is already decidable from n_ins/keys — the
+            # former to_append.limit(1).count() probe was a full extra
+            # job (r10)
+            if n_ins > 0 or (keys and when_matched == "update"):
+                append_snap = self.write(
+                    to_append, mode="append",
+                    now_ms=None if now_ms is None else now_ms + 1)
+        finally:
+            tgt_keys.unpersist()
         return {
             "delete_snapshot": delete_snap,
             "append_snapshot": append_snap,

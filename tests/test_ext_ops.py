@@ -1713,8 +1713,12 @@ def test_asof_cogrouped_matches_union_trick(spark):
     )
 
     rng = random.Random(5)
+    # g spans 0..6 on the left but the right only carries 0..3: keys
+    # (and, under the r10 bucketed cogroup, whole hash buckets) with a
+    # left side and NO right side must fill None, not crash on the
+    # zero-column empty frame Spark hands the missing cogroup side
     left = spark.createDataFrame(
-        [(i, i % 4, float(rng.randint(0, 300))) for i in range(150)],
+        [(i, i % 7, float(rng.randint(0, 300))) for i in range(150)],
         "lid long, g long, ts double",
     )
     # unique (g, ts) on the right: with duplicate keys the matched
@@ -1737,6 +1741,42 @@ def test_asof_cogrouped_matches_union_trick(spark):
             ).collect()
         }
         assert a == b, direction
+
+
+def test_asof_cogrouped_shared_lineage_projection(spark):
+    """q241 regression: when left and right derive from ONE frame (two
+    filters of the same scan) their key columns share exprIds; with the
+    r10 bucketed cogroup the key is a plain data column, and a
+    projection ABOVE the cogroup let ColumnPruning drop the right
+    side's copy of the key (KeyError in the pandas merge).  The
+    re-alias inside asof_join_cogrouped must keep this shape working,
+    including a projection that renames/derives from the output."""
+    from pyspark.sql import functions as F
+
+    from pr2_transformation_spark.operators.joins import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    base = spark.createDataFrame(
+        [(i, i % 5, float(i), "L" if i % 3 else "R") for i in range(120)],
+        "eid long, g long, ts double, side string",
+    )
+    left = base.filter(F.col("side") == "L").select("eid", "g", "ts")
+    right = base.filter(F.col("side") == "R").select(
+        "g", "ts", (F.col("eid") * 1.0).alias("payload"))
+
+    def shaped(df):
+        return {
+            r["eid"]: r["p2"]
+            for r in df.select(
+                "eid", F.round(F.col("payload") * 2, 3).alias("p2")
+            ).collect()
+        }
+
+    a = shaped(asof_join(left, right, ["g"], "ts", ["payload"]))
+    b = shaped(asof_join_cogrouped(left, right, ["g"], "ts", ["payload"]))
+    assert a == b and len(a) > 0
 
 
 def test_asof_cogrouped_timestamp_and_date_tolerance(spark):
