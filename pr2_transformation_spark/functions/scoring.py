@@ -180,12 +180,30 @@ def binary_classifier_report(
     Returns one row per occupied calibration bin:
     ``(bin, n, mean_pred, frac_pos, auc, brier)`` — auc/brier are
     corpus-level scalars repeated onto every bin row via a broadcast
-    1-row cross."""
+    1-row cross.
+
+    The input crosses the engine ONCE (r10, guide §2.3): the score
+    histogram ``(p, count, positives)`` is a sufficient statistic for
+    all three outputs, so Brier (``Σ pos·(1−p)² + (cnt−pos)·p²``) and
+    the calibration bins (weighted rollups of the histogram) are
+    derived from it instead of re-consuming the scored frame — which
+    previously re-ran the whole upstream scoring pipeline three times
+    inside one plan."""
+    from pr2_transformation_spark.checkpointing import checkpoint_frame
+
     sc = df.select(
         F.col(score_col).alias("__p"), F.col(label_col).cast("double").alias("__y")
     )
-    byp = sc.groupBy("__p").agg(
-        F.count(F.lit(1)).alias("__cnt"), F.sum("__y").alias("__pos")
+    # materialize the histogram once: it feeds THREE consumers (rank
+    # window, brier, bins) and without the cut each would re-run the
+    # scored frame's whole upstream.  coalesce(1) first — the frame is
+    # quantization-bounded (≤ 10⁴ + 1 rows) and a single-partition
+    # checkpoint lets the global rank window run without an exchange.
+    byp = checkpoint_frame(
+        sc.groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("__y").alias("__pos"))
+        .coalesce(1),
+        "local",
     )
     w = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
     ranked = byp.withColumn(
@@ -205,18 +223,29 @@ def binary_classifier_report(
             4,
         ).alias("auc")
     )
-    brier = sc.agg(
-        F.round(F.avg((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y"))), 4).alias(
-            "brier"
-        )
+    # y ∈ {0,1}: per distinct score, Σ(p−y)² = pos·(1−p)² + (cnt−pos)·p²
+    brier = byp.agg(
+        F.round(
+            F.sum(
+                F.col("__pos")
+                * (F.lit(1.0) - F.col("__p"))
+                * (F.lit(1.0) - F.col("__p"))
+                + (F.col("__cnt") - F.col("__pos"))
+                * F.col("__p")
+                * F.col("__p")
+            )
+            / F.sum("__cnt"),
+            4,
+        ).alias("brier")
     )
-    bins = sc.groupBy(
+    bins = byp.groupBy(
         F.least(F.floor(F.col("__p") * n_bins), F.lit(n_bins - 1))
         .cast("int")
         .alias("bin")
     ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("__p"), 4).alias("mean_pred"),
-        F.round(F.avg("__y"), 4).alias("frac_pos"),
+        F.sum("__cnt").alias("n"),
+        F.round(F.sum(F.col("__p") * F.col("__cnt")) / F.sum("__cnt"), 4)
+        .alias("mean_pred"),
+        F.round(F.sum("__pos") / F.sum("__cnt"), 4).alias("frac_pos"),
     )
     return bins.crossJoin(F.broadcast(auc)).crossJoin(F.broadcast(brier))

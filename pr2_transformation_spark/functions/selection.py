@@ -294,18 +294,21 @@ def logreg_train_hashed(
                     .groupBy(id_col)
                     .agg(F.sum(F.coalesce("__w", F.lit(0.0))).alias("__m"))
                 )
-            else:  # zero init: every margin is zero
-                margins = feats.select(id_col).distinct().select(
-                    F.col(id_col), F.lit(0.0).alias("__m")
+                resid = labels.join(margins, id_col, "left").select(
+                    id_col,
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.coalesce("__m", F.lit(0.0))))
+                        - F.col("__y")
+                    ).alias("__r"),
                 )
-            resid = labels.join(margins, id_col, "left").select(
-                id_col,
-                (
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-F.coalesce("__m", F.lit(0.0))))
-                    - F.col("__y")
-                ).alias("__r"),
-            )
+            else:
+                # zero init: sigmoid(0) = 0.5 for EVERY doc (labels spans
+                # all docs), so the first step needs no margin aggregate
+                # or join at all (r10: was a distinct + two joins)
+                resid = labels.select(
+                    id_col, (F.lit(0.5) - F.col("__y")).alias("__r")
+                )
             grad_rows = (
                 feats.join(resid, id_col)
                 .groupBy("bucket")
