@@ -486,14 +486,22 @@ class DeltaTable:
 
         # 1. affected files: those holding at least one matched key
         tgt = self._read_files(spark, live, schema_json, mapping)
-        # helper column bound at the scan: _read_files projects, so
-        # re-derive the file name through a dedicated scan
-        full = self._with_fname(spark, live, schema_json, mapping)
-        hits = full.join(F.broadcast(keys), on, "left_semi")
-        affected = sorted(
-            r["__fname"] for r in
-            hits.select("__fname").distinct().collect())
-        n_matched = hits.count()
+        if when_matched == "ignore":
+            # matched rows are KEPT untouched: no file is affected by
+            # the matched branch, so skip discovery and rewrite nothing
+            # (rewriting would anti-join matched rows away and silently
+            # delete them)
+            affected = []
+            n_matched = 0
+        else:
+            # helper column bound at the scan: _read_files projects, so
+            # re-derive the file name through a dedicated scan
+            full = self._with_fname(spark, live, schema_json, mapping)
+            hits = full.join(F.broadcast(keys), on, "left_semi")
+            affected = sorted(
+                r["__fname"] for r in
+                hits.select("__fname").distinct().collect())
+            n_matched = hits.count()
         if when_not_matched == "insert":
             # anti-join against target keys: the SOURCE side is the
             # small one at scale — never broadcast the target
@@ -651,8 +659,12 @@ class DeltaTable:
         old files by physical layout like any snapshot read).  The
         range must predate vacuum() of its removed files — derived CDC
         reads historical bytes, the documented trade for zero write
-        cost.  Update pre/post-images are out of scope (this engine
-        has no UPDATE/MERGE writer), so every change is insert|delete."""
+        cost.  Update pre/post-images are out of scope, so every change
+        is insert|delete — a MERGE commit (copy-on-write file rewrite)
+        surfaces its updates as delete+insert pairs and additionally
+        churns delete+insert for unchanged survivor rows in rewritten
+        files (protocol-legal derived CDC; engines that write explicit
+        cdc actions emit a smaller changelog)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 

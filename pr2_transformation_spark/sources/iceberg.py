@@ -1705,6 +1705,17 @@ class IcebergTable:
             to_append = inserts
             if keys and when_matched == "update":
                 upd = source.join(matched, on, "left_semi")
+                # multiple source rows per matched key would append
+                # duplicate update images while the positional delete
+                # removes only the old copies — raise, matching
+                # Spark/Delta MERGE's multiple-match error (ADVICE r09)
+                n_upd = upd.count()
+                if n_upd > n_keys:
+                    raise ValueError(
+                        f"MERGE source has multiple rows for a matched "
+                        f"key ({n_upd} update images for {n_keys} "
+                        f"distinct keys); deduplicate the source on "
+                        f"{on!r} first")
                 to_append = to_append.unionByName(upd)
             n_ins = inserts.count()
             append_snap = -1
@@ -1767,8 +1778,14 @@ class IcebergTable:
                 *cols, F.lit(kind).alias("_change_type"),
                 F.lit(sid).cast("long").alias("_snapshot_id")))
 
+        # the append fast path reads added files with the CURRENT
+        # schema's names; on an evolved table (renamed columns) the old
+        # physical names would silently resolve to NULL, so only a
+        # single-generation table may take it — evolved tables use the
+        # general path, whose read() resolves by field id (ADVICE r09)
+        single_gen = len(meta.get("schemas", [meta["schema"]])) == 1
         for prev, cur in zip(span, span[1:]):
-            if ops.get(cur) == "append":
+            if ops.get(cur) == "append" and single_gen:
                 # an append's inserts = files live in cur, absent in
                 # prev (appends never remove, so the set diff IS the
                 # added-files list)

@@ -620,6 +620,19 @@ def test_merge_upsert_surgical(spark, tmp_path):
                  on=["k"], when_matched="delete",
                  when_not_matched="ignore")
     assert r2["rows_deleted"] == 3 and t.read(spark).count() == 1002
+    # ignore matched + insert new: matched target rows must be KEPT
+    # as-is (regression: the rewrite used to anti-join them away)
+    r3 = t.merge(
+        spark,
+        spark.range(3).selectExpr("id + 103 as k", "11111 as v")
+        .union(spark.range(3000, 3002).selectExpr("id as k", "id as v")),
+        on=["k"], when_matched="ignore")
+    assert r3["rows_updated"] == 0 and r3["rows_deleted"] == 0
+    assert r3["rows_inserted"] == 2 and r3["files_rewritten"] == 0
+    got3 = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got3) == 1004
+    assert got3[103] == 99999 and got3[105] == 1050  # untouched
+    assert got3[3001] == 3001
     # no-op
     assert t.merge(spark, df.limit(0), on=["k"])["version"] == -1
     # validation
