@@ -418,6 +418,16 @@ def main() -> None:
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 runs.append(round(time.perf_counter() - start, 3))
+            # Heavyweight warmup hygiene (round-9 VERDICT item 8): for
+            # queries still over 5 s after two reps, JIT/codegen-compile
+            # spread has needed fresh-process adjudication two rounds
+            # running (q129) — give them a third rep so the recorded min
+            # is a steady-state number.  Additive: both raw reps of the
+            # old methodology are still first in `reps`.
+            if min(runs) > 5.0:
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(round(time.perf_counter() - start, 3))
             reps[name] = runs
             timings[name] = min(runs)
         except Exception as exc:  # noqa: BLE001 — one broken query must not zero the run

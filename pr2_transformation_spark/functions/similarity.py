@@ -2051,6 +2051,13 @@ def hnsw_topk(
         one_shard,
         "query_id long, vec_id long, score double, is_acct boolean, "
         "n_vectors long, dist_evals long, shard int")
+    # materialize the shard output ONCE (r10, guide §1.2/§5): it feeds
+    # two consumers (results window + accounting) and is tiny
+    # (k·n_queries·n_shards + n_shards rows) — without the cut each
+    # consumer re-runs every shard's graph build
+    from pr2_transformation_spark.checkpointing import checkpoint_frame
+
+    raw = checkpoint_frame(raw, "local")
     acct = raw.filter("is_acct").select("shard", "n_vectors", "dist_evals")
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col("vec_id"))

@@ -98,35 +98,43 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
-        # Min label among each vertex's neighbors: join neighbor labels on
-        # the far endpoint, then partial-agg min per vertex (map-side
-        # combine keeps the shuffle narrow).
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("a", "id")
-        )
+        # Min label over each vertex's CLOSED neighborhood in one
+        # aggregate: the neighbor join's output is unioned with a
+        # synthetic (a=id, b=id, comp) self row from the label frame, so
+        # min(comp) per vertex is the update rule directly and the old
+        # per-round `labels LEFT JOIN nbr_min` back-attach disappears —
+        # 2 exchanges per round instead of 3 (r10, guide §2.4).  The
+        # self row (the only one with b == a; sym drops self loops)
+        # doubles as the convergence observable: own label =
+        # min(comp WHERE b == a).
+        #
         # Lazy checkpoint + full count: the convergence probe is the action
         # that materializes (and lineage-truncates) the new labels — one
         # job per iteration instead of an eager-checkpoint job followed by
         # a probe job.  (A limit(1) probe would be cheaper per se, but it
         # short-circuits materialization and would leave the checkpoint
         # unpopulated for the next round.)
+        contrib = sym.join(labels.withColumnRenamed("id", "b"), "b").select(
+            "a", "b", "comp"
+        ).union(
+            labels.select(
+                F.col("id").alias("a"), F.col("id").alias("b"), "comp"
+            )
+        )
         new_labels = checkpoint_frame(
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("__changed"),
-            ),
+            contrib.groupBy("a")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(
+                    F.when(F.col("b") == F.col("a"), F.col("comp"))
+                ).alias("__own"),
+            )
+            .withColumnRenamed("a", "id"),
             checkpoint,
             eager=False,
         )
-        changed = new_labels.filter(F.col("__changed")).count()
-        labels = new_labels.drop("__changed")
+        changed = new_labels.filter(F.col("comp") < F.col("__own")).count()
+        labels = new_labels.drop("__own")
         if changed == 0:
             return labels
     raise RuntimeError(
