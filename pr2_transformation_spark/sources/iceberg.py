@@ -1411,7 +1411,6 @@ class IcebergTable:
                         F.element_at(F.split(F.col("__ice_fp"), "/"), -1),
                     ).alias("file_path"),
                     F.col("__ice_ri").alias("pos"))
-                .orderBy("file_path", "pos")
             )
         else:
             hits = (
@@ -1425,10 +1424,15 @@ class IcebergTable:
                     ).alias("file_path"),
                     F.col("_metadata.row_index").alias("pos"),
                 )
-                .orderBy("file_path", "pos")  # spec: delete files sorted
             )
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
-        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        # spec: delete files sorted by (file_path, pos).  The single
+        # output file means one task holds every hit anyway, so sort
+        # INSIDE that task (coalesce -> sortWithinPartitions) instead of
+        # a global orderBy, whose RangePartitioning exchange costs an
+        # extra range-sampling job per delete commit (r10, guide §2.4)
+        hits.coalesce(1).sortWithinPartitions("file_path", "pos") \
+            .write.mode("overwrite").parquet(staging)
         n_del = 0
         del_name = f"delete-{uuid.uuid4().hex[:12]}.parquet"
         for f in sorted(os.listdir(staging)):
@@ -1672,22 +1676,54 @@ class IcebergTable:
                 f"merge source must carry the target schema "
                 f"{sorted(cur.columns)}, got {sorted(source.columns)}")
         # one keys-only projection of the target, persisted across the
-        # matched semi-join and the insert anti-join (r10, guide §2.4:
+        # matched stats job and the insert anti-join (r10, guide §2.4:
         # the two joins previously each re-scanned the target)
         tgt_keys = cur.select(on).distinct().persist()
         try:
-            matched = source.select(on).distinct().join(
-                tgt_keys, on, "left_semi")
-            # bounded collect doubles as the count (r10: the separate
-            # matched.count() job re-ran the distinct+semi-join)
-            rows = matched.limit(max_keys + 1).collect()
-            if len(rows) > max_keys:
+            # ONE bounded collect yields the matched key list, each
+            # matched key's source multiplicity AND the unmatched
+            # source row count (r10 guide §1.2: previously three jobs —
+            # matched-keys collect, duplicate-check count, inserts
+            # count).  Source keys group to per-key counts; a left join
+            # marks target membership; re-grouping by
+            # ``matched ? key : NULL`` collapses every unmatched key
+            # into one NULL-group row whose summed count is exactly the
+            # insert row count, so the collect stays bounded by
+            # max_keys + 1 rows.
+            per_key = (
+                source.groupBy(on).agg(F.count(F.lit(1)).alias("__c"))
+                .join(tgt_keys.withColumn("__m", F.lit(1)), on, "left")
+            )
+            stats = (
+                per_key.groupBy(
+                    F.when(F.col("__m") == 1, F.col(on)).alias("__k"))
+                .agg(F.sum("__c").alias("__c"))
+                .limit(max_keys + 2)
+                .collect()
+            )
+            keys = [r["__k"] for r in stats if r["__k"] is not None]
+            if len(keys) > max_keys:
                 raise ValueError(
                     f"merge batch has more than max_keys={max_keys} "
                     f"matched keys; split the batch (the key list is "
                     f"driver-bounded by design)")
-            keys = [r[on] for r in rows]
             n_keys = len(keys)
+            n_upd = sum(
+                int(r["__c"]) for r in stats if r["__k"] is not None)
+            n_ins = sum(
+                int(r["__c"]) for r in stats if r["__k"] is None)
+            if when_not_matched != "insert":
+                n_ins = 0
+            if keys and when_matched == "update" and n_upd > n_keys:
+                # multiple source rows per matched key would append
+                # duplicate update images while the positional delete
+                # removes only the old copies — raise, matching
+                # Spark/Delta MERGE's multiple-match error (ADVICE r09)
+                raise ValueError(
+                    f"MERGE source has multiple rows for a matched "
+                    f"key ({n_upd} update images for {n_keys} "
+                    f"distinct keys); deduplicate the source on "
+                    f"{on!r} first")
             delete_snap = -1
             if keys and when_matched != "ignore":
                 # escape for Spark SQL (doubled single-quotes), not
@@ -1704,24 +1740,12 @@ class IcebergTable:
                 inserts = source.limit(0)
             to_append = inserts
             if keys and when_matched == "update":
-                upd = source.join(matched, on, "left_semi")
-                # multiple source rows per matched key would append
-                # duplicate update images while the positional delete
-                # removes only the old copies — raise, matching
-                # Spark/Delta MERGE's multiple-match error (ADVICE r09)
-                n_upd = upd.count()
-                if n_upd > n_keys:
-                    raise ValueError(
-                        f"MERGE source has multiple rows for a matched "
-                        f"key ({n_upd} update images for {n_keys} "
-                        f"distinct keys); deduplicate the source on "
-                        f"{on!r} first")
-                to_append = to_append.unionByName(upd)
-            n_ins = inserts.count()
+                # semi-join against the persisted target keys: source
+                # rows with a matched key ARE the update images (the
+                # former ``matched`` frame re-derived the same set)
+                to_append = to_append.unionByName(
+                    source.join(tgt_keys, on, "left_semi"))
             append_snap = -1
-            # non-emptiness is already decidable from n_ins/keys — the
-            # former to_append.limit(1).count() probe was a full extra
-            # job (r10)
             if n_ins > 0 or (keys and when_matched == "update"):
                 append_snap = self.write(
                     to_append, mode="append",
