@@ -257,60 +257,62 @@ def logreg_train_hashed(
     fixed iteration count.
     """
     spark = df.sparkSession
-    feats = hashed_feature_buckets(
-        df.select(id_col, text_col),
-        text_col=text_col,
-        id_col=id_col,
-        n=n,
-        n_buckets=n_buckets,
-        hasher=hasher,
-    ).distinct()
-    labels = df.select(
-        F.col(id_col), F.col(label_col).cast("double").alias("__y")
+    # per-DOC distinct bucket array instead of an exploded (doc, bucket)
+    # stream (r10, guide §2.4): margins become a per-row array fold
+    # against the ≤ n_buckets-element broadcast weight literal — no
+    # margin join, no doc-keyed aggregate, no labels join — and the
+    # only shuffle per GD step is the ≤ n_buckets+1-group gradient
+    # aggregate (map-side partial).  The intercept rides as a constant
+    # bucket=-1 appended to every doc's array, so one gradient pass
+    # still covers weights AND bias.
+    base = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        F.concat(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(
+                        tokens(F.lower(F.col(text_col))), n
+                    ),
+                    lambda g: _bucket(g, n_buckets, hasher),
+                )
+            ),
+            F.array(F.lit(-1)),
+        ).alias("__b"),
     )
-    # fold the intercept in as a constant bucket=-1 feature on every doc:
-    # ONE gradient aggregate then covers weights AND bias, and margins
-    # come out of the same join — halving the jobs per GD step.
-    feats = feats.unionByName(
-        labels.select(F.col(id_col), F.lit(-1).alias("bucket"))
-    )
-    # the feature stream is re-read 2x per iteration (margins, gradients):
-    # persist it so tokenize -> shingle -> hash -> distinct runs ONCE, not
-    # 2 * iters times.  (On a real cluster swap for a reliable checkpoint
-    # if executor loss mid-training matters; the frame is (id, int) narrow.)
-    feats.persist()
-    labels.persist()
-    n_docs = labels.count()
+    # re-read every iteration: persist so tokenize -> shingle -> hash
+    # runs ONCE, not `iters` times.  (On a real cluster swap for a
+    # reliable checkpoint if executor loss mid-training matters; the
+    # frame is (double, array<int>) narrow.)
+    base.persist()
     weights: dict[int, float] = {}  # includes the bias at key -1
     try:
+        n_docs = base.count()
         for _ in range(iters):
             if weights:
-                wdf = spark.createDataFrame(
-                    [(b, w) for b, w in sorted(weights.items())],
-                    "bucket int, __w double",
+                # dense weight literal, index = bucket + 1 (1-based
+                # element_at; slot 1 is the bias at bucket -1)
+                warr = F.array(*[
+                    F.lit(weights.get(j, 0.0))
+                    for j in range(-1, n_buckets)
+                ])
+                margin = F.aggregate(
+                    F.transform(
+                        "__b", lambda b: F.element_at(warr, b + 2)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
                 )
-                margins = (
-                    feats.join(F.broadcast(wdf), "bucket", "left")
-                    .groupBy(id_col)
-                    .agg(F.sum(F.coalesce("__w", F.lit(0.0))).alias("__m"))
-                )
-                resid = labels.join(margins, id_col, "left").select(
-                    id_col,
-                    (
-                        F.lit(1.0)
-                        / (F.lit(1.0) + F.exp(-F.coalesce("__m", F.lit(0.0))))
-                        - F.col("__y")
-                    ).alias("__r"),
+                resid = (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+                    - F.col("__y")
                 )
             else:
-                # zero init: sigmoid(0) = 0.5 for EVERY doc (labels spans
-                # all docs), so the first step needs no margin aggregate
-                # or join at all (r10: was a distinct + two joins)
-                resid = labels.select(
-                    id_col, (F.lit(0.5) - F.col("__y")).alias("__r")
-                )
+                # zero init: sigmoid(0) = 0.5 for EVERY doc — the first
+                # step needs no margin evaluation at all
+                resid = F.lit(0.5) - F.col("__y")
             grad_rows = (
-                feats.join(resid, id_col)
+                base.select(resid.alias("__r"), "__b")
+                .select("__r", F.explode("__b").alias("bucket"))
                 .groupBy("bucket")
                 .agg(F.sum("__r").alias("__g"))
                 .collect()
@@ -320,8 +322,7 @@ def logreg_train_hashed(
                     row["__g"] / n_docs
                 )
     finally:
-        feats.unpersist()
-        labels.unpersist()
+        base.unpersist()
     dense = [(b, weights.get(b, 0.0)) for b in range(n_buckets)]
     dense.append((-1, weights.get(-1, 0.0)))
     return spark.createDataFrame(dense, "bucket int, weight double")
@@ -343,44 +344,53 @@ def logreg_score_hashed(
     One broadcast join (the model is ≤ n_buckets + 1 rows) + one
     doc-keyed aggregate; docs with no features score ``sigmoid(bias)``.
     Feature params must match training."""
-    feats = hashed_feature_buckets(
-        df.select(id_col, text_col),
-        text_col=text_col,
-        id_col=id_col,
-        n=n,
-        n_buckets=n_buckets,
-        hasher=hasher,
-    ).distinct()
-    bias = F.broadcast(
-        model.filter(F.col("bucket") == -1).select(
-            F.col("weight").alias("__bias")
-        )
+    # the model is ≤ n_buckets + 1 rows by contract — collect it into a
+    # dense weight literal and score per row with an array fold (r10,
+    # guide §2.4): no model join, no doc-keyed aggregate, no re-join
+    # onto the doc spine — scoring is a single narrow projection, the
+    # shape that filters a 100 TB crawl with ZERO shuffles.
+    wrows = {int(r["bucket"]): float(r["weight"]) for r in model.collect()}
+    bias = wrows.get(-1, 0.0)
+    # NULL slot for any bucket absent from the model: absent buckets
+    # must not count toward n_feats (the former inner join dropped them)
+    warr = F.array(*[
+        F.lit(wrows[j]) if j in wrows else F.lit(None).cast("double")
+        for j in range(n_buckets)
+    ])
+    # two-step projection: the tokenize -> shingle -> hash chain lands
+    # in its own attribute so the two consumers below reference it
+    # instead of inlining it twice (CollapseProject keeps the split —
+    # it refuses to duplicate non-cheap expressions)
+    bucketed = df.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                shingles_from_tokens(tokens(F.lower(F.col(text_col))), n),
+                lambda g: _bucket(g, n_buckets, hasher),
+            )
+        ).alias("__b"),
     )
-    scored = (
-        feats.join(
-            F.broadcast(model.filter(F.col("bucket") >= 0)), "bucket"
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("weight").alias("__m"),
-        )
+    matched = F.filter(
+        F.transform("__b", lambda b: F.element_at(warr, b + 1)),
+        lambda w: w.isNotNull(),
     )
-    base = df.select(id_col)
-    return (
-        base.join(scored, id_col, "left")
-        .crossJoin(bias)
-        .select(
-            id_col,
-            F.coalesce("n_feats", F.lit(0)).cast("int").alias("n_feats"),
-            (
+    return bucketed.select(
+        id_col,
+        F.size(matched).cast("int").alias("n_feats"),
+        (
+            F.lit(1.0)
+            / (
                 F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(-(F.coalesce("__m", F.lit(0.0)) + F.col("__bias")))
+                + F.exp(
+                    -(
+                        F.aggregate(
+                            matched, F.lit(0.0), lambda acc, v: acc + v
+                        )
+                        + F.lit(bias)
+                    )
                 )
-            ).alias("prob"),
-        )
+            )
+        ).alias("prob"),
     )
 
 
