@@ -614,10 +614,13 @@ def winnowing_fingerprints(
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
+    # posexplode_outer + IS NOT NULL: see _positional_gram_hashes — the
+    # inferred size-filter would inline the CASE/transform gram assembly
+    # twice into the scan-side Filter
     grams = toks.select(
         F.col(id_col),
         F.size("__toks").alias("__n_toks"),
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 f"CASE WHEN size(__toks) >= {k} THEN "
                 f"transform(sequence(0, size(__toks) - {k}), "
@@ -625,7 +628,7 @@ def winnowing_fingerprints(
                 "ELSE array() END"
             )
         ).alias("__pos", "__gram"),
-    )
+    ).filter(F.col("__pos").isNotNull())
     h = F.conv(F.substring(F.md5("__gram"), 1, 6), 16, 10).cast("long")
     win = (
         Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
@@ -731,15 +734,17 @@ def segment_dedup_rewrite(
         raise ValueError("segment_tokens must be positive")
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     n_seg = F.ceil(F.size("__toks") / F.lit(k)).cast("int")
+    # posexplode_outer + IS NOT NULL: see _positional_gram_hashes — the
+    # inferred size-filter would inline the segment assembly twice
     segs = toks.select(
         F.col(id_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 f"transform(sequence(0, size(__toks) div {k} - if(size(__toks) % {k} == 0, 1, 0)), "
                 f"i -> concat_ws(' ', slice(__toks, i * {k} + 1, {k})))"
             )
         ).alias("pos", "__seg"),
-    )
+    ).filter(F.col("pos").isNotNull())
     h = md5_long(F.col("__seg")) if hasher == "md5" else F.xxhash64(F.col("__seg"))
     hashed = segs.select(F.col(id_col), "pos", h.alias("__h"))
     winners = (
@@ -1001,9 +1006,16 @@ def _positional_gram_hashes(
             F.slice("__w", 1 + j, length),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    # posexplode_outer + IS NOT NULL ≡ posexplode row-for-row (gram
+    # strings are non-null concats), but WITHOUT the inferred
+    # `size(__g) > 0` filter, which predicate pushdown inlines as two
+    # extra copies of the ENTIRE k-slice zip_with gram assembly (plus
+    # the tokenize chain) into the scan-side Filter below the
+    # repartition — single-core and thrown away (r10, guide §7.2)
     return (
         base.select("__id", gram_arr.alias("__g"))
-        .select("__id", F.posexplode("__g").alias("pos", "__gram"))
+        .select("__id", F.posexplode_outer("__g").alias("pos", "__gram"))
+        .filter(F.col("pos").isNotNull())
         .select("__id", "pos", F.xxhash64("__gram").alias("gh"))
     )
 
@@ -1089,8 +1101,11 @@ def contamination_spans(
             F.slice("__w", 1 + j, length),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    # explode_outer + IS NOT NULL: see _positional_gram_hashes — keeps
+    # the inferred size-filter from inlining the gram assembly twice
     dirty = (
-        bw.select(F.explode(gram_arr).alias("__gram"))
+        bw.select(F.explode_outer(gram_arr).alias("__gram"))
+        .filter(F.col("__gram").isNotNull())
         .select(F.xxhash64("__gram").alias("gh"))
         .distinct()
     )
@@ -1211,8 +1226,10 @@ def excise_spans(
         df.select(F.col(id_col).alias("__id"), toks.alias("__w"))
     )
     words = base.select(
-        "__id", F.posexplode("__w").alias("pos", "__word")
-    )
+        # posexplode_outer + IS NOT NULL: see _positional_gram_hashes —
+        # the inferred size-filter would inline the tokenize twice
+        "__id", F.posexplode_outer("__w").alias("pos", "__word")
+    ).filter(F.col("pos").isNotNull())
     kept = words.join(covered, ["__id", "pos"], "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.concat_ws(

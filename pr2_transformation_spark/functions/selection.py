@@ -78,9 +78,13 @@ def hashed_feature_buckets(
     exploded frame bounded by document vocabulary, not length.
     """
     toks = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("__t"))
+    # explode_outer + IS NOT NULL ≡ explode (shingles non-null) minus
+    # the inferred size-filter that would inline the shingle assembly +
+    # tokenize twice into the scan Filter (r10, guide §7.2)
     grams = toks.select(
-        id_col, F.explode(shingles_from_tokens(F.col("__t"), n)).alias("__g")
-    )
+        id_col,
+        F.explode_outer(shingles_from_tokens(F.col("__t"), n)).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
     return grams.select(
         id_col, _bucket(F.col("__g"), n_buckets, hasher).alias("bucket")
     )

@@ -1769,9 +1769,15 @@ def kmeans_lloyd(
     """
     if k < 1 or n_iters < 1:
         raise ValueError("k and n_iters must be >= 1")
-    x = df.select(
+    from .dedup import ensure_parallelism
+
+    # a small embedding table arrives as ONE scan partition, which would
+    # run every iteration's interpreted argmin fold on a single core
+    # (r10, guide §2.5 input skew); the quantize-before-compare design
+    # already makes the trajectory partitioning-independent
+    x = ensure_parallelism(df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__x")
-    ).persist()
+    )).persist()
     try:
         d = x.select(F.size("__x")).first()[0]
         init = (
@@ -1784,33 +1790,41 @@ def kmeans_lloyd(
         if len(cents) < k:
             raise ValueError(f"need at least k={k} rows, got {len(cents)}")
 
+        # Every multi-column/centroid-literal expression is built as ONE
+        # SQL string instead of stacked Column objects (r10, guide §1.2:
+        # the Column path cost ~6 py4j round-trips per coordinate per
+        # iteration — ~1.3 s of q277's 3.3 s — while the parsed plan and
+        # therefore every number is identical).  Doubles embed as
+        # CAST('<repr>' AS DOUBLE): Python repr round-trips to the same
+        # IEEE-754 double under Java's correctly-rounded parse.
+        def _dbl(v: float) -> str:
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+
         def assigned(cs):
-            cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cs])
-            dists = F.transform(
-                cent_lit,
-                lambda c: F.round(
-                    F.aggregate(
-                        F.zip_with("__x", c, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, p: acc + p,
-                    ),
-                    quant,
-                ),
+            cent_sql = "array(" + ", ".join(
+                "array(" + ", ".join(_dbl(v) for v in c) + ")" for c in cs
+            ) + ")"
+            dists_sql = (
+                f"transform({cent_sql}, c -> round(aggregate("
+                f"zip_with(__x, c, (a, b) -> (a - b) * (a - b)), "
+                f"CAST(0 AS DOUBLE), (acc, p) -> acc + p), {quant}))"
             )
-            return x.select(
+            return x.selectExpr(
                 "__id",
                 "__x",
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias("cluster"),
-                F.array_min(dists).alias("dist"),
+                f"CAST(array_position({dists_sql}, "
+                f"array_min({dists_sql})) - 1 AS INT) AS cluster",
+                f"array_min({dists_sql}) AS dist",
             )
 
         for _ in range(n_iters):
             rows = (
                 assigned(cents)
                 .groupBy("cluster")
-                .agg(*[F.round(F.avg(F.col("__x")[j]), quant).alias(f"m{j}") for j in range(d)])
+                .agg(*[
+                    F.expr(f"round(avg(__x[{j}]), {quant})").alias(f"m{j}")
+                    for j in range(d)
+                ])
                 .collect()
             )
             new = {int(r["cluster"]): [float(r[f"m{j}"]) for j in range(d)] for r in rows}

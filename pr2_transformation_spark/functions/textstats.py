@@ -390,8 +390,11 @@ def vocab_topk(
     """
     from pyspark.sql import Window as W
 
+    # explode_outer + IS NOT NULL ≡ explode (tokens non-null) minus the
+    # inferred size-filter that would inline the tokenize twice (r10)
     counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        df.select(F.explode_outer(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -415,9 +418,11 @@ def oov_rates(
     Returns ``(id, n_tokens, n_oov, oov_rate)`` (rate rounded to 4dp).
     """
     vocab_tokens = vocab.select(F.col("token"))
+    # posexplode_outer + IS NOT NULL: same inferred-size-filter dodge
     tok = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
-    )
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("pos").isNotNull())
     joined = tok.join(
         F.broadcast(vocab_tokens.withColumn("__in_vocab", F.lit(1))),
         "token",
@@ -456,14 +461,18 @@ def ppmi_bigrams(
     small-count bias).  Returns ``(w1, w2, n_pair, ppmi)`` (4dp).
     """
     toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    # explode_outer + IS NOT NULL ≡ explode (zipped structs non-null)
+    # minus the inferred size-filter that would inline the two slices +
+    # tokenize twice into the scan Filter (r10, guide §7.2)
     bi = toks.select(
-        F.explode(
+        F.explode_outer(
             F.arrays_zip(
                 F.expr("slice(__toks, 1, size(__toks) - 1)"),
                 F.expr("slice(__toks, 2, size(__toks) - 1)"),
             )
         ).alias("p")
-    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    ).filter(F.col("p").isNotNull()).select(
+        F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     pairs = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     left = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_left"))
     right = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_right"))
@@ -516,14 +525,18 @@ def kneser_ney_bigrams(
     ``n_pair >= min_count``.
     """
     toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    # explode_outer + IS NOT NULL ≡ explode (zipped structs non-null)
+    # minus the inferred size-filter that would inline the two slices +
+    # tokenize twice into the scan Filter (r10, guide §7.2)
     bi = toks.select(
-        F.explode(
+        F.explode_outer(
             F.arrays_zip(
                 F.expr("slice(__toks, 1, size(__toks) - 1)"),
                 F.expr("slice(__toks, 2, size(__toks) - 1)"),
             )
         ).alias("p")
-    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    ).filter(F.col("p").isNotNull()).select(
+        F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     pairs = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     left = pairs.groupBy("w1").agg(
         F.sum("n_pair").alias("c_left"),
@@ -707,12 +720,16 @@ def repetition_profile(
     )
     out = base.select(id_col, "n_tokens", "dup_word_frac")
     for n in top_ns:
+        # explode_outer + IS NOT NULL ≡ explode (grams non-null) minus
+        # the inferred size-filter that would inline the ngram assembly
+        # + tokenize twice into the scan Filter (r10, guide §7.2)
         top = (
             base.select(
                 id_col,
                 "n_tokens",
-                F.explode(ngram_list(F.col("__toks"), n)).alias("gram"),
+                F.explode_outer(ngram_list(F.col("__toks"), n)).alias("gram"),
             )
+            .filter(F.col("gram").isNotNull())
             .groupBy(id_col, "n_tokens", "gram")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .groupBy(id_col, "n_tokens")
@@ -731,8 +748,9 @@ def repetition_profile(
             base.select(
                 id_col,
                 "n_tokens",
-                F.posexplode(ngram_list(F.col("__toks"), n)).alias("pos", "gram"),
+                F.posexplode_outer(ngram_list(F.col("__toks"), n)).alias("pos", "gram"),
             )
+            .filter(F.col("pos").isNotNull())
             .withColumn("cnt", F.count(F.lit(1)).over(w))
             .filter(F.col("cnt") >= 2)
             .select(

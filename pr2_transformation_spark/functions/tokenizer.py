@@ -33,8 +33,12 @@ EOW = "</w>"
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-shuffle (word, freq) aggregation — the only corpus-sized step
     of BPE training."""
+    # explode_outer ≡ explode here (the != '' filter already drops the
+    # NULL a null/empty token array emits) minus the inferred
+    # size-filter that would inline the tokenize twice (r10, guide §7.2)
     return (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        df.select(
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

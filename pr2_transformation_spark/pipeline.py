@@ -36,7 +36,16 @@ def _contaminated_ids(
     (GPT-3-appendix-C-style decontamination).  The eval gram set is tiny by
     contract, so it broadcasts — the training side never shuffles."""
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        cols = [F.col(id_col)] if keep_id else []
+        # materialize the token array in its own projection (the slices
+        # below reference it n times), then explode_outer + IS NOT NULL
+        # ≡ explode minus the inferred size-filter that would inline
+        # the gram assembly twice into the scan Filter (r10, guide §7.2)
+        toked = df.select(
+            *cols,
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t"),
+        )
+        toks = F.col("__t")
         m = F.size(toks)
         length = F.greatest(m - (n - 1), F.lit(0))
         g = F.slice(toks, 1, length)
@@ -46,8 +55,10 @@ def _contaminated_ids(
                 F.slice(toks, 1 + j, length),
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
-        cols = [F.col(id_col)] if keep_id else []
-        return df.select(*cols, F.explode(F.array_distinct(g)).alias("__gram"))
+        kept = [F.col(id_col)] if keep_id else []
+        return toked.select(
+            *kept, F.explode_outer(F.array_distinct(g)).alias("__gram")
+        ).filter(F.col("__gram").isNotNull())
 
     eval_grams = F.broadcast(grams(eval_docs, keep_id=False).distinct())
     return (
