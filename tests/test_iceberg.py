@@ -690,3 +690,37 @@ def test_refs_pin_snapshots(spark, tmp_path):
     assert t.expire_snapshots(keep_last=1) == [s1]
     with pytest.raises(ValueError, match="snapshot 99"):
         t.create_ref("x", snapshot_id=99)
+
+
+def test_delete_where_prune_keys_equivalent(spark, tmp_path):
+    """MERGE's prune_keys hint: delete_where skips data files whose
+    manifest bounds exclude every key, and the tombstone set (and so
+    the surviving rows) is IDENTICAL to the unhinted run (r10)."""
+    ta = IcebergTable(str(tmp_path / "a"))
+    tb = IcebergTable(str(tmp_path / "b"))
+    df = spark.range(1000).selectExpr("id as k", "id * 10 as v") \
+        .repartitionByRange(8, "k").sortWithinPartitions("k")
+    ta.write(df, mode="overwrite", now_ms=1000)
+    tb.write(df, mode="overwrite", now_ms=1000)
+    keys = [100, 101, 102, 903]
+    pred = "k IN (100, 101, 102, 903)"
+    sa = ta.delete_where(spark, pred, now_ms=2000)
+    sb = tb.delete_where(spark, pred, now_ms=2000,
+                         prune_keys=("k", keys))
+    assert sa == sb
+    rows_a = sorted(r["k"] for r in ta.read(spark).collect())
+    rows_b = sorted(r["k"] for r in tb.read(spark).collect())
+    assert rows_a == rows_b and len(rows_b) == 996
+    # the hint really prunes: only the two files whose bounds cover
+    # {100..102} and {903} may hold keys (bounds are tight: range
+    # partitions), and the entries carry bounds for k
+    ents = tb._data_file_entries(snapshot_id=1)
+    lo_hi = [(json.loads(e["lower_bounds_json"])["k"],
+              json.loads(e["upper_bounds_json"])["k"]) for e in ents]
+    may = [1 for lo, hi in lo_hi
+           if any(lo <= k <= hi for k in keys)]
+    assert 1 <= len(may) <= 3 < len(ents)
+    # all-pruned key set still commits (falls back to the full scan)
+    sc = tb.delete_where(spark, "k IN (999999)", now_ms=3000,
+                         prune_keys=("k", [999999]))
+    assert sc == sb + 1 and tb.read(spark).count() == 996
