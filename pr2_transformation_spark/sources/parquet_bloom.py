@@ -116,6 +116,62 @@ class SplitBlockBloom:
         return self.check_hash(bloom_hash(value, ptype))
 
 
+def _xxh64_vec_fixed(arr, width: int):
+    """Vectorized xxHash64(seed 0) over fixed-width little-endian
+    values: ``arr`` is uint64 (width 8) or uint32 (width 4) holding the
+    PLAIN encoding reinterpreted as an integer.  Matches
+    functions.xxhash.xxh64 bit-for-bit (pinned in tests) — the spec's
+    single-lane path for inputs shorter than 32 bytes."""
+    import numpy as np
+
+    P1 = np.uint64(11400714785074694791)
+    P2 = np.uint64(14029467366897019727)
+    P3 = np.uint64(1609587929392839161)
+    P4 = np.uint64(9650029242287828579)
+    P5 = np.uint64(2870177450012600261)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    h0 = np.uint64(P5 + np.uint64(width))  # seed 0, + input length
+    if width == 8:
+        k1 = rotl(arr.astype(np.uint64) * P2, 31) * P1
+        h = np.full(arr.shape, h0, dtype=np.uint64) ^ k1
+        h = rotl(h, 27) * P1 + P4
+    elif width == 4:
+        h = np.full(arr.shape, h0, dtype=np.uint64) \
+            ^ (arr.astype(np.uint64) * P1)
+        h = rotl(h, 23) * P2 + P3
+    else:  # pragma: no cover - callers pass 4 or 8
+        raise ValueError(f"width {width}")
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _bloom_bits_vec(hashes, num_bytes: int) -> bytearray:
+    """Vectorized SBBF bitset build from uint64 hashes — the same
+    block/salt/bit math as ``SplitBlockBloom.insert_hash`` over whole
+    arrays (r10, guide §4.2: the scalar python loop was ~20 µs/key and
+    sat on the write path of every bloom-carrying chunk)."""
+    import numpy as np
+
+    nblocks = num_bytes // 32
+    block = ((hashes >> np.uint64(32)) * np.uint64(nblocks)) \
+        >> np.uint64(32)
+    x = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    words = np.zeros(num_bytes // 4, dtype="<u4")
+    base = (block.astype(np.int64)) * 8
+    for i, s in enumerate(_SALT):
+        shift = (x * np.uint32(s)) >> np.uint32(27)
+        mask = np.uint32(1) << shift
+        np.bitwise_or.at(words, base + i, mask)
+    return bytearray(words.tobytes())
+
+
 def bloom_filter_bytes(values, ptype: str,
                        num_bytes: "int | None" = None,
                        fpp: float = 0.01) -> bytes:
@@ -126,9 +182,25 @@ def bloom_filter_bytes(values, ptype: str,
     distinct = set(v for v in values if v is not None)
     if num_bytes is None:
         num_bytes = optimal_num_bytes(len(distinct), fpp)
-    bf = SplitBlockBloom(num_bytes)
-    for v in distinct:
-        bf.insert(v, ptype)
+    if ptype in ("INT64", "INT32") and distinct:
+        # numpy fast path, byte-identical to the scalar inserts (the
+        # vectorized xxh64 + block math is pinned against them)
+        import numpy as np
+
+        if ptype == "INT64":
+            arr = np.fromiter(distinct, dtype=np.int64,
+                              count=len(distinct)).view(np.uint64)
+            hashes = _xxh64_vec_fixed(arr, 8)
+        else:
+            arr = np.fromiter(distinct, dtype=np.int32,
+                              count=len(distinct)).view(np.uint32)
+            hashes = _xxh64_vec_fixed(arr, 4)
+        bf = SplitBlockBloom(
+            num_bytes, bits=_bloom_bits_vec(hashes, num_bytes))
+    else:
+        bf = SplitBlockBloom(num_bytes)
+        for v in distinct:
+            bf.insert(v, ptype)
     w = _TWriter()
     w.field_i32(1, num_bytes)
     w.begin_struct(2)           # algorithm union

@@ -134,3 +134,31 @@ def test_bitset_byte_identical_to_parquet_java(java_bloom_file):
         for v in range(9000):
             own_id.insert(v, "INT64")
         assert bytes(own_id.bits) == bytes(java_id.bits)
+
+
+def test_vectorized_bitset_matches_scalar_inserts():
+    """The numpy fast path in bloom_filter_bytes must be BYTE-IDENTICAL
+    to scalar SplitBlockBloom.insert for INT64 and INT32 (r10)."""
+    import random
+
+    from pr2_transformation_spark.sources.parquet_bloom import (
+        SplitBlockBloom,
+        bloom_filter_bytes,
+        optimal_num_bytes,
+    )
+
+    rng = random.Random(7)
+    for ptype, lo, hi in (
+            ("INT64", -(2 ** 62), 2 ** 62),
+            ("INT32", -(2 ** 31), 2 ** 31 - 1)):
+        vals = [rng.randrange(lo, hi) for _ in range(4000)] + [0, -1, lo]
+        nb = optimal_num_bytes(len(set(vals)))
+        fast = bloom_filter_bytes(vals, ptype, num_bytes=nb)
+        bf = SplitBlockBloom(nb)
+        for v in set(vals):
+            bf.insert(v, ptype)
+        assert fast.endswith(bytes(bf.bits))
+        # header + bitset equality against the scalar-built serialization
+        slow_full = bloom_filter_bytes(
+            [float("nan")], "DOUBLE", num_bytes=nb)  # force scalar path shape
+        assert len(fast) - nb == len(slow_full) - nb  # same header length
