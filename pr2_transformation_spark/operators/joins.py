@@ -222,17 +222,11 @@ def asof_join_cogrouped(
         parts = k if isinstance(k, tuple) else (k,)
         return tuple("\x00__null__" if pd.isna(p) else p for p in parts)
 
-    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(lpdf):
-            return pd.DataFrame(columns=left_cols + right_cols)
-        lp = lpdf
-        # an empty cogroup side can arrive as a ZERO-COLUMN frame;
-        # reindex materializes the expected columns on it
-        rp = (rpdf[[*by, ts_col, *right_cols]] if len(rpdf)
-              else rpdf.reindex(columns=[*by, ts_col, *right_cols]))
-        if ts_is_date:
-            lp = lp.assign(**{ts_col: pd.to_datetime(lp[ts_col])})
-            rp = rp.assign(**{ts_col: pd.to_datetime(rp[ts_col])})
+    def _merge_per_key(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        """Per-exact-key merge_asof loop — kept for NULL-keyed rows,
+        which ``merge_asof(by=...)`` would never match (NaN != NaN)
+        while Spark's groupBy (and this operator's contract) groups
+        null keys together."""
         rgroups = (
             {_norm_key(k): g.sort_values(ts_col)
              for k, g in rp.groupby(by, dropna=False, sort=False)}
@@ -256,8 +250,58 @@ def asof_join_cogrouped(
                     suffixes=("", "__r"),
                 )
             outs.append(out[left_cols + right_cols])
-        out = pd.concat(outs, ignore_index=True) if len(outs) > 1 \
-            else outs[0]
+        if not outs:
+            return pd.DataFrame(columns=left_cols + right_cols)
+        return (pd.concat(outs, ignore_index=True) if len(outs) > 1
+                else outs[0])
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + right_cols)
+        lp = lpdf
+        # an empty cogroup side can arrive as a ZERO-COLUMN frame;
+        # reindex materializes the expected columns on it
+        rp = (rpdf[[*by, ts_col, *right_cols]] if len(rpdf)
+              else rpdf.reindex(columns=[*by, ts_col, *right_cols]))
+        if ts_is_date:
+            lp = lp.assign(**{ts_col: pd.to_datetime(lp[ts_col])})
+            rp = rp.assign(**{ts_col: pd.to_datetime(rp[ts_col])})
+        # ONE vectorized merge_asof per bucket via ``by=`` for the
+        # non-null-keyed bulk (r10, guide §4.2): the per-key python
+        # loop paid pandas fixed overhead (sort/index/concat) per
+        # entity — measured 2.7 s of q241's 3.4 s at 150 entities —
+        # while by-merge runs the identical asof algorithm per key
+        # inside one call.  Null-keyed rows (rare) keep the loop path,
+        # preserving the null-groups-match contract.
+        lnull = lp[by].isna().any(axis=1)
+        rnull = (rp[by].isna().any(axis=1) if len(rp)
+                 else pd.Series([], dtype=bool))
+        parts = []
+        lbulk = lp[~lnull] if lnull.any() else lp
+        rbulk = rp[~rnull] if len(rp) and rnull.any() else rp
+        if len(lbulk):
+            ls = lbulk.sort_values(ts_col, kind="stable")
+            if len(rbulk):
+                out = pd.merge_asof(
+                    ls,
+                    rbulk[[*by, ts_col, *right_cols]]
+                    .sort_values(ts_col, kind="stable"),
+                    on=ts_col,
+                    by=by,
+                    direction=direction,
+                    tolerance=tol,
+                    suffixes=("", "__r"),
+                )
+            else:
+                out = ls.copy()
+                for c in right_cols:
+                    out[c] = None
+            parts.append(out[left_cols + right_cols])
+        if lnull.any():
+            parts.append(_merge_per_key(
+                lp[lnull], rp[rnull] if len(rp) else rp))
+        out = (pd.concat(parts, ignore_index=True) if len(parts) > 1
+               else parts[0])
         if ts_is_date:
             out = out.assign(**{ts_col: out[ts_col].dt.date})
         return out[left_cols + right_cols]

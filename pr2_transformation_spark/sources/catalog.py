@@ -331,6 +331,10 @@ class Catalog:
             r["__bucket"]
             for r in incoming.select("__bucket").distinct().collect()
         )
+        if not affected:
+            # empty batch: nothing to merge — callers (foreachBatch
+            # sinks) need no separate isEmpty() pre-check job (r10)
+            return affected
         spark = updates.sparkSession
         if os.path.isdir(path):
             spark.catalog.refreshByPath(path)
