@@ -163,6 +163,26 @@ def _dv_pack(blobs: "list[bytes]") -> "tuple[bytes, list[tuple[int, int]]]":
     return bytes(out), locs
 
 
+def _dv_tombstone_pdf(table_path: str, subset: dict, dved: list):
+    """(__fname, __ri) pandas frame of every DV'd position across
+    ``dved`` files — built columnar so ``createDataFrame`` takes the
+    Arrow path (r10, guide §6: the row path over 100k+ tombstone
+    tuples cost ~1 s per scan)."""
+    import numpy as np
+    import pandas as pd
+
+    parts = []
+    for p in dved:
+        ri = np.fromiter(
+            _dv_read(table_path, subset[p]["deletionVector"]).values(),
+            dtype=np.int64)
+        parts.append(pd.DataFrame({
+            "__fname": np.full(len(ri), p, dtype=object),
+            "__ri": ri}))
+    return pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+        else parts[0]
+
+
 def _dv_read(table_path: str, descriptor: dict):
     """Materialize a deletionVector descriptor into a Roaring64:
     storageType "u" (UUID-named sidecar file, z85 UUID with optional
@@ -617,10 +637,6 @@ class DeltaTable:
                     F.col("_metadata.file_path"), "/"), -1)
                     .alias("__fname")))
         if dved:
-            deleted = [
-                (p, int(i)) for p in dved
-                for i in _dv_read(self.path,
-                                  subset[p]["deletionVector"]).values()]
             src = spark.read.schema(scan_schema).parquet(
                 *[os.path.join(self.path, p) for p in dved]).select(
                 *aliases,
@@ -628,7 +644,8 @@ class DeltaTable:
                              -1).alias("__fname"),
                 F.col("_metadata.row_index").alias("__ri"))
             tomb = spark.createDataFrame(
-                deleted, "__fname string, __ri long")
+                _dv_tombstone_pdf(self.path, subset, dved),
+                "__fname string, __ri long")
             frames.append(src.join(
                 F.broadcast(tomb), ["__fname", "__ri"], "left_anti")
                 .drop("__ri"))
@@ -813,8 +830,15 @@ class DeltaTable:
         src = spark.read.schema(scan_schema).parquet(
             os.path.join(self.path, path)).select(
             *aliases, F.col("_metadata.row_index").alias("__ri"))
-        pos = spark.createDataFrame([(int(i),) for i in positions],
-                                    "__ri long")
+        import numpy as np
+        import pandas as pd
+
+        # Arrow path (guide §6): a plain python list would take the
+        # row-serialization path; position sets reach 100k+ (r10)
+        pos = spark.createDataFrame(
+            pd.DataFrame({"__ri": np.fromiter(
+                (int(i) for i in positions), dtype=np.int64)}),
+            "__ri long")
         return src.join(F.broadcast(pos), "__ri", "left_semi") \
             .drop("__ri")
 
@@ -1498,12 +1522,6 @@ class DeltaTable:
                 *[os.path.join(self.path, p) for p in plain])
                 .select(*aliases))
         if dved:
-            deleted = [
-                (p, int(i))
-                for p in dved
-                for i in _dv_read(self.path,
-                                  subset[p]["deletionVector"]).values()
-            ]
             src = spark.read.schema(scan_schema).parquet(
                 *[os.path.join(self.path, p) for p in dved]).select(
                 *aliases,
@@ -1511,7 +1529,8 @@ class DeltaTable:
                              -1).alias("__fname"),
                 F.col("_metadata.row_index").alias("__ri"))
             tomb = spark.createDataFrame(
-                deleted, "__fname string, __ri long")
+                _dv_tombstone_pdf(self.path, subset, dved),
+                "__fname string, __ri long")
             frames.append(
                 src.join(F.broadcast(tomb), ["__fname", "__ri"],
                          "left_anti").drop("__fname", "__ri"))
