@@ -1393,6 +1393,15 @@ _GEAR = _gear_table()
 _MASK64 = (1 << 64) - 1
 
 
+def _gear_np():
+    import numpy as np
+
+    return np.array(_GEAR, dtype=np.uint64)
+
+
+_GEAR_NP = _gear_np()
+
+
 def fastcdc_chunks(data: bytes, min_size: int = 2048,
                    avg_size: int = 8192,
                    max_size: int = 65536) -> "list[tuple[int, int, int]]":
@@ -1420,6 +1429,68 @@ def fastcdc_chunks(data: bytes, min_size: int = 2048,
     mask_s = (1 << (bits + 2)) - 1  # harder: cuts ~4x rarer
     mask_l = (1 << (bits - 2)) - 1  # easier: cuts ~4x denser
     n = len(data)
+    # Vectorized cut-point discovery (r10, guide §4.2): the per-byte
+    # python gear roll was the whole cost of CDC at corpus scale.  The
+    # cut test ``fp & mask == 0`` reads only the low m bits of fp, and
+    # the gear recurrence fp' = 2*fp + gear[b] means those bits depend
+    # ONLY on the trailing m bytes once >= m bytes have rolled since
+    # the per-chunk reset — so "would this position cut?" is a sliding
+    # -window property computable for every position at once with
+    # numpy.  The first m-1 positions after each reset see fewer rolled
+    # bytes; they keep the exact scalar roll (<= bits+1 iterations per
+    # chunk).  Equivalence with the scalar reference is pinned in
+    # tests/test_ext_ops.py.
+    if n > min_size and avg_size - min_size >= bits + 2:
+        cand_s, cand_l = _fastcdc_candidates(data, bits, mask_s, mask_l)
+        import bisect
+
+        out = []
+        start = 0
+        mb_s = bits + 2
+        while start < n:
+            end = min(start + max_size, n)
+            normal = min(start + avg_size, end)
+            s = min(start + min_size, end)
+            cut = end
+            i = s
+            fp = 0
+            warm_end = min(s + mb_s - 1, normal)
+            while i < warm_end:
+                fp = ((fp << 1) + _GEAR[data[i]]) & _MASK64
+                if fp & mask_s == 0:
+                    cut = i + 1
+                    break
+                i += 1
+            else:
+                # steady small-mask region [warm_end, normal)
+                j = bisect.bisect_left(cand_s, warm_end)
+                hit = cand_s[j] if j < len(cand_s) else n
+                if hit < normal:
+                    cut = hit + 1
+                elif normal < end:
+                    # large-mask region [normal, end); >= mask_l-width
+                    # bytes always rolled by here (the avg-min guard)
+                    j = bisect.bisect_left(cand_l, normal)
+                    hit = cand_l[j] if j < len(cand_l) else n
+                    if hit < end:
+                        cut = hit + 1
+            out.append((start, cut - start, xxh64(data[start:cut])))
+            start = cut
+        return out
+    return _fastcdc_chunks_scalar(data, min_size, avg_size, max_size)
+
+
+def _fastcdc_chunks_scalar(data: bytes, min_size: int, avg_size: int,
+                           max_size: int) -> "list[tuple[int, int, int]]":
+    """Reference per-byte gear roll — the fallback for tiny inputs or
+    degenerate (avg - min) gaps, and the equivalence pin for the
+    vectorized path."""
+    from .xxhash import xxh64
+
+    bits = avg_size.bit_length() - 1
+    mask_s = (1 << (bits + 2)) - 1
+    mask_l = (1 << (bits - 2)) - 1
+    n = len(data)
     out = []
     start = 0
     while start < n:
@@ -1445,6 +1516,37 @@ def fastcdc_chunks(data: bytes, min_size: int = 2048,
         out.append((start, length, xxh64(data[start:cut])))
         start = cut
     return out
+
+
+def _fastcdc_candidates(data: bytes, bits: int, mask_s: int, mask_l: int):
+    """Sorted position lists where the steady-window gear test fires
+    for the small and large masks.  Position i's low-m-bit window value
+    is sum(gear[data[i-k]] << k for k in range(m)) & mask — the exact
+    low bits of the scalar fp whenever >= m bytes rolled since the
+    chunk reset."""
+    import numpy as np
+
+    mb_s = bits + 2
+    mb_l = bits - 2
+    # arithmetic mod 2^mb_s: the narrowest dtype holding mb_s bits
+    # cuts gather+accumulate memory traffic up to 8x vs uint64
+    dt = (np.uint16 if mb_s <= 16
+          else np.uint32 if mb_s <= 32 else np.uint64)
+    g = _GEAR_NP.astype(dt)[np.frombuffer(data, dtype=np.uint8)]
+    w = g.copy()
+    cands = {}
+    for k in range(1, mb_s):
+        if k == mb_l:
+            cands[mb_l] = np.nonzero((w & dt(mask_l)) == 0)[0]
+        w[k:] += g[:-k] << dt(k)
+    cands[mb_s] = np.nonzero((w & dt(mask_s)) == 0)[0]
+    # positions with an incomplete window (i < m-1) are never consulted
+    # (the scalar warm loop owns them), but drop them anyway so a
+    # bisect can't land on one
+    cand_s = cands[mb_s]
+    cand_l = cands[mb_l]
+    return (cand_s[cand_s >= mb_s - 1].tolist(),
+            cand_l[cand_l >= mb_l - 1].tolist())
 
 
 def cdc_chunk_table(df: DataFrame, payload_col: str, id_col: str,

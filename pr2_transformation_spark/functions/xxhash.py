@@ -36,7 +36,15 @@ def _merge(h: int, acc: int) -> int:
 
 
 def xxh64(data: bytes, seed: int = 0) -> int:
-    """XXH64 of ``data`` — unsigned 64-bit."""
+    """XXH64 of ``data`` — unsigned 64-bit.
+
+    The stripe loop is hand-inlined (no _round/_rotl calls) and reads
+    all lanes with one ``struct.unpack_from`` — this hash sits on the
+    CDC chunker's and the zstd checksum verifier's per-chunk path, and
+    the call-per-lane form was 1.8x slower (r10, guide §1.2).  Output
+    is pinned against the JVM's xxhash64 by the conformance tests."""
+    import struct
+
     n = len(data)
     pos = 0
     if n >= 32:
@@ -44,13 +52,27 @@ def xxh64(data: bytes, seed: int = 0) -> int:
         a2 = (seed + _P2) & _M
         a3 = seed & _M
         a4 = (seed - _P1) & _M
-        while pos + 32 <= n:
-            a1 = _round(a1, int.from_bytes(data[pos:pos + 8], "little"))
-            a2 = _round(a2, int.from_bytes(data[pos + 8:pos + 16], "little"))
-            a3 = _round(a3, int.from_bytes(data[pos + 16:pos + 24], "little"))
-            a4 = _round(a4, int.from_bytes(data[pos + 24:pos + 32], "little"))
-            pos += 32
-        h = (_rotl(a1, 1) + _rotl(a2, 7) + _rotl(a3, 12) + _rotl(a4, 18)) & _M
+        nstripes = n // 32
+        lanes = struct.unpack_from("<%dQ" % (nstripes * 4), data)
+        i = 0
+        for _ in range(nstripes):
+            x = (a1 + lanes[i] * _P2) & _M
+            x = ((x << 31) | (x >> 33)) & _M
+            a1 = (x * _P1) & _M
+            x = (a2 + lanes[i + 1] * _P2) & _M
+            x = ((x << 31) | (x >> 33)) & _M
+            a2 = (x * _P1) & _M
+            x = (a3 + lanes[i + 2] * _P2) & _M
+            x = ((x << 31) | (x >> 33)) & _M
+            a3 = (x * _P1) & _M
+            x = (a4 + lanes[i + 3] * _P2) & _M
+            x = ((x << 31) | (x >> 33)) & _M
+            a4 = (x * _P1) & _M
+            i += 4
+        pos = nstripes * 32
+        h = (((a1 << 1) | (a1 >> 63)) + ((a2 << 7) | (a2 >> 57))
+             + ((a3 << 12) | (a3 >> 52))
+             + ((a4 << 18) | (a4 >> 46))) & _M
         for acc in (a1, a2, a3, a4):
             h = _merge(h, acc)
     else:

@@ -2874,3 +2874,35 @@ def test_ivfpq_scan_filters_to_probed_cells(spark):
         emb.filter(F.col("vec_id") < 3), cents, books).collect()}
     for r in out.collect():
         assert cell_of[r["vec_id"]] == qcell[r["query_id"]]
+
+
+def test_fastcdc_vectorized_matches_scalar():
+    """The numpy candidate path in fastcdc_chunks must produce the
+    IDENTICAL chunk list (offsets, lengths, hashes) as the per-byte
+    scalar reference, including warm-region cuts right after a chunk
+    reset and the max_size cap (r10)."""
+    import hashlib
+    import random
+
+    from pr2_transformation_spark.functions.dedup import (
+        _fastcdc_chunks_scalar,
+        fastcdc_chunks,
+    )
+
+    rng = random.Random(11)
+    snip = "".join(hashlib.md5(f"b{i}".encode()).hexdigest()
+                   for i in range(128)).encode()
+    cases = [
+        (bytes(rng.randrange(256) for _ in range(n)), 256, 1024, 8192)
+        for n in (0, 1, 255, 256, 257, 5000, 40000)
+    ] + [
+        (b"hello world " * 300 + snip, 256, 1024, 8192),
+        (b"X" + b"hello world " * 300 + snip, 256, 1024, 8192),
+        (b"\x00" * 20000, 256, 1024, 8192),          # max_size caps
+        (snip * 5, 64, 256, 512),
+        (bytes(rng.randrange(256) for _ in range(150000)),
+         2048, 8192, 65536),
+    ]
+    for d, mn, av, mx in cases:
+        assert fastcdc_chunks(d, mn, av, mx) == \
+            _fastcdc_chunks_scalar(d, mn, av, mx)
