@@ -1074,7 +1074,10 @@ def train_ivfpq(
         xs = resid[:, j * sub: (j + 1) * sub]
         cb = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # BLAS form (r10, same identity ivfpq_encode already uses):
+            # argmin ||xs - cb||^2 == argmin (||cb||^2 - 2 xs.cb) — the
+            # 3-D broadcast tensor was 0.8 s of driver time per train
+            d2 = (cb ** 2).sum(axis=1)[None, :] - 2.0 * (xs @ cb.T)
             a = np.argmin(d2, axis=1)
             for c in range(len(cb)):
                 members = xs[a == c]

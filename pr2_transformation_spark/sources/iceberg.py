@@ -709,11 +709,25 @@ class IcebergTable:
         added = []
         counted = 0
         count_missing = False
+        staged_list = []
         for parts, src_path in sorted(_staged_files()):
             name = f"part-{uuid.uuid4().hex[:12]}-{os.path.basename(src_path)}"
             dst = os.path.join(self.data_dir, name)
             os.rename(src_path, dst)
-            stats = _file_stats(dst)
+            staged_list.append((parts, dst, name))
+        # footer stats probes in a small thread pool (r10, guide §5):
+        # pyarrow's read_metadata releases the GIL, and a partitioned
+        # commit stages hundreds of files — serial driver probes were
+        # ~1 s of q403's write
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(staged_list) > 4:
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                stats_list = list(pool.map(
+                    lambda t: _file_stats(t[1]), staged_list))
+        else:
+            stats_list = [_file_stats(dst) for _, dst, _ in staged_list]
+        for (parts, dst, name), stats in zip(staged_list, stats_list):
             if stats is None:
                 count_missing = True
             else:
