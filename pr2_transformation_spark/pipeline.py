@@ -152,6 +152,13 @@ def prepare_training_corpus(
     )
 
     if near_dup:
+        # materialize the exact-dedup output ONCE (r10, guide §1.2):
+        # it feeds the MinHash signature build, the keeper semi-join,
+        # AND the downstream decontamination grams — each arm
+        # otherwise re-runs the scan + quality filter + dedup window
+        from .checkpointing import checkpoint_frame
+
+        out = checkpoint_frame(out, checkpoint)
         pairs = dedup.near_dup_pairs_minhash(
             out,
             text_col=text_col,
