@@ -268,6 +268,19 @@ def _physical_schema_json(schema_json: str) -> str:
     return json.dumps({**schema, "fields": out_fields})
 
 
+def _file_stats_many(paths: "list[str]") -> "list[dict | None]":
+    """Footer stats for many files, probed in a small thread pool —
+    pyarrow's read_metadata releases the GIL, and multi-file commits
+    probed serially on the driver otherwise (r10, guide §5; the
+    iceberg writer's twin)."""
+    if len(paths) <= 4:
+        return [_file_stats(p) for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(_file_stats, paths))
+
+
 def _file_stats(local_path: str) -> "dict | None":
     """Per-file column statistics from the parquet FOOTER only (zero
     data pages read): numRecords + min/max/nullCount per leaf column
@@ -401,8 +414,8 @@ class DeltaTable:
             os.rename(os.path.join(staging, f), os.path.join(self.path, name))
             added.append(name)
         shutil.rmtree(staging)
-        stats = {name: _file_stats(os.path.join(self.path, name))
-                 for name in added}
+        stats = dict(zip(added, _file_stats_many(
+            [os.path.join(self.path, n) for n in added])))
 
         for _attempt in range(max_retries + 1):
             version = self._latest_version() + 1
@@ -576,12 +589,13 @@ class DeltaTable:
         for p in affected:
             actions.append({"remove": {
                 "path": p, "deletionTimestamp": ts, "dataChange": True}})
-        for name in added:
+        added_stats = _file_stats_many(
+            [os.path.join(self.path, n) for n in added])
+        for name, stats in zip(added, added_stats):
             full_path = os.path.join(self.path, name)
             add = {"path": name, "partitionValues": {},
                    "size": os.path.getsize(full_path),
                    "modificationTime": ts, "dataChange": True}
-            stats = _file_stats(full_path)
             if stats is not None:
                 add["stats"] = json.dumps(stats)
             actions.append({"add": add})
@@ -1434,12 +1448,13 @@ class DeltaTable:
         for p in small:
             actions.append({"remove": {
                 "path": p, "deletionTimestamp": ts, "dataChange": False}})
-        for name in added:
+        added_stats = _file_stats_many(
+            [os.path.join(self.path, n) for n in added])
+        for name, stats in zip(added, added_stats):
             full = os.path.join(self.path, name)
             add = {"path": name, "partitionValues": {},
                    "size": os.path.getsize(full),
                    "modificationTime": ts, "dataChange": False}
-            stats = _file_stats(full)
             if stats is not None:
                 add["stats"] = json.dumps(stats)
             actions.append({"add": add})
