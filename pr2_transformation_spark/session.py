@@ -43,9 +43,12 @@ ENGINE_CONFIGS: dict[str, str] = {
     # both sort passes; the AQE threshold additionally rewrites SMJ ->
     # SHJ at runtime when every post-shuffle partition is under 64 MiB
     # (a hard memory bound per build task, so the OOM trade SMJ exists
-    # for stays controlled).  Measured -10% on the join-heavy bench
-    # slice at sf0.1; identical results by construction (strategy
-    # choice never changes join semantics — pinned by
+    # for stays controlled).  A/B on a 14-query join-heavy slice at
+    # sf0.1: 24.5 s (SHJ) vs 26.3 s (SMJ) mean of interleaved runs —
+    # ~7% and never worse than neutral within this sandbox's ±10%
+    # run-to-run variance; kept because guide §9 recommends exactly
+    # this baseline posture.  Identical results by construction
+    # (strategy choice never changes join semantics — pinned by
     # tests/test_plans.py's three-strategy agreement test).
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
