@@ -72,8 +72,12 @@ class SplitBlockBloom:
 
     def __init__(self, num_bytes: int = 0, bits: "bytearray | None" = None):
         if bits is not None:
-            if len(bits) % 32:
-                raise ValueError("SBBF bitset must be 32-byte blocks")
+            # same invariant as the num_bytes branch (ADVICE r10): a
+            # non-power-of-two bitset would serialize an out-of-spec SBBF
+            nb = len(bits)
+            if nb < 32 or nb & (nb - 1):
+                raise ValueError(
+                    "SBBF bitset must be a power of two >= 32 bytes")
             self.bits = bytearray(bits)
         else:
             if num_bytes < 32 or num_bytes & (num_bytes - 1):
