@@ -151,6 +151,8 @@ def prepare_training_corpus(
         dedup.exact_dedup_by_hash(out, [text_col], id_col, hasher=hasher),
     )
 
+    decon_base: Optional[DataFrame] = None
+    bad_future = None
     if near_dup:
         # materialize the exact-dedup output ONCE (r10, guide §1.2):
         # it feeds the MinHash signature build, the keeper semi-join,
@@ -159,6 +161,31 @@ def prepare_training_corpus(
         from .checkpointing import checkpoint_frame
 
         out = checkpoint_frame(out, checkpoint)
+        if not segment_dedup:
+            # decontamination folds into the keeper join below (r11,
+            # guide §2.4 / VERDICT r10 item 3): a doc's contaminated
+            # verdict depends only on ITS OWN text vs the eval grams,
+            # so computing it over the pre-keeper checkpoint instead
+            # of the keeper-joined frame decides identically for every
+            # surviving doc — and the gram arm then reads the
+            # checkpoint directly instead of re-running the keeper
+            # semi-join inside its own subtree.  segment_dedup rewrites
+            # the text in between, so the fold only applies without it.
+            decon_base = out
+        if decon_base is not None and eval_docs is not None and checkpoint:
+            # overlap the (independent) decontamination gram job with
+            # the iterative near-dup rounds (guide §2.6): the gram
+            # scan's tasks back-fill executors left idle by the CC
+            # loop's driver round-trips.  Job descriptions/locality are
+            # thread-local, so the concurrent job labels correctly.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from .checkpointing import checkpoint_frame as _ckpt
+
+            _bad = _contaminated_ids(decon_base, eval_docs, text_col, id_col)
+            _pool = ThreadPoolExecutor(max_workers=1)
+            bad_future = _pool.submit(_ckpt, _bad, checkpoint)
+            _pool.shutdown(wait=False)
         pairs = dedup.near_dup_pairs_minhash(
             out,
             text_col=text_col,
@@ -192,7 +219,12 @@ def prepare_training_corpus(
         )
 
     if eval_docs is not None:
-        bad = _contaminated_ids(out, eval_docs, text_col, id_col)
+        if bad_future is not None:
+            bad = bad_future.result()
+        else:
+            bad = _contaminated_ids(
+                decon_base if decon_base is not None else out,
+                eval_docs, text_col, id_col)
         out = note("decontaminated", out.join(bad, id_col, "left_anti"))
 
     if max_tokens_per_source is not None:

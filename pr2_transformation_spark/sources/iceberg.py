@@ -1120,7 +1120,8 @@ class IcebergTable:
 
     def read(self, spark: SparkSession,
              snapshot_id: "int | None" = None,
-             skipping: "list[tuple] | None" = None) -> DataFrame:
+             skipping: "list[tuple] | None" = None,
+             paths_subset: "set[str] | None" = None) -> DataFrame:
         """The snapshot as a DataFrame — a distributed parquet scan over
         the reconciled file list (pushdown/pruning untouched).
 
@@ -1144,13 +1145,21 @@ class IcebergTable:
             entries = [e for e in entries
                        if all(self._entry_survives(e, spec, c, op, v, meta)
                               for c, op, v in skipping)]
+        if paths_subset is not None:
+            # caller-provided file pruning (merge's candidate files, r11):
+            # the subset must be derived so that every row the consumer
+            # cares about lives in it; merge-on-read delete application
+            # below is untouched, so the surviving rows are exactly the
+            # live rows of the chosen files
+            entries = [e for e in entries
+                       if e["file_path"] in paths_subset]
         files = [e["file_path"] for e in entries]
         cur_fields = meta["schema"]["fields"]
         cur_ddl = ", ".join(
             f"{f['name']} {_iceberg_type_to_spark(f['type'])}"
             for f in cur_fields)
         if not files:
-            if skipping:
+            if skipping or paths_subset is not None:
                 # every file provably irrelevant: empty frame, pinned schema
                 return spark.createDataFrame([], cur_ddl)
             raise ValueError("empty snapshot")
@@ -1723,16 +1732,67 @@ class IcebergTable:
             raise ValueError(f"when_matched {when_matched!r}")
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError(f"when_not_matched {when_not_matched!r}")
-        cur = self.read(spark)
-        if set(source.columns) != set(cur.columns):
+        # schema check straight off the table metadata (r11): building
+        # the merge-on-read frame just for .columns paid the tombstone
+        # load + broadcast construction per merge call
+        meta = self._load_metadata()
+        cur_cols = [f["name"] for f in meta["schema"]["fields"]]
+        if set(source.columns) != set(cur_cols):
             raise ValueError(
                 f"merge source must carry the target schema "
-                f"{sorted(cur.columns)}, got {sorted(source.columns)}")
-        # one keys-only projection of the target, persisted across the
-        # matched stats job and the insert anti-join (r10, guide §2.4:
-        # the two joins previously each re-scanned the target)
-        tgt_keys = cur.select(on).distinct().persist()
+                f"{sorted(cur_cols)}, got {sorted(source.columns)}")
+        # r11 (guide §6, VERDICT r10 item 2): the matched-key stats and
+        # the insert/update joins only need target keys that SOME source
+        # key could equal, and a target key always lies inside its data
+        # file's manifest [lower, upper] bounds — so the keys projection
+        # scans only CANDIDATE files (those whose bounds admit at least
+        # one distinct source key), not the whole table.  The candidate
+        # test runs as one broadcast interval join of the distinct
+        # source keys against the (few, driver-collected) file bounds;
+        # files with missing bounds are always kept (no-false-negatives)
+        # and evolved tables (renamed bounds keys) skip pruning
+        # entirely.  Merge-on-read stays exact: read(paths_subset=...)
+        # applies the delete files as usual, and pruned-away files by
+        # construction hold no key equal to any source key.  This is
+        # what makes a bounded-key MERGE's stats job O(touched files)
+        # instead of O(table keys scan) at 100 TB — the delete scan got
+        # the same treatment in r10 (prune_keys below).
+        src_keys = (
+            source.groupBy(on).agg(F.count(F.lit(1)).alias("__c"))
+            .persist()
+        )
+        tgt_keys = None
         try:
+            entries = self._data_file_entries()
+            bounds_rows, keep_always = [], []
+            if "schemas" not in meta and len(entries) <= 4096:
+                for i, e in enumerate(entries):
+                    lo_raw = e.get("lower_bounds_json") or ""
+                    hi_raw = e.get("upper_bounds_json") or ""
+                    lo = json.loads(lo_raw).get(on) if lo_raw else None
+                    hi = json.loads(hi_raw).get(on) if hi_raw else None
+                    if lo is None or hi is None:
+                        keep_always.append(e["file_path"])
+                    else:
+                        bounds_rows.append((e["file_path"], lo, hi))
+            if bounds_rows:
+                bdf = spark.createDataFrame(
+                    bounds_rows, ["__fp", "__lo", "__hi"])
+                hit = {
+                    r["__fp"]
+                    for r in src_keys.select(F.col(on).alias("__k"))
+                    .join(F.broadcast(bdf),
+                          (F.col("__k") >= F.col("__lo"))
+                          & (F.col("__k") <= F.col("__hi")))
+                    .select("__fp").distinct().collect()
+                }
+                tgt_keys = self.read(
+                    spark, paths_subset=hit | set(keep_always)
+                ).select(on).distinct().persist()
+            else:
+                # evolved table / oversized manifest list / no bounds:
+                # fall back to the full keys projection
+                tgt_keys = self.read(spark).select(on).distinct().persist()
             # ONE bounded collect yields the matched key list, each
             # matched key's source multiplicity AND the unmatched
             # source row count (r10 guide §1.2: previously three jobs —
@@ -1743,10 +1803,8 @@ class IcebergTable:
             # into one NULL-group row whose summed count is exactly the
             # insert row count, so the collect stays bounded by
             # max_keys + 1 rows.
-            per_key = (
-                source.groupBy(on).agg(F.count(F.lit(1)).alias("__c"))
-                .join(tgt_keys.withColumn("__m", F.lit(1)), on, "left")
-            )
+            per_key = src_keys.join(
+                tgt_keys.withColumn("__m", F.lit(1)), on, "left")
             stats = (
                 per_key.groupBy(
                     F.when(F.col("__m") == 1, F.col(on)).alias("__k"))
@@ -1809,7 +1867,9 @@ class IcebergTable:
                     to_append, mode="append",
                     now_ms=None if now_ms is None else now_ms + 1)
         finally:
-            tgt_keys.unpersist()
+            src_keys.unpersist()
+            if tgt_keys is not None:
+                tgt_keys.unpersist()
         return {
             "delete_snapshot": delete_snap,
             "append_snapshot": append_snap,

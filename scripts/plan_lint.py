@@ -120,7 +120,7 @@ def lint(name: str, plan: str) -> list[str]:
         findings.append("all-pairs join (CartesianProduct/BNLJ)")
     if "BatchEvalPython" in plan:
         findings.append("row-at-a-time Python UDF (BatchEvalPython)")
-    if re.search(r"Exchange[^\n]*\n\s*\+- \*?\(?\d*\)? ?Scan ExistingRDD", plan):
+    if re.search(r"(?<!Broadcast)Exchange[^\n]*\n\s*\+- \*?\(?\d*\)? ?Scan ExistingRDD", plan):
         findings.append("Exchange over checkpointed scan (partitioning capture failed)")
     return findings
 
