@@ -363,23 +363,37 @@ class Catalog:
             )
         # Dynamic overwrite only replaces partitions PRESENT in the output:
         # an affected bucket whose every key was deleted would keep its old
-        # files.  Persist the winners once (they are O(affected buckets),
-        # not O(snapshot)), learn which buckets still have rows, and clear
+        # files.  With no delete semantics every affected bucket keeps at
+        # least its incoming rows (the election never drops ALL rows of a
+        # key), so surviving == affected by construction and the write
+        # needs no persist + distinct-collect pre-pass (r11, guide §1.2:
+        # one fewer job per foreachBatch micro-batch).  With deletes,
+        # persist the winners once (they are O(affected buckets), not
+        # O(snapshot)), learn which buckets still have rows, and clear
         # the fully-deleted ones by hand after the write.
-        latest = latest.persist()
-        try:
-            surviving = {
-                r["__bucket"]
-                for r in latest.select("__bucket").distinct().collect()
-            }
+        if delete_col is None:
             (
                 latest.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("__bucket")
                 .parquet(path)
             )
-        finally:
-            latest.unpersist()
+            surviving = set(affected)
+        else:
+            latest = latest.persist()
+            try:
+                surviving = {
+                    r["__bucket"]
+                    for r in latest.select("__bucket").distinct().collect()
+                }
+                (
+                    latest.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__bucket")
+                    .parquet(path)
+                )
+            finally:
+                latest.unpersist()
         import shutil
 
         for b in affected:
