@@ -34,22 +34,30 @@ _CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1,
 
 
 class _Bits:
-    __slots__ = ("buf", "pos", "bit")
+    __slots__ = ("buf", "pos", "bit", "blen")
 
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
         self.pos = pos
         self.bit = 0
+        self.blen = len(buf)
 
     def read(self, n: int) -> int:
-        out = 0
-        for i in range(n):
-            byte = self.buf[self.pos]
-            out |= ((byte >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        # all n bits in one slice + shift instead of a per-bit loop
+        # (r11, guide §4.2 — this read and the Huffman walk below were
+        # ~90% of inflate's runtime); (pos, bit) semantics unchanged,
+        # including the IndexError a truncated stream raised per-bit
+        end = self.pos + ((self.bit + n + 7) >> 3)
+        if end > self.blen and n:
+            # would read past the stream: preserve the scalar reader's
+            # failure mode exactly
+            raise IndexError("index out of range")
+        out = (
+            int.from_bytes(self.buf[self.pos:end], "little") >> self.bit
+        ) & ((1 << n) - 1)
+        t = self.bit + n
+        self.pos += t >> 3
+        self.bit = t & 7
         return out
 
     def align(self) -> None:
@@ -58,12 +66,19 @@ class _Bits:
             self.pos += 1
 
 
+#: fast-table width: codes up to this many bits decode with ONE peek
+_ROOT_BITS = 10
+
+
 class _Huff:
     """Canonical Huffman decoder from a code-length list (RFC 1951
     3.2.2): codes assigned in symbol order within each length, read
-    MSB-first bit by bit."""
+    MSB-first.  Decoding peeks ``_ROOT_BITS`` stream bits and resolves
+    codes up to that length with one flat-table lookup (the standard
+    fast-inflate shape); longer codes and near-end-of-stream positions
+    fall back to the exact per-bit walk."""
 
-    __slots__ = ("by_len",)
+    __slots__ = ("by_len", "root")
 
     def __init__(self, lengths: list[int]):
         # by_len[l] = (first_code, first_symbol_index_map)
@@ -78,12 +93,41 @@ class _Huff:
         for ln in range(1, max_len + 1):
             code = (code + bl_count[ln - 1]) << 1
             next_code[ln] = code
+        root: list = [None] * (1 << _ROOT_BITS)
         for sym, ln in enumerate(lengths):
             if ln:
-                self.by_len.setdefault(ln, {})[next_code[ln]] = sym
+                c = next_code[ln]
+                self.by_len.setdefault(ln, {})[c] = sym
                 next_code[ln] += 1
+                if ln <= _ROOT_BITS:
+                    # the stream presents the code LSB-first: index the
+                    # table by the bit-reversed code, replicated across
+                    # every padding of the remaining root bits
+                    rc = 0
+                    for i in range(ln):
+                        rc |= ((c >> i) & 1) << (ln - 1 - i)
+                    step = 1 << ln
+                    for idx in range(rc, 1 << _ROOT_BITS, step):
+                        root[idx] = (sym, ln)
+        self.root = root
 
     def decode(self, bits: _Bits) -> int:
+        # fast path: peek ROOT bits (needs 2 whole bytes beyond the
+        # current one in the buffer), one table lookup, consume
+        pos, bit = bits.pos, bits.bit
+        buf = bits.buf
+        if pos + 3 <= bits.blen:
+            chunk = (
+                (buf[pos] | (buf[pos + 1] << 8) | (buf[pos + 2] << 16))
+                >> bit
+            ) & 0x3FF
+            hit = self.root[chunk]
+            if hit is not None:
+                sym, ln = hit
+                t = bit + ln
+                bits.pos = pos + (t >> 3)
+                bits.bit = t & 7
+                return sym
         code = 0
         for ln in range(1, 16):
             code = (code << 1) | bits.read(1)
