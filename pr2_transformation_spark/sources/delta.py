@@ -517,34 +517,101 @@ class DeltaTable:
         ts = int(now_ms if now_ms is not None else time.time() * 1000)
         keys = source.select(*on).distinct()
 
-        # 1. affected files: those holding at least one matched key
-        tgt = self._read_files(spark, live, schema_json, mapping)
-        if when_matched == "ignore":
-            # matched rows are KEPT untouched: no file is affected by
-            # the matched branch, so skip discovery and rewrite nothing
-            # (rewriting would anti-join matched rows away and silently
-            # delete them)
-            affected = []
-            n_matched = 0
-        else:
-            # helper column bound at the scan: _read_files projects, so
-            # re-derive the file name through a dedicated scan.  One
-            # per-file aggregate yields BOTH the affected-file list and
-            # the matched-row count (r10, guide §2.4: the separate
-            # hits.count() job re-ran the scan + semi-join)
-            full = self._with_fname(spark, live, schema_json, mapping)
-            hits = full.join(F.broadcast(keys), on, "left_semi")
-            hit_stats = hits.groupBy("__fname").count().collect()
-            affected = sorted(r["__fname"] for r in hit_stats)
-            n_matched = sum(r["count"] for r in hit_stats)
+        # Candidate-file pruning off add.stats (r11, the iceberg-merge
+        # twin, guide §6): both the affected-file discovery and the
+        # insert anti-join only care about target rows whose key equals
+        # SOME source key, and every row's key lies inside its file's
+        # [minValues, maxValues] — so scan only files whose bounds
+        # admit at least one distinct source key (one broadcast
+        # interval join against the driver-read stats).  Files with
+        # missing stats are always kept; composite keys and oversized
+        # file lists skip pruning (full scan, the former shape).
+        cand = live
+        if len(on) == 1 and 32 < len(live) <= 4096:
+            # the interval-join probe is one extra (tiny) job: below a
+            # few dozen files the full scan IS the cheap path (A/B'd on
+            # q416: pruning 8 files cost ~2x the scan it saved), above
+            # it the probe is what keeps a bounded-key MERGE on a
+            # 100 TB table from scanning every live file
+            pkey = mapping.get(on[0], on[0]) if mapping else on[0]
+            bounds_rows, keep_always = [], []
+            for p, add in live.items():
+                raw = add.get("stats")
+                s = (json.loads(raw) if isinstance(raw, str) else raw) \
+                    if raw else {}
+                mn = s.get("minValues", {}).get(pkey)
+                mx = s.get("maxValues", {}).get(pkey)
+                if mn is None or mx is None:
+                    keep_always.append(p)
+                else:
+                    bounds_rows.append((p, mn, mx))
+            if bounds_rows:
+                bdf = spark.createDataFrame(
+                    bounds_rows, ["__fp", "__lo", "__hi"])
+                hit = {
+                    r["__fp"]
+                    for r in keys.select(F.col(on[0]).alias("__k"))
+                    .join(F.broadcast(bdf),
+                          (F.col("__k") >= F.col("__lo"))
+                          & (F.col("__k") <= F.col("__hi")))
+                    .select("__fp").distinct().collect()
+                }
+                cand = {p: live[p] for p in hit | set(keep_always)}
+
+        # 1. ONE bounded collect yields the affected-file list, the
+        # matched-row count AND the unmatched-source row count (r11,
+        # the iceberg-merge shape, guide §1.2: previously a discovery
+        # job plus a separate inserts.count() job, each re-scanning):
+        # source keys group to per-key row counts, a right-outer join
+        # from the candidate scan's (key, __fname) rows marks matches,
+        # and the per-__fname aggregate's NULL group sums exactly the
+        # unmatched source rows.  The collect is bounded by the
+        # candidate-file count + 1 rows.
+        affected = []
+        n_matched = 0
+        n_inserted = 0
+        if cand and (when_matched != "ignore"
+                     or when_not_matched == "insert"):
+            per_key = source.groupBy(*on).agg(
+                F.count(F.lit(1)).alias("__c"))
+            tgtk = self._with_fname(
+                spark, cand, schema_json, mapping).select(*on, "__fname")
+            stats_rows = (
+                tgtk.join(per_key, on, "right_outer")
+                .groupBy("__fname")
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.sum("__c").alias("__sc"))
+                .collect()
+            )
+            if when_matched != "ignore":
+                # matched rows under "ignore" are KEPT untouched: no
+                # file is affected and nothing is rewritten (rewriting
+                # would anti-join matched rows away, deleting them)
+                affected = sorted(
+                    r["__fname"] for r in stats_rows
+                    if r["__fname"] is not None)
+                n_matched = sum(
+                    int(r["__n"]) for r in stats_rows
+                    if r["__fname"] is not None)
+            if when_not_matched == "insert":
+                n_inserted = sum(
+                    int(r["__sc"]) for r in stats_rows
+                    if r["__fname"] is None)
         if when_not_matched == "insert":
             # anti-join against target keys: the SOURCE side is the
-            # small one at scale — never broadcast the target
-            inserts = source.join(
-                tgt.select(*on).distinct(), on, "left_anti")
+            # small one at scale — never broadcast the target.  Keys
+            # outside every candidate file's bounds cannot exist in the
+            # target, so the pruned scan decides identically.
+            if cand:
+                tgt_keys = self._read_files(
+                    spark, cand, schema_json, mapping
+                ).select(*on).distinct()
+            else:
+                tgt_keys = source.select(*on).limit(0)
+                n_inserted = source.count()
+            inserts = source.join(tgt_keys, on, "left_anti")
         else:
             inserts = source.limit(0)
-        n_inserted = inserts.count()
         if not affected and n_inserted == 0:
             return {"version": -1, "files_rewritten": 0,
                     "rows_updated": 0, "rows_deleted": 0,
