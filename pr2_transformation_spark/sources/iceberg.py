@@ -1394,10 +1394,17 @@ class IcebergTable:
         read_version = self._current_version()
         meta = self._load_metadata()
         entries = self._data_file_entries()
-        if prune_keys is not None and "schemas" not in meta:
+        if prune_keys is not None and len(meta.get("schemas", [])) <= 1:
             # single-schema-generation tables only: bounds keys are the
-            # current names.  bisect over the sorted key list — a file
-            # survives iff some key lies inside [lo, hi].
+            # current names.  (r11 FIX: the r10 guard tested
+            # `"schemas" not in meta`, but every table written since
+            # the round-9 evolution work carries a one-entry "schemas"
+            # list — the prune silently never fired on current tables;
+            # the probe measured the intended behavior through its own
+            # spy.  One schema generation == bounds keys ARE the
+            # current names, which is the actual precondition.)
+            # bisect over the sorted key list — a file survives iff
+            # some key lies inside [lo, hi].
             import bisect
 
             col, keys = prune_keys
@@ -1765,7 +1772,12 @@ class IcebergTable:
         try:
             entries = self._data_file_entries()
             bounds_rows, keep_always = [], []
-            if "schemas" not in meta and len(entries) <= 4096:
+            # the interval-join probe is one extra job: below a few
+            # dozen files the full keys projection is the measured-
+            # cheaper path (q417 A/B, the delta twin's gate), above it
+            # the probe keeps the stats scan O(touched files)
+            if (len(meta.get("schemas", [])) <= 1
+                    and 32 < len(entries) <= 4096):
                 for i, e in enumerate(entries):
                     lo_raw = e.get("lower_bounds_json") or ""
                     hi_raw = e.get("upper_bounds_json") or ""
