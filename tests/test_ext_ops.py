@@ -744,8 +744,13 @@ def test_two_phase_cc_matches_min_label_and_handles_long_chains(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "src long, dst long"
     )
-    with pytest.raises(RuntimeError, match="two_phase"):
-        connected_components(chain)  # diameter 200 exceeds the label bound
+    # r11: min-label now pointer-jumps (comp <- comp[comp]) each round,
+    # so a diameter-200 chain converges in O(log d) rounds instead of
+    # exceeding the 25-round bound and raising — both algorithms must
+    # resolve the chain to the single component rooted at 0
+    comp_ml = {r["id"]: r["comp"]
+               for r in connected_components(chain).collect()}
+    assert len(comp_ml) == 201 and set(comp_ml.values()) == {0}
     comp = {r["id"]: r["comp"]
             for r in connected_components_two_phase(chain).collect()}
     assert len(comp) == 201 and set(comp.values()) == {0}
